@@ -1,0 +1,348 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{AsofJoin, Features, Scaling, Upsert}
+
+/** One declared query per reference operator (SURVEY.md §2), expressed over
+  * the driver's fixture tables, each paired with DuckDB oracle SQL.
+  *
+  * Determinism rules (the driver hash-compares values after sorting columns
+  * by name):
+  *   - computed integer columns are cast to BIGINT on the Spark side (DuckDB
+  *     integer functions return BIGINT);
+  *   - every floating-point aggregate/derivation is ROUNDed identically on
+  *     both sides so cross-engine summation-order ulps can't flip the hash;
+  *   - window orderings carry a unique tie-break column;
+  *   - `events.ts` is nanosecond-precision parquet: Spark truncates to
+  *     microseconds on read, so the oracle SQL always goes through
+  *     `CAST(ts AS TIMESTAMP)` (microseconds) before comparing/ordering.
+  */
+object ReferenceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // ---- A* aggregations --------------------------------------------------
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+    }),
+    "a1_nullcount" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val aggs = e.columns.toSeq.map(c => (count(lit(1)) - count(col(c))).as(s"null_$c"))
+      e.agg(aggs.head, aggs.tail: _*)
+    }),
+    "a2_minmax" -> ((s, dir) => {
+      Tables.orders(s, dir).agg(
+        min("o_orderdate").as("min_date"),
+        max("o_orderdate").as("max_date"),
+        count(lit(1)).as("n"))
+    }),
+    "a3_count" -> ((s, dir) => {
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+    }),
+    "a4_scale" -> ((s, dir) => {
+      // sklearn-parity z-score (stddev_pop, fillna(0), zero-var -> 1.0); the
+      // fit is a broadcast one-row cross join, not a global window (§7 scale).
+      val scaled = Scaling.zscore(Tables.lineitem(s, dir), Seq("l_quantity", "l_extendedprice"))
+      scaled.select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("scaled_l_quantity"), 6).as("z_qty"),
+        round(col("scaled_l_extendedprice"), 6).as("z_price"))
+    }),
+
+    // ---- P* projections & filters ----------------------------------------
+    "p1_project" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_extendedprice")),
+    "p2_filter_date" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .where(to_date(col("o_orderdate")).between(lit("1997-01-01"), lit("1997-01-31")))
+        .select(col("o_orderkey"), col("o_custkey"), date_trunc("day", col("o_orderdate")).as("o_day"))
+    }),
+    "p3_filter_minute" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .where(minute(col("ts")) === 0)
+        .select(col("event_id"), hour(col("ts")).cast("long").as("h"))
+    }),
+    "p4_isin" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .where(col("p_brand").isin("Brand#1", "Brand#13", "Brand#20"))
+        .select("p_partkey", "p_brand", "p_size")
+    }),
+    "p5_contains" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .where(col("o_orderpriority").contains("HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+    }),
+    "p6_notnull" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .where(col("props").isNotNull && get_json_object(col("props"), "$.k").isNotNull)
+        .select("event_id", "event_type")
+    }),
+
+    // ---- J* joins ---------------------------------------------------------
+    "j1_outer" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(round(avg("value"), 4).as("click_avg"))
+      val errors = e.where(col("event_type") === "error")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n_err"))
+      clicks.join(errors, Seq("h"), "outer")
+    }),
+    "j2_asof" -> ((s, dir) => {
+      // Reference J2 (`raw_data.py:223-229`): nearest-within-tolerance as-of
+      // join onto a half-hourly rate series; tolerance 15 min, earlier row
+      // wins ties. Bucketed equi-join implementation — no cartesian product.
+      val e = Tables.events(s, dir)
+      val rates = e.where(col("event_type") === "purchase")
+        .groupBy(window(col("ts"), "30 minutes").getField("start").as("t"))
+        .agg(round(avg("value"), 4).as("rate"))
+      val left = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("ts").as("t"))
+      AsofJoin.nearest(left, rates, "t", 900L, Seq("event_id"))
+        .select("event_id", "rate")
+    }),
+    "j3_cross" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val stats = li.agg(avg("l_extendedprice").as("avg_price"))
+      li.crossJoin(broadcast(stats))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") / col("avg_price"), 6).as("price_ratio"))
+    }),
+    "j4_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).where(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+    "j5_union" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val hi = o.where(col("o_totalprice") > 300000)
+        .select(col("o_orderkey"), col("o_orderstatus"), lit("high").as("bucket"))
+      val lo = o.where(col("o_totalprice") < 10000)
+        .select(col("o_orderkey"), col("o_orderstatus"), lit("low").as("bucket"))
+      hi.unionByName(lo)
+    }),
+
+    // ---- D* dedup / upsert / sort -----------------------------------------
+    "d1_upsert_newest" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val existing = e.select("event_id", "user_id", "value")
+      val incoming = e.where(col("event_id") % 3 === 0)
+        .select(col("event_id"), col("user_id"), round(col("value") * 2, 2).as("value"))
+      Upsert.keepNewest(existing, incoming, Seq("event_id"))
+    }),
+    "d2_dedup_first" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val existing = e.select("event_id", "user_id", "value")
+      val incoming = e.where(col("event_id") % 5 === 0)
+        .select(col("event_id"), col("user_id"), round(col("value") * 3, 2).as("value"))
+      Upsert.keepFirst(existing, incoming, Seq("event_id"))
+    }),
+    "d3_sort_limit" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")),
+
+    // ---- S4 pivot ----------------------------------------------------------
+    "s4_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum("value"), 2))
+    }),
+
+    // ---- F* feature derivations -------------------------------------------
+    "f1_temporal" -> ((s, dir) => {
+      Features.withTemporal(Tables.events(s, dir), "ts").select(
+        col("event_id"),
+        col("hour").cast("long").as("hour"),
+        col("day_of_week").cast("long").as("day_of_week"),
+        col("month").cast("long").as("month"),
+        col("day_of_month").cast("long").as("day_of_month"),
+        col("week_of_year").cast("long").as("week_of_year"),
+        col("is_weekend").cast("long").as("is_weekend"),
+        col("is_peak_hour").cast("long").as("is_peak_hour"),
+        col("is_night").cast("long").as("is_night"))
+    }),
+    "f2_cyclical" -> ((s, dir) => {
+      Features.withTemporal(Tables.events(s, dir), "ts").select(
+        col("event_id"),
+        round(col("hour_sin"), 6).as("hour_sin"),
+        round(col("hour_cos"), 6).as("hour_cos"),
+        round(col("month_sin"), 6).as("month_sin"),
+        round(col("month_cos"), 6).as("month_cos"))
+    }),
+    "f3_interaction" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        round(Features.clipLower0(lit(18.0) - col("value")), 4).as("heating_demand"),
+        round(Features.clipLower0(col("value") - lit(22.0)), 4).as("cooling_demand"),
+        round(col("value") / (col("user_id") + lit(1e-6)), 4).as("value_per_user"))
+    }),
+    "f4_log" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        round(log1p(coalesce(col("value"), lit(0.0))), 6).as("log_value"))
+    }),
+
+    // ---- JSON extraction ---------------------------------------------------
+    "json1_extract" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    }),
+
+    // ---- Window functions --------------------------------------------------
+    "w1_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cum_value",
+          round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .select("event_id", "user_id", "rn", "cum_value")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),2) AS sum_qty,
+        | ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | ROUND(AVG(l_discount),6) AS avg_disc, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "a1_nullcount" ->
+      ("SELECT " + Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        .map(c => s"COUNT(*) - COUNT($c) AS null_$c").mkString(", ") + " FROM events"),
+    "a2_minmax" ->
+      "SELECT MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date, COUNT(*) AS n FROM orders",
+    "a3_count" ->
+      "SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+    "a4_scale" ->
+      """SELECT l_orderkey, l_linenumber,
+        | ROUND((l_quantity - AVG(l_quantity) OVER ()) /
+        |   (CASE WHEN STDDEV_POP(l_quantity) OVER () = 0 THEN 1.0 ELSE STDDEV_POP(l_quantity) OVER () END), 6) AS z_qty,
+        | ROUND((l_extendedprice - AVG(l_extendedprice) OVER ()) /
+        |   (CASE WHEN STDDEV_POP(l_extendedprice) OVER () = 0 THEN 1.0 ELSE STDDEV_POP(l_extendedprice) OVER () END), 6) AS z_price
+        |FROM lineitem""".stripMargin,
+    "p1_project" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+    "p2_filter_date" ->
+      """SELECT o_orderkey, o_custkey, date_trunc('day', o_orderdate) AS o_day FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-01-31'""".stripMargin,
+    "p3_filter_minute" ->
+      """SELECT event_id, hour(CAST(ts AS TIMESTAMP)) AS h FROM events
+        |WHERE minute(CAST(ts AS TIMESTAMP)) = 0""".stripMargin,
+    "p4_isin" ->
+      "SELECT p_partkey, p_brand, p_size FROM part WHERE p_brand IN ('Brand#1','Brand#13','Brand#20')",
+    "p5_contains" ->
+      "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority LIKE '%HIGH%'",
+    "p6_notnull" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE props IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL""".stripMargin,
+    "j1_outer" ->
+      """WITH c AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) h, ROUND(AVG(value),4) click_avg
+        |           FROM events WHERE event_type='click' GROUP BY 1),
+        |     e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) h, COUNT(*) n_err
+        |           FROM events WHERE event_type='error' GROUP BY 1)
+        |SELECT COALESCE(c.h, e.h) AS h, c.click_avg, e.n_err
+        |FROM c FULL OUTER JOIN e ON c.h = e.h""".stripMargin,
+    "j2_asof" ->
+      """WITH rates AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS t, ROUND(AVG(value),4) AS rate
+        |  FROM events WHERE event_type='purchase' GROUP BY 1),
+        |lefts AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type='click'),
+        |cand AS (
+        |  SELECT l.event_id, r.rate,
+        |         ROW_NUMBER() OVER (PARTITION BY l.event_id
+        |           ORDER BY ABS(epoch_us(l.t) - epoch_us(r.t)) ASC, r.t ASC) AS rn
+        |  FROM lefts l JOIN rates r ON ABS(epoch_us(l.t) - epoch_us(r.t)) <= 900000000)
+        |SELECT l.event_id, c.rate
+        |FROM lefts l LEFT JOIN (SELECT event_id, rate FROM cand WHERE rn=1) c USING(event_id)""".stripMargin,
+    "j3_cross" ->
+      """SELECT l_orderkey, l_linenumber,
+        | ROUND(l_extendedprice / (SELECT AVG(l_extendedprice) FROM lineitem), 6) AS price_ratio
+        |FROM lineitem""".stripMargin,
+    "j4_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin,
+    "j5_union" ->
+      """SELECT o_orderkey, o_orderstatus, 'high' AS bucket FROM orders WHERE o_totalprice > 300000
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, 'low' AS bucket FROM orders WHERE o_totalprice < 10000""".stripMargin,
+    "d1_upsert_newest" ->
+      """WITH existing AS (SELECT event_id, user_id, value, 0 AS prio FROM events),
+        |     incoming AS (SELECT event_id, user_id, ROUND(value*2,2) AS value, 1 AS prio
+        |                  FROM events WHERE event_id % 3 = 0),
+        |     u AS (SELECT * FROM existing UNION ALL SELECT * FROM incoming),
+        |     r AS (SELECT event_id, user_id, value,
+        |              ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY prio DESC) AS rn FROM u)
+        |SELECT event_id, user_id, value FROM r WHERE rn = 1""".stripMargin,
+    "d2_dedup_first" ->
+      """WITH existing AS (SELECT event_id, user_id, value, 1 AS prio FROM events),
+        |     incoming AS (SELECT event_id, user_id, ROUND(value*3,2) AS value, 0 AS prio
+        |                  FROM events WHERE event_id % 5 = 0),
+        |     u AS (SELECT * FROM existing UNION ALL SELECT * FROM incoming),
+        |     r AS (SELECT event_id, user_id, value,
+        |              ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY prio DESC) AS rn FROM u)
+        |SELECT event_id, user_id, value FROM r WHERE rn = 1""".stripMargin,
+    "d3_sort_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    "s4_pivot" ->
+      """SELECT user_id,
+        | ROUND(SUM(CASE WHEN event_type='click' THEN value END),2) AS click,
+        | ROUND(SUM(CASE WHEN event_type='error' THEN value END),2) AS error,
+        | ROUND(SUM(CASE WHEN event_type='purchase' THEN value END),2) AS purchase,
+        | ROUND(SUM(CASE WHEN event_type='signup' THEN value END),2) AS signup,
+        | ROUND(SUM(CASE WHEN event_type='view' THEN value END),2) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+    "f1_temporal" ->
+      """SELECT event_id,
+        | hour(CAST(ts AS TIMESTAMP)) AS hour,
+        | isodow(CAST(ts AS TIMESTAMP)) - 1 AS day_of_week,
+        | month(CAST(ts AS TIMESTAMP)) AS month,
+        | day(CAST(ts AS TIMESTAMP)) AS day_of_month,
+        | weekofyear(CAST(ts AS TIMESTAMP)) AS week_of_year,
+        | CASE WHEN isodow(CAST(ts AS TIMESTAMP)) - 1 >= 5 THEN 1 ELSE 0 END AS is_weekend,
+        | CASE WHEN hour(CAST(ts AS TIMESTAMP)) BETWEEN 17 AND 21 THEN 1 ELSE 0 END AS is_peak_hour,
+        | CASE WHEN hour(CAST(ts AS TIMESTAMP)) = 23 OR hour(CAST(ts AS TIMESTAMP)) BETWEEN 0 AND 6
+        |      THEN 1 ELSE 0 END AS is_night
+        |FROM events""".stripMargin,
+    "f2_cyclical" ->
+      """SELECT event_id,
+        | ROUND(SIN(2*PI()*hour(CAST(ts AS TIMESTAMP))/24.0),6) AS hour_sin,
+        | ROUND(COS(2*PI()*hour(CAST(ts AS TIMESTAMP))/24.0),6) AS hour_cos,
+        | ROUND(SIN(2*PI()*month(CAST(ts AS TIMESTAMP))/12.0),6) AS month_sin,
+        | ROUND(COS(2*PI()*month(CAST(ts AS TIMESTAMP))/12.0),6) AS month_cos
+        |FROM events""".stripMargin,
+    "f3_interaction" ->
+      """SELECT event_id,
+        | ROUND(CASE WHEN value IS NULL THEN NULL ELSE GREATEST(0.0, 18.0 - value) END, 4) AS heating_demand,
+        | ROUND(CASE WHEN value IS NULL THEN NULL ELSE GREATEST(0.0, value - 22.0) END, 4) AS cooling_demand,
+        | ROUND(value / (user_id + 1e-6), 4) AS value_per_user
+        |FROM events""".stripMargin,
+    "f4_log" ->
+      "SELECT event_id, ROUND(LN(1 + COALESCE(value, 0)), 6) AS log_value FROM events",
+    "json1_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+    "w1_window" ->
+      """SELECT event_id, user_id,
+        | ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+        | ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS cum_value
+        |FROM events""".stripMargin
+  )
+}
