@@ -1,0 +1,65 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Storage layer: reference-parity CSV artifacts plus the partitioned
+  * Parquet layout that is the real sink at scale (SURVEY.md §2.1 S6-S8).
+  *
+  * The reference's CSV is the inter-job IR (`raw_data.py:263`,
+  * `data_engineering.py:130`); we keep it as a faithful export (single
+  * sorted file with header). The scale path is date-partitioned Parquet:
+  * daily increments overwrite only their own `dt=` partitions (dynamic
+  * partition overwrite), so a 100 TB history is never rewritten to upsert
+  * 24 rows.
+  */
+class Store(spark: SparkSession, baseDir: String) {
+
+  private def fs = new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(rel: String): Boolean = fs.exists(new Path(s"$baseDir/$rel"))
+
+  /** S6: schema'd CSV scan (no inference — SURVEY §1.1). */
+  def readCsv(rel: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(s"$baseDir/$rel")
+
+  /** S7: conditional scan with declared-empty fallback (`data_engineering.py:21-28`). */
+  def readCsvOrEmpty(rel: String, schema: StructType): DataFrame =
+    if (exists(rel)) readCsv(rel, schema)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** S8: full-overwrite sorted single-file CSV with header
+    * (`raw_data.py:263`, `data_engineering.py:129-130`). `coalesce(1)`
+    * matches the reference artifact shape — export path only, NOT the scale
+    * sink.
+    *
+    * The upsert plans READ the same path they replace, and Spark refuses to
+    * overwrite a path it is reading from — so write to a sibling tmp dir
+    * and atomically swap.
+    */
+  def writeCsv(df: DataFrame, rel: String, sortCol: String = "datetime"): Unit = {
+    val target = new Path(s"$baseDir/$rel")
+    val tmp = new Path(s"$baseDir/.tmp_$rel")
+    df.orderBy(col(sortCol))
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true")
+      .csv(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
+  }
+
+  /** Scale sink: Parquet partitioned by day. With dynamic partition
+    * overwrite, writing a delta touches only the delta's partitions.
+    */
+  def writePartitioned(df: DataFrame, rel: String, tsCol: String = "datetime"): Unit =
+    df.withColumn("dt", to_date(col(tsCol)))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dt")
+      .parquet(s"$baseDir/$rel")
+
+  def readPartitioned(rel: String): DataFrame =
+    spark.read.parquet(s"$baseDir/$rel").drop("dt")
+}

@@ -1,0 +1,189 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home", 67L),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away now", 66L), // near-dup of 1
+    (3L, "completely different words describing yet another unrelated subject entirely here today", 88L),
+    (4L, "the quick brown fox jumps over the lazy dog and runs far away home", 67L) // exact dup of 1
+  ).toDF("doc_id", "text", "n_chars")
+
+  test("exact: identical texts collapse to min id with copy count") {
+    val out = Dedup.exact(docs).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getLong(r.fieldIndex("n_copies"))).toMap
+    assert(out(1L) == 2 && out(2L) == 1 && out(3L) == 1)
+    assert(!out.contains(4L)) // absorbed into doc 1's group
+  }
+
+  test("minhash: exact dup estimates 1.0; near-dup high; unrelated none") {
+    val pairs = Dedup.minhashPairs(docs, minJaccard = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.5)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash estimate tracks exact jaccard within banding error") {
+    val est = Dedup.minhashPairs(docs, minJaccard = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Dedup.ngramJaccardPairs(docs, lenCol = "n_chars", tol = 50, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((k, j) <- exact if est.contains(k)) assert(math.abs(est(k) - j) < 0.25)
+  }
+
+  test("simhash: exact dup -> hamming 0; near-dup small; pairs found via chunk join") {
+    val sh = Dedup.simhashChunks(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sh(1L) == sh(4L))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 4L)) == 0L)
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard: length blocking excludes far-apart lengths") {
+    val out = Dedup.ngramJaccardPairs(docs, lenCol = "n_chars", tol = 5, minJaccard = 0.0)
+    // doc3 (88 chars) is >5 from all others -> never compared
+    assert(!out.collect().exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+}
+
+class SimSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0), // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(0.0f, 0.9f, 0.2f), 1),
+    (4L, Array(-1.0f, 0.0f, 0.0f), 0) // opposite of 0
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force top-k: correct neighbor order, self excluded") {
+    val q = vecs.where(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val out = SimSearch.bruteTopK(q, vecs, k = 2).orderBy("rank").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(out(0).fieldIndex("neighbor_id")) == 1L) // cos ~0.994
+    assert(out(0).getDouble(out(0).fieldIndex("cos")) > 0.99)
+    assert(out.forall(_.getLong(out(0).fieldIndex("neighbor_id")) != 0L))
+  }
+
+  test("near-dup pairs within label blocking") {
+    val pairs = SimSearch.nearDupPairs(vecs, "label", minCos = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs((0L, 1L)) && pairs((2L, 3L)))
+    assert(!pairs((0L, 4L))) // same label but cosine -1
+  }
+
+  test("lsh top-k: a near-duplicate query lands in its source's bucket (the LSH contract)") {
+    // Random-hyperplane LSH promises recall for TIGHT neighbors (cos ~ 1):
+    // an identical vector hashes to the identical bucket, so its source must
+    // come back as the rank-1 hit with cos = 1. (Loose neighbors — this
+    // fixture's max pairwise cos is ~0.5 — are exactly what the brute-force
+    // tier is for.)
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where(col("vec_id") < 5)
+      .select((col("vec_id") + 10000L).as("q_id"), col("embedding").as("q_vec"))
+    val top1 = SimSearch.lshTopK(q, e, k = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    (0 until 5).foreach { i =>
+      val (nn, cos) = top1(10000L + i)
+      assert(nn == i.toLong, s"query $i: expected its source vector, got $nn")
+      assert(math.abs(cos - 1.0) < 1e-6)
+    }
+  }
+}
+
+class TextStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq((1L, "the quick brownish fox")).toDF("doc_id", "text")
+    val r = df.select(
+      TextStats.tokenCount(col("text")).as("n"),
+      TextStats.bpeishTokenCount(col("text")).as("b")).head()
+    assert(r.getLong(0) == 4)
+    // ceil(3/4)+ceil(5/4)+ceil(8/4)+ceil(3/4) = 1+2+2+1 = 6
+    assert(r.getLong(1) == 6)
+  }
+
+  test("langId: English stopwords -> en; gibberish -> und") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and the dog ran to the park"),
+      (2L, "zzz qqq xxx yyy www vvv")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextStats.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "und")
+  }
+
+  test("quality: ttr and score in [0,1]; repetitive text scores lower") {
+    val df = Seq(
+      (1L, (1 to 60).map(i => s"w$i").mkString(" ")), // all distinct
+      (2L, Seq.fill(60)("spam").mkString(" "))).toDF("doc_id", "text")
+    val out = TextStats.withQuality(df).select("doc_id", "type_token_ratio", "quality_score")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 1.0)
+    assert(out(2L)._1 < 0.02)
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
+  test("fingerprint: identical normalized texts collide; different texts don't") {
+    val df = Seq(
+      (1L, "Hello   World Friend"), (2L, "hello world friend"), // same after normalize
+      (3L, "totally other content")).toDF("doc_id", "text")
+    val fp = TextStats.withFingerprint(df).select("doc_id", "fp_full")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+}
+
+class MonitoringMultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("probe: success rate + avg latency; all-fail -> None") {
+    val ok = new graft.sources.FixtureApiClient(Map.empty, probeLatency = 0.5)
+    val m = graft.Monitoring.probe(ok, "2026-01-01T00:00:00Z")
+    assert(m.totalApis == 5 && m.apiSuccessRate == 1.0 && m.avgApiResponseTime.contains(0.5))
+    val down = new graft.sources.FixtureApiClient(Map.empty, failingUrls = Set("http"))
+    val m2 = graft.Monitoring.probe(down, "2026-01-01T00:00:00Z")
+    assert(m2.apiSuccessRate == 0.0 && m2.avgApiResponseTime.isEmpty)
+  }
+
+  test("metrics.json: merge preserves unknown keys; corrupt file starts fresh") {
+    import graft.Monitoring
+    val dir = java.nio.file.Files.createTempDirectory("graft_metrics")
+    val path = s"$dir/metrics.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      """{"custom_key": "keep-me", "total_apis": 4}""")
+    Monitoring.writeMetrics(path, Monitoring.Metrics(5, "2026-01-01T00:00:00Z", 0.8, Some(0.123)))
+    val merged = Monitoring.parseFlatJson(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    assert(merged("custom_key") == "\"keep-me\"") // unknown key preserved
+    assert(merged("total_apis") == "5" && merged("api_success_rate") == "0.8")
+    // corrupt file -> fresh start, no crash
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), "{not json!!")
+    Monitoring.writeMetrics(path, Monitoring.Metrics(5, "2026-01-02T00:00:00Z", 1.0, None))
+    val fresh = Monitoring.parseFlatJson(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    assert(fresh("avg_api_response_time") == "null" && !fresh.contains("custom_key"))
+  }
+
+  test("multimodal decode stub: schema and deterministic fake dims") {
+    import spark.implicits._
+    val docs = Seq((7L, "abcdefgh", "x", "y", 8L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ext.Multimodal.decodeDocuments(spark, docs).collect()
+    assert(out.length == 1)
+    val m = out(0)
+    assert(m.doc_id == 7L && m.n_bytes == 8L && m.width == 9L && m.height == 1L && m.format == "txt")
+  }
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AsofJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def left(times: String*) =
+    times.zipWithIndex.map { case (t, i) => (i.toLong, ts(t)) }.toDF("id", "t")
+  private def right(rows: (String, Double)*) =
+    rows.map { case (t, v) => (ts(t), v) }.toDF("t", "v")
+
+  test("exact match preferred; inclusive tolerance boundary") {
+    val l = left("2024-01-01 10:00:00", "2024-01-01 11:00:00")
+    val r = right("2024-01-01 10:00:00" -> 1.0, "2024-01-01 11:30:00" -> 2.0)
+    val out = AsofJoin.nearest(l, r, "t", 1800L, Seq("id"))
+      .orderBy("id").select("v").collect()
+    assert(out(0).getDouble(0) == 1.0)
+    assert(out(1).getDouble(0) == 2.0) // exactly +30min -> inclusive
+  }
+
+  test("just outside tolerance -> null (left-preserving)") {
+    val l = left("2024-01-01 10:00:00")
+    val r = right("2024-01-01 10:30:01" -> 9.9)
+    val out = AsofJoin.nearest(l, r, "t", 1800L, Seq("id")).select("v").collect()
+    assert(out(0).isNullAt(0))
+  }
+
+  test("equidistant tie -> earlier right row wins (pandas backward bias)") {
+    val l = left("2024-01-01 10:00:00")
+    val r = right("2024-01-01 09:45:00" -> 1.0, "2024-01-01 10:15:00" -> 2.0)
+    val out = AsofJoin.nearest(l, r, "t", 1800L, Seq("id")).select("v").head()
+    assert(out.getDouble(0) == 1.0)
+  }
+
+  test("backward / forward directions with tolerance") {
+    val l = left("2024-01-01 10:00:00")
+    val r = right("2024-01-01 09:59:00" -> 1.0, "2024-01-01 10:01:00" -> 2.0)
+    assert(AsofJoin.backward(l, r, "t", 600L, Seq("id")).select("v").head().getDouble(0) == 1.0)
+    assert(AsofJoin.forward(l, r, "t", 600L, Seq("id")).select("v").head().getDouble(0) == 2.0)
+  }
+
+  test("property: bucketed nearest == brute-force nearest on random timestamps") {
+    val rnd = new scala.util.Random(7)
+    val base = ts("2024-06-01 00:00:00").getTime
+    val lTimes = (0 until 200).map(i => (i.toLong, new Timestamp(base + rnd.nextInt(86400) * 1000L)))
+    val rTimes = (0 until 50).map(i => (new Timestamp(base + rnd.nextInt(86400) * 1000L), i.toDouble))
+    val l = lTimes.toDF("id", "t")
+    val r = rTimes.toDF("t", "v")
+    val tol = 900L
+
+    val got = AsofJoin.nearest(l, r, "t", tol, Seq("id"))
+      .select("id", "v").collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) null else x.getDouble(1))).toMap
+
+    // brute force on the driver
+    val expected = lTimes.map { case (id, lt) =>
+      val cands = rTimes.filter { case (rt, _) => math.abs(rt.getTime - lt.getTime) <= tol * 1000 }
+      if (cands.isEmpty) id -> null
+      else {
+        val best = cands.minBy { case (rt, _) =>
+          (math.abs(rt.getTime - lt.getTime), rt.getTime) } // tie -> earlier
+        id -> best._2
+      }
+    }.toMap
+    assert(got == expected)
+  }
+}
+
+class UpsertSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("keepNewest: incoming replaces on collision; keepFirst: existing wins") {
+    val existing = Seq((1L, "old1"), (2L, "old2")).toDF("k", "v")
+    val incoming = Seq((2L, "new2"), (3L, "new3")).toDF("k", "v")
+    val newest = Upsert.keepNewest(existing, incoming, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(newest == Map(1L -> "old1", 2L -> "new2", 3L -> "new3"))
+    val first = Upsert.keepFirst(existing, incoming, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == Map(1L -> "old1", 2L -> "old2", 3L -> "new3"))
+  }
+
+  test("idempotence: upserting the same batch twice changes nothing") {
+    val a = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    val b = Seq((2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val once = Upsert.keepNewest(a, b, Seq("k"))
+    val twice = Upsert.keepNewest(once, b, Seq("k"))
+    assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
+  }
+
+  test("schema alignment: missing incoming columns null-filled (unionByName)") {
+    val existing = Seq((1L, "a", 1.0)).toDF("k", "v", "extra")
+    val incoming = Seq((2L, "b")).toDF("k", "v")
+    val out = Upsert.keepNewest(existing, incoming, Seq("k")).orderBy("k").collect()
+    assert(out(1).isNullAt(2))
+  }
+}
+
+class FeaturesScalingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("weekday base is Monday=0 (pandas dt.dayofweek), not Sunday=1") {
+    // 2024-03-11 is a Monday
+    val df = Seq(Timestamp.valueOf("2024-03-11 12:00:00")).toDF("datetime")
+    val r = Features.withTemporal(df).select("day_of_week", "is_weekend").head()
+    assert(r.getInt(0) == 0 && r.getInt(1) == 0)
+  }
+
+  test("is_night: hour 23 and 0-6 inclusive; is_peak: 17-21 inclusive") {
+    val rows = (0 until 24).map(h => Timestamp.valueOf(f"2024-03-11 $h%02d:00:00")).toDF("datetime")
+    val m = Features.withTemporal(rows).select("hour", "is_night", "is_peak_hour")
+      .collect().map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert((0 to 6).forall(m(_)._1 == 1) && m(23)._1 == 1 && m(7)._1 == 0 && m(22)._1 == 0)
+    assert((17 to 21).forall(m(_)._2 == 1) && m(16)._2 == 0 && m(22)._2 == 0)
+  }
+
+  test("cyclical encodings bounded and sin^2+cos^2 == 1") {
+    val rows = (0 until 24).map(h => Timestamp.valueOf(f"2024-05-01 $h%02d:00:00")).toDF("datetime")
+    val out = Features.withTemporal(rows).select("hour_sin", "hour_cos").collect()
+    out.foreach { r =>
+      val (s, c) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(s * s + c * c - 1.0) < 1e-12)
+    }
+  }
+
+  test("clipLower0 preserves null (pandas clip), floors negatives at 0") {
+    val df = Seq(Some(-5.0), Some(3.0), None).toDF("x")
+      .select(Features.clipLower0(col("x")).as("y"))
+    val out = df.collect()
+    assert(out(0).getDouble(0) == 0.0 && out(1).getDouble(0) == 3.0 && out(2).isNullAt(0))
+  }
+
+  test("zscore: population stddev, zero-variance -> 1.0, fillna(0), empty-safe") {
+    val df = Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0), (4.0, 7.0)).toDF("a", "b")
+    val out = Scaling.zscore(df, Seq("a", "b")).orderBy("a").collect()
+    val mean = 2.5
+    val stdPop = math.sqrt(Seq(1.0, 2, 3, 4).map(x => (x - mean) * (x - mean)).sum / 4)
+    assert(math.abs(out(0).getDouble(out(0).fieldIndex("scaled_a")) - (1.0 - mean) / stdPop) < 1e-12)
+    // zero variance: divide by 1.0 -> all zeros, no NaN/Inf
+    assert(out.forall(_.getDouble(out(0).fieldIndex("scaled_b")) == 0.0))
+    // nulls fill to 0 BEFORE the fit
+    val withNull = Seq(Some(2.0), None).toDF("a")
+    val z = Scaling.zscore(withNull, Seq("a")).select("scaled_a").collect().map(_.getDouble(0))
+    assert(math.abs(z.sum) < 1e-12) // mean of (2,0)=1, std=1 -> z = (+1,-1)
+  }
+}
