@@ -8,8 +8,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      // see Verify: keep CPU-heavy tiny-byte shuffles parallel under AQE
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one unmeasured action to absorb session/codegen/JIT warmup so the
+    // first measured query isn't charged for it
+    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fixture inputs are tiny in BYTES but several operators are heavy in
+      // CPU per row (set intersections, dot products); default 64m advisory
+      // lets AQE coalesce their shuffles to 1 task and serialize the work
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -39,9 +39,13 @@ object SimSearch {
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 qId: String = "q_id", qVec: String = "q_vec",
                 cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
+    // norms are computed ONCE per vector before the join — the per-pair work
+    // is a single dot product, not three
+    val q = queries.withColumn("__qn", norm(col(qVec)))
+    val c = corpus.withColumn("__cn", norm(col(cVec)))
+    val joined = c.crossJoin(broadcast(q))
       .where(col(qId) =!= col(cId))
-      .withColumn("cos", cosine(col(qVec), col(cVec)))
+      .withColumn("cos", dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId).asc)
     joined.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -73,16 +77,18 @@ object SimSearch {
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val planes = hyperplanes(nBits, dim, seed)
     val c = corpus.withColumn("bucket", lshBucket(col(cVec), planes))
+      .withColumn("__cn", norm(col(cVec)))
     // multi-probe: original bucket + each 1-bit flip
     val probes = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
-    val q = queries.withColumn("bucket0", lshBucket(col(qVec), planes))
+    val q = queries.withColumn("__qn", norm(col(qVec)))
+      .withColumn("bucket0", lshBucket(col(qVec), planes))
       .withColumn("bucket", explode(transform(probes, f => col("bucket0").bitwiseXOR(f))))
       .drop("bucket0")
     val cand = c.join(broadcast(q), Seq("bucket"))
       .where(col(qId) =!= col(cId))
-      .select(col(qId), col(qVec), col(cId), col(cVec))
+      .select(col(qId), col(qVec), col("__qn"), col(cId), col(cVec), col("__cn"))
       .distinct()
-      .withColumn("cos", cosine(col(qVec), col(cVec)))
+      .withColumn("cos", dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId).asc)
     cand.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -94,10 +100,15 @@ object SimSearch {
     */
   def nearDupPairs(df: DataFrame, blockCol: String, minCos: Double,
                    id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val a = df.as("a")
-    val b = df.as("b")
+    val withNorm = df.withColumn("__n", norm(col(vec)))
+    // explicit-count repartition of the probe side = parallelism of the
+    // per-pair dot-product loop (broadcast join inherits left partitioning;
+    // AQE never coalesces REPARTITION_BY_NUM)
+    val a = withNorm
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(id)).as("a")
+    val b = withNorm.as("b")
     a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") && col(s"a.$id") < col(s"b.$id"))
-      .withColumn("cos", cosine(col(s"a.$vec"), col(s"b.$vec")))
+      .withColumn("cos", dot(col(s"a.$vec"), col(s"b.$vec")) / (col("a.__n") * col("b.__n")))
       .where(col("cos") >= minCos)
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
         round(col("cos"), 5).as("cos"))

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column <-> Expression bridge for graft's custom Catalyst expressions.
+  *
+  * Spark 4 made `Column.expr` / `new Column(expr)` private to the sql
+  * package (`org.apache.spark.sql.classic.ExpressionUtils`); this shim is
+  * the single sanctioned crossing point for our library.
+  */
+object GraftBridge {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
