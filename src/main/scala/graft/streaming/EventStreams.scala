@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming formulations of the pipeline's streaming-shaped
+  * concerns (SURVEY.md §2.9). The reference is batch-only — its late-data
+  * handling is the D1 keep-newest upsert and its windowing is the hourly
+  * join-then-filter grid — but the engine exposes the streaming equivalents
+  * so the same semantics run on an unbounded feed:
+  *
+  *   - [[hourlyAggregate]]: the 1-hour tumbling grid as a watermarked
+  *     windowed aggregation (late rows within the watermark update their
+  *     window; rows later than that are dropped — the streaming analogue of
+  *     the reference's bounded re-collection window).
+  *   - [[dedupByKey]]: streaming `dropDuplicates` on the time key — the
+  *     exactly-once-ish idempotence the reference gets from D1/D2.
+  *   - [[sessionize]]: `flatMapGroupsWithState` sessionization per user —
+  *     the custom-state escape hatch for semantics windows can't express.
+  *
+  * State scale: all three partition by key (window/user), so state is
+  * hash-distributed across executors; watermarks and timeouts bound it.
+  */
+object EventStreams {
+
+  /** Hourly per-type value aggregate over an unbounded event stream.
+    * `df` may be a streaming OR batch frame (same plan either way).
+    */
+  def hourlyAggregate(df: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    df.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("avg_value"))
+
+  /** Streaming key-dedup: first arrival wins within the watermark horizon
+    * (the reference's D2; D1 keep-newest has no streaming analogue because
+    * a sink row, once emitted, is immutable — late updates become new
+    * versions downstream instead).
+    */
+  def dedupByKey(df: DataFrame, keyCol: String = "event_id",
+                 watermarkDelay: String = "2 hours"): DataFrame =
+    df.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  case class Session(userId: Long, nEvents: Long, totalValue: Double,
+                     startTs: Timestamp, endTs: Timestamp)
+  case class SessionState(n: Long, total: Double, startMs: Long, lastMs: Long)
+
+  /** Gap-based sessionization: a user's session closes after `gapMinutes`
+    * of event-time inactivity. Emits one row per closed session — either
+    * when a later event of the same user arrives past the gap, or when the
+    * WATERMARK passes the gap deadline (event-time timeout; deterministic
+    * and replayable, unlike processing-time timeouts, and it never spins
+    * empty micro-batches).
+    *
+    * `events` needs columns (user_id: long, ts: timestamp, value: double).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+                 watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.n, s.total,
+              new Timestamp(s.startMs), new Timestamp(s.lastMs)))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var st = state.getOption.getOrElse(
+              SessionState(0, 0.0, sorted.head._2.getTime, sorted.head._2.getTime))
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { case (_, ts, v) =>
+              if (st.n > 0 && ts.getTime - st.lastMs > gapMinutes * 60000L) {
+                closed += Session(userId, st.n, st.total,
+                  new Timestamp(st.startMs), new Timestamp(st.lastMs))
+                st = SessionState(0, 0.0, ts.getTime, ts.getTime)
+              }
+              st = SessionState(st.n + 1, st.total + v, st.startMs, ts.getTime)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastMs + gapMinutes * 60000L)
+            closed.result().iterator
+          }
+      }
+  }
+}

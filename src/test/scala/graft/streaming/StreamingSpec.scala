@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourly windowed aggregate over a file stream matches the batch result") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_in").toString
+    val events = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:55:00"), "click", 3.0),
+      (ts("2024-01-01 10:20:00"), "error", 7.0),
+      (ts("2024-01-01 11:10:00"), "click", 5.0))
+    events.toDF("ts", "event_type", "value").write.parquet(s"$dir/batch1")
+
+    val schema = spark.read.parquet(s"$dir/batch1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    val agg = EventStreams.hourlyAggregate(stream)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("hourly_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits closed windows; push the watermark past 11:00
+      Seq((ts("2024-01-01 14:00:00"), "click", 0.0)).toDF("ts", "event_type", "value")
+        .write.parquet(s"$dir/batch2")
+      q.processAllAvailable()
+      val out = spark.table("hourly_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(out(("2024-01-01 10:00:00.0", "click")) == (2L, 2.0))
+      assert(out(("2024-01-01 10:00:00.0", "error")) == (1L, 7.0))
+      assert(out(("2024-01-01 11:00:00.0", "click")) == (1L, 5.0))
+      // and the same plan over the same data as a BATCH frame agrees
+      val batch = EventStreams.hourlyAggregate(spark.read.parquet(s"$dir/batch1"))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(batch(("2024-01-01 10:00:00.0", "click")) == (2L, 2.0))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first arrival per key within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    val q = EventStreams.dedupByKey(df)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), 1.0), (2L, ts("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:02:00"), 99.0)) // duplicate key, later arrival
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(out == Map(1L -> 1.0, 2L -> 2.0)) // first arrival won
+    } finally q.stop()
+  }
+
+  test("sessionization: gap splits sessions, state emits closed ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStreams.sessionize(
+        input.toDF().toDF("user_id", "ts", "value"), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      // user 7: two bursts 2 hours apart -> first session closes when the
+      // second burst arrives
+      input.addData((7L, ts("2024-01-01 09:00:00"), 1.0), (7L, ts("2024-01-01 09:10:00"), 2.0))
+      q.processAllAvailable()
+      input.addData((7L, ts("2024-01-01 11:00:00"), 5.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").as[EventStreams.Session].collect()
+      assert(out.length == 1)
+      assert(out(0).userId == 7L && out(0).nEvents == 2 && out(0).totalValue == 3.0)
+      assert(out(0).startTs == ts("2024-01-01 09:00:00") && out(0).endTs == ts("2024-01-01 09:10:00"))
+    } finally q.stop()
+  }
+}
