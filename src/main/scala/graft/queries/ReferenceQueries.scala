@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsofJoin, Features, Scaling, Upsert}
+import graft.operators.{AsofJoin, Features, Scaling, Skew, Upsert}
 
 /** One declared query per reference operator (SURVEY.md §2), expressed over
   * the driver's fixture tables, each paired with DuckDB oracle SQL.
@@ -50,6 +50,12 @@ object ReferenceQueries {
     "a3_count" -> ((s, dir) => {
       Tables.events(s, dir).groupBy("event_type")
         .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+    }),
+    "a5_salted_count" -> ((s, dir) => {
+      // skew-safe two-phase aggregation: identical result to a plain
+      // groupBy/count, but hot keys fan out over 16 reducers first
+      Skew.saltedCount(Tables.events(s, dir), Seq("event_type"),
+        salts = 16, saltBy = Seq("event_id"))
     }),
     "a4_scale" -> ((s, dir) => {
       // sklearn-parity z-score (stddev_pop, fillna(0), zero-var -> 1.0); the
@@ -230,6 +236,8 @@ object ReferenceQueries {
       "SELECT MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date, COUNT(*) AS n FROM orders",
     "a3_count" ->
       "SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+    "a5_salted_count" ->
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
     "a4_scale" ->
       """SELECT l_orderkey, l_linenumber,
         | ROUND((l_quantity - AVG(l_quantity) OVER ()) /
