@@ -62,4 +62,20 @@ class Store(spark: SparkSession, baseDir: String) {
 
   def readPartitioned(rel: String): DataFrame =
     spark.read.parquet(s"$baseDir/$rel").drop("dt")
+
+  /** Bucketed managed table: pre-shuffles ONCE at write time so every later
+    * equi-join/aggregation on `bucketCols` is co-located — Catalyst plans a
+    * SortMergeJoin with NO Exchange on either side. This is the 100 TB
+    * answer to "this join shuffles every run": pay the shuffle once,
+    * amortize it over every downstream query.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", s"$baseDir/$table")
+      .saveAsTable(table)
+
+  def readTable(table: String): DataFrame = spark.table(table)
 }

@@ -1,0 +1,55 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class StoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("partitioned parquet: dynamic overwrite touches only the delta's partitions") {
+    import spark.implicits._
+    val store = new Store(spark, Files.createTempDirectory("graft_part").toString)
+    val day1 = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 2.0)).toDF("datetime", "v")
+    store.writePartitioned(day1, "hist")
+    // overwrite ONLY 2024-01-02 with a new value
+    val delta = Seq((java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 99.0)).toDF("datetime", "v")
+    store.writePartitioned(delta, "hist")
+    val out = store.readPartitioned("hist").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getDouble(1)).toMap
+    assert(out("2024-01-01 10:00:00.0") == 1.0) // untouched partition survives
+    assert(out("2024-01-02 10:00:00.0") == 99.0) // delta partition replaced
+  }
+
+  test("bucketed tables: equi-join on the bucket key plans without a shuffle") {
+    val store = new Store(spark, Files.createTempDirectory("graft_bucket").toString)
+    val sf = "/root/testdata/sf0.001"
+    store.writeBucketed(Tables.lineitem(spark, sf), "li_bucketed", Seq("l_orderkey"), 8)
+    store.writeBucketed(
+      Tables.orders(spark, sf).withColumnRenamed("o_orderkey", "l_orderkey"),
+      "ord_bucketed", Seq("l_orderkey"), 8)
+
+    // force a non-broadcast join so bucketing is what saves the shuffle
+    // (at real scale neither side broadcasts anyway)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = store.readTable("li_bucketed")
+        .join(store.readTable("ord_bucketed"), Seq("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free co-located join, got:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      // and it is still correct
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf).withColumnRenamed("o_orderkey", "l_orderkey"),
+          Seq("l_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
