@@ -63,7 +63,9 @@ object ExtensionQueries {
 
     // ---- multimodal plumbing ----------------------------------------------
     "x12_multimodal" -> ((s, dir) =>
-      Multimodal.decodeDocuments(s, Tables.documents(s, dir)).toDF())
+      Multimodal.decodeDocuments(s, Tables.documents(s, dir)).toDF()),
+    "x13_multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(s, Multimodal.asMedia(s, Tables.documents(s, dir)), 4).toDF())
   )
 
   /** DuckDB cosine between two DOUBLE[] expressions (sequential double

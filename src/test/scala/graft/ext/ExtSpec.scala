@@ -186,4 +186,33 @@ class MonitoringMultimodalSpec extends AnyFunSuite {
     val m = out(0)
     assert(m.doc_id == 7L && m.n_bytes == 8L && m.width == 9L && m.height == 1L && m.format == "txt")
   }
+
+  test("multimodal feature-extract, resize, frame-sample plumbing") {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    val docs = Seq((1L, "a" * 200, "x", "y", 200L), (2L, "bc", "x", "y", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val feats = Multimodal.featurizeDocuments(spark, docs).collect()
+      .map(f => f.doc_id -> f.features).toMap
+    assert(feats(1L).length == 16)
+    assert(math.abs(feats(1L).sum - 1.0) < 1e-9) // normalized histogram
+    assert(feats(1L)(('a' & 0xFF) / 16) == 1.0) // all bytes are 'a'
+
+    val resized = Multimodal.resize(Multimodal.decodeDocuments(spark, docs).toDF(), maxSide = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("resized_width"), r.getAs[Long]("resized_height"))).toMap
+    assert(resized(1L)._1 <= 4 && resized(1L)._2 <= 4)
+    assert(resized(1L)._1 >= 1 && resized(1L)._2 >= 1)
+
+    val frames = Multimodal.sampleFrames(spark, Multimodal.asMedia(spark, docs), frames = 4)
+      .collect().groupBy(_.doc_id)
+    assert(frames(1L).length == 4)
+    assert(frames(1L).map(_.n_bytes).sum == 200L) // contiguous full coverage
+    assert(frames(2L).length == 2) // payload shorter than frame count
+    // determinism: same input -> same checksums
+    val again = Multimodal.sampleFrames(spark, Multimodal.asMedia(spark, docs), frames = 4)
+      .collect().groupBy(_.doc_id)
+    assert(frames(1L).map(_.checksum).toSeq == again(1L).map(_.checksum).toSeq)
+  }
 }
