@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.SortedIntersectSize
+
+/** SQL-surface registration for graft's custom Catalyst expressions.
+  *
+  * Two entry points:
+  *   - config: `spark.sql.extensions=graft.GraftExtensions` — injected at
+  *     session build, available in every `spark.sql(...)`;
+  *   - [[GraftExtensions.register]]: imperative registration on an existing
+  *     session (used by tests and the Verify/Bench mains).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "sorted_intersect_size(a, b) takes 2 arguments")
+        SortedIntersectSize(exprs(0), exprs(1))
+      }))
+  }
+}
+
+object GraftExtensions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_size",
+      exprs => {
+        require(exprs.length == 2, "sorted_intersect_size(a, b) takes 2 arguments")
+        SortedIntersectSize(exprs(0), exprs(1))
+      },
+      "built-in")
+}

@@ -120,6 +120,17 @@ object ReferenceQueries {
       AsofJoin.nearest(left, rates, "t", 900L, Seq("event_id"))
         .select("event_id", "rate")
     }),
+    "j2b_asof_backward" -> ((s, dir) => {
+      // direction variant: latest rate AT OR BEFORE each event, within 30 min
+      val e = Tables.events(s, dir)
+      val rates = e.where(col("event_type") === "purchase")
+        .groupBy(window(col("ts"), "30 minutes").getField("start").as("t"))
+        .agg(round(avg("value"), 4).as("rate"))
+      val left = e.where(col("event_type") === "signup")
+        .select(col("event_id"), col("ts").as("t"))
+      AsofJoin.backward(left, rates, "t", 1800L, Seq("event_id"))
+        .select("event_id", "rate")
+    }),
     "j3_cross" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val stats = li.agg(avg("l_extendedprice").as("avg_price"))
@@ -278,6 +289,19 @@ object ReferenceQueries {
         |         ROW_NUMBER() OVER (PARTITION BY l.event_id
         |           ORDER BY ABS(epoch_us(l.t) - epoch_us(r.t)) ASC, r.t ASC) AS rn
         |  FROM lefts l JOIN rates r ON ABS(epoch_us(l.t) - epoch_us(r.t)) <= 900000000)
+        |SELECT l.event_id, c.rate
+        |FROM lefts l LEFT JOIN (SELECT event_id, rate FROM cand WHERE rn=1) c USING(event_id)""".stripMargin,
+    "j2b_asof_backward" ->
+      """WITH rates AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS t, ROUND(AVG(value),4) AS rate
+        |  FROM events WHERE event_type='purchase' GROUP BY 1),
+        |lefts AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type='signup'),
+        |cand AS (
+        |  SELECT l.event_id, r.rate,
+        |         ROW_NUMBER() OVER (PARTITION BY l.event_id ORDER BY r.t DESC) AS rn
+        |  FROM lefts l JOIN rates r
+        |    ON r.t <= l.t AND epoch_us(l.t) - epoch_us(r.t) <= 1800000000)
         |SELECT l.event_id, c.rate
         |FROM lefts l LEFT JOIN (SELECT event_id, rate FROM cand WHERE rn=1) c USING(event_id)""".stripMargin,
     "j3_cross" ->

@@ -104,6 +104,36 @@ class SimSearchSpec extends AnyFunSuite {
   }
 }
 
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("SortedIntersectSize: column API and SQL registration agree with array_intersect") {
+    val df = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L)),
+      (Array[Long](), Array(1L, 2L)),
+      (Array(7L), Array(7L))).toDF("a", "b")
+    val viaCol = df.select(graft.functions.SortedIntersectSize(col("a"), col("b")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(viaCol == Seq(2, 0, 1))
+    val viaBuiltin = df.select(size(array_intersect(col("a"), col("b"))).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(viaCol == viaBuiltin)
+
+    graft.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("pairs_v")
+    val viaSql = spark.sql("SELECT sorted_intersect_size(a, b) AS n FROM pairs_v")
+      .collect().map(_.getInt(0)).toSeq
+    assert(viaSql == Seq(2, 0, 1))
+  }
+
+  test("SortedIntersectSize: null inputs -> null (binary expression contract)") {
+    val df = Seq((Some(Array(1L, 2L)), None: Option[Array[Long]])).toDF("a", "b")
+    val out = df.select(graft.functions.SortedIntersectSize(col("a"), col("b")).as("n")).head()
+    assert(out.isNullAt(0))
+  }
+}
+
 class TextStatsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
