@@ -84,10 +84,10 @@ object SimSearch {
       .withColumn("bucket0", lshBucket(col(qVec), planes))
       .withColumn("bucket", explode(transform(probes, f => col("bucket0").bitwiseXOR(f))))
       .drop("bucket0")
+    // no dedup needed: the probe buckets of one query are distinct values,
+    // so a (query, corpus) pair can meet through at most one of them
     val cand = c.join(broadcast(q), Seq("bucket"))
       .where(col(qId) =!= col(cId))
-      .select(col(qId), col(qVec), col("__qn"), col(cId), col(cVec), col("__cn"))
-      .distinct()
       .withColumn("cos", dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId).asc)
     cand.withColumn("rank", row_number().over(w).cast("long"))
