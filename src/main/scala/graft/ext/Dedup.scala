@@ -127,21 +127,32 @@ object Dedup {
   /** 64-bit SimHash as 4x16-bit chunks (array<long> of length 4) — the
     * chunk layout doubles as the hamming-LSH blocking key.
     *
-    * Shape: explode words -> 64 partial-aggregable bit-count SUMs per doc
-    * (map-side combined, codegen'd hash aggregate); the majority vote and
-    * chunk assembly are then per-group scalar arithmetic.
+    * Shape: explode words -> LANE-PACKED partial-aggregable bit-count SUMs.
+    * Each word hash contributes 4 bits per long as four 16-bit lanes
+    * (`((h>>j)&1) << 16k`), so 16 SUM aggregates replace 64 — lanes add
+    * independently with no carry while per-doc word counts stay < 2^16
+    * (documents beyond 65k words need pre-chunking anyway). Map-side
+    * combined, codegen'd hash aggregate; the majority vote and chunk
+    * assembly are per-group scalar arithmetic.
     */
   def simhashChunks(df: DataFrame, text: String = "text", id: String = "doc_id"): DataFrame = {
     val exploded = spread(df, col(id))
       .select(col(id), explode(split(col(text), " ")).as("__w"))
       .withColumn("__h", xxhash64(col("__w")))
-    val bitSums = (0 until 64).map(j =>
-      sum(shiftright(col("__h"), j).bitwiseAND(1L)).as(s"__b$j"))
+    // lane l packs bit counts for bits {l, l+16, l+32, l+48}
+    val laneSums = (0 until 16).map { l =>
+      val packed = (0 until 4).map { k =>
+        shiftleft(shiftright(col("__h"), l + 16 * k).bitwiseAND(1L), 16 * k)
+      }.reduce(_ + _)
+      sum(packed).as(s"__l$l")
+    }
     val counted = exploded.groupBy(col(id))
-      .agg(count(lit(1)).as("__n"), bitSums: _*)
-    // majority vote per bit, assembled into 4x16-bit chunk values
+      .agg(count(lit(1)).as("__n"), laneSums: _*)
+    // unpack: count for bit j = (lane(j%16) >> 16*(j/16)) & 0xFFFF
+    def bitCount(j: Int): Column =
+      shiftright(col(s"__l${j % 16}"), 16 * (j / 16)).bitwiseAND(0xFFFFL)
     val chunk = (c: Int) => (0 until 16).map { j =>
-      val bit = (col(s"__b${c * 16 + j}") * 2 > col("__n")).cast("long")
+      val bit = (bitCount(c * 16 + j) * 2 > col("__n")).cast("long")
       bit * lit(1L << j)
     }.reduce(_ + _)
     counted.select(col(id), array((0 until 4).map(chunk): _*).as("simhash"))
