@@ -64,7 +64,6 @@ def main(sf_dir: str, out_dir: str) -> int:
         except AssertionError as e:
             print(f"FAIL {name}: {str(e).splitlines()[-1] if str(e) else 'mismatch'}")
             n_fail += 1
-    extra = [k for k in oracles if k not in oracles]  # placeholder symmetry
     print(f"== {len(oracles) - n_fail}/{len(oracles)} oracle-checked queries pass")
     return 1 if n_fail else 0
 

@@ -101,7 +101,7 @@ object ReferenceQueries {
       val e = Tables.events(s, dir)
       val clicks = e.where(col("event_type") === "click")
         .groupBy(date_trunc("hour", col("ts")).as("h"))
-        .agg(round(avg("value"), 4).as("click_avg"))
+        .agg(round(sum("value"), 2).as("click_sum"))
       val errors = e.where(col("event_type") === "error")
         .groupBy(date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("n_err"))
@@ -114,7 +114,7 @@ object ReferenceQueries {
       val e = Tables.events(s, dir)
       val rates = e.where(col("event_type") === "purchase")
         .groupBy(window(col("ts"), "30 minutes").getField("start").as("t"))
-        .agg(round(avg("value"), 4).as("rate"))
+        .agg(round(sum("value"), 2).as("rate"))
       val left = e.where(col("event_type") === "click")
         .select(col("event_id"), col("ts").as("t"))
       AsofJoin.nearest(left, rates, "t", 900L, Seq("event_id"))
@@ -125,7 +125,7 @@ object ReferenceQueries {
       val e = Tables.events(s, dir)
       val rates = e.where(col("event_type") === "purchase")
         .groupBy(window(col("ts"), "30 minutes").getField("start").as("t"))
-        .agg(round(avg("value"), 4).as("rate"))
+        .agg(round(sum("value"), 2).as("rate"))
       val left = e.where(col("event_type") === "signup")
         .select(col("event_id"), col("ts").as("t"))
       AsofJoin.backward(left, rates, "t", 1800L, Seq("event_id"))
@@ -216,6 +216,34 @@ object ReferenceQueries {
         round(log1p(coalesce(col("value"), lit(0.0))), 6).as("log_value"))
     }),
 
+    // ---- multi-way join through the SQL surface ---------------------------
+    "q2_join_chain" -> ((s, dir) => {
+      // 5-way star join through spark.sql over temp views — the same ANSI
+      // text runs on both engines; Catalyst picks broadcast joins for the
+      // small dimensions
+      Seq("region", "nation", "customer", "orders", "lineitem")
+        .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+      s.sql(
+        """SELECT r_name, n_name, COUNT(*) AS n_items,
+          |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM region
+          |JOIN nation ON n_regionkey = r_regionkey
+          |JOIN customer ON c_nationkey = n_nationkey
+          |JOIN orders ON o_custkey = c_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE o_orderstatus = 'F'
+          |GROUP BY r_name, n_name""".stripMargin)
+    }),
+    "q3_topn_per_group" -> ((s, dir) => {
+      // top-3 orders per customer by price (WindowGroupLimit path)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    }),
+
     // ---- JSON extraction ---------------------------------------------------
     "json1_extract" -> ((s, dir) => {
       Tables.events(s, dir).select(
@@ -272,15 +300,15 @@ object ReferenceQueries {
       """SELECT event_id, event_type FROM events
         |WHERE props IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL""".stripMargin,
     "j1_outer" ->
-      """WITH c AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) h, ROUND(AVG(value),4) click_avg
+      """WITH c AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) h, ROUND(SUM(value),2) click_sum
         |           FROM events WHERE event_type='click' GROUP BY 1),
         |     e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) h, COUNT(*) n_err
         |           FROM events WHERE event_type='error' GROUP BY 1)
-        |SELECT COALESCE(c.h, e.h) AS h, c.click_avg, e.n_err
+        |SELECT COALESCE(c.h, e.h) AS h, c.click_sum, e.n_err
         |FROM c FULL OUTER JOIN e ON c.h = e.h""".stripMargin,
     "j2_asof" ->
       """WITH rates AS (
-        |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS t, ROUND(AVG(value),4) AS rate
+        |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS t, ROUND(SUM(value),2) AS rate
         |  FROM events WHERE event_type='purchase' GROUP BY 1),
         |lefts AS (
         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type='click'),
@@ -293,7 +321,7 @@ object ReferenceQueries {
         |FROM lefts l LEFT JOIN (SELECT event_id, rate FROM cand WHERE rn=1) c USING(event_id)""".stripMargin,
     "j2b_asof_backward" ->
       """WITH rates AS (
-        |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS t, ROUND(AVG(value),4) AS rate
+        |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS t, ROUND(SUM(value),2) AS rate
         |  FROM events WHERE event_type='purchase' GROUP BY 1),
         |lefts AS (
         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type='signup'),
@@ -368,6 +396,21 @@ object ReferenceQueries {
         |FROM events""".stripMargin,
     "f4_log" ->
       "SELECT event_id, ROUND(LN(1 + COALESCE(value, 0)), 6) AS log_value FROM events",
+    "q2_join_chain" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_items,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q3_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |FROM orders QUALIFY rk <= 3""".stripMargin,
     "json1_extract" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
     "w1_window" ->
