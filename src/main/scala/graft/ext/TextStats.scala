@@ -37,6 +37,13 @@ object TextStats {
     aggregate(terms(text), lit(0L),
       (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long"))
 
+  /** Regex token count: alpha runs, digit runs, or single non-space symbols
+    * (the tokenizer-ish split). Pattern kept to constructs with identical
+    * semantics across regex engines.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast("long")
+
   /** Fraction of tokens found in `lang`'s stopword list. */
   def stopwordRatio(text: Column, lang: String): Column = {
     val set = stopwords(lang)

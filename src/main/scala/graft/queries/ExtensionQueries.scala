@@ -57,6 +57,12 @@ object ExtensionQueries {
           "type_token_ratio", "quality_score")),
     "x10_text_tokens" -> ((s, dir) =>
       TextStats.termFrequencies(Tables.documents(s, dir))),
+    "x10b_token_counts" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_ws_tokens"),
+        TextStats.bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
+        TextStats.regexTokenCount(col("text")).as("n_regex_tokens"))),
     "x11_fingerprint" -> ((s, dir) =>
       TextStats.withFingerprint(Tables.documents(s, dir))
         .select("doc_id", "fp_min", "fp_max", "fp_full")),
@@ -138,6 +144,12 @@ object ExtensionQueries {
       """SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term""".stripMargin,
+    "x10b_token_counts" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpeish_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_regex_tokens
+        |FROM documents""".stripMargin,
     "x12_multimodal" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  octet_length(encode(text)) % 64 + 1 AS width,
