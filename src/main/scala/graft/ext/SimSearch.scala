@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object SimSearch {
 
-  /** Sequential-order double-precision dot product of two float arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-order double-precision dot product of two float arrays —
+    * a custom codegen'd expression (bit-identical to the zip_with/aggregate
+    * formulation, ~60x cheaper per pair; see
+    * [[graft.functions.FloatDotProduct]]).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.FloatDotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
