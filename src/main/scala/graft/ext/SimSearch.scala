@@ -60,14 +60,12 @@ object SimSearch {
     Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit bucket id from `nBits` hyperplanes (as one long). */
+  /** Sign-bit bucket id from `nBits` hyperplanes (as one long) — a custom
+    * codegen'd expression; the equivalent literal expression tree (nBits x
+    * dim multiply-add nodes) costs seconds of plan compilation.
+    */
   def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val proj = p.zipWithIndex.map { case (wgt, d) =>
-        element_at(vec, d + 1).cast("double") * lit(wgt)
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.HyperplaneBucket(vec, planes)
 
   /** LSH-bucketed ANN: candidates share a sign-bit bucket (query side is
     * multi-probed to hamming-1 neighbors), then exact cosine re-ranks and

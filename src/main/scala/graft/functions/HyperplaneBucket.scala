@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Random-hyperplane LSH bucket id: bit i of the result is the sign of
+  * `vec . planes(i)`.
+  *
+  * The expression-tree formulation (nBits x dim literal multiply-adds —
+  * 512 nodes for 8x64) costs seconds of janino compilation per plan and
+  * bloats generated code past JIT-friendly sizes. Here the plane matrix
+  * rides along as a referenced object and both the interpreted and
+  * generated paths are a tight two-level loop.
+  */
+case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hyperplane_bucket needs array<float>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    var bucket = 0L
+    var i = 0
+    while (i < planes.length) {
+      val p = planes(i)
+      val n = math.min(x.numElements(), p.length)
+      var acc = 0.0
+      var d = 0
+      while (d < n) { acc += x.getFloat(d).toDouble * p(d); d += 1 }
+      if (acc >= 0) bucket |= (1L << i)
+      i += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val p = ctx.freshName("p"); val bucket = ctx.freshName("bucket")
+      s"""
+         |long $bucket = 0L;
+         |for (int $i = 0; $i < $planesRef.length; $i++) {
+         |  final double[] $p = $planesRef[$i];
+         |  final int $n = java.lang.Math.min($v.numElements(), $p.length);
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $acc += ((double) $v.getFloat($d)) * $p[$d];
+         |  }
+         |  if ($acc >= 0) $bucket |= (1L << $i);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneBucket {
+  def apply(vec: Column, planes: Seq[Array[Double]]): Column =
+    GraftBridge.toColumn(HyperplaneBucket(GraftBridge.toExpression(vec), planes.toArray))
+}
