@@ -96,7 +96,10 @@ object Dedup {
                    minJaccard: Double = 0.8): DataFrame = {
     val perms = bands * rowsPerBand
     // referenced three times below (banding + both sides of the estimate
-    // join); persist so the signature computation runs once, not thrice
+    // join); persist so the signature computation runs once, not thrice.
+    // The cached frame is (id, 64 longs) per doc and stays pinned until the
+    // session evicts it — callers looping over many corpora should
+    // `spark.catalog.clearCache()` between runs.
     val sigs = minhashSignatures(df, text, id, k, perms).persist()
 
     val banded = sigs.select(

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
+  /** Contract: each SIDE must be unique per key (true for both reference
+    * call sites — hourly collection and engineered history). With
+    * duplicate keys within one side, which duplicate survives is
+    * tie-broken arbitrarily among equal priorities.
+    */
+
   /** Incoming rows replace existing rows on key collision (upsert-keep-newest, D1). */
   def keepNewest(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
     resolve(existing, incoming, keys, incomingWins = true)

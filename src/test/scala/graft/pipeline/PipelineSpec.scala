@@ -176,6 +176,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(z0Day2 - z0Day1) < 1e-12)
   }
 
+  test("FE tolerates total collection failure (workflow_run fires even on failure)") {
+    // the reference's downstream job runs regardless of upstream conclusion
+    // (data_engineering.yml:4-8): FE off an empty store is a clean no-op,
+    // and off a previous day's store it reprocesses nothing
+    val store = freshStore()
+    intercept[Exception] {
+      CollectJob.run(spark,
+        new FixtureApiClient(Map.empty, failingUrls = Set("http")), runDate, store)
+    }
+    val out = FeatureEngineeringJob.run(spark, store)
+    assert(out.isEmpty) // no raw data -> empty engineered frame, no crash
+  }
+
   test("EP2 no-op when no new rows (P8 short-circuit)") {
     val store = freshStore()
     collect(store)
