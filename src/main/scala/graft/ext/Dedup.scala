@@ -33,20 +33,13 @@ object Dedup {
   private def spread(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, cols: _*)
 
-  /** Word k-shingles (distinct), the unit for Jaccard/MinHash. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val ws = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(ws) - (k - 1), lit(1))),
-      i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*)))
-  }
-
-  /** Distinct k-shingles as 64-bit hashes, built WITHOUT string
+  /** Distinct word k-shingles as 64-bit hashes, built WITHOUT string
     * concatenation: hash each word once, then fold k consecutive word
-    * hashes with xxhash64. ~6x cheaper than [[shingles]]+hash (string
-    * building dominates the interpreted higher-order-function path) and
-    * set-equivalent to it up to hash collisions, so Jaccard values are
-    * unchanged. Documents shorter than k words yield an empty set.
+    * hashes with xxhash64. ~6x cheaper than concatenating shingle strings
+    * and hashing those (string building dominates the interpreted
+    * higher-order-function path) and set-equivalent to it up to hash
+    * collisions, so Jaccard values are unchanged. Documents shorter than
+    * k words yield an empty set.
     */
   def shingleHashes(text: Column, k: Int = 3): Column = {
     val ws = split(text, " ")
@@ -95,12 +88,16 @@ object Dedup {
                    k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                    minJaccard: Double = 0.8): DataFrame = {
     val perms = bands * rowsPerBand
-    // referenced three times below (banding + both sides of the estimate
-    // join); persist so the signature computation runs once, not thrice.
-    // The cached frame is (id, 64 longs) per doc and stays pinned until the
-    // session evicts it — callers looping over many corpora should
-    // `spark.catalog.clearCache()` between runs.
-    val sigs = minhashSignatures(df, text, id, k, perms).persist()
+    // Referenced three times below (banding + both sides of the estimate
+    // join). An eager localCheckpoint materializes the (id, `perms` longs)
+    // frame ONCE and cuts the lineage; unlike `.persist()` the blocks are
+    // not pinned in the CacheManager — the ContextCleaner frees them as
+    // soon as the returned plan is dropped, so repeated calls in one
+    // session don't accumulate cached data. (Local checkpoints don't
+    // survive executor loss; a lost block recomputes the whole signature
+    // stage — acceptable for a 3-read temp. Reliable-checkpoint instead if
+    // the cluster preempts executors routinely.)
+    val sigs = minhashSignatures(df, text, id, k, perms).localCheckpoint(true)
 
     val banded = sigs.select(
       col(id),
@@ -167,7 +164,9 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, text: String = "text", id: String = "doc_id",
                    maxHamming: Int = 10): DataFrame = {
-    val sh = simhashChunks(df, text, id).persist() // both join sides read it
+    // both join sides read it; eager localCheckpoint, not persist — same
+    // lifecycle rationale as in minhashPairs above
+    val sh = simhashChunks(df, text, id).localCheckpoint(true)
     val banded = sh.select(col(id), col("simhash"),
       posexplode(col("simhash")).as(Seq("chunk_idx", "chunk_val")))
     val a = spread(banded, col(id)).as("a")

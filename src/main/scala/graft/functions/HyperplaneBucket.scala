@@ -64,6 +64,19 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
     })
   }
 
+  // Case-class equality on Array fields is reference equality, which would
+  // make two plans over the same plane matrix never canonicalize equal (no
+  // subexpression elimination / exchange reuse). Compare by value instead.
+  override def equals(other: Any): Boolean = other match {
+    case h: HyperplaneBucket =>
+      child == h.child && java.util.Arrays.deepEquals(
+        planes.asInstanceOf[Array[AnyRef]], h.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

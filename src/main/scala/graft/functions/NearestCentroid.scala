@@ -67,6 +67,18 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     })
   }
 
+  // Value equality over the centroid matrix — see the same override in
+  // [[HyperplaneBucket]]: reference equality would defeat canonicalization.
+  override def equals(other: Any): Boolean = other match {
+    case n: NearestCentroid =>
+      child == n.child && java.util.Arrays.deepEquals(
+        centroids.asInstanceOf[Array[AnyRef]], n.centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

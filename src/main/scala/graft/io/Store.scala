@@ -41,13 +41,25 @@ class Store(spark: SparkSession, baseDir: String) {
     */
   def writeCsv(df: DataFrame, rel: String, sortCol: String = "datetime"): Unit = {
     val target = new Path(s"$baseDir/$rel")
-    val tmp = new Path(s"$baseDir/.tmp_$rel")
+    // tmp/old are SIBLINGS of the leaf (dot-prefix on the last path segment
+    // only), so a nested rel like "a/b.csv" stays inside its parent dir
+    // instead of creating a stray ".tmp_a/" tree.
+    val tmp = new Path(target.getParent, s".tmp_${target.getName}")
+    val old = new Path(target.getParent, s".old_${target.getName}")
     df.orderBy(col(sortCol))
       .coalesce(1)
       .write.mode("overwrite").option("header", "true")
       .csv(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
+    // Swap with the old data parked aside, not deleted first: readers never
+    // observe a missing target for longer than one rename, and a failed
+    // rename can roll back instead of having already destroyed the target.
+    fs.delete(old, true)
+    val hadTarget = fs.exists(target) && fs.rename(target, old)
+    if (!fs.rename(tmp, target)) {
+      if (hadTarget) fs.rename(old, target) // roll back
+      throw new IllegalStateException(s"rename $tmp -> $target failed")
+    }
+    fs.delete(old, true)
   }
 
   /** Scale sink: Parquet partitioned by day. With dynamic partition

@@ -54,6 +54,12 @@ object AsofJoin {
            toleranceSeconds: Long, leftKey: Seq[String],
            direction: Direction): DataFrame = {
     require(toleranceSeconds > 0, "tolerance must be positive")
+    // Contract (was implicit): right payload columns land next to the full
+    // left row, so any shared name other than `on` would make the final
+    // equi-join ambiguous and silently mis-resolve. Fail fast instead.
+    val collisions = right.columns.toSet.intersect(left.columns.toSet) - on
+    require(collisions.isEmpty,
+      s"right-side columns collide with left: ${collisions.mkString(", ")} — rename before joining")
     val tolMicros = toleranceSeconds * 1000000L
 
     val lt = col("__l_ts")

@@ -55,10 +55,18 @@ object Skew {
 
   /** Skew-safe large-x-small equi-join: salt the big side, replicate the
     * small side once per salt value. Result equals `big.join(small, keys)`.
+    *
+    * `saltBy` picks the columns hashed into the salt (default: all of
+    * `big`'s columns). Because the salt is a deterministic row hash,
+    * byte-identical duplicate rows land in the SAME salt bucket — if the
+    * hot key's rows are exact duplicates, pass a unique column (row id,
+    * offset) as `saltBy`, or dedup-with-count first; a rand() salt would
+    * spread them but breaks task-retry determinism, so we refuse it here.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
-                 salts: Int = 16): DataFrame = {
-    val b = big.withColumn("__salt", salt(salts, big.columns.toSeq.map(col)))
+                 salts: Int = 16, saltBy: Seq[String] = Seq.empty): DataFrame = {
+    val by = if (saltBy.nonEmpty) saltBy else big.columns.toSeq
+    val b = big.withColumn("__salt", salt(salts, by.map(col)))
     val s = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     b.join(s, keys :+ "__salt").drop("__salt")

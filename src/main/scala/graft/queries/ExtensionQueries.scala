@@ -17,6 +17,13 @@ object ExtensionQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Minimum acceptable recall@5 for the approximate ANN tiers (x7c gate).
+    * LSH (8-bit buckets, hamming-1 multiprobe) and IVF (16 cells, 4-probe)
+    * both sit well above this on the synthetic embeddings at every SF;
+    * 0.6 catches real quality regressions without flapping on data noise.
+    */
+  val ANN_RECALL_MIN = 0.6
+
   def queries: Map[String, Q] = Map(
     // ---- deduplication ----------------------------------------------------
     "x1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -50,6 +57,28 @@ object ExtensionQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       SimSearch.ivfTopK(q, e, k = 5)
     }),
+    // ANN quality gate: recall@5 of the approximate tiers against exact
+    // brute-force. The truth side is Spark's bruteTopK — itself verified
+    // hash-identical to DuckDB's brute-force in x6 — so the DuckDB oracle
+    // only has to recompute n_truth and assert recall_ok=1; a recall drop
+    // below threshold flips recall_ok to 0 and reds this row.
+    "x7c_ann_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val truth = SimSearch.bruteTopK(q, e, k = 5).select("q_id", "neighbor_id")
+      val approx =
+        SimSearch.lshTopK(q, e, k = 5)
+          .select(lit("lsh").as("method"), col("q_id"), col("neighbor_id"))
+          .unionByName(SimSearch.ivfTopK(q, e, k = 5)
+            .select(lit("ivf").as("method"), col("q_id"), col("neighbor_id")))
+      val hits = approx.join(truth, Seq("q_id", "neighbor_id"))
+        .groupBy("method").agg(count(lit(1)).as("n_hits"))
+      hits.crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(col("method"), col("n_truth").cast("long").as("n_truth"),
+          (col("n_hits").cast("double") / col("n_truth") >= ANN_RECALL_MIN)
+            .cast("long").as("recall_ok"))
+    }),
 
     // ---- text analysis ----------------------------------------------------
     "x8_text_lang" -> ((s, dir) =>
@@ -72,6 +101,17 @@ object ExtensionQueries {
     "x11_fingerprint" -> ((s, dir) =>
       TextStats.withFingerprint(Tables.documents(s, dir))
         .select("doc_id", "fp_min", "fp_max", "fp_full")),
+    // Structural fingerprint invariants DuckDB can verify WITHOUT computing
+    // xxhash64: every doc satisfies fp_min <= fp_max, and fp_full is a pure
+    // function of text (distinct texts == distinct (text, fp_full) pairs —
+    // identical texts always share a fingerprint). Turns the rows-only x11
+    // into an oracle-checked quality gate.
+    "x11b_fingerprint_inv" -> ((s, dir) =>
+      TextStats.withFingerprint(Tables.documents(s, dir)).agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("fp_min") <= col("fp_max")).cast("long")).as("n_min_le_max"),
+        countDistinct(col("text")).as("n_texts"),
+        countDistinct(col("text"), col("fp_full")).as("n_text_fp"))),
 
     // ---- multimodal plumbing ----------------------------------------------
     "x12_multimodal" -> ((s, dir) =>
@@ -116,6 +156,18 @@ object ExtensionQueries {
          |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
          |      FROM s)
          |SELECT q_id, neighbor_id, rank, ROUND(cos, 5) AS cos FROM r WHERE rank <= 5""".stripMargin,
+    // Recall gate: DuckDB recomputes the exact-truth row count; recall_ok=1
+    // asserts both approximate tiers clear ANN_RECALL_MIN (the Spark side
+    // computes the real recall and emits the comparison result).
+    "x7c_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings),
+         |s AS (SELECT q_id, vec_id AS neighbor_id, ${duckCos("qv", "cv")} AS cos
+         |      FROM q CROSS JOIN c WHERE q_id <> vec_id),
+         |r AS (SELECT q_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank FROM s),
+         |t AS (SELECT COUNT(*) AS n_truth FROM r WHERE rank <= 5)
+         |SELECT m.method, CAST(t.n_truth AS BIGINT) AS n_truth, CAST(1 AS BIGINT) AS recall_ok
+         |FROM (VALUES ('ivf'), ('lsh')) m(method) CROSS JOIN t""".stripMargin,
     "x8_text_lang" -> {
       val langs = TextStats.stopwords.keys.toSeq.sorted
       val ratio = (l: String) => {
@@ -155,6 +207,12 @@ object ExtensionQueries {
         |  len(string_split(text, ' ')) AS n_ws_tokens,
         |  CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpeish_tokens,
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_regex_tokens
+        |FROM documents""".stripMargin,
+    // fp_min<=fp_max holds for every doc and fp_full is text-determined, so
+    // DuckDB states both invariants without computing any hash.
+    "x11b_fingerprint_inv" ->
+      """SELECT COUNT(*) AS n_docs, COUNT(*) AS n_min_le_max,
+        |  COUNT(DISTINCT text) AS n_texts, COUNT(DISTINCT text) AS n_text_fp
         |FROM documents""".stripMargin,
     "x12_multimodal" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

@@ -196,12 +196,16 @@ object ReferenceQueries {
         col("is_night").cast("long").as("is_night"))
     }),
     "f2_cyclical" -> ((s, dir) => {
+      // `+ 0.0` normalizes IEEE negative zero: Spark's round() goes through
+      // BigDecimal (no -0.0) while DuckDB's ROUND preserves the sign bit, so
+      // cos(3*pi/2) ~ -1.8e-16 rounds to 0.0 vs -0.0 and the hashes diverge.
+      // -0.0 + 0.0 == +0.0 on both engines (the oracle SQL does the same).
       Features.withTemporal(Tables.events(s, dir), "ts").select(
         col("event_id"),
-        round(col("hour_sin"), 6).as("hour_sin"),
-        round(col("hour_cos"), 6).as("hour_cos"),
-        round(col("month_sin"), 6).as("month_sin"),
-        round(col("month_cos"), 6).as("month_cos"))
+        (round(col("hour_sin"), 6) + lit(0.0)).as("hour_sin"),
+        (round(col("hour_cos"), 6) + lit(0.0)).as("hour_cos"),
+        (round(col("month_sin"), 6) + lit(0.0)).as("month_sin"),
+        (round(col("month_cos"), 6) + lit(0.0)).as("month_cos"))
     }),
     "f3_interaction" -> ((s, dir) => {
       Tables.events(s, dir).select(
@@ -383,10 +387,10 @@ object ReferenceQueries {
         |FROM events""".stripMargin,
     "f2_cyclical" ->
       """SELECT event_id,
-        | ROUND(SIN(2*PI()*hour(CAST(ts AS TIMESTAMP))/24.0),6) AS hour_sin,
-        | ROUND(COS(2*PI()*hour(CAST(ts AS TIMESTAMP))/24.0),6) AS hour_cos,
-        | ROUND(SIN(2*PI()*month(CAST(ts AS TIMESTAMP))/12.0),6) AS month_sin,
-        | ROUND(COS(2*PI()*month(CAST(ts AS TIMESTAMP))/12.0),6) AS month_cos
+        | ROUND(SIN(2*PI()*hour(CAST(ts AS TIMESTAMP))/24.0),6) + 0.0 AS hour_sin,
+        | ROUND(COS(2*PI()*hour(CAST(ts AS TIMESTAMP))/24.0),6) + 0.0 AS hour_cos,
+        | ROUND(SIN(2*PI()*month(CAST(ts AS TIMESTAMP))/12.0),6) + 0.0 AS month_sin,
+        | ROUND(COS(2*PI()*month(CAST(ts AS TIMESTAMP))/12.0),6) + 0.0 AS month_cos
         |FROM events""".stripMargin,
     "f3_interaction" ->
       """SELECT event_id,

@@ -150,6 +150,25 @@ class FunctionsSpec extends AnyFunSuite {
     val out = df.select(graft.functions.SortedIntersectSize(col("a"), col("b")).as("n")).head()
     assert(out.isNullAt(0))
   }
+
+  test("matrix-carrying expressions canonicalize by value, not reference") {
+    // Two separately-built (but equal) plane/centroid matrices must compare
+    // semantically equal, or Catalyst can never dedupe/reuse the
+    // subexpressions (Array fields default to reference equality).
+    // one shared child: Column->Expression conversion stamps a per-call
+    // Origin, so the MATRIX equality is what's under test here (resolved
+    // plans compare children by exprId, which Origin doesn't affect)
+    def planes() = Seq(Array(1.0, 2.0), Array(-3.0, 4.0))
+    val child = org.apache.spark.sql.GraftBridge.toExpression(col("v"))
+    val b1 = graft.functions.HyperplaneBucket(child, planes().toArray)
+    val b2 = graft.functions.HyperplaneBucket(child, planes().toArray)
+    assert(b1 == b2 && b1.hashCode == b2.hashCode && b1.semanticEquals(b2))
+    assert(b1 != b1.copy(planes = Array(Array(9.0, 9.0))))
+
+    val c1 = graft.functions.NearestCentroid(child, planes().toArray)
+    val c2 = graft.functions.NearestCentroid(child, planes().toArray)
+    assert(c1 == c2 && c1.hashCode == c2.hashCode && c1.semanticEquals(c2))
+  }
 }
 
 class TextStatsSpec extends AnyFunSuite {

@@ -26,6 +26,24 @@ class StoreSpec extends AnyFunSuite {
     assert(out("2024-01-02 10:00:00.0") == 99.0) // delta partition replaced
   }
 
+  test("writeCsv: nested rel swaps in place, overwrite replaces, no tmp debris") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_csv").toString
+    val store = new Store(spark, base)
+    val rel = "exports/2024/data.csv" // '/'-bearing rel: tmp must stay beside the leaf
+    store.writeCsv(Seq(("2024-01-01T01:00", 1.0)).toDF("datetime", "v"), rel)
+    store.writeCsv(Seq(("2024-01-01T02:00", 2.0)).toDF("datetime", "v"), rel)
+
+    val out = spark.read.option("header", "true").csv(s"$base/$rel").collect()
+    assert(out.length == 1 && out(0).getString(1) == "2.0") // second write won
+    val parent = java.nio.file.Paths.get(s"$base/exports/2024")
+    val leftovers = Files.list(parent).map(_.getFileName.toString)
+      .filter(n => n.startsWith(".tmp_") || n.startsWith(".old_")).toArray
+    assert(leftovers.isEmpty, s"swap debris: ${leftovers.mkString(", ")}")
+    // and nothing escaped outside the rel's parent (the old '.tmp_a/b' bug)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/.tmp_exports")))
+  }
+
   test("bucketed tables: equi-join on the bucket key plans without a shuffle") {
     val store = new Store(spark, Files.createTempDirectory("graft_bucket").toString)
     val sf = "/root/testdata/sf0.001"

@@ -27,6 +27,15 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(1).getDouble(0) == 2.0) // exactly +30min -> inclusive
   }
 
+  test("colliding payload column names are rejected up front") {
+    val l = left("2024-01-01 10:00:00").withColumn("v", lit(0.0))
+    val r = right("2024-01-01 10:00:00" -> 1.0) // also carries "v"
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.nearest(l, r, "t", 1800L, Seq("id"))
+    }
+    assert(e.getMessage.contains("v"))
+  }
+
   test("just outside tolerance -> null (left-preserving)") {
     val l = left("2024-01-01 10:00:00")
     val r = right("2024-01-01 10:30:01" -> 9.9)

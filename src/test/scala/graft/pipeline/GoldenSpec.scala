@@ -17,20 +17,25 @@ import graft.sources.FixtureApiClient
 class GoldenSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("EP1+EP2 reproduce the committed engineered golden exactly") {
+  // one pipeline run shared by the frame-level and file-level tests
+  private lazy val (storeDir, got) = {
     val runDate = java.time.LocalDate.parse("2024-03-10")
-    val storeDir = Files.createTempDirectory("graft_golden").toString
-    val store = new Store(spark, storeDir)
+    val dir = Files.createTempDirectory("graft_golden").toString
+    val store = new Store(spark, dir)
     CollectJob.run(spark, new FixtureApiClient(Payloads.all(runDate)), runDate, store)
-    val got = FeatureEngineeringJob.run(spark, store)
+    (dir, FeatureEngineeringJob.run(spark, store))
+  }
+
+  private def exportedPart: java.nio.file.Path =
+    Files.list(java.nio.file.Paths.get(s"$storeDir/${FeatureEngineeringJob.engineeredFile}"))
+      .filter(_.getFileName.toString.endsWith(".csv")).findFirst().get()
+
+  test("EP1+EP2 reproduce the committed engineered golden exactly") {
 
     // regen mode: GOLDEN_REGEN=1 sbt "testOnly graft.pipeline.GoldenSpec"
     // rewrites the committed golden from the current pipeline output
     if (sys.env.get("GOLDEN_REGEN").contains("1")) {
-      val part = Files.list(java.nio.file.Paths.get(
-          s"$storeDir/${FeatureEngineeringJob.engineeredFile}"))
-        .filter(_.getFileName.toString.endsWith(".csv")).findFirst().get()
-      Files.copy(part, java.nio.file.Paths.get(
+      Files.copy(exportedPart, java.nio.file.Paths.get(
         "src/test/resources/golden_engineered_2024-03-10.csv"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
@@ -49,5 +54,19 @@ class GoldenSpec extends AnyFunSuite {
           s"row ${a.get(0)}, column ${got.columns(i)}: got ${a.get(i)}, golden ${b.get(i)}")
       }
     }
+  }
+
+  test("exported CSV artifact is byte-identical to the committed golden") {
+    // Serialization fidelity, not just value fidelity: header order, row
+    // order (sorted single file), float rendering, and timestamp formatting
+    // of the Store.writeCsv export must all stay stable — the reference's
+    // CSV is its inter-job IR, so the file itself is the contract.
+    got.count() // force the shared pipeline run
+    val exported = Files.readAllBytes(exportedPart)
+    val golden = Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/golden_engineered_2024-03-10.csv").getPath))
+    assert(exported.length == golden.length,
+      s"exported ${exported.length} bytes vs golden ${golden.length}")
+    assert(java.util.Arrays.equals(exported, golden), "byte-level mismatch in exported CSV")
   }
 }
