@@ -35,6 +35,36 @@ object ExtensionQueries {
         minJaccard = 0.5)),
     "x4_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 10)),
+    // Hash-sketch recall gates: the TRUTH side is the exact n-gram Jaccard
+    // pair set (same formula and length-blocking as x3, which is proven
+    // hash-identical to DuckDB's), restricted to strong near-dups
+    // (J >= 0.9). DuckDB recomputes n_true and asserts recall_ok = 1, so a
+    // sketch quality regression flips the bit and reds the row. Measured
+    // recall: minhash 0.96-1.0, simhash 0.90-0.96 across SFs.
+    "x2b_minhash_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val truth = Dedup.ngramJaccardPairs(docs, lenCol = "n_chars", tol = 16,
+        minJaccard = 0.9).select("id_a", "id_b")
+      val found = Dedup.minhashPairs(docs, minJaccard = 0.8).select("id_a", "id_b")
+      truth.join(found, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .select(col("n_true").cast("long").as("n_true"),
+          (col("n_hits").cast("double") / col("n_true") >= 0.9)
+            .cast("long").as("recall_ok"))
+    }),
+    "x4b_simhash_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val truth = Dedup.ngramJaccardPairs(docs, lenCol = "n_chars", tol = 16,
+        minJaccard = 0.9).select("id_a", "id_b")
+      val found = Dedup.simhashPairs(docs, maxHamming = 10).select("id_a", "id_b")
+      truth.join(found, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .select(col("n_true").cast("long").as("n_true"),
+          (col("n_hits").cast("double") / col("n_true") >= 0.8)
+            .cast("long").as("recall_ok"))
+    }),
     "x5_embed_neardup" -> ((s, dir) =>
       SimSearch.nearDupPairs(Tables.embeddings(s, dir), "label", minCos = 0.25)),
 
@@ -117,7 +147,14 @@ object ExtensionQueries {
     "x12_multimodal" -> ((s, dir) =>
       Multimodal.decodeDocuments(s, Tables.documents(s, dir)).toDF()),
     "x13_multimodal_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(s, Multimodal.asMedia(s, Tables.documents(s, dir)), 4).toDF())
+      Multimodal.sampleFrames(s, Multimodal.asMedia(s, Tables.documents(s, dir)), 4).toDF()),
+    // Frame metadata minus the checksum is pure byte arithmetic DuckDB can
+    // replay exactly (chunk boundaries from octet_length) — upgrades the
+    // frame-sampling plumbing from rows-only to an oracle-checked row.
+    "x13b_frames_meta" -> ((s, dir) =>
+      Multimodal.sampleFrames(s, Multimodal.asMedia(s, Tables.documents(s, dir)), 4).toDF()
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("n_bytes")))
   )
 
   /** DuckDB cosine between two DOUBLE[] expressions (sequential double
@@ -142,6 +179,30 @@ object ExtensionQueries {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16)
         |SELECT id_a, id_b, ROUND(inter / (tot - inter), 6) AS jaccard
         |FROM p WHERE inter / (tot - inter) >= 0.5""".stripMargin,
+    // Truth side of the sketch recall gates: exact Jaccard >= 0.9 pair
+    // count (same CTE as x3); recall_ok is the Spark-computed comparison.
+    "x2b_minhash_recall" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS sh
+        |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents)),
+        |p AS (
+        |  SELECT CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+        |         len(a.sh) + len(b.sh) AS tot
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16)
+        |SELECT COUNT(*) AS n_true, CAST(1 AS BIGINT) AS recall_ok
+        |FROM p WHERE inter / (tot - inter) >= 0.9""".stripMargin,
+    "x4b_simhash_recall" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS sh
+        |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents)),
+        |p AS (
+        |  SELECT CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+        |         len(a.sh) + len(b.sh) AS tot
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16)
+        |SELECT COUNT(*) AS n_true, CAST(1 AS BIGINT) AS recall_ok
+        |FROM p WHERE inter / (tot - inter) >= 0.9""".stripMargin,
     "x5_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
          |p AS (SELECT a.vec_id id_a, b.vec_id id_b, ${duckCos("a.v", "b.v")} AS cos
@@ -214,6 +275,15 @@ object ExtensionQueries {
       """SELECT COUNT(*) AS n_docs, COUNT(*) AS n_min_le_max,
         |  COUNT(DISTINCT text) AS n_texts, COUNT(DISTINCT text) AS n_text_fp
         |FROM documents""".stripMargin,
+    // Frame chunk boundaries replayed in SQL: step = max(n/4, 1); frame i
+    // (i < min(4, n)) spans [i*step, min((i+1)*step, n)).
+    "x13b_frames_meta" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, n, greatest(n // 4, 1) AS step FROM d),
+        |i AS (SELECT doc_id, n, step, unnest(range(least(4, n))) AS frame_idx FROM f)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(least((frame_idx + 1) * step, n) - frame_idx * step AS BIGINT) AS n_bytes
+        |FROM i""".stripMargin,
     "x12_multimodal" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  octet_length(encode(text)) % 64 + 1 AS width,
