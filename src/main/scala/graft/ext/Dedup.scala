@@ -28,10 +28,13 @@ object Dedup {
     * and both AQE coalescing and broadcast-join planning would otherwise run
     * the per-pair hot loops (set intersection, hamming) in a single task.
     * An explicit count makes the exchange REPARTITION_BY_NUM, which AQE
-    * never coalesces.
+    * never coalesces. Skipped when the scan already has enough splits (the
+    * 100 TB case) so no gratuitous full-corpus shuffle is added at scale.
     */
-  private def spread(df: DataFrame, cols: Column*): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, cols: _*)
+  private def spread(df: DataFrame, cols: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, cols: _*) else df
+  }
 
   /** Distinct word k-shingles as 64-bit hashes, built WITHOUT string
     * concatenation: hash each word once, then fold k consecutive word

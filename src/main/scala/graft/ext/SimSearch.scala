@@ -31,6 +31,19 @@ object SimSearch {
     */
   def dot(a: Column, b: Column): Column = graft.functions.FloatDotProduct(a, b)
 
+  /** Spread a corpus across all cores ONLY when its scan provides fewer
+    * partitions than the session's parallelism (fixture corpora arrive as
+    * one parquet split, which would serialize the per-row hashing/dot
+    * loops because broadcast joins inherit probe-side partitioning). At
+    * real scale the scan already has plenty of splits and NO shuffle is
+    * added. Explicit-count repartition = REPARTITION_BY_NUM, which AQE
+    * never coalesces away.
+    */
+  private def spread(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+  }
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -99,7 +112,9 @@ object SimSearch {
     def buckets(vec: Column): Column =
       array(tables.map(t => lshBucket(vec, t)): _*)
 
-    val c = corpus
+    // spread BEFORE the explode so the nTables x nBits x dim hashing loop
+    // uses every core even on a single-split fixture corpus
+    val c = spread(corpus, col(cId))
       .withColumn("__cn", norm(col(cVec)))
       .select(col(cId), col(cVec), col("__cn"),
         posexplode(buckets(col(cVec))).as(Seq("tbl", "bucket")))
@@ -159,7 +174,10 @@ object SimSearch {
         v.map(_ / math.max(n, 1e-12))
       }
 
-    val cells = corpus.withColumn("cell", graft.functions.NearestCentroid(col(cVec), centroids))
+    // same partitioning-inheritance fix as lshTopK: spread the corpus so
+    // cell assignment + candidate dot products use every core
+    val cells = spread(corpus, col(cId))
+      .withColumn("cell", graft.functions.NearestCentroid(col(cVec), centroids))
       .withColumn("__cn", norm(col(cVec)))
 
     // per-query probe cells: rank centroids by cosine via a broadcast join
@@ -189,11 +207,8 @@ object SimSearch {
   def nearDupPairs(df: DataFrame, blockCol: String, minCos: Double,
                    id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val withNorm = df.withColumn("__n", norm(col(vec)))
-    // explicit-count repartition of the probe side = parallelism of the
-    // per-pair dot-product loop (broadcast join inherits left partitioning;
-    // AQE never coalesces REPARTITION_BY_NUM)
-    val a = withNorm
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(id)).as("a")
+    // probe-side spread = parallelism of the per-pair dot-product loop
+    val a = spread(withNorm, col(id)).as("a")
     val b = withNorm.as("b")
     a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") && col(s"a.$id") < col(s"b.$id"))
       .withColumn("cos", dot(col(s"a.$vec"), col(s"b.$vec")) / (col("a.__n") * col("b.__n")))
