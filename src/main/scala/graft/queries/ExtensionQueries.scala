@@ -24,6 +24,28 @@ object ExtensionQueries {
     */
   val ANN_RECALL_MIN = 0.6
 
+  /** Exact near-dup truth pairs (Jaccard >= 0.9, same formula and length
+    * blocking as x3), materialized ONCE: the tiny pair frame is referenced
+    * twice downstream (semi-join + count), and without the eager
+    * checkpoint Spark would run the whole n-gram pipeline for each.
+    */
+  private def jaccardTruth(docs: DataFrame): DataFrame =
+    Dedup.ngramJaccardPairs(docs, lenCol = "n_chars", tol = 16, minJaccard = 0.9)
+      .select("id_a", "id_b").localCheckpoint(true)
+
+  /** One-row recall verdict: what fraction of `truth` pairs the sketch
+    * `found`, gated at `minRecall`. DuckDB recomputes n_true and asserts
+    * recall_ok = 1.
+    */
+  private def sketchRecall(truth: DataFrame, found: DataFrame,
+                           minRecall: Double): DataFrame =
+    truth.join(found, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .select(col("n_true").cast("long").as("n_true"),
+        (col("n_hits").cast("double") / col("n_true") >= minRecall)
+          .cast("long").as("recall_ok"))
+
   def queries: Map[String, Q] = Map(
     // ---- deduplication ----------------------------------------------------
     "x1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -43,27 +65,13 @@ object ExtensionQueries {
     // recall: minhash 0.96-1.0, simhash 0.90-0.96 across SFs.
     "x2b_minhash_recall" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val truth = Dedup.ngramJaccardPairs(docs, lenCol = "n_chars", tol = 16,
-        minJaccard = 0.9).select("id_a", "id_b")
       val found = Dedup.minhashPairs(docs, minJaccard = 0.8).select("id_a", "id_b")
-      truth.join(found, Seq("id_a", "id_b"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
-        .select(col("n_true").cast("long").as("n_true"),
-          (col("n_hits").cast("double") / col("n_true") >= 0.9)
-            .cast("long").as("recall_ok"))
+      sketchRecall(jaccardTruth(docs), found, minRecall = 0.9)
     }),
     "x4b_simhash_recall" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val truth = Dedup.ngramJaccardPairs(docs, lenCol = "n_chars", tol = 16,
-        minJaccard = 0.9).select("id_a", "id_b")
       val found = Dedup.simhashPairs(docs, maxHamming = 10).select("id_a", "id_b")
-      truth.join(found, Seq("id_a", "id_b"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
-        .select(col("n_true").cast("long").as("n_true"),
-          (col("n_hits").cast("double") / col("n_true") >= 0.8)
-            .cast("long").as("recall_ok"))
+      sketchRecall(jaccardTruth(docs), found, minRecall = 0.8)
     }),
     "x5_embed_neardup" -> ((s, dir) =>
       SimSearch.nearDupPairs(Tables.embeddings(s, dir), "label", minCos = 0.25)),
@@ -96,7 +104,9 @@ object ExtensionQueries {
       val e = Tables.embeddings(s, dir)
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      // materialized once: referenced per-method in the join + in the count
       val truth = SimSearch.bruteTopK(q, e, k = 5).select("q_id", "neighbor_id")
+        .localCheckpoint(true)
       val approx =
         SimSearch.lshTopK(q, e, k = 5)
           .select(lit("lsh").as("method"), col("q_id"), col("neighbor_id"))
