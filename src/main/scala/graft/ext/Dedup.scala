@@ -189,6 +189,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Resolve near-duplicate PAIRS into per-document keep/drop decisions:
+    * connected components over the undirected pair graph via min-id label
+    * propagation, keeping the smallest id of each component as the
+    * representative. Returns (id, rep_id, is_kept).
+    *
+    * Scale shape: each round is one hash join (edges x labels) plus a
+    * partial-aggregable MIN — all shuffles keyed, nothing driver-side but
+    * the convergence counter. Rounds needed = max component diameter;
+    * near-dup clusters are small cliques (diameter 1-2), so this
+    * terminates in 2-3 rounds. (A general billion-node graph would want
+    * the large-star/small-star variant for its O(log n) bound; for dedup
+    * clusters plain propagation is both simpler and faster.) Per-round
+    * eager localCheckpoints cut the exponentially-growing lineage that
+    * sinks naive iterative DataFrame algorithms.
+    */
+  def resolveComponents(docs: DataFrame, pairs: DataFrame,
+                        id: String = "doc_id", maxRounds: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true) // re-read every round
+    var labels = docs.select(col(id), col(id).as("rep")).localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val viaNeighbor = edges
+        .join(labels.select(col(id).as("src"), col("rep")), "src")
+        .select(col("dst").as(id), col("rep"))
+      val next = labels.select(col(id), col("rep"))
+        .unionAll(viaNeighbor)
+        .groupBy(col(id)).agg(min(col("rep")).as("rep"))
+        .localCheckpoint(true)
+      // converged when no label decreased this round (count is the only
+      // driver-side step; one tiny job per round)
+      converged = next.as("n")
+        .join(labels.as("p"), col(s"n.$id") === col(s"p.$id"))
+        .where(col("n.rep") =!= col("p.rep"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    require(converged, s"component labels did not converge in $maxRounds rounds")
+    labels.select(col(id), col("rep").as("rep_id"),
+      (col("rep") === col(id)).cast("long").as("is_kept"))
+  }
+
   /** Exact n-gram Jaccard over a length-blocked pair space: only pairs whose
     * `lenCol` differs by <= `tol` are compared (near-duplicates have
     * near-equal lengths). Like [[graft.operators.AsofJoin]], the band

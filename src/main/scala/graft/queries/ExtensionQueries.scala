@@ -73,6 +73,17 @@ object ExtensionQueries {
       val found = Dedup.simhashPairs(docs, maxHamming = 10).select("id_a", "id_b")
       sketchRecall(jaccardTruth(docs), found, minRecall = 0.8)
     }),
+    // Pairs -> decisions: connected components over the exact-Jaccard
+    // >= 0.5 pair graph (same pairs as x3, which DuckDB replays), smallest
+    // id per component kept. DuckDB recomputes the components with a
+    // recursive transitive closure, so the whole keep/drop surface is
+    // hash-compared, not just the pair list.
+    "x14_dedup_resolve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, lenCol = "n_chars", tol = 16,
+        minJaccard = 0.5)
+      Dedup.resolveComponents(docs, pairs)
+    }),
     "x5_embed_neardup" -> ((s, dir) =>
       SimSearch.nearDupPairs(Tables.embeddings(s, dir), "label", minCos = 0.25)),
 
@@ -189,6 +200,27 @@ object ExtensionQueries {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16)
         |SELECT id_a, id_b, ROUND(inter / (tot - inter), 6) AS jaccard
         |FROM p WHERE inter / (tot - inter) >= 0.5""".stripMargin,
+    // Connected components by transitive closure over the exact-Jaccard
+    // >= 0.5 pair graph; component representative = reachable minimum.
+    "x14_dedup_resolve" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id, n_chars,
+        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS sh
+        |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT id_a a, id_b b FROM p UNION ALL SELECT id_b, id_a FROM p),
+        |reach(s, t) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN e ON r.t = e.a)
+        |SELECT s AS doc_id, MIN(t) AS rep_id,
+        |       CAST(MIN(t) = s AS BIGINT) AS is_kept
+        |FROM reach GROUP BY s""".stripMargin,
     // Truth side of the sketch recall gates: exact Jaccard >= 0.9 pair
     // count (same CTE as x3); recall_ok is the Spark-computed comparison.
     "x2b_minhash_recall" ->

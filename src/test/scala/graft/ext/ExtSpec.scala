@@ -16,6 +16,19 @@ class DedupSpec extends AnyFunSuite {
     (4L, "the quick brown fox jumps over the lazy dog and runs far away home", 67L) // exact dup of 1
   ).toDF("doc_id", "text", "n_chars")
 
+  test("resolveComponents: pairs collapse to per-doc keep/drop via min-id components") {
+    // chain 1-2, 2-5 plus isolated 3, 4: components {1,2,5} (rep 1), {3}, {4}
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.resolveComponents(ids, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (1L, 1L) && out(2L) == (1L, 0L) && out(5L) == (1L, 0L))
+    assert(out(3L) == (3L, 1L) && out(4L) == (4L, 1L))
+    // idempotence: resolving an already-resolved (pairless) set keeps all
+    val again = Dedup.resolveComponents(ids, pairs.limit(0))
+    assert(again.where(col("is_kept") === 0).isEmpty)
+  }
+
   test("exact: identical texts collapse to min id with copy count") {
     val out = Dedup.exact(docs).collect()
       .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getLong(r.fieldIndex("n_copies"))).toMap
