@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling / data-mixing operators for a training-data
+  * pipeline (SURVEY.md §7.4 adjacents): hash-based sampling, per-stratum
+  * rates, and train/val/test splits.
+  *
+  * Why not `df.sample()`: Spark's sampler draws per-partition, so the
+  * selected ROWS change with partition layout, AQE decisions, and cluster
+  * size — a re-run of the same pipeline on different hardware samples a
+  * different corpus. Everything here keys off a deterministic per-row hash
+  * (`md5`, identical across engines and runs), making samples and splits
+  * reproducible, partition-independent, and joinable across pipeline
+  * stages (the same doc always lands in the same split).
+  *
+  * Scale shape: all pure codegen'd column expressions — no shuffle, no
+  * driver state, linear scans. The md5 is computed once per row and
+  * compared against literal thresholds.
+  */
+object Sampling {
+
+  /** Deterministic uniform [0,1) from a key: the first 8 hex chars of
+    * `md5(key || salt)` as a 32-bit integer over 2^32. Changing `salt`
+    * yields an independent reusable stream (e.g. one for sampling, one
+    * for splitting) without correlation between the two decisions.
+    */
+  def hashUnit(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+
+  /** Keep each row with probability `fraction`, deterministically. */
+  def sampleByHash(df: DataFrame, key: String, fraction: Double,
+                   salt: String = ""): DataFrame =
+    df.where(hashUnit(col(key), salt) < fraction)
+
+  /** Per-stratum sampling rates (data mixing): keep a row of stratum s
+    * with probability `rates(s)` (else `defaultRate`). The rate table is
+    * a literal when-chain — strata counts are small by definition, so the
+    * whole decision stays inside whole-stage codegen with no join.
+    */
+  def sampleStratified(df: DataFrame, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       key: String, salt: String = ""): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(r)).otherwise(acc)
+    }
+    df.where(hashUnit(col(key), salt) < rate)
+  }
+
+  /** Deterministic train/val/test split label per row: hash in [0,
+    * trainFrac) -> train, [trainFrac, trainFrac+valFrac) -> val, rest ->
+    * test. A document keeps its split across re-runs and clusters — the
+    * property that prevents train/test leakage when pipelines re-execute.
+    */
+  def withSplit(df: DataFrame, key: String, trainFrac: Double,
+                valFrac: Double, salt: String = "split"): DataFrame = {
+    val u = hashUnit(col(key), salt)
+    df.withColumn("split",
+      when(u < trainFrac, "train")
+        .when(u < trainFrac + valFrac, "val")
+        .otherwise("test"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, SimSearch, TextStats}
+import graft.ext.{Dedup, Multimodal, Sampling, SimSearch, TextStats}
 
 /** LLM-training-data pipeline operators (SURVEY.md §7.4) as declared
   * queries over `documents`/`embeddings`, with DuckDB oracles wherever the
@@ -164,6 +164,21 @@ object ExtensionQueries {
         countDistinct(col("text")).as("n_texts"),
         countDistinct(col("text"), col("fp_full")).as("n_text_fp"))),
 
+    // ---- reproducible sampling / mixing -----------------------------------
+    // Hash-deterministic decisions: the EXACT selected row set is replayed
+    // by DuckDB from the same md5 arithmetic — reproducibility is the
+    // contract, and the oracle proves it holds across engines.
+    "x15_sample_stratified" -> ((s, dir) =>
+      Sampling.sampleStratified(Tables.documents(s, dir), "source",
+        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1),
+        defaultRate = 0.25, key = "doc_id", salt = "mix")
+        .select("doc_id", "source")),
+    "x16_split" -> ((s, dir) =>
+      Sampling.withSplit(Tables.documents(s, dir), "doc_id",
+        trainFrac = 0.8, valFrac = 0.1)
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))),
+
     // ---- multimodal plumbing ----------------------------------------------
     "x12_multimodal" -> ((s, dir) =>
       Multimodal.decodeDocuments(s, Tables.documents(s, dir)).toDF()),
@@ -317,6 +332,26 @@ object ExtensionQueries {
       """SELECT COUNT(*) AS n_docs, COUNT(*) AS n_min_le_max,
         |  COUNT(DISTINCT text) AS n_texts, COUNT(DISTINCT text) AS n_text_fp
         |FROM documents""".stripMargin,
+    // Same md5-hex arithmetic as Sampling.hashUnit, replayed by DuckDB.
+    "x15_sample_stratified" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'mix')), 1, 8)) AS BIGINT)
+        |           / 4294967296.0 AS unit
+        |  FROM documents)
+        |SELECT doc_id, source FROM u
+        |WHERE unit < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |                          WHEN 'src2' THEN 0.1 ELSE 0.25 END""".stripMargin,
+    "x16_split" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'split')), 1, 8)) AS BIGINT)
+        |           / 4294967296.0 AS unit
+        |  FROM documents)
+        |SELECT CASE WHEN unit < 0.8 THEN 'train'
+        |            WHEN unit < 0.9 THEN 'val' ELSE 'test' END AS split,
+        |       COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM u GROUP BY 1""".stripMargin,
     // Frame chunk boundaries replayed in SQL: step = max(n/4, 1); frame i
     // (i < min(4, n)) spans [i*step, min((i+1)*step, n)).
     "x13b_frames_meta" ->

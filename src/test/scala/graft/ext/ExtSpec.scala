@@ -135,6 +135,50 @@ class SimSearchSpec extends AnyFunSuite {
   }
 }
 
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("hash sampling: deterministic, partition-independent, near the rate") {
+    val a = Sampling.sampleByHash(docs, "doc_id", 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // identical selection regardless of layout (repartition then resample)
+    val b = Sampling.sampleByHash(docs.repartition(7), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.1) // binomial tolerance at 500 docs
+    // a different salt draws an independent stream
+    val c = Sampling.sampleByHash(docs, "doc_id", 0.3, salt = "other")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(c != a)
+  }
+
+  test("stratified rates: rate-1.0 stratum complete, rate-0 stratum empty") {
+    val out = Sampling.sampleStratified(docs, "source",
+      rates = Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5, key = "doc_id")
+    val bySource = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("src0") == full("src0"))
+    assert(!bySource.contains("src1"))
+  }
+
+  test("split: exhaustive, exclusive, stable under re-evaluation") {
+    val s1 = Sampling.withSplit(docs, "doc_id", 0.8, 0.1)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Sampling.withSplit(docs.repartition(5), "doc_id", 0.8, 0.1)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2) // same doc -> same split, always
+    assert(s1.size == docs.count())
+    assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(s1.values.count(_ == "train") > s1.values.count(_ == "val"))
+  }
+}
+
 class FunctionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
