@@ -88,6 +88,29 @@ object TextStats {
       .groupBy("term")
       .agg(count(lit(1)).as("tf"), countDistinct(col(docId)).as("df"))
 
+  /** URL pattern shared by the redaction and the count — kept to regex
+    * constructs with identical semantics in Java regex and RE2 (no
+    * backrefs, no lookaround), so DuckDB replays it exactly.
+    */
+  val urlPattern = "https?://[^\\s]+"
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Text cleaning / redaction for a training corpus: URLs and emails
+    * replaced with typed placeholders (URLs first — they can embed `@`),
+    * whitespace runs collapsed, edges trimmed; per-doc redaction counts
+    * ride along for filtering/auditing. Pure codegen'd column
+    * expressions — shuffle-free, linear, no driver state.
+    */
+  def withCleaned(df: DataFrame, text: String = "text"): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(col(text), urlPattern, "<URL>"), emailPattern, "<EMAIL>")
+    df.withColumn("n_urls",
+        size(regexp_extract_all(col(text), lit(urlPattern), lit(0))).cast("long"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(text), lit(emailPattern), lit(0))).cast("long"))
+      .withColumn("clean_text", trim(regexp_replace(redacted, "\\s+", " ")))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): min/max xxhash64
     * over character k-grams of the normalized text, plus a full-text hash.
     * Shuffle-free; content-defined so reordered copies of the same k-grams

@@ -149,6 +149,9 @@ object ExtensionQueries {
         TextStats.tokenCount(col("text")).as("n_ws_tokens"),
         TextStats.bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
         TextStats.regexTokenCount(col("text")).as("n_regex_tokens"))),
+    "x17_text_clean" -> ((s, dir) =>
+      TextStats.withCleaned(Tables.documents(s, dir))
+        .select("doc_id", "clean_text", "n_urls", "n_emails")),
     "x11_fingerprint" -> ((s, dir) =>
       TextStats.withFingerprint(Tables.documents(s, dir))
         .select("doc_id", "fp_min", "fp_max", "fp_full")),
@@ -325,6 +328,17 @@ object ExtensionQueries {
         |  len(string_split(text, ' ')) AS n_ws_tokens,
         |  CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpeish_tokens,
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_regex_tokens
+        |FROM documents""".stripMargin,
+    // Same redaction regexes (Java-regex/RE2-identical constructs),
+    // replayed with RE2 'g' replacement.
+    "x17_text_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\s+', ' ', 'g')) AS clean_text,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
         |FROM documents""".stripMargin,
     // fp_min<=fp_max holds for every doc and fp_full is text-determined, so
     // DuckDB states both invariants without computing any hash.

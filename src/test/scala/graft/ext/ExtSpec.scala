@@ -262,6 +262,16 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(1L)._2 > out(2L)._2)
   }
 
+  test("cleaning: URLs and emails redacted with counts, whitespace collapsed") {
+    val df = Seq(
+      (1L, "see https://example.com/x?q=1 and  mail bob@test.org   now"),
+      (2L, "no entities here")).toDF("doc_id", "text")
+    val out = TextStats.withCleaned(df).select("doc_id", "clean_text", "n_urls", "n_emails")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("see <URL> and mail <EMAIL> now", 1L, 1L)))
+    assert(out(2L) == (("no entities here", 0L, 0L)))
+  }
+
   test("fingerprint: identical normalized texts collide; different texts don't") {
     val df = Seq(
       (1L, "Hello   World Friend"), (2L, "hello world friend"), // same after normalize
