@@ -263,6 +263,34 @@ object ReferenceQueries {
         .withColumn("cum_value",
           round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
         .select("event_id", "user_id", "rn", "cum_value")
+    }),
+    // Batch sessionization (the batch twin of streaming/EventStreams
+    // sessionize): a session breaks after a >30 min gap; session id =
+    // running count of breaks. Tied timestamps are safe: both engines use
+    // the RANGE-to-current-row default frame, so peer rows share the
+    // running sum, and a tie's gap is 0 regardless of intra-tie order.
+    "w2_sessionize" -> ((s, dir) => {
+      val byTs = Window.partitionBy("user_id").orderBy("ts")
+      val gap = col("ts").cast("long") - lag(col("ts"), 1).over(byTs).cast("long")
+      Tables.events(s, dir)
+        .withColumn("__new", when(gap.isNull || gap > 1800L, 1L).otherwise(0L))
+        .withColumn("session_seq", sum("__new").over(byTs))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"), max("ts").as("session_end"))
+    }),
+    // ---- Exact percentiles (order statistics) ------------------------------
+    // percentile_disc picks an actual data value (no interpolation
+    // arithmetic), so it is bit-identical across engines — unlike
+    // percentile_cont, whose a+f*(b-a) floating evaluation order differs.
+    "a6_percentiles" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      s.sql(
+        """SELECT event_type,
+          |  COUNT(*) AS n,
+          |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+          |  percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95
+          |FROM events_v GROUP BY event_type""".stripMargin)
     })
   )
 
@@ -422,6 +450,24 @@ object ReferenceQueries {
         | ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
         | ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS cum_value
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "w2_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM e),
+        |t AS (SELECT user_id, ts,
+        |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+        |      FROM s)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM t GROUP BY user_id, session_seq""".stripMargin,
+    "a6_percentiles" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  quantile_disc(value, 0.5)  AS p50,
+        |  quantile_disc(value, 0.95) AS p95
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }
