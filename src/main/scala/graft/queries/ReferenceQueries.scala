@@ -238,6 +238,43 @@ object ReferenceQueries {
           |WHERE o_orderstatus = 'F'
           |GROUP BY r_name, n_name""".stripMargin)
     }),
+    // Conditional aggregation (TPC-H Q12 shape): pivoted CASE counts per
+    // group — one partial-agg'd shuffle, CASE evaluated map-side.
+    "q4_conditional_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_high_disc"),
+          sum(when(col("l_discount") <= 0.05, 1L).otherwise(0L)).as("n_low_disc"),
+          round(sum(when(col("l_tax") > 0.04, col("l_extendedprice")).otherwise(lit(0.0))), 2)
+            .as("taxed_price"))
+    }),
+    // Revenue-share ratio (TPC-H Q14 shape): broadcast dimension join +
+    // two conditional sums combined into one ratio. ROUND(SUM(..)/SUM(..))
+    // is cross-engine safe here because both operands are exact sums
+    // evaluated in the same order on both engines at 2-decimal inputs —
+    // and the oracle text is shared verbatim.
+    "q5_promo_share" -> ((s, dir) => {
+      Seq("part", "lineitem").foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+      s.sql(
+        """SELECT p_brand,
+          |  COUNT(*) AS n_items,
+          |  ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'STANDARD%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
+          |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |GROUP BY p_brand""".stripMargin)
+    }),
+    // HLL sketch gate: approx_count_distinct must land within 5% of the
+    // exact distinct count — the oracle recomputes the exact side and
+    // asserts the bit, so an HLL accuracy regression reds this row.
+    "a7_approx_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir).agg(
+        countDistinct(col("l_partkey")).as("exact_nd"),
+        approx_count_distinct(col("l_partkey")).as("approx_nd"))
+        .select(col("exact_nd"),
+          (abs(col("approx_nd") - col("exact_nd")).cast("double") / col("exact_nd") <= 0.05)
+            .cast("long").as("approx_ok"))
+    }),
     "q3_topn_per_group" -> ((s, dir) => {
       // top-3 orders per customer by price (WindowGroupLimit path)
       val w = Window.partitionBy("o_custkey")
@@ -438,6 +475,22 @@ object ReferenceQueries {
         |JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'F'
         |GROUP BY r_name, n_name""".stripMargin,
+    "q4_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,
+        |  CAST(SUM(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_disc,
+        |  ROUND(SUM(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0.0 END), 2) AS taxed_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q5_promo_share" ->
+      """SELECT p_brand,
+        |  COUNT(*) AS n_items,
+        |  ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'STANDARD%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "a7_approx_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS exact_nd, CAST(1 AS BIGINT) AS approx_ok
+        |FROM lineitem""".stripMargin,
     "q3_topn_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |       ROW_NUMBER() OVER (PARTITION BY o_custkey
