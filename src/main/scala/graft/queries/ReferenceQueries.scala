@@ -264,6 +264,29 @@ object ReferenceQueries {
           |FROM lineitem JOIN part ON l_partkey = p_partkey
           |GROUP BY p_brand""".stripMargin)
     }),
+    // Hierarchical totals in ONE pass: ROLLUP expands to grouping sets
+    // inside a single Expand + partial-agg'd HashAggregate — no
+    // self-union, no extra scan per level.
+    "q6_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"), col("sum_qty"))
+    }),
+    // Unpivot (wide -> long): Spark's melt/unpivot operator; DuckDB
+    // replays it with UNPIVOT. Map-side row expansion, no shuffle.
+    "p9_unpivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          variableColumnName = "measure", valueColumnName = "val")
+        .withColumn("l_linenumber", col("l_linenumber").cast("long"))
+    }),
     // HLL sketch gate: approx_count_distinct must land within 5% of the
     // exact distinct count — the oracle recomputes the exact side and
     // asserts the bit, so an HLL accuracy regression reds this row.
@@ -491,6 +514,15 @@ object ReferenceQueries {
     "a7_approx_distinct" ->
       """SELECT COUNT(DISTINCT l_partkey) AS exact_nd, CAST(1 AS BIGINT) AS approx_ok
         |FROM lineitem""".stripMargin,
+    "q6_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "p9_unpivot" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, measure, val
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax FROM lineitem)
+        |UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax))""".stripMargin,
     "q3_topn_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |       ROW_NUMBER() OVER (PARTITION BY o_custkey
