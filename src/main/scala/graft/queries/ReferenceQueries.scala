@@ -329,16 +329,9 @@ object ReferenceQueries {
     // running count of breaks. Tied timestamps are safe: both engines use
     // the RANGE-to-current-row default frame, so peer rows share the
     // running sum, and a tie's gap is 0 regardless of intra-tie order.
-    "w2_sessionize" -> ((s, dir) => {
-      val byTs = Window.partitionBy("user_id").orderBy("ts")
-      val gap = col("ts").cast("long") - lag(col("ts"), 1).over(byTs).cast("long")
-      Tables.events(s, dir)
-        .withColumn("__new", when(gap.isNull || gap > 1800L, 1L).otherwise(0L))
-        .withColumn("session_seq", sum("__new").over(byTs))
-        .groupBy("user_id", "session_seq")
-        .agg(count(lit(1)).as("n_events"),
-          min("ts").as("session_start"), max("ts").as("session_end"))
-    }),
+    "w2_sessionize" -> ((s, dir) =>
+      graft.operators.Sessionize.sessions(Tables.events(s, dir),
+        "user_id", "ts", gapSeconds = 1800L)),
     // ---- Exact percentiles (order statistics) ------------------------------
     // percentile_disc picks an actual data value (no interpolation
     // arithmetic), so it is bit-identical across engines — unlike

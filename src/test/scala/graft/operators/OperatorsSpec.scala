@@ -7,6 +7,32 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
+class SessionizeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("gap splits sessions; boundary gap stays in-session; keys independent") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 10:30:00")), // exactly 1800 s -> same session
+      (1L, Timestamp.valueOf("2024-01-01 11:00:01")), // 1801 s -> new session
+      (2L, Timestamp.valueOf("2024-01-01 10:05:00"))  // other key starts at 1
+    ).toDF("user_id", "t")
+    val out = Sessionize.sessions(df, "user_id", "t", 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 1L)) == 2L) // first session: two events
+    assert(out((1L, 2L)) == 1L) // gap opened a second session
+    assert(out((2L, 1L)) == 1L)
+  }
+
+  test("sessionization plans exactly one exchange (rollup reuses the window partitioning)") {
+    val df = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"))).toDF("user_id", "t")
+    val plan = Sessionize.sessions(df, "user_id", "t", 1800L)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1, s"plan:\n$plan")
+  }
+}
+
 class AsofJoinSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
