@@ -111,6 +111,32 @@ object TextStats {
       .withColumn("clean_text", trim(regexp_replace(redacted, "\\s+", " ")))
   }
 
+  /** Top-k characteristic terms per document by TF-IDF
+    * (idf = ln(N / df), smooth-free — every term present in the corpus has
+    * df >= 1). Deterministic tie-break: higher tfidf, then lexicographic
+    * term order.
+    *
+    * Scale shape: two partial-agg'd shuffles (per-doc term counts, corpus
+    * document frequencies) + one broadcast-able join on term, then a
+    * map-side WindowGroupLimit for the per-doc top-k. The corpus size N is
+    * a one-row broadcast cross join, not a driver collect.
+    */
+  def topTfidfTerms(df: DataFrame, k: Int = 3,
+                    text: String = "text", docId: String = "doc_id"): DataFrame = {
+    val terms = df.select(col(docId), explode(split(col(text), " ")).as("term"))
+    val tf = terms.groupBy(docId, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.select(col(docId), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("__n") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(docId)
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col(docId), col("term"), col("tf"), col("df"), col("tfidf"), col("rk"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): min/max xxhash64
     * over character k-grams of the normalized text, plus a full-text hash.
     * Shuffle-free; content-defined so reordered copies of the same k-grams

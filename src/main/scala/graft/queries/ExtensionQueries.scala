@@ -149,6 +149,8 @@ object ExtensionQueries {
         TextStats.tokenCount(col("text")).as("n_ws_tokens"),
         TextStats.bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
         TextStats.regexTokenCount(col("text")).as("n_regex_tokens"))),
+    "x18_tfidf_topk" -> ((s, dir) =>
+      TextStats.topTfidfTerms(Tables.documents(s, dir), k = 3)),
     "x17_text_clean" -> ((s, dir) =>
       TextStats.withCleaned(Tables.documents(s, dir))
         .select("doc_id", "clean_text", "n_urls", "n_emails")),
@@ -329,6 +331,17 @@ object ExtensionQueries {
         |  CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpeish_tokens,
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_regex_tokens
         |FROM documents""".stripMargin,
+    "x18_tfidf_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
+        |n AS (SELECT COUNT(*) AS nn FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |        ROUND(tf.tf * ln(CAST(n.nn AS DOUBLE) / df.df), 6) AS tfidf
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, term ASC) AS rk FROM s)
+        |SELECT doc_id, term, tf, df, tfidf, rk FROM r WHERE rk <= 3""".stripMargin,
     // Same redaction regexes (Java-regex/RE2-identical constructs),
     // replayed with RE2 'g' replacement.
     "x17_text_clean" ->
