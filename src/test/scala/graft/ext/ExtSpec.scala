@@ -272,6 +272,21 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(2L) == (("no entities here", 0L, 0L)))
   }
 
+  test("tfidf: corpus-wide terms score zero, distinctive terms rank first") {
+    val df = Seq(
+      (1L, "shared shared unicorn"),
+      (2L, "shared dragon"),
+      (3L, "shared dragon")).toDF("doc_id", "text")
+    val top = TextStats.topTfidfTerms(df, k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(4))).toMap
+    // 'shared' is in every doc -> idf = ln(1) = 0; unique/rare terms win
+    assert(top(1L)._1 == "unicorn" && top(1L)._2 > 0)
+    assert(top(2L)._1 == "dragon" && top(3L)._1 == "dragon")
+    val sharedScore = TextStats.topTfidfTerms(df, k = 3)
+      .where(col("term") === "shared").select("tfidf").collect().map(_.getDouble(0))
+    assert(sharedScore.forall(_ == 0.0))
+  }
+
   test("fingerprint: identical normalized texts collide; different texts don't") {
     val df = Seq(
       (1L, "Hello   World Friend"), (2L, "hello world friend"), // same after normalize
