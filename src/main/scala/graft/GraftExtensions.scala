@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.SortedIntersectSize
+import graft.functions.{FloatDotProduct, SortedIntersectSize}
 
 /** SQL-surface registration for graft's custom Catalyst expressions.
   *
@@ -24,11 +24,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "sorted_intersect_size(a, b) takes 2 arguments")
         SortedIntersectSize(exprs(0), exprs(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("float_dot_product"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "float_dot_product(a, b) takes 2 arguments")
+        FloatDotProduct(exprs(0), exprs(1))
+      }))
+    // HyperplaneBucket / NearestCentroid carry a literal plane/centroid
+    // matrix and are deliberately NOT exposed to SQL — a matrix cannot be
+    // written as a SQL argument; use the Column API (SimSearch) instead.
   }
 }
 
 object GraftExtensions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_size",
       exprs => {
@@ -36,4 +46,12 @@ object GraftExtensions {
         SortedIntersectSize(exprs(0), exprs(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_dot_product",
+      exprs => {
+        require(exprs.length == 2, "float_dot_product(a, b) takes 2 arguments")
+        FloatDotProduct(exprs(0), exprs(1))
+      },
+      "built-in")
+  }
 }

@@ -208,6 +208,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out.isNullAt(0))
   }
 
+  test("float_dot_product: SQL registration matches the Column API") {
+    graft.GraftExtensions.register(spark)
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    df.createOrReplaceTempView("vecs_v")
+    val viaSql = spark.sql("SELECT float_dot_product(a, b) AS d FROM vecs_v")
+      .head().getDouble(0)
+    val viaCol = df.select(graft.functions.FloatDotProduct(col("a"), col("b")).as("d"))
+      .head().getDouble(0)
+    assert(viaSql == 11.0 && viaCol == 11.0)
+  }
+
   test("matrix-carrying expressions canonicalize by value, not reference") {
     // Two separately-built (but equal) plane/centroid matrices must compare
     // semantically equal, or Catalyst can never dedupe/reuse the

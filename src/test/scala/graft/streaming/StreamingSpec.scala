@@ -67,6 +67,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming and batch sessionization agree on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      (7L, ts("2024-01-01 09:00:00"), 1.0), (7L, ts("2024-01-01 09:10:00"), 2.0),
+      (7L, ts("2024-01-01 11:00:00"), 5.0), // > 30 min gap -> second session
+      (8L, ts("2024-01-01 09:05:00"), 4.0))
+
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStreams.sessionize(
+        input.toDF().toDF("user_id", "ts", "value"), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("sess_parity").start()
+    val streamed = try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // far-future sentinel pushes the watermark past every gap deadline,
+      // timing out (= closing) all real sessions
+      input.addData((999L, ts("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      spark.table("sess_parity").as[EventStreams.Session].collect()
+        .filter(_.userId != 999L)
+        .map(s => (s.userId, s.nEvents, s.startTs, s.endTs)).toSet
+    } finally q.stop()
+
+    val batch = graft.operators.Sessionize.sessions(
+        events.toDF("user_id", "ts", "value"), "user_id", "ts", 1800L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getTimestamp(3), r.getTimestamp(4))).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(batch.size == 3) // u7 x2 sessions + u8 x1
+  }
+
   test("sessionization: gap splits sessions, state emits closed ones") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
