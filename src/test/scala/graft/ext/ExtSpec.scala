@@ -29,6 +29,31 @@ class DedupSpec extends AnyFunSuite {
     assert(again.where(col("is_kept") === 0).isEmpty)
   }
 
+  test("resolveComponents property: matches union-find on random graphs") {
+    // explicit seeds (offline cache has no scalacheck bridge): three random
+    // graphs, each checked against a driver-side union-find referee
+    for (seed <- Seq(1L, 42L, 2024L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // referee: classic union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val expected = (0 until n).map { i =>
+        i.toLong -> (0 until n).filter(j => find(j) == find(i)).min.toLong
+      }.toMap
+
+      val ids = (0L until n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = Dedup.resolveComponents(ids, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("exact: identical texts collapse to min id with copy count") {
     val out = Dedup.exact(docs).collect()
       .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getLong(r.fieldIndex("n_copies"))).toMap
