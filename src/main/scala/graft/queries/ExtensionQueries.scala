@@ -149,6 +149,30 @@ object ExtensionQueries {
         TextStats.tokenCount(col("text")).as("n_ws_tokens"),
         TextStats.bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
         TextStats.regexTokenCount(col("text")).as("n_regex_tokens"))),
+    // Decontamination: a test-split document whose text near-duplicates
+    // (J >= 0.5) a train-split document is contaminated and must be
+    // dropped before evaluation. Composes the deterministic split
+    // assignment (x16) with the blocked exact-Jaccard pair space (x3) —
+    // both independently oracle-verified, and DuckDB replays the whole
+    // composition here.
+    "x19_decontaminate" -> ((s, dir) => {
+      val docs = Sampling.withSplit(Tables.documents(s, dir), "doc_id",
+        trainFrac = 0.8, valFrac = 0.1)
+      val pairs = Dedup.ngramJaccardPairs(docs, lenCol = "n_chars", tol = 16,
+        minJaccard = 0.5)
+      val splits = docs.select(col("doc_id"), col("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+        .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+        .where((col("split_a") === "train" && col("split_b") === "test") ||
+               (col("split_a") === "test" && col("split_b") === "train"))
+        .select(
+          when(col("split_a") === "test", col("id_a")).otherwise(col("id_b"))
+            .as("test_doc"),
+          when(col("split_a") === "test", col("id_b")).otherwise(col("id_a"))
+            .as("train_doc"),
+          col("jaccard"))
+    }),
     "x18_tfidf_topk" -> ((s, dir) =>
       TextStats.topTfidfTerms(Tables.documents(s, dir), k = 3)),
     "x17_text_clean" -> ((s, dir) =>
@@ -331,6 +355,33 @@ object ExtensionQueries {
         |  CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpeish_tokens,
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_regex_tokens
         |FROM documents""".stripMargin,
+    "x19_decontaminate" ->
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |         CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |          CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'split')), 1, 8)) AS BIGINT)
+        |            / 4294967296.0 AS u
+        |        FROM documents)),
+        |d AS (
+        |  SELECT doc_id, n_chars,
+        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS sh
+        |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b,
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+        |         len(a.sh) + len(b.sh) AS tot
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16),
+        |j AS (SELECT id_a, id_b, ROUND(inter / (tot - inter), 6) AS jaccard
+        |      FROM p WHERE inter / (tot - inter) >= 0.5),
+        |x AS (SELECT j.*, sa.split AS split_a, sb.split AS split_b
+        |      FROM j JOIN sp sa ON j.id_a = sa.doc_id JOIN sp sb ON j.id_b = sb.doc_id
+        |      WHERE (sa.split = 'train' AND sb.split = 'test')
+        |         OR (sa.split = 'test' AND sb.split = 'train'))
+        |SELECT CASE WHEN split_a = 'test' THEN id_a ELSE id_b END AS test_doc,
+        |       CASE WHEN split_a = 'test' THEN id_b ELSE id_a END AS train_doc,
+        |       jaccard
+        |FROM x""".stripMargin,
     "x18_tfidf_topk" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
