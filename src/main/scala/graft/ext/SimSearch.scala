@@ -106,30 +106,51 @@ object SimSearch {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nBits: Int = 8, nTables: Int = 16, dim: Int = 64, seed: Long = 42L,
               qId: String = "q_id", qVec: String = "q_vec",
-              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val tables: Seq[Seq[Array[Double]]] =
-      hyperplanes(nBits * nTables, dim, seed).grouped(nBits).toSeq
-    def buckets(vec: Column): Column =
-      array(tables.map(t => lshBucket(vec, t)): _*)
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame =
+    lshTopKFromIndex(queries,
+      lshIndex(corpus, nBits, nTables, dim, seed, cId, cVec),
+      k, nBits, nTables, dim, seed, qId, qVec, cId, cVec)
 
+  /** The persistent LSH index layout: one (table, bucket) row per corpus
+    * vector per table, norms precomputed. In a deployment this is built
+    * ONCE and written bucketed by (tbl, bucket)
+    * (`Store.writeBucketed(index, "lsh_idx", Seq("tbl", "bucket"))`), so
+    * every later query batch probes a pre-shuffled, co-located table
+    * instead of re-hashing 100 TB of corpus — the parameters (nBits,
+    * nTables, dim, seed) ARE the index identity and must match at query
+    * time.
+    */
+  def lshIndex(corpus: DataFrame,
+               nBits: Int = 8, nTables: Int = 16, dim: Int = 64, seed: Long = 42L,
+               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val tables = hyperplanes(nBits * nTables, dim, seed).grouped(nBits).toSeq
     // spread BEFORE the explode so the nTables x nBits x dim hashing loop
     // uses every core even on a single-split fixture corpus
-    val c = spread(corpus, col(cId))
+    spread(corpus, col(cId))
       .withColumn("__cn", norm(col(cVec)))
       .select(col(cId), col(cVec), col("__cn"),
-        posexplode(buckets(col(cVec))).as(Seq("tbl", "bucket")))
+        posexplode(array(tables.map(t => lshBucket(col(cVec), t)): _*))
+          .as(Seq("tbl", "bucket")))
+  }
 
+  /** Probe a prebuilt [[lshIndex]] with a bounded query set. */
+  def lshTopKFromIndex(queries: DataFrame, index: DataFrame, k: Int,
+                       nBits: Int = 8, nTables: Int = 16, dim: Int = 64, seed: Long = 42L,
+                       qId: String = "q_id", qVec: String = "q_vec",
+                       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val tables = hyperplanes(nBits * nTables, dim, seed).grouped(nBits).toSeq
     // per-table multi-probe: the table's own bucket + each 1-bit flip
     val flips = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
     val q = queries.withColumn("__qn", norm(col(qVec)))
       .select(col(qId), col(qVec), col("__qn"),
-        posexplode(buckets(col(qVec))).as(Seq("tbl", "bucket0")))
+        posexplode(array(tables.map(t => lshBucket(col(qVec), t)): _*))
+          .as(Seq("tbl", "bucket0")))
       .withColumn("bucket", explode(transform(flips, f => col("bucket0").bitwiseXOR(f))))
       .drop("bucket0")
 
     // a pair can meet in several tables -> collapse before ranking (cos is
     // identical for every copy, so max() is pure dedup)
-    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+    val cand = index.join(broadcast(q), Seq("tbl", "bucket"))
       .where(col(qId) =!= col(cId))
       .withColumn("cos", dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")))
       .groupBy(col(qId), col(cId)).agg(max(col("cos")).as("cos"))

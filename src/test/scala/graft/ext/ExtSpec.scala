@@ -141,6 +141,25 @@ class SimSearchSpec extends AnyFunSuite {
     assert(full.nonEmpty && full.forall(r => r.getDouble(3) <= 1.0 + 1e-9))
   }
 
+  test("lsh: a prebuilt index (incl. bucketed on disk) answers like direct lshTopK") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val direct = asSet(SimSearch.lshTopK(q, e, k = 3))
+    val idx = SimSearch.lshIndex(e)
+    assert(asSet(SimSearch.lshTopKFromIndex(q, idx, k = 3)) == direct)
+
+    // the deployment path: index persisted bucketed by (tbl, bucket), so
+    // query batches probe co-located buckets with no corpus re-hash
+    val store = new graft.io.Store(spark,
+      java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString)
+    store.writeBucketed(idx, "lsh_idx", Seq("tbl", "bucket"), buckets = 8)
+    assert(asSet(SimSearch.lshTopKFromIndex(q, store.readTable("lsh_idx"), k = 3)) == direct)
+  }
+
   test("lsh top-k: a near-duplicate query lands in its source's bucket (the LSH contract)") {
     // Random-hyperplane LSH promises recall for TIGHT neighbors (cos ~ 1):
     // an identical vector hashes to the identical bucket, so its source must
