@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Structural plan guards: the scale claims in PLANS.md as assertions, so
+  * a refactor that silently reintroduces a cartesian product, loses a
+  * pushed filter, or adds a shuffle fails CI instead of failing at 100 TB.
+  * Plans are inspected at sf0.001 — shapes, not timings.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int =
+    p.linesIterator.count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+
+  test("as-of join is a hash join, never a cartesian/nested-loop band join") {
+    val p = plan("j2_asof")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ngram jaccard pairs join on the length bucket, never all-pairs") {
+    val p = plan("x3_dedup_ngram")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("sortedintersectsize"), p) // custom expr stays in the join
+  }
+
+  test("date filter reaches the parquet scan as a pushed filter") {
+    val p = plan("p2_filter_date")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual")
+      || p.contains("PushedFilters: [GreaterThanOrEqual"), p)
+  }
+
+  test("rollup computes all levels with one Expand and one shuffle") {
+    val p = plan("q6_rollup")
+    assert(p.linesIterator.count(_.trim.startsWith("+- Expand")) +
+      p.linesIterator.count(_.trim.startsWith(":- Expand")) >= 1 || p.contains("Expand"), p)
+    assert(exchanges(p) == 1, s"expected 1 shuffle:\n$p")
+  }
+
+  test("brute-force ANN keeps map-side top-k before the shuffle") {
+    val p = plan("x6_ann_brute")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p) // the map-side (partial) group-limit pass
+  }
+
+  test("lsh ANN never scans the corpus twice") {
+    val p = plan("x7_ann_lsh")
+    // one corpus scan + one (broadcast) query scan of the same file
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
