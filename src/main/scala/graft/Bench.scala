@@ -13,19 +13,30 @@ object Bench {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Timings materialize EVERY output row through the zero-IO `noop` sink:
+    // under a bare count() Catalyst prunes computed projections, so map-only
+    // queries would be billed for scan+count instead of their expressions.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // one unmeasured action to absorb session/codegen/JIT warmup so the
     // first measured query isn't charged for it
-    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
+    try SparkEntry.queries.headOption.foreach(q => run(q._2(spark, sfDir)))
     catch { case _: Throwable => () }
     // A failing query must be LOUD: it gets a timing entry (so totals stay
     // comparable) AND lands in "errors", and the process exits nonzero.
+    // JSON string escape covers backslash, quote, and ALL control chars —
+    // exception messages can embed anything.
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errors = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case t: Throwable =>
-        errors += name -> t.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
-      }
+      try { run(fn(spark, sfDir)) }
+      catch { case t: Throwable => errors += name -> esc(t.toString.take(200)) }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -22,12 +22,15 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Deterministic uniform [0,1) from a key: the first 8 hex chars of
-    * `md5(key || salt)` as a 32-bit integer over 2^32. Changing `salt`
-    * yields an independent reusable stream (e.g. one for sampling, one
-    * for splitting) without correlation between the two decisions.
+    * `md5(key || "|" || salt)` as a 32-bit integer over 2^32. Changing
+    * `salt` yields an independent reusable stream (e.g. one for sampling,
+    * one for splitting) without correlation between the two decisions.
+    * The "|" delimiter keeps (key, salt) unambiguous — without it
+    * ("1","2x") and ("12","x") would hash identically. Any DuckDB oracle
+    * must replay the same concatenation, delimiter included.
     */
   def hashUnit(key: Column, salt: String = ""): Column =
-    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+    conv(substring(md5(concat(key.cast("string"), lit("|" + salt))), 1, 8), 16, 10)
       .cast("double") / 4294967296.0
 
   /** Keep each row with probability `fraction`, deterministically. */

@@ -95,19 +95,31 @@ object TextStats {
   val urlPattern = "https?://[^\\s]+"
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
-  /** Text cleaning / redaction for a training corpus: URLs and emails
-    * replaced with typed placeholders (URLs first — they can embed `@`),
-    * whitespace runs collapsed, edges trimmed; per-doc redaction counts
-    * ride along for filtering/auditing. Pure codegen'd column
-    * expressions — shuffle-free, linear, no driver state.
+  /** Phone numbers: optional +country, optional (area), 7+ digits in 2-4
+    * digit groups separated by `-` or space. Character classes and greedy
+    * bounded quantifiers only — no alternation or lookaround — so Java
+    * regex and RE2 (DuckDB) match identically.
+    */
+  val phonePattern = "\\+?\\(?[0-9]{2,4}\\)?[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}"
+
+  /** Text cleaning / redaction for a training corpus: URLs, emails, and
+    * phone numbers replaced with typed placeholders (URLs first — they can
+    * embed `@` and digits; emails before phones so digit-bearing local
+    * parts are already gone), whitespace runs collapsed, edges trimmed;
+    * per-doc redaction counts (over the ORIGINAL text) ride along for
+    * filtering/auditing. Pure codegen'd column expressions — shuffle-free,
+    * linear, no driver state.
     */
   def withCleaned(df: DataFrame, text: String = "text"): DataFrame = {
-    val redacted = regexp_replace(
-      regexp_replace(col(text), urlPattern, "<URL>"), emailPattern, "<EMAIL>")
+    val redacted = regexp_replace(regexp_replace(
+      regexp_replace(col(text), urlPattern, "<URL>"), emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
     df.withColumn("n_urls",
         size(regexp_extract_all(col(text), lit(urlPattern), lit(0))).cast("long"))
       .withColumn("n_emails",
         size(regexp_extract_all(col(text), lit(emailPattern), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(text), lit(phonePattern), lit(0))).cast("long"))
       .withColumn("clean_text", trim(regexp_replace(redacted, "\\s+", " ")))
   }
 

@@ -18,7 +18,7 @@ object ExtensionQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Minimum acceptable recall@5 for the approximate ANN tiers (x7c gate).
-    * LSH (8-bit buckets, hamming-1 multiprobe) and IVF (16 cells, 4-probe)
+    * LSH (8-bit buckets, hamming-1 multiprobe) and IVF (16 cells, 8-probe)
     * both sit well above this on the synthetic embeddings at every SF;
     * 0.6 catches real quality regressions without flapping on data noise.
     */
@@ -43,8 +43,12 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_hits"))
       .crossJoin(truth.agg(count(lit(1)).as("n_true")))
       .select(col("n_true").cast("long").as("n_true"),
-        (col("n_hits").cast("double") / col("n_true") >= minRecall)
-          .cast("long").as("recall_ok"))
+        // empty truth set => vacuously passing gate (recall of nothing is
+        // not a quality regression); without the guard 0/0 yields NULL and
+        // the row would red as an opaque hash mismatch on tiny fixtures
+        when(col("n_true") === 0, lit(1L))
+          .otherwise((col("n_hits").cast("double") / col("n_true") >= minRecall)
+            .cast("long")).as("recall_ok"))
 
   def queries: Map[String, Q] = Map(
     // ---- deduplication ----------------------------------------------------
@@ -177,7 +181,7 @@ object ExtensionQueries {
       TextStats.topTfidfTerms(Tables.documents(s, dir), k = 3)),
     "x17_text_clean" -> ((s, dir) =>
       TextStats.withCleaned(Tables.documents(s, dir))
-        .select("doc_id", "clean_text", "n_urls", "n_emails")),
+        .select("doc_id", "clean_text", "n_urls", "n_emails", "n_phones")),
     "x11_fingerprint" -> ((s, dir) =>
       TextStats.withFingerprint(Tables.documents(s, dir))
         .select("doc_id", "fp_min", "fp_max", "fp_full")),
@@ -360,7 +364,7 @@ object ExtensionQueries {
         |  SELECT doc_id,
         |         CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
         |  FROM (SELECT doc_id,
-        |          CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'split')), 1, 8)) AS BIGINT)
+        |          CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|split')), 1, 8)) AS BIGINT)
         |            / 4294967296.0 AS u
         |        FROM documents)),
         |d AS (
@@ -397,12 +401,14 @@ object ExtensionQueries {
     // replayed with RE2 'g' replacement.
     "x17_text_clean" ->
       """SELECT doc_id,
-        |  trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
         |    'https?://[^\s]+', '<URL>', 'g'),
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?\(?[0-9]{2,4}\)?[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}', '<PHONE>', 'g'),
         |    '\s+', ' ', 'g')) AS clean_text,
         |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\+?\(?[0-9]{2,4}\)?[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}')) AS BIGINT) AS n_phones
         |FROM documents""".stripMargin,
     // fp_min<=fp_max holds for every doc and fp_full is text-determined, so
     // DuckDB states both invariants without computing any hash.
@@ -414,7 +420,7 @@ object ExtensionQueries {
     "x15_sample_stratified" ->
       """WITH u AS (
         |  SELECT doc_id, source,
-        |         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'mix')), 1, 8)) AS BIGINT)
+        |         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|mix')), 1, 8)) AS BIGINT)
         |           / 4294967296.0 AS unit
         |  FROM documents)
         |SELECT doc_id, source FROM u
@@ -423,7 +429,7 @@ object ExtensionQueries {
     "x16_split" ->
       """WITH u AS (
         |  SELECT doc_id,
-        |         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'split')), 1, 8)) AS BIGINT)
+        |         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|split')), 1, 8)) AS BIGINT)
         |           / 4294967296.0 AS unit
         |  FROM documents)
         |SELECT CASE WHEN unit < 0.8 THEN 'train'

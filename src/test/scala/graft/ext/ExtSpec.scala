@@ -327,6 +327,16 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(2L) == (("no entities here", 0L, 0L)))
   }
 
+  test("cleaning: phone numbers redacted after URLs/emails, counted on original text") {
+    val df = Seq(
+      (1L, "call +44 20 7946 0958 or (020) 7946-0958 today"),
+      (2L, "yearlike 1999 2024 stays; 555 0100 too short")).toDF("doc_id", "text")
+    val out = TextStats.withCleaned(df).select("doc_id", "clean_text", "n_phones")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("call +44 <PHONE> or <PHONE> today", 2L)))
+    assert(out(2L) == (("yearlike 1999 2024 stays; 555 0100 too short", 0L)))
+  }
+
   test("tfidf: corpus-wide terms score zero, distinctive terms rank first") {
     val df = Seq(
       (1L, "shared shared unicorn"),
