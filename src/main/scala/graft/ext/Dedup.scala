@@ -235,6 +235,80 @@ object Dedup {
       (col("rep") === col(id)).cast("long").as("is_kept"))
   }
 
+  /** Blocked exact n-gram Jaccard BETWEEN two frames (no within-frame
+    * pairs): same length-bucket equi-join as [[ngramJaccardPairs]], but the
+    * LEFT side is the one exploded into its 3 adjacent buckets. Call with
+    * the bounded batch on the left and the big corpus on the right — the
+    * corpus then contributes exactly one row per document to the shuffle
+    * while only the batch triples. Each cross pair meets in exactly one
+    * bucket (the right doc's own), so no distinct is needed.
+    */
+  def ngramJaccardPairsBetween(left: DataFrame, right: DataFrame, lenCol: String,
+                               tol: Int = 16, text: String = "text",
+                               id: String = "doc_id", k: Int = 3,
+                               minJaccard: Double = 0.5): DataFrame = {
+    val l = spread(left, col(id))
+      .select(col(id).as("id_l"), col(lenCol).as("len_l"),
+        array_sort(shingleHashes(col(text), k)).as("sh_l"))
+      .withColumn("__b0", floor(col("len_l") / tol))
+      .withColumn("__bucket", explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
+      .drop("__b0")
+    val r = spread(right, col(id))
+      .select(col(id).as("id_r"), col(lenCol).as("len_r"),
+        array_sort(shingleHashes(col(text), k)).as("sh_r"),
+        floor(col(lenCol) / tol).as("__bucket"))
+    l.join(r, Seq("__bucket"))
+      .where(abs(col("len_l") - col("len_r")) <= tol)
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize(col("sh_l"), col("sh_r")).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_l")) + size(col("sh_r")) - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Incremental corpus dedup — the production shape of D1/D2 applied to a
+    * training corpus: decide, for each document of an INCOMING batch,
+    * whether it duplicates the EXISTING corpus. Returns one row per
+    * incoming doc: (id, action, dup_of, jaccard) with action one of
+    * `drop_exact` (byte-identical text in the corpus; dup_of = smallest
+    * such corpus id), `drop_neardup` (blocked exact Jaccard >= minJaccard;
+    * dup_of = the highest-Jaccard corpus doc, ties to the smaller id), or
+    * `keep`. `jaccard` is null unless action = drop_neardup.
+    *
+    * Scale shape: the exact tier shuffles 64-byte sha2 keys (corpus side
+    * partial-agg'd to one row per distinct text); the near tier is
+    * [[ngramJaccardPairsBetween]] with the bounded batch exploded, corpus
+    * linear; the arg-max is a map-side WindowGroupLimit over batch-keyed
+    * pairs. Nothing driver-side. At deployment the near tier's candidate
+    * generation would swap in the prebuilt LSH index probe
+    * ([[graft.ext.SimSearch.lshTopKFromIndex]]) — same decision frame,
+    * sub-quadratic candidates; the x20b gate exercises exactly that path.
+    */
+  def incrementalDedup(incoming: DataFrame, corpus: DataFrame, lenCol: String,
+                       tol: Int = 16, minJaccard: Double = 0.5,
+                       text: String = "text", id: String = "doc_id",
+                       k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpusHash = corpus
+      .groupBy(sha2(col(text), 256).as("__h")).agg(min(col(id)).as("__exact_of"))
+    val exact = incoming.select(col(id), sha2(col(text), 256).as("__h"))
+      .join(corpusHash, Seq("__h"), "left")
+    val pairs = ngramJaccardPairsBetween(incoming, corpus, lenCol, tol, text, id, k, minJaccard)
+    val best = pairs
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("id_l")).orderBy(col("jaccard").desc, col("id_r").asc)))
+      .where(col("__rk") === 1)
+      .select(col("id_l").as(id), col("id_r").as("__near_of"), col("jaccard").as("__near_j"))
+    exact.join(best, Seq(id), "left")
+      .select(col(id),
+        when(col("__exact_of").isNotNull, "drop_exact")
+          .when(col("__near_of").isNotNull, "drop_neardup")
+          .otherwise("keep").as("action"),
+        coalesce(col("__exact_of"), col("__near_of")).as("dup_of"),
+        when(col("__exact_of").isNull, col("__near_j")).as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard over a length-blocked pair space: only pairs whose
     * `lenCol` differs by <= `tol` are compared (near-duplicates have
     * near-equal lengths). Like [[graft.operators.AsofJoin]], the band

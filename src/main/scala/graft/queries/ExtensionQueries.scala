@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Sampling, SimSearch, TextStats}
+import graft.ext.{Dedup, Multimodal, Packing, Sampling, SimSearch, TextStats}
 
 /** LLM-training-data pipeline operators (SURVEY.md §7.4) as declared
   * queries over `documents`/`embeddings`, with DuckDB oracles wherever the
@@ -90,6 +90,18 @@ object ExtensionQueries {
     }),
     "x5_embed_neardup" -> ((s, dir) =>
       SimSearch.nearDupPairs(Tables.embeddings(s, dir), "label", minCos = 0.25)),
+    // Incremental corpus dedup: an "incoming" batch (doc_id % 7 == 0 as the
+    // stand-in for today's crawl) deduped AGAINST the existing corpus —
+    // exact tier via sha2 content-hash lookup, near tier via batch-vs-corpus
+    // blocked exact Jaccard. DuckDB replays the whole keep/drop/dup_of
+    // decision surface.
+    "x20_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalDedup(
+        docs.where(col("doc_id") % 7 === 0),
+        docs.where(col("doc_id") % 7 =!= 0),
+        lenCol = "n_chars", tol = 16, minJaccard = 0.5)
+    }),
 
     // ---- similarity search ------------------------------------------------
     "x6_ann_brute" -> ((s, dir) => {
@@ -134,6 +146,37 @@ object ExtensionQueries {
           (col("n_hits").cast("double") / col("n_truth") >= ANN_RECALL_MIN)
             .cast("long").as("recall_ok"))
     }),
+
+    // The deployment path of x20's near tier: probe a PREBUILT LSH index of
+    // the existing corpus with the incoming batch, gated on recall@5
+    // against exact brute-force (same contract as x7c). Exercises the
+    // index/probe split end-to-end on a real batch-vs-corpus shape.
+    "x20b_incremental_probe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val incoming = e.where(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = e.where(col("vec_id") % 7 =!= 0)
+      val truth = SimSearch.bruteTopK(incoming, corpus, k = 5)
+        .select("q_id", "neighbor_id").localCheckpoint(true)
+      val found = SimSearch.lshTopKFromIndex(incoming, SimSearch.lshIndex(corpus), k = 5)
+        .select("q_id", "neighbor_id")
+      found.join(truth, Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(col("n_truth").cast("long").as("n_truth"),
+          when(col("n_truth") === 0, lit(1L))
+            .otherwise((col("n_hits").cast("double") / col("n_truth") >= ANN_RECALL_MIN)
+              .cast("long")).as("recall_ok"))
+    }),
+    // Sequence packing: documents grouped into <=256-token training
+    // sequences by chunked cumsum over hash order within 8 parallel hash
+    // buckets. Fully deterministic -> DuckDB replays the exact assignment
+    // with the same md5 arithmetic and window functions.
+    "x21_pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(Tables.documents(s, dir),
+        TextStats.tokenCount(col("text")), maxTokens = 256, nBuckets = 8,
+        key = "doc_id")
+        .select("doc_id", "n_tokens", "bucket", "seq_id")),
 
     // ---- text analysis ----------------------------------------------------
     "x8_text_lang" -> ((s, dir) =>
@@ -293,6 +336,64 @@ object ExtensionQueries {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16)
         |SELECT COUNT(*) AS n_true, CAST(1 AS BIGINT) AS recall_ok
         |FROM p WHERE inter / (tot - inter) >= 0.9""".stripMargin,
+    // Incremental dedup: exact tier = sha256 lookup against the corpus
+    // side's min-id-per-text; near tier = the x3 shingle CTE restricted to
+    // batch x corpus pairs; arg-max near-dup by (jaccard desc, id asc).
+    "x20_dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS sh
+        |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents)),
+        |ch AS (SELECT sha256(text) AS h, MIN(doc_id) AS exact_of
+        |       FROM documents WHERE doc_id % 7 <> 0 GROUP BY sha256(text)),
+        |p AS (
+        |  SELECT a.doc_id id_in, b.doc_id id_corp,
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+        |         len(a.sh) + len(b.sh) AS tot
+        |  FROM d a JOIN d b
+        |    ON a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+        |   AND abs(a.n_chars - b.n_chars) <= 16),
+        |j AS (SELECT id_in, id_corp, ROUND(inter / (tot - inter), 6) AS jaccard
+        |      FROM p WHERE inter / (tot - inter) >= 0.5),
+        |best AS (SELECT id_in, id_corp, jaccard,
+        |           ROW_NUMBER() OVER (PARTITION BY id_in
+        |             ORDER BY jaccard DESC, id_corp ASC) AS rk FROM j),
+        |e AS (SELECT i.doc_id, ch.exact_of FROM documents i
+        |      LEFT JOIN ch ON sha256(i.text) = ch.h WHERE i.doc_id % 7 = 0)
+        |SELECT e.doc_id,
+        |  CASE WHEN e.exact_of IS NOT NULL THEN 'drop_exact'
+        |       WHEN b.id_corp IS NOT NULL THEN 'drop_neardup'
+        |       ELSE 'keep' END AS action,
+        |  COALESCE(e.exact_of, b.id_corp) AS dup_of,
+        |  CASE WHEN e.exact_of IS NULL THEN b.jaccard END AS jaccard
+        |FROM e LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+        |  ON e.doc_id = b.id_in""".stripMargin,
+    // Batch-vs-corpus probe gate: DuckDB recomputes the exact brute-force
+    // truth count over the same mod-7 split; recall_ok is Spark-computed.
+    "x20b_incremental_probe" ->
+      s"""WITH q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id % 7 = 0),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings WHERE vec_id % 7 <> 0),
+         |s AS (SELECT q_id, vec_id AS neighbor_id, ${duckCos("qv", "cv")} AS cos
+         |      FROM q CROSS JOIN c),
+         |r AS (SELECT q_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, CAST(1 AS BIGINT) AS recall_ok
+         |FROM r WHERE rank <= 5""".stripMargin,
+    // Same md5 order, bucket, and chunked-cumsum arithmetic as
+    // Packing.packSequences (maxTokens 256, 8 buckets, salt "pack").
+    "x21_pack_sequences" ->
+      """WITH u AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|pack')), 1, 8)) AS BIGINT)
+        |           / 4294967296.0 AS u
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tokens, u, CAST(floor(u * 8) AS BIGINT) AS bucket FROM u),
+        |c AS (SELECT doc_id, n_tokens, bucket,
+        |        SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY u, doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM b)
+        |SELECT doc_id, n_tokens, bucket,
+        |       CAST(floor((cum - 1.0) / 256) AS BIGINT) AS seq_id
+        |FROM c""".stripMargin,
     "x5_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
          |p AS (SELECT a.vec_id id_a, b.vec_id id_b, ${duckCos("a.v", "b.v")} AS cos

@@ -92,6 +92,81 @@ class DedupSpec extends AnyFunSuite {
     // doc3 (88 chars) is >5 from all others -> never compared
     assert(!out.collect().exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
   }
+
+  test("resolveComponents: long path graphs converge given diameter rounds, fail loud otherwise") {
+    // a 31-node path has diameter 30: min-label propagation needs ~30
+    // rounds, well past the dedup-clique default — the documented boundary
+    val n = 31
+    val ids = (0L until n.toLong).toDF("doc_id")
+    val pathEdges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val resolved = Dedup.resolveComponents(ids, pathEdges, maxRounds = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until n).forall(i => resolved(i.toLong) == 0L)) // one component, rep 0
+    // too few rounds must throw the loud convergence error, not return junk
+    val err = intercept[IllegalArgumentException] {
+      Dedup.resolveComponents(ids, pathEdges, maxRounds = 5).collect()
+    }
+    assert(err.getMessage.contains("converge"))
+  }
+
+  test("incrementalDedup: exact beats near-dup; unmatched batch docs keep") {
+    // corpus: docs 1 (text A), 3 (text B); batch: 10 = exact copy of 1,
+    // 11 = near-dup of 1, 12 = unrelated
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home", 67L),
+      (3L, "completely different words describing yet another unrelated subject entirely here today", 88L)
+    ).toDF("doc_id", "text", "n_chars")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs far away home", 67L),
+      (11L, "the quick brown fox jumps over the lazy dog and runs far away now", 66L),
+      (12L, "astronomy telescopes observe distant galaxies through clear mountain night skies", 81L)
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Dedup.incrementalDedup(batch, corpus, lenCol = "n_chars", tol = 16, minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2), !r.isNullAt(3))).toMap
+    assert(out(10L) == (("drop_exact", 1L, false)))   // exact wins, no jaccard
+    assert(out(11L) == (("drop_neardup", 1L, true)))  // arg-max corpus doc, jaccard present
+    assert(out(12L) == (("keep", -1L, false)))
+    assert(out.size == 3) // one decision per batch doc, corpus not echoed
+  }
+}
+
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkDocs(n: Int) =
+    (0L until n.toLong).map(i => (i, 10 + (i % 37).toInt)).toDF("doc_id", "n_tok")
+
+  test("packing: deterministic, partition-independent, every doc assigned once") {
+    val docs = mkDocs(300)
+    val a = Packing.packSequences(docs, col("n_tok"), maxTokens = 128, nBuckets = 4, key = "doc_id")
+      .select("doc_id", "bucket", "seq_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = Packing.packSequences(docs.repartition(7), col("n_tok"), maxTokens = 128, nBuckets = 4, key = "doc_id")
+      .select("doc_id", "bucket", "seq_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b)           // layout-independent assignment
+    assert(a.size == 300)    // exactly one decision per doc
+  }
+
+  test("packing: sequences fill contiguously and overflow only by their first doc") {
+    val out = Packing.packSequences(mkDocs(300), col("n_tok"), maxTokens = 128, nBuckets = 4, key = "doc_id")
+      .select("bucket", "seq_id", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bySeq = out.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
+    // chunked-cumsum bound: a sequence exceeds maxTokens by < its first
+    // doc's tokens; with all docs <= 46 tokens, total < 128 + 46
+    assert(bySeq.values.forall(_ < 128 + 46))
+    // all but the final sequence of each bucket must be near-full: chunked
+    // cumsum leaves no internal gaps (sum > maxTokens - next doc size)
+    for ((bucket, seqs) <- bySeq.groupBy(_._1._1)) {
+      val last = seqs.keys.map(_._2).max
+      assert(seqs.collect { case ((_, s), tot) if s != last => tot }.forall(_ >= 128 - 46))
+      // seq ids are contiguous from 0
+      assert(seqs.keys.map(_._2).toSet == (0L to last).toSet)
+    }
+  }
 }
 
 class SimSearchSpec extends AnyFunSuite {
