@@ -160,34 +160,35 @@ object SimSearch {
       .select(col(qId), col(cId).as("neighbor_id"), col("rank"), round(col("cos"), 5).as("cos"))
   }
 
-  /** IVF-style ANN: a coarse quantizer (deterministically sampled,
-    * L2-normalized corpus vectors as centroids) assigns every corpus vector
-    * to a cell ONCE; each query probes its `nProbe` nearest cells and only
+  /** IVF-style ANN with a TRAINED coarse quantizer: k-means centroids
+    * (spherical Lloyd, cosine assignment) assign every corpus vector to a
+    * cell ONCE; each query probes its `nProbe` nearest cells and only
     * re-ranks those candidates exactly.
     *
     * Scale shape: cell assignment is a shuffle-free map over the corpus
     * (custom codegen'd [[graft.functions.NearestCentroid]]); the probe
     * list is a tiny (query x cell) frame built from a broadcast centroid
     * table; candidates equi-join on cell. With nCells ~ sqrt(corpus) the
-    * candidate set is ~nProbe/nCells of the corpus per query. At real
-    * scale the sampled quantizer would be replaced by trained k-means
-    * centroids — only the centroid array changes, no plan shape does.
+    * candidate set is ~nProbe/nCells of the corpus per query. Quantizer
+    * training is `lloydIters` DataFrame jobs, each one partial-agg'd
+    * shuffle (see below) — only the nCells centroid vectors ever reach
+    * the driver.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 8,
+              nCells: Int = 16, nProbe: Int = 8, lloydIters: Int = 2,
               qId: String = "q_id", qVec: String = "q_vec",
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
-    // Deterministic coarse quantizer: the 10k corpus vectors with the
-    // SMALLEST id-hash — a seedless pseudo-random sample of the whole
-    // corpus (ordering by raw id would take the first 10k rows, a biased
-    // slice at scale). Plans as TakeOrderedAndProject: per-partition top-k,
-    // no global sort materialization. Bounded driver collect.
+    // Deterministic k-means INIT: the 10k corpus vectors with the SMALLEST
+    // id-hash — a seedless pseudo-random sample of the whole corpus
+    // (ordering by raw id would take the first 10k rows, a biased slice at
+    // scale). Plans as TakeOrderedAndProject: per-partition top-k, no
+    // global sort materialization. Bounded driver collect.
     val sampled = corpus.select(col(cId), col(cVec))
       .orderBy(xxhash64(col(cId)).asc, col(cId).asc).limit(10000)
       .collect()
     val step = math.max(sampled.length / nCells, 1)
-    val centroids = sampled.zipWithIndex.collect { case (r, i) if i % step == 0 => r }
+    var centroids = sampled.zipWithIndex.collect { case (r, i) if i % step == 0 => r }
       .take(nCells)
       .map { r =>
         val v = r.getSeq[Float](1).map(_.toDouble).toArray
@@ -197,7 +198,40 @@ object SimSearch {
 
     // same partitioning-inheritance fix as lshTopK: spread the corpus so
     // cell assignment + candidate dot products use every core
-    val cells = spread(corpus, col(cId))
+    val spreadCorpus = spread(corpus, col(cId))
+
+    // Spherical-Lloyd refinement, pure DataFrame ops: assignment reuses the
+    // same codegen'd map as the search path; the update is one shuffle of
+    // (cell, pos) PARTIAL sums — map-side combine reduces every partition
+    // to <= nCells x dim rows, so at 100 TB the shuffle and the driver
+    // collect are both O(nCells x dim), never O(corpus). Means are
+    // re-normalized (cosine k-means); a cell that captures no vectors
+    // keeps its previous centroid.
+    for (_ <- 0 until lloydIters) {
+      val dim = centroids(0).length
+      val stats = spreadCorpus
+        .select(graft.functions.NearestCentroid(col(cVec), centroids).as("cell"),
+          posexplode(col(cVec)).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val means = Array.fill(nCells)(new Array[Double](dim))
+      val seen = new Array[Boolean](nCells)
+      stats.foreach { r =>
+        val c = r.getInt(0)
+        means(c)(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+        seen(c) = true
+      }
+      centroids = centroids.zipWithIndex.map { case (prev, c) =>
+        if (!seen(c)) prev
+        else {
+          val nrm = math.sqrt(means(c).map(x => x * x).sum)
+          means(c).map(_ / math.max(nrm, 1e-12))
+        }
+      }
+    }
+
+    val cells = spreadCorpus
       .withColumn("cell", graft.functions.NearestCentroid(col(cVec), centroids))
       .withColumn("__cn", norm(col(cVec)))
 
