@@ -56,4 +56,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("incremental dedup: both tiers are keyed joins, never all-pairs") {
+    val p = plan("x20_dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("sortedintersectsize"), p) // near tier's codegen'd intersect
+  }
+
+  test("sequence packing is one shuffle into parallel bucket windows") {
+    val p = plan("x21_pack_sequences")
+    // the ONLY exchange is the hash partitioning by bucket feeding the
+    // window sort — no global single-partition sort anywhere
+    assert(exchanges(p) == 1, s"expected 1 shuffle:\n$p")
+    assert(p.contains("hashpartitioning(bucket"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
