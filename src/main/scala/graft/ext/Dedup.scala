@@ -30,6 +30,9 @@ object Dedup {
     * An explicit count makes the exchange REPARTITION_BY_NUM, which AQE
     * never coalesces. Skipped when the scan already has enough splits (the
     * 100 TB case) so no gratuitous full-corpus shuffle is added at scale.
+    * `df.rdd.getNumPartitions` converts the plan to an RDD but only reads
+    * partition METADATA — no Spark job runs; the cost is one plan
+    * translation per call.
     */
   private def spread(df: DataFrame, cols: Column*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism

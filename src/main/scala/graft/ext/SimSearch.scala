@@ -37,7 +37,8 @@ object SimSearch {
     * loops because broadcast joins inherit probe-side partitioning). At
     * real scale the scan already has plenty of splits and NO shuffle is
     * added. Explicit-count repartition = REPARTITION_BY_NUM, which AQE
-    * never coalesces away.
+    * never coalesces away. (`df.rdd.getNumPartitions` reads partition
+    * metadata only — it triggers a plan-to-RDD translation, never a job.)
     */
   private def spread(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism

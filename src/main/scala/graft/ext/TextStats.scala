@@ -153,14 +153,19 @@ object TextStats {
     * over character k-grams of the normalized text, plus a full-text hash.
     * Shuffle-free; content-defined so reordered copies of the same k-grams
     * collide.
+    *
+    * The k-gram min/max is a custom codegen'd rolling expression
+    * ([[graft.functions.KgramHashMinMax]]): the builtin
+    * `transform(sequence(...))` formulation is a per-character interpreted
+    * loop that was the single slowest query in the bench (~13 s for 5k
+    * docs); the rolling pass is value-identical and allocation-free.
     */
   def withFingerprint(df: DataFrame, text: String = "text", k: Int = 9): DataFrame = {
     val norm = lower(regexp_replace(col(text), "\\s+", " "))
-    val grams = transform(
-      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
-      i => xxhash64(norm.substr(i, lit(k))))
-    df.withColumn("fp_min", array_min(grams))
-      .withColumn("fp_max", array_max(grams))
+    df.withColumn("__mm", graft.functions.KgramHashMinMax(norm, k))
+      .withColumn("fp_min", col("__mm").getItem(0))
+      .withColumn("fp_max", col("__mm").getItem(1))
       .withColumn("fp_full", xxhash64(norm))
+      .drop("__mm")
   }
 }

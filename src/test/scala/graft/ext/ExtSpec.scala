@@ -321,6 +321,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == Seq(2, 0, 1))
   }
 
+  test("KgramHashMinMax: value-identical to the builtin transform/sequence form") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "short",          // shorter than k -> one whole-string gram
+      "exactly9!",      // length == k -> one gram
+      "café résumé naïve text with multibyte chars",
+      "a").toDF("t")
+    val k = 9
+    val viaExpr = df.select(graft.functions.KgramHashMinMax(col("t"), k).as("mm"))
+      .collect().map(r => { val s = r.getSeq[Long](0); (s(0), s(1)) }).toSeq
+    val grams = transform(
+      sequence(lit(1), greatest(length(col("t")) - (k - 1), lit(1))),
+      i => xxhash64(col("t").substr(i, lit(k))))
+    val viaBuiltin = df.select(array_min(grams), array_max(grams))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaExpr == viaBuiltin)
+  }
+
   test("SortedIntersectSize: null inputs -> null (binary expression contract)") {
     val df = Seq((Some(Array(1L, 2L)), None: Option[Array[Long]])).toDF("a", "b")
     val out = df.select(graft.functions.SortedIntersectSize(col("a"), col("b")).as("n")).head()
