@@ -232,13 +232,16 @@ object ExtensionQueries {
     // xxhash64: every doc satisfies fp_min <= fp_max, and fp_full is a pure
     // function of text (distinct texts == distinct (text, fp_full) pairs —
     // identical texts always share a fingerprint). Turns the rows-only x11
-    // into an oracle-checked quality gate.
+    // into an oracle-checked quality gate. The distinct counts run over the
+    // 64-bit content hash, not the text — shuffling full documents for a
+    // distinct count is the wrong shape at scale; equal up to xxhash64
+    // collisions (~2^-64), and the oracle counts its own distinct texts.
     "x11b_fingerprint_inv" -> ((s, dir) =>
       TextStats.withFingerprint(Tables.documents(s, dir)).agg(
         count(lit(1)).as("n_docs"),
         sum((col("fp_min") <= col("fp_max")).cast("long")).as("n_min_le_max"),
-        countDistinct(col("text")).as("n_texts"),
-        countDistinct(col("text"), col("fp_full")).as("n_text_fp"))),
+        countDistinct(xxhash64(col("text"))).as("n_texts"),
+        countDistinct(xxhash64(col("text")), col("fp_full")).as("n_text_fp"))),
 
     // ---- reproducible sampling / mixing -----------------------------------
     // Hash-deterministic decisions: the EXACT selected row set is replayed
