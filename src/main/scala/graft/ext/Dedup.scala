@@ -47,14 +47,20 @@ object Dedup {
     * collisions, so Jaccard values are unchanged. Documents shorter than
     * k words yield an empty set.
     */
-  def shingleHashes(text: Column, k: Int = 3): Column = {
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    array_distinct(shingleHashesAll(text, k))
+
+  /** All word k-shingle hashes WITH multiplicity (position order) — the
+    * input to within-document repetition stats, where repeats are the
+    * signal that [[shingleHashes]] deliberately discards.
+    */
+  def shingleHashesAll(text: Column, k: Int = 3): Column = {
     val ws = split(text, " ")
     val wh = transform(ws, w => xxhash64(w))
     val n = greatest(size(ws) - (k - 1), lit(0))
-    val folded = (1 until k).foldLeft(slice(wh, lit(1), n)) { (acc, j) =>
+    (1 until k).foldLeft(slice(wh, lit(1), n)) { (acc, j) =>
       zip_with(acc, slice(wh, lit(j + 1), n), (a, b) => xxhash64(a, b))
     }
-    array_distinct(folded)
   }
 
   /** Exact dedup: keep the smallest id per identical text; report copies.

@@ -52,6 +52,33 @@ object Sampling {
     df.where(hashUnit(col(key), salt) < rate)
   }
 
+  /** Proportional token-budget corpus mixing: downsample every stratum
+    * (source) to an EXPECTED `budgetTokens` tokens by keeping each row
+    * with probability `min(budgetTokens / stratumTokens, 1.0)` — data
+    * mixing by token mass, not document count, which is what an LLM
+    * training mix actually specifies.
+    *
+    * Scale shape: one partial-agg'd groupBy for per-stratum token totals
+    * (a handful of rows), broadcast back, then a shuffle-free
+    * hash-threshold filter — no per-stratum ordering or window, so no
+    * single-task sequential scan per source (the exact-cutoff variant
+    * needs a per-stratum cumsum window; at corpus scale the expected-
+    * budget form is the right trade and keeps every property of
+    * [[hashUnit]] sampling: deterministic, partition-independent,
+    * replayable cross-engine).
+    */
+  def sampleByTokenBudget(df: DataFrame, strataCol: String, tokens: Column,
+                          budgetTokens: Double, key: String,
+                          salt: String = "budget"): DataFrame = {
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(tokens).as("__stratum_tokens"))
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .join(broadcast(totals), strataCol)
+      .where(hashUnit(col(key), salt) <
+        least(lit(budgetTokens) / col("__stratum_tokens"), lit(1.0)))
+      .drop("__stratum_tokens")
+  }
+
   /** Deterministic train/val/test split label per row: hash in [0,
     * trainFrac) -> train, [trainFrac, trainFrac+valFrac) -> val, rest ->
     * test. A document keeps its split across re-runs and clusters — the

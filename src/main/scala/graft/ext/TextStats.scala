@@ -149,6 +149,26 @@ object TextStats {
       .select(col(docId), col("term"), col("tf"), col("df"), col("tfidf"), col("rk"))
   }
 
+  /** Within-document repetition stats — the standard duplicate-n-gram
+    * quality filter for a pretraining corpus (boilerplate, chat spam, and
+    * template text repeat whole phrases; prose doesn't): the fraction of
+    * word k-shingle OCCURRENCES that are repeats of an earlier shingle in
+    * the same document. Shingles are 64-bit hashes
+    * ([[graft.ext.Dedup.shingleHashesAll]]), so the fraction equals the
+    * string-shingle fraction up to xxhash64 collisions. Pure per-row
+    * column expressions — shuffle-free, linear; documents shorter than k
+    * words have no shingles and score 0.
+    */
+  def withRepetition(df: DataFrame, text: String = "text", k: Int = 3): DataFrame = {
+    val sh = Dedup.shingleHashesAll(col(text), k)
+    val n = size(sh).cast("double")
+    val nd = size(array_distinct(sh)).cast("double")
+    df.withColumn("n_shingles", n.cast("long"))
+      .withColumn("n_distinct_shingles", nd.cast("long"))
+      .withColumn("dup_fraction",
+        round(when(n === 0, 0.0).otherwise(lit(1.0) - nd / n), 6))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): min/max xxhash64
     * over character k-grams of the normalized text, plus a full-text hash.
     * Shuffle-free; content-defined so reordered copies of the same k-grams

@@ -225,6 +225,12 @@ object ExtensionQueries {
     "x17_text_clean" -> ((s, dir) =>
       TextStats.withCleaned(Tables.documents(s, dir))
         .select("doc_id", "clean_text", "n_urls", "n_emails", "n_phones")),
+    // Within-document repetition (duplicate-shingle fraction) — the
+    // standard boilerplate/template quality filter; DuckDB recomputes the
+    // same fraction over string shingles (hash-collision-equal).
+    "x22_text_repetition" -> ((s, dir) =>
+      TextStats.withRepetition(Tables.documents(s, dir))
+        .select("doc_id", "n_shingles", "n_distinct_shingles", "dup_fraction")),
     "x11_fingerprint" -> ((s, dir) =>
       TextStats.withFingerprint(Tables.documents(s, dir))
         .select("doc_id", "fp_min", "fp_max", "fp_full")),
@@ -257,6 +263,14 @@ object ExtensionQueries {
         trainFrac = 0.8, valFrac = 0.1)
         .groupBy("split").agg(count(lit(1)).as("n"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))),
+    // Token-budget data mixing: each source downsampled to an expected 500
+    // tokens via the broadcast-threshold hash filter (mixing by token
+    // mass, the unit an LLM training mix specifies). DuckDB replays the
+    // totals, the threshold arithmetic, and the md5 decisions exactly.
+    "x23_token_budget_mix" -> ((s, dir) =>
+      Sampling.sampleByTokenBudget(Tables.documents(s, dir), "source",
+        TextStats.tokenCount(col("text")), budgetTokens = 500.0, key = "doc_id")
+        .select("doc_id", "source", "n_tokens")),
 
     // ---- multimodal plumbing ----------------------------------------------
     "x12_multimodal" -> ((s, dir) =>
@@ -520,6 +534,35 @@ object ExtensionQueries {
       """SELECT COUNT(*) AS n_docs, COUNT(*) AS n_min_le_max,
         |  COUNT(DISTINCT text) AS n_texts, COUNT(DISTINCT text) AS n_text_fp
         |FROM documents""".stripMargin,
+    // Duplicate-shingle fraction over string shingles — equal to the
+    // hashed-shingle fraction up to xxhash64 collisions; same slice
+    // comprehension as x3's CTE minus the distinct.
+    "x22_text_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)] AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+        |SELECT doc_id,
+        |  CAST(len(sh) AS BIGINT) AS n_shingles,
+        |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct_shingles,
+        |  ROUND(CASE WHEN len(sh) = 0 THEN 0.0
+        |        ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) END, 6) AS dup_fraction
+        |FROM d""".stripMargin,
+    // Per-source token totals, broadcast threshold, md5 keep decisions —
+    // the whole mixing surface replayed cross-engine.
+    "x23_token_budget_mix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |t AS (SELECT source, SUM(n_tokens) AS tot FROM toks GROUP BY source),
+        |u AS (SELECT toks.*,
+        |        CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|budget')), 1, 8)) AS BIGINT)
+        |          / 4294967296.0 AS u
+        |      FROM toks)
+        |SELECT u.doc_id, u.source, u.n_tokens
+        |FROM u JOIN t USING (source)
+        |WHERE u.u < least(500.0 / t.tot, 1.0)""".stripMargin,
     // Same md5-hex arithmetic as Sampling.hashUnit, replayed by DuckDB.
     "x15_sample_stratified" ->
       """WITH u AS (

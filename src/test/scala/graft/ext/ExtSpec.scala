@@ -286,6 +286,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(!bySource.contains("src1"))
   }
 
+  test("token budget: under-budget strata keep everything; over-budget lands near budget") {
+    // stratum "big": 200 docs x 10 tokens = 2000 total, budget 500 -> p = 0.25
+    // stratum "small": 5 docs x 10 tokens = 50 total -> threshold 1.0, all kept
+    val df = ((0L until 200L).map(i => (i, "big", Seq.fill(10)("w").mkString(" "))) ++
+      (200L until 205L).map(i => (i, "small", Seq.fill(10)("w").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val kept = Sampling.sampleByTokenBudget(df, "source",
+      TextStats.tokenCount(col("text")), budgetTokens = 500.0, key = "doc_id")
+      .select("doc_id", "source", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(kept.count(_._2 == "small") == 5) // threshold clamps at 1.0
+    val bigTokens = kept.filter(_._2 == "big").map(_._3).sum
+    assert(bigTokens > 200 && bigTokens < 800, s"kept $bigTokens of budget 500")
+    // deterministic under a different partition layout
+    val again = Sampling.sampleByTokenBudget(df.repartition(7), "source",
+      TextStats.tokenCount(col("text")), budgetTokens = 500.0, key = "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
   test("split: exhaustive, exclusive, stable under re-evaluation") {
     val s1 = Sampling.withSplit(docs, "doc_id", 0.8, 0.1)
       .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -428,6 +448,20 @@ class TextStatsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(out(1L) == (("call +44 <PHONE> or <PHONE> today", 2L)))
     assert(out(2L) == (("yearlike 1999 2024 stays; 555 0100 too short", 0L)))
+  }
+
+  test("repetition: repeated phrases raise dup_fraction; distinct prose scores 0") {
+    val df = Seq(
+      (1L, "buy now " * 10 + "limited offer"),       // heavy phrase repeats
+      (2L, (1 to 20).map(i => s"w$i").mkString(" ")), // all-distinct shingles
+      (3L, "too short")                               // < 3 words -> no shingles
+    ).toDF("doc_id", "text")
+    val out = TextStats.withRepetition(df)
+      .select("doc_id", "n_shingles", "dup_fraction")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._2 > 0.7)
+    assert(out(2L) == ((18L, 0.0)))
+    assert(out(3L) == ((0L, 0.0)))
   }
 
   test("tfidf: corpus-wide terms score zero, distinctive terms rank first") {
