@@ -45,6 +45,32 @@ object EventStreams {
     df.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming incremental exact dedup: the streaming face of
+    * [[graft.ext.Dedup.incrementalDedup]]'s exact tier — documents
+    * arriving on a stream are dropped when their content hash (a) already
+    * appeared on the stream within the watermark horizon, or (b) exists
+    * in a STATIC corpus snapshot. The corpus side reduces to one 64-byte
+    * hash row per distinct text (broadcast-able for dimension-sized
+    * corpora; shuffle-hash stream-static join beyond that). Implemented
+    * as left-outer + null filter because stream-static left ANTI is not
+    * in Structured Streaming's supported-join matrix; the outer join +
+    * filter is plan-equivalent and supported.
+    */
+  def dedupAgainstCorpus(stream: DataFrame, corpus: DataFrame,
+                         text: String = "text",
+                         watermarkDelay: String = "2 hours"): DataFrame = {
+    val corpusHash = corpus
+      .select(sha2(col(text), 256).as("__h")).distinct()
+      .withColumn("__in_corpus", lit(1))
+    stream
+      .withColumn("__h", sha2(col(text), 256))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("__h")
+      .join(corpusHash, Seq("__h"), "left")
+      .where(col("__in_corpus").isNull)
+      .drop("__in_corpus", "__h")
+  }
+
   case class Session(userId: Long, nEvents: Long, totalValue: Double,
                      startTs: Timestamp, endTs: Timestamp)
   case class SessionState(n: Long, total: Double, startMs: Long, lastMs: Long)

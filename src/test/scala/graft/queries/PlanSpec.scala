@@ -71,4 +71,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(bucket"), p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("token-budget mixing: broadcast totals, no window, one tiny shuffle") {
+    val p = plan("x23_token_budget_mix")
+    // the only exchange is the per-source totals aggregate (rows = strata);
+    // decisions are a map-side filter after a broadcast join
+    assert(exchanges(p) == 1, s"expected 1 shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
 }

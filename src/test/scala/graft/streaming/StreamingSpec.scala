@@ -67,6 +67,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: corpus hits and within-stream repeats both drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, "existing corpus document text")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.dedupAgainstCorpus(
+        input.toDF().toDF("doc_id", "ts", "text"), corpus)
+      .writeStream.outputMode("append").format("memory").queryName("inc_dedup_out").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "existing corpus document text"), // corpus hit
+        (2L, ts("2024-01-01 10:01:00"), "a brand new document"))          // kept
+      q.processAllAvailable()
+      input.addData(
+        (3L, ts("2024-01-01 10:02:00"), "a brand new document"))          // stream repeat
+      q.processAllAvailable()
+      val out = spark.table("inc_dedup_out").collect().map(_.getLong(0)).toSet
+      assert(out == Set(2L)) // corpus duplicate and stream duplicate both dropped
+    } finally q.stop()
+  }
+
   test("streaming and batch sessionization agree on the same events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
