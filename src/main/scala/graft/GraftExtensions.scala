@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{FloatDotProduct, SortedIntersectSize}
+import graft.functions.{FloatDotProduct, KgramHashMinMax, SortedIntersectSize}
 
 /** SQL-surface registration for graft's custom Catalyst expressions.
   *
@@ -31,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "float_dot_product(a, b) takes 2 arguments")
         FloatDotProduct(exprs(0), exprs(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("kgram_hash_minmax"),
+      new ExpressionInfo(classOf[KgramHashMinMax].getName, "kgram_hash_minmax"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExtensions.mkKgram(exprs)))
     // HyperplaneBucket / NearestCentroid carry a literal plane/centroid
     // matrix and are deliberately NOT exposed to SQL — a matrix cannot be
     // written as a SQL argument; use the Column API (SimSearch) instead.
@@ -38,6 +43,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  /** `kgram_hash_minmax(text, k)` — k must be an integer literal (it
+    * parameterizes the generated loop, so it cannot vary per row).
+    */
+  private[graft] def mkKgram(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 2, "kgram_hash_minmax(text, k) takes 2 arguments")
+    val k = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other =>
+        throw new IllegalArgumentException(
+          s"kgram_hash_minmax: k must be an integer literal, got $other")
+    }
+    KgramHashMinMax(exprs(0), k)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_size",
@@ -53,5 +75,7 @@ object GraftExtensions {
         FloatDotProduct(exprs(0), exprs(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kgram_hash_minmax", mkKgram, "built-in")
   }
 }

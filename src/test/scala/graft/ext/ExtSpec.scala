@@ -357,6 +357,12 @@ class FunctionsSpec extends AnyFunSuite {
     val viaBuiltin = df.select(array_min(grams), array_max(grams))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(viaExpr == viaBuiltin)
+
+    graft.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("kgram_v")
+    val viaSql = spark.sql(s"SELECT kgram_hash_minmax(t, $k) AS mm FROM kgram_v")
+      .collect().map(r => { val s = r.getSeq[Long](0); (s(0), s(1)) }).toSeq
+    assert(viaSql == viaExpr)
   }
 
   test("SortedIntersectSize: null inputs -> null (binary expression contract)") {
