@@ -89,5 +89,18 @@ class Store(spark: SparkSession, baseDir: String) {
       .option("path", s"$baseDir/$table")
       .saveAsTable(table)
 
+  /** Append a new batch's rows to an existing bucketed table (bucket spec
+    * must match the original write) — index MAINTENANCE: e.g. appending
+    * `lshIndex(newBatch)` to the corpus LSH index means only the batch is
+    * hashed and shuffled; the existing corpus index files are untouched.
+    */
+  def appendBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                     buckets: Int = 32): Unit =
+    df.write.mode("append")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", s"$baseDir/$table")
+      .saveAsTable(table)
+
   def readTable(table: String): DataFrame = spark.table(table)
 }

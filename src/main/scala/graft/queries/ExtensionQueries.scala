@@ -178,6 +178,17 @@ object ExtensionQueries {
         key = "doc_id")
         .select("doc_id", "n_tokens", "bucket", "seq_id")),
 
+    // Int8 embedding quantization: per-vector integer summaries (min, max,
+    // sum of the quantized codes) are integer-exact, so DuckDB replays the
+    // whole scale/floor arithmetic with no float-rounding hazard.
+    "x24_quantize_int8" -> ((s, dir) => {
+      val q = SimSearch.quantizeInt8(Tables.embeddings(s, dir))
+      q.select(col("vec_id"),
+        array_min(col("q_vec")).cast("long").as("q_min"),
+        array_max(col("q_vec")).cast("long").as("q_max"),
+        aggregate(col("q_vec"), lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"))
+    }),
+
     // ---- text analysis ----------------------------------------------------
     "x8_text_lang" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -248,6 +259,19 @@ object ExtensionQueries {
         sum((col("fp_min") <= col("fp_max")).cast("long")).as("n_min_le_max"),
         countDistinct(xxhash64(col("text"))).as("n_texts"),
         countDistinct(xxhash64(col("text")), col("fp_full")).as("n_text_fp"))),
+
+    // Per-source corpus report — the summary a curation pipeline emits per
+    // ingestion round: volume, token mass, exact-dup pressure, quality
+    // mass. Sums of already-6-decimal scores (never ROUND(AVG): boundary
+    // ulps flip digits cross-engine); dup counting over the content hash.
+    "x25_corpus_report" -> ((s, dir) => {
+      val docs = TextStats.withQuality(Tables.documents(s, dir))
+      docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextStats.tokenCount(col("text"))).as("n_tokens"),
+        (count(lit(1)) - countDistinct(xxhash64(col("text")))).as("n_exact_dups"),
+        round(sum(col("quality_score")), 6).as("sum_quality"))
+    }),
 
     // ---- reproducible sampling / mixing -----------------------------------
     // Hash-deterministic decisions: the EXACT selected row set is replayed
@@ -437,6 +461,36 @@ object ExtensionQueries {
          |t AS (SELECT COUNT(*) AS n_truth FROM r WHERE rank <= 5)
          |SELECT m.method, CAST(t.n_truth AS BIGINT) AS n_truth, CAST(1 AS BIGINT) AS recall_ok
          |FROM (VALUES ('ivf'), ('lsh')) m(method) CROSS JOIN t""".stripMargin,
+    // Same scale/floor arithmetic over the DOUBLE-cast embedding; integer
+    // outputs are hash-exact across engines.
+    "x24_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS scale
+        |      FROM e),
+        |q AS (SELECT vec_id,
+        |        list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+        |      FROM s)
+        |SELECT vec_id,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum
+        |FROM q""".stripMargin,
+    // Quality mass per source: same quality formula as x9 (already proven
+    // hash-identical), summed after its own 6-decimal round.
+    "x25_corpus_report" ->
+      """WITH w AS (SELECT doc_id, source, text, string_split(text, ' ') ws FROM documents),
+        |q AS (SELECT doc_id, source, text,
+        |        len(ws) AS n_tokens,
+        |        ROUND(least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0)
+        |          * (CAST(len(list_distinct(ws)) AS DOUBLE) / greatest(len(ws), 1.0)), 6) AS quality_score
+        |      FROM w)
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_exact_dups,
+        |  ROUND(SUM(quality_score), 6) AS sum_quality
+        |FROM q GROUP BY source""".stripMargin,
     "x8_text_lang" -> {
       val langs = TextStats.stopwords.keys.toSeq.sorted
       val ratio = (l: String) => {

@@ -181,6 +181,24 @@ class SimSearchSpec extends AnyFunSuite {
     (4L, Array(-1.0f, 0.0f, 0.0f), 0) // opposite of 0
   ).toDF("vec_id", "embedding", "label")
 
+  test("int8 quantization: tinyint codes in [-127,127], reconstruction within bound") {
+    val out = SimSearch.quantizeInt8(vecs).select("vec_id", "embedding", "q_scale", "q_vec")
+      .collect()
+    assert(out.length == vecs.count())
+    out.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val scale = r.getDouble(2)
+      val q = r.getSeq[Byte](3)
+      assert(q.forall(b => b >= -127 && b <= 127))
+      // per-element reconstruction error <= half a quantization step
+      v.zip(q).foreach { case (x, b) =>
+        assert(math.abs(x - b / scale) <= 0.5 / scale + 1e-9, s"vec ${r.getLong(0)}")
+      }
+      // the max-magnitude element uses the full code range
+      assert(q.map(b => math.abs(b.toInt)).max == 127)
+    }
+  }
+
   test("brute-force top-k: correct neighbor order, self excluded") {
     val q = vecs.where(col("vec_id") === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
@@ -233,6 +251,24 @@ class SimSearchSpec extends AnyFunSuite {
       java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString)
     store.writeBucketed(idx, "lsh_idx", Seq("tbl", "bucket"), buckets = 8)
     assert(asSet(SimSearch.lshTopKFromIndex(q, store.readTable("lsh_idx"), k = 3)) == direct)
+  }
+
+  test("lsh index maintenance: appending a batch's index rows == full rebuild") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // corpus indexed yesterday; today's batch appended WITHOUT re-hashing it
+    val store = new graft.io.Store(spark,
+      java.nio.file.Files.createTempDirectory("graft_lsh_append").toString)
+    store.writeBucketed(SimSearch.lshIndex(e.where(col("vec_id") >= 10)),
+      "lsh_idx_m", Seq("tbl", "bucket"), buckets = 8)
+    store.appendBucketed(SimSearch.lshIndex(e.where(col("vec_id") < 10)),
+      "lsh_idx_m", Seq("tbl", "bucket"), buckets = 8)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val maintained = asSet(SimSearch.lshTopKFromIndex(q, store.readTable("lsh_idx_m"), k = 3))
+    val rebuilt = asSet(SimSearch.lshTopKFromIndex(q, SimSearch.lshIndex(e), k = 3))
+    assert(maintained == rebuilt)
   }
 
   test("lsh top-k: a near-duplicate query lands in its source's bucket (the LSH contract)") {
