@@ -32,6 +32,38 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Split documents into overlapping token windows — the chunking step
+    * of an embedding/RAG pipeline: chunk i covers words
+    * `[i*stride, i*stride + chunkTokens)`; consecutive chunks overlap by
+    * `chunkTokens - stride` words so no boundary context is lost. The
+    * chunk count per doc is `max(ceil((n - overlap) / stride), 1)` —
+    * every chunk contributes at least one new word, and a short document
+    * yields exactly one (possibly short) chunk.
+    *
+    * Scale shape: one `posexplode` over a per-row `sequence` — map-side,
+    * shuffle-free, output rows ~ corpus tokens / stride. Deterministic
+    * slicing, so DuckDB replays the exact chunk text.
+    */
+  def chunkDocuments(df: DataFrame, text: String = "text", id: String = "doc_id",
+                     chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride >= 1 && chunkTokens >= stride,
+      s"need 1 <= stride <= chunkTokens, got stride=$stride chunkTokens=$chunkTokens")
+    val overlap = chunkTokens - stride
+    val n = size(split(col(text), " "))
+    // integer ceil((n - overlap) / stride); values are small ints, so the
+    // double division is exact
+    val nChunks = greatest(
+      ceil((n - lit(overlap)).cast("double") / stride).cast("int"), lit(1))
+    df.withColumn("__ws", split(col(text), " "))
+      .select(col(id), col("__ws"),
+        posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_idx", "__i")))
+      .select(col(id), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(slice(col("__ws"), col("__i") * stride + 1, lit(chunkTokens)))
+          .cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("__ws"), col("__i") * stride + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** Assign each row a (bucket, seq_id): `seq_id` is the 0-based sequence
     * number within the row's hash bucket. `tokens` must be a positive
     * per-row token count (e.g. [[TextStats.tokenCount]]).

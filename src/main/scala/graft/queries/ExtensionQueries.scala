@@ -177,6 +177,11 @@ object ExtensionQueries {
         TextStats.tokenCount(col("text")), maxTokens = 256, nBuckets = 8,
         key = "doc_id")
         .select("doc_id", "n_tokens", "bucket", "seq_id")),
+    // Document chunking for an embedding/RAG pipeline: 32-token windows,
+    // stride 24 (8-token overlap). DuckDB replays the exact slice text.
+    "x26_chunk_docs" -> ((s, dir) =>
+      Packing.chunkDocuments(Tables.documents(s, dir),
+        chunkTokens = 32, stride = 24)),
 
     // Int8 embedding quantization: per-vector integer summaries (min, max,
     // sum of the quantized codes) are integer-exact, so DuckDB replays the
@@ -419,6 +424,21 @@ object ExtensionQueries {
          |r AS (SELECT q_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, CAST(1 AS BIGINT) AS recall_ok
          |FROM r WHERE rank <= 5""".stripMargin,
+    // Chunk windows replayed with DuckDB's clamped 1-based list slicing:
+    // chunk i of doc with words ws covers ws[i*24+1 : i*24+32].
+    "x26_chunk_docs" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, ws,
+        |        greatest(CAST(ceil((n - 8) / 24.0) AS BIGINT), 1) AS n_chunks
+        |      FROM w),
+        |i AS (SELECT doc_id, ws, unnest(range(n_chunks)) AS ci FROM c)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |  CAST(len(ws[ci * 24 + 1 : ci * 24 + 32]) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(ws[ci * 24 + 1 : ci * 24 + 32], ' ') AS chunk_text
+        |FROM i""".stripMargin,
     // Same md5 order, bucket, and chunked-cumsum arithmetic as
     // Packing.packSequences (maxTokens 256, 8 buckets, salt "pack").
     "x21_pack_sequences" ->

@@ -150,6 +150,24 @@ class PackingSpec extends AnyFunSuite {
     assert(a.size == 300)    // exactly one decision per doc
   }
 
+  test("chunking: overlapping windows cover every word, short docs get one chunk") {
+    val words = (1 to 50).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" ")), (2L, "tiny doc")).toDF("doc_id", "text")
+    val out = Packing.chunkDocuments(df, chunkTokens = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // ceil((50 - 8) / 24) = 2 chunks: [w1..w32], [w25..w50]
+    assert(doc1.map(_._2).toSeq == Seq(0L, 1L))
+    assert(doc1(0)._4.startsWith("w1 ") && doc1(0)._4.endsWith(" w32") && doc1(0)._3 == 32L)
+    assert(doc1(1)._4.startsWith("w25 ") && doc1(1)._4.endsWith(" w50") && doc1(1)._3 == 26L)
+    // consecutive chunks overlap by chunkTokens - stride = 8 words
+    assert(doc1(0)._4.split(" ").toSet.intersect(doc1(1)._4.split(" ").toSet).size == 8)
+    // every word of the doc appears in some chunk
+    assert(doc1.flatMap(_._4.split(" ")).toSet == words.toSet)
+    // short doc: exactly one chunk, the doc itself
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 2L, "tiny doc")))
+  }
+
   test("packing: sequences fill contiguously and overflow only by their first doc") {
     val out = Packing.packSequences(mkDocs(300), col("n_tok"), maxTokens = 128, nBuckets = 4, key = "doc_id")
       .select("bucket", "seq_id", "n_tokens").collect()
