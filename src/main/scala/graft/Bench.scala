@@ -44,7 +44,14 @@ object Bench {
     val errs = errors.map { case (k, m) => s"""{"query":"$k","error":"$m"}""" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Stdout is shared with Spark/log4j noise, so tail-parsing the process
+    // output is fragile; also drop the line into a file when asked.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -95,12 +95,21 @@ object TextStats {
   val urlPattern = "https?://[^\\s]+"
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
-  /** Phone numbers: optional +country, optional (area), 7+ digits in 2-4
-    * digit groups separated by `-` or space. Character classes and greedy
-    * bounded quantifiers only — no alternation or lookaround — so Java
-    * regex and RE2 (DuckDB) match identically.
+  /** Phone numbers. A match must carry a structural phone marker — a
+    * leading `+country`, a parenthesized area code, or hyphen-separated
+    * digit groups — so bare digit runs ("20240115"), year lists
+    * ("2020 2021 2022"), and ISO dates ("2023-01-15", group shapes 4-2-2)
+    * never redact (they did before round 5; see ADVICE r4). The cost:
+    * space-separated groups with no marker ("123 456 7890") are left
+    * alone — indistinguishable by shape from numeric prose. Character
+    * classes, bounded greedy quantifiers, and top-level alternation only;
+    * both engines (Java regex, DuckDB RE2) scan leftmost-first, verified
+    * identical on 15 adversarial cases (years, dates, IDs, intl formats).
     */
-  val phonePattern = "\\+?\\(?[0-9]{2,4}\\)?[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}"
+  val phonePattern =
+    "\\+[0-9]{1,3}[- ]?\\(?[0-9]{2,4}\\)?[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}" +
+      "|\\([0-9]{2,4}\\)[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}" +
+      "|[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}"
 
   /** Text cleaning / redaction for a training corpus: URLs, emails, and
     * phone numbers replaced with typed placeholders (URLs first — they can

@@ -26,12 +26,13 @@ object ExtensionQueries {
 
   /** Exact near-dup truth pairs (Jaccard >= 0.9, same formula and length
     * blocking as x3), materialized ONCE: the tiny pair frame is referenced
-    * twice downstream (semi-join + count), and without the eager
-    * checkpoint Spark would run the whole n-gram pipeline for each.
+    * twice downstream (semi-join + count), and without the checkpoint
+    * Spark would run the whole n-gram pipeline for each. LAZY so that
+    * merely constructing the query (explain/plan tooling) runs no job.
     */
   private def jaccardTruth(docs: DataFrame): DataFrame =
     Dedup.ngramJaccardPairs(docs, lenCol = "n_chars", tol = 16, minJaccard = 0.9)
-      .select("id_a", "id_b").localCheckpoint(true)
+      .select("id_a", "id_b").localCheckpoint(false)
 
   /** One-row recall verdict: what fraction of `truth` pairs the sketch
     * `found`, gated at `minRecall`. DuckDB recomputes n_true and asserts
@@ -131,9 +132,12 @@ object ExtensionQueries {
       val e = Tables.embeddings(s, dir)
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      // materialized once: referenced per-method in the join + in the count
+      // computed once, reused in the join + the count. LAZY checkpoint:
+      // eager would run the full brute-force job at DataFrame-CONSTRUCTION
+      // time (explain/plan tooling pays a compute; Bench folds it into the
+      // wrong timing bucket) — lazy persists on first action instead.
       val truth = SimSearch.bruteTopK(q, e, k = 5).select("q_id", "neighbor_id")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val approx =
         SimSearch.lshTopK(q, e, k = 5)
           .select(lit("lsh").as("method"), col("q_id"), col("neighbor_id"))
@@ -156,8 +160,9 @@ object ExtensionQueries {
       val incoming = e.where(col("vec_id") % 7 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = e.where(col("vec_id") % 7 =!= 0)
+      // lazy for the same reason as x7c: no job at construction time
       val truth = SimSearch.bruteTopK(incoming, corpus, k = 5)
-        .select("q_id", "neighbor_id").localCheckpoint(true)
+        .select("q_id", "neighbor_id").localCheckpoint(false)
       val found = SimSearch.lshTopKFromIndex(incoming, SimSearch.lshIndex(corpus), k = 5)
         .select("q_id", "neighbor_id")
       found.join(truth, Seq("q_id", "neighbor_id"))
@@ -596,11 +601,11 @@ object ExtensionQueries {
         |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
         |    'https?://[^\s]+', '<URL>', 'g'),
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\+?\(?[0-9]{2,4}\)?[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}', '<PHONE>', 'g'),
+        |    '\+[0-9]{1,3}[- ]?\(?[0-9]{2,4}\)?[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}|\([0-9]{2,4}\)[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}|[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}', '<PHONE>', 'g'),
         |    '\s+', ' ', 'g')) AS clean_text,
         |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '\+?\(?[0-9]{2,4}\)?[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}')) AS BIGINT) AS n_phones
+        |  CAST(len(regexp_extract_all(text, '\+[0-9]{1,3}[- ]?\(?[0-9]{2,4}\)?[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}|\([0-9]{2,4}\)[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}|[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}')) AS BIGINT) AS n_phones
         |FROM documents""".stripMargin,
     // fp_min<=fp_max holds for every doc and fp_full is text-determined, so
     // DuckDB states both invariants without computing any hash.

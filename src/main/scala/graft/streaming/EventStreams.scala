@@ -51,24 +51,21 @@ object EventStreams {
     * appeared on the stream within the watermark horizon, or (b) exists
     * in a STATIC corpus snapshot. The corpus side reduces to one 64-byte
     * hash row per distinct text (broadcast-able for dimension-sized
-    * corpora; shuffle-hash stream-static join beyond that). Implemented
-    * as left-outer + null filter because stream-static left ANTI is not
-    * in Structured Streaming's supported-join matrix; the outer join +
-    * filter is plan-equivalent and supported.
+    * corpora; shuffle-hash stream-static join beyond that). Stream-left /
+    * static-right left ANTI is in Structured Streaming's supported-join
+    * matrix (only anti joins with the STREAM on the right are rejected),
+    * so the delta is expressed directly.
     */
   def dedupAgainstCorpus(stream: DataFrame, corpus: DataFrame,
                          text: String = "text",
                          watermarkDelay: String = "2 hours"): DataFrame = {
-    val corpusHash = corpus
-      .select(sha2(col(text), 256).as("__h")).distinct()
-      .withColumn("__in_corpus", lit(1))
+    val corpusHash = corpus.select(sha2(col(text), 256).as("__h")).distinct()
     stream
       .withColumn("__h", sha2(col(text), 256))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("__h")
-      .join(corpusHash, Seq("__h"), "left")
-      .where(col("__in_corpus").isNull)
-      .drop("__in_corpus", "__h")
+      .join(corpusHash, Seq("__h"), "left_anti")
+      .drop("__h")
   }
 
   case class Session(userId: Long, nEvents: Long, totalValue: Double,

@@ -503,11 +503,20 @@ class TextStatsSpec extends AnyFunSuite {
   test("cleaning: phone numbers redacted after URLs/emails, counted on original text") {
     val df = Seq(
       (1L, "call +44 20 7946 0958 or (020) 7946-0958 today"),
-      (2L, "yearlike 1999 2024 stays; 555 0100 too short")).toDF("doc_id", "text")
+      (2L, "yearlike 1999 2024 stays; 555 0100 too short"),
+      // r5 false-positive regressions: a match now needs a +country, a
+      // (area), or hyphen separators — plain digit runs never redact
+      (3L, "years 2020 2021 2022 and date 20240115 and iso 2023-01-15"),
+      (4L, "us style 123 456 7890 unmarked"),
+      (5L, "hyphenated 020-7123-4567 still caught")).toDF("doc_id", "text")
     val out = TextStats.withCleaned(df).select("doc_id", "clean_text", "n_phones")
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
-    assert(out(1L) == (("call +44 <PHONE> or <PHONE> today", 2L)))
+    // the +country anchor now absorbs "+44 " into the first match
+    assert(out(1L) == (("call <PHONE> or <PHONE> today", 2L)))
     assert(out(2L) == (("yearlike 1999 2024 stays; 555 0100 too short", 0L)))
+    assert(out(3L) == (("years 2020 2021 2022 and date 20240115 and iso 2023-01-15", 0L)))
+    assert(out(4L) == (("us style 123 456 7890 unmarked", 0L)))
+    assert(out(5L) == (("hyphenated <PHONE> still caught", 1L)))
   }
 
   test("repetition: repeated phrases raise dup_fraction; distinct prose scores 0") {
