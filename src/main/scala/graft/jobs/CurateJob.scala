@@ -1,0 +1,156 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Packing, Sampling, TextStats}
+
+/** Tunable knobs of the curation pipeline, injected as one value so a run
+  * is reproducible from its parameter record alone. Salts are versioned
+  * per decision stream (BASELINE.md "Deterministic-hash versioning").
+  */
+case class CurateParams(
+    tol: Int = 16,
+    minJaccard: Double = 0.5,
+    maxDupFraction: Double = 0.3,
+    trainFrac: Double = 0.8,
+    valFrac: Double = 0.1,
+    budgetTokens: Double = 500.0,
+    maxSeqTokens: Int = 256,
+    nBuckets: Int = 8,
+    splitSalt: String = "split",
+    budgetSalt: String = "curate-budget",
+    packSalt: String = "curate-pack")
+
+/** End-to-end corpus curation — the composition a training-data pipeline
+  * actually runs per ingestion batch, chaining the independently
+  * oracle-verified stages the way the reference's own pipeline chains
+  * scan -> delta -> derive -> dedup -> sink
+  * (`data_engineering/data_engineering.py:100-132`):
+  *
+  *   clean (x17) -> repetition filter (x22) -> incremental dedup vs the
+  *   existing TRAIN corpus (x20) -> decontaminate vs the held-out EVAL
+  *   split (x19/x16) -> token-budget mix (x23) -> sequence packing (x21)
+  *
+  * plus a per-source report (x25 shape) over the outcome. Output is one
+  * DECISION row per incoming doc: the first pipeline stage that drops it
+  * (`drop_repetition` | `drop_exact` | `drop_neardup` |
+  * `drop_contaminated` | `drop_budget`) or `keep` with its packed
+  * (bucket, seq_id). Every stage is hash-deterministic, so the whole
+  * frame is replayable cross-engine (the x27 oracle).
+  *
+  * Dedup and decontamination are separate stages on purpose: dedup
+  * compares against the TRAINING corpus (duplicate mass wastes compute),
+  * decontamination against the EVAL split (leakage invalidates the
+  * benchmark) — different target sets, both at `minJaccard`.
+  *
+  * Scale shape: each stage filters before the next, so the heavy pair
+  * stages see only survivors; the corpus sides contribute one row per doc
+  * to every join ([[Dedup.ngramJaccardPairsBetween]] explodes only the
+  * bounded batch); the budget totals are a broadcast; packing is
+  * `nBuckets` parallel windows. The corpus is deliberately NOT
+  * checkpointed — its two consumers (train/eval) re-run only a map-side
+  * regex scan each, cheaper at 100 TB than materializing the cleaned
+  * corpus. The bounded batch IS lazily checkpointed: five decision
+  * branches re-read it.
+  */
+object CurateJob {
+
+  /** Cleaning + the derived columns every later stage keys on. */
+  private def withCleanCols(df: DataFrame): DataFrame =
+    TextStats.withCleaned(df)
+      .withColumn("n_clean_chars", length(col("clean_text")).cast("long"))
+      .withColumn("n_tokens", TextStats.tokenCount(col("clean_text")))
+
+  /** One decision-frame branch: fixed schema regardless of which stage
+    * produced the rows (nulls where a column doesn't apply).
+    */
+  private def branch(df: DataFrame, action: Column,
+                     dupOf: Column = lit(null), jaccard: Column = lit(null),
+                     bucket: Column = lit(null), seqId: Column = lit(null)): DataFrame =
+    df.select(col("doc_id"), col("source"), action.as("action"),
+      dupOf.cast("long").as("dup_of"), jaccard.cast("double").as("jaccard"),
+      col("n_tokens"), bucket.cast("long").as("bucket"),
+      seqId.cast("long").as("seq_id"))
+
+  /** Per-doc decision frame for `batch` curated against `corpus`.
+    * Columns: doc_id, source, action, dup_of, jaccard, n_tokens, bucket,
+    * seq_id (dup_of/jaccard null unless dropped by a pair stage;
+    * bucket/seq_id null unless kept).
+    */
+  def curate(batch: DataFrame, corpus: DataFrame,
+             p: CurateParams = CurateParams()): DataFrame = {
+    // ---- stage 0: clean, then split the corpus into train vs eval -------
+    val b = withCleanCols(batch)
+    val c = withCleanCols(corpus)
+    val cSplit = Sampling.withSplit(c, "doc_id", p.trainFrac, p.valFrac, p.splitSalt)
+    val trainCorpus = cSplit.where(col("split") =!= "test")
+    val evalDocs = cSplit.where(col("split") === "test")
+
+    // ---- stage 1: within-doc repetition filter (x22) --------------------
+    // lazily checkpointed: the repetition-annotated batch feeds both the
+    // drop branch and every downstream stage
+    val rep = TextStats.withRepetition(b, "clean_text").localCheckpoint(false)
+    val dropRep = rep.where(col("dup_fraction") > p.maxDupFraction)
+    val repKept = rep.where(col("dup_fraction") <= p.maxDupFraction)
+
+    // ---- stage 2: incremental dedup vs the train corpus (x20) -----------
+    val dedup = Dedup.incrementalDedup(repKept, trainCorpus,
+      lenCol = "n_clean_chars", tol = p.tol, minJaccard = p.minJaccard,
+      text = "clean_text").localCheckpoint(false)
+    val dropDup = dedup.where(col("action") =!= "keep")
+      .join(repKept.select("doc_id", "source", "n_tokens"), "doc_id")
+    val dedupKept = repKept.join(
+      dedup.where(col("action") === "keep").select("doc_id"), Seq("doc_id"), "left_semi")
+
+    // ---- stage 3: decontaminate vs the eval split (x19 target set) ------
+    val contam = Dedup.ngramJaccardPairsBetween(dedupKept, evalDocs,
+      lenCol = "n_clean_chars", tol = p.tol, text = "clean_text",
+      minJaccard = p.minJaccard)
+    val contamBest = contam
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("id_l")).orderBy(col("jaccard").desc, col("id_r").asc)))
+      .where(col("__rk") === 1)
+      .select(col("id_l").as("doc_id"), col("id_r").as("contam_of"),
+        col("jaccard").as("contam_j"))
+      .localCheckpoint(false)
+    val dropContam = contamBest
+      .join(dedupKept.select("doc_id", "source", "n_tokens"), "doc_id")
+    val cleanKept = dedupKept.join(contamBest.select("doc_id"), Seq("doc_id"), "left_anti")
+
+    // ---- stage 4: token-budget mix (x23) --------------------------------
+    val mixed = Sampling.sampleByTokenBudget(cleanKept, "source",
+      col("n_tokens"), p.budgetTokens, key = "doc_id", salt = p.budgetSalt)
+    val dropBudget = cleanKept.join(
+      mixed.select("doc_id"), Seq("doc_id"), "left_anti")
+
+    // ---- stage 5: pack survivors into training sequences (x21) ----------
+    val packed = Packing.packSequences(mixed, col("n_tokens"),
+      p.maxSeqTokens, p.nBuckets, key = "doc_id", salt = p.packSalt)
+
+    branch(dropRep, lit("drop_repetition"))
+      .unionByName(branch(dropDup, col("action"),
+        dupOf = col("dup_of"), jaccard = col("jaccard")))
+      .unionByName(branch(dropContam, lit("drop_contaminated"),
+        dupOf = col("contam_of"), jaccard = col("contam_j")))
+      .unionByName(branch(dropBudget, lit("drop_budget")))
+      .unionByName(branch(packed, lit("keep"),
+        bucket = col("bucket"), seqId = col("seq_id")))
+  }
+
+  /** Per-source curation report over a decision frame (x25 shape):
+    * incoming volume, per-reason drop counts, kept volume and token mass.
+    * One partial-agg'd shuffle on the already-tiny decision frame.
+    */
+  def report(decisions: DataFrame): DataFrame = {
+    def n(a: String) = sum((col("action") === a).cast("long")).as(s"n_$a")
+    decisions.groupBy("source").agg(
+      count(lit(1)).as("n_in"),
+      n("drop_repetition"), n("drop_exact"), n("drop_neardup"),
+      n("drop_contaminated"), n("drop_budget"),
+      sum((col("action") === "keep").cast("long")).as("n_kept"),
+      sum(when(col("action") === "keep", col("n_tokens")).otherwise(0L))
+        .as("kept_tokens"))
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext.{Dedup, Multimodal, Packing, Sampling, SimSearch, TextStats}
+import graft.jobs.CurateJob
 
 /** LLM-training-data pipeline operators (SURVEY.md §7.4) as declared
   * queries over `documents`/`embeddings`, with DuckDB oracles wherever the
@@ -283,6 +284,24 @@ object ExtensionQueries {
         round(sum(col("quality_score")), 6).as("sum_quality"))
     }),
 
+    // ---- end-to-end curation ----------------------------------------------
+    // The full composed pipeline (CurateJob): one decision row per batch
+    // doc. Batch = doc_id % 7 = 0 (x20's convention), corpus = the rest,
+    // split into train corpus vs held-out eval set by the x16 hash split.
+    // Every stage is hash-deterministic, so DuckDB replays the ENTIRE
+    // composition — clean, repetition filter, both dedup tiers,
+    // decontamination, budget mix, and packing — in one query.
+    "x27_curate_e2e" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      CurateJob.curate(docs.where(col("doc_id") % 7 === 0),
+        docs.where(col("doc_id") % 7 =!= 0))
+    }),
+    "x27b_curate_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      CurateJob.report(CurateJob.curate(docs.where(col("doc_id") % 7 === 0),
+        docs.where(col("doc_id") % 7 =!= 0)))
+    }),
+
     // ---- reproducible sampling / mixing -----------------------------------
     // Hash-deterministic decisions: the EXACT selected row set is replayed
     // by DuckDB from the same md5 arithmetic — reproducibility is the
@@ -325,6 +344,111 @@ object ExtensionQueries {
     */
   private def duckCos(a: String, b: String): String =
     s"list_inner_product($a,$b) / (sqrt(list_inner_product($a,$a)) * sqrt(list_inner_product($b,$b)))"
+
+  /** The x17 cleaning chain as a DuckDB expression over `text` — shared by
+    * the x17 oracle and the x27 curation oracle so the replayed redaction
+    * can never diverge between them. Same Java-regex/RE2-identical
+    * patterns as [[TextStats.withCleaned]].
+    */
+  private val duckPhonePat =
+    """\+[0-9]{1,3}[- ]?\(?[0-9]{2,4}\)?[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}|\([0-9]{2,4}\)[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}|[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}"""
+  private val duckCleanExpr =
+    s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+       |    'https?://[^\\s]+', '<URL>', 'g'),
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |    '$duckPhonePat', '<PHONE>', 'g'),
+       |    '\\s+', ' ', 'g'))""".stripMargin
+
+  /** `Sampling.hashUnit(key, salt)` replayed as a DuckDB expression. */
+  private def duckHashUnit(key: String, salt: String): String =
+    s"CAST(concat('0x', substr(md5(concat(CAST($key AS VARCHAR), '|$salt')), 1, 8)) AS BIGINT) / 4294967296.0"
+
+  /** Word 3-shingle comprehension over a `ws` split-list column. */
+  private def duckShingles(ws: String): String =
+    s"[array_to_string($ws[i:i+2], ' ') for i in range(1, len($ws)-1)]"
+
+  /** The whole CurateJob composition replayed in DuckDB (default
+    * CurateParams: tol 16, J >= 0.5, dup_fraction <= 0.3, eval = hash
+    * split u >= 0.9, budget 500 tokens/source, 256-token/8-bucket
+    * packing). Stage CTEs mirror the x17/x22/x20/x19/x23/x21 oracles.
+    */
+  private lazy val x27Sql: String =
+    s"""WITH cl AS (
+       |  SELECT doc_id, source, $duckCleanExpr AS ct FROM documents),
+       |c2 AS (SELECT doc_id, source, ct, len(ct) AS nc, string_split(ct, ' ') AS ws,
+       |         CAST(len(string_split(ct, ' ')) AS BIGINT) AS nt
+       |       FROM cl),
+       |rd AS (SELECT *, ROUND(CASE WHEN len(sha) = 0 THEN 0.0
+       |         ELSE 1.0 - CAST(len(list_distinct(sha)) AS DOUBLE) / len(sha) END, 6) AS dupf
+       |       FROM (SELECT *, ${duckShingles("ws")} AS sha
+       |             FROM c2 WHERE doc_id % 7 = 0)),
+       |rk AS (SELECT doc_id, source, ct, nc, nt, list_distinct(sha) AS sh
+       |       FROM rd WHERE dupf <= 0.3),
+       |co AS (SELECT *, ${duckHashUnit("doc_id", "split")} AS su
+       |       FROM c2 WHERE doc_id % 7 <> 0),
+       |tc AS (SELECT * FROM co WHERE su < 0.9),
+       |ev AS (SELECT * FROM co WHERE su >= 0.9),
+       |ch AS (SELECT ct, MIN(doc_id) AS exact_of FROM tc GROUP BY ct),
+       |ex AS (SELECT rk.doc_id, ch.exact_of FROM rk LEFT JOIN ch ON rk.ct = ch.ct),
+       |tsh AS (SELECT doc_id, nc, list_distinct(${duckShingles("ws")}) AS sh FROM tc),
+       |np AS (SELECT a.doc_id id_in, b.doc_id id_corp,
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+       |         len(a.sh) + len(b.sh) AS tot
+       |       FROM rk a JOIN tsh b ON abs(a.nc - b.nc) <= 16),
+       |nj AS (SELECT id_in, id_corp, ROUND(inter / (tot - inter), 6) AS j
+       |       FROM np WHERE inter / (tot - inter) >= 0.5),
+       |nb AS (SELECT id_in, id_corp, j FROM (
+       |         SELECT *, ROW_NUMBER() OVER (PARTITION BY id_in
+       |           ORDER BY j DESC, id_corp ASC) AS rn FROM nj) WHERE rn = 1),
+       |ded AS (SELECT ex.doc_id,
+       |          CASE WHEN ex.exact_of IS NOT NULL THEN 'drop_exact'
+       |               WHEN nb.id_corp IS NOT NULL THEN 'drop_neardup'
+       |               ELSE 'keep' END AS action,
+       |          COALESCE(ex.exact_of, nb.id_corp) AS dup_of,
+       |          CASE WHEN ex.exact_of IS NULL THEN nb.j END AS j
+       |        FROM ex LEFT JOIN nb ON ex.doc_id = nb.id_in),
+       |dk AS (SELECT rk.* FROM rk JOIN ded ON rk.doc_id = ded.doc_id
+       |       WHERE ded.action = 'keep'),
+       |esh AS (SELECT doc_id, nc, list_distinct(${duckShingles("ws")}) AS sh FROM ev),
+       |cp AS (SELECT a.doc_id id_in, b.doc_id id_ev,
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+       |         len(a.sh) + len(b.sh) AS tot
+       |       FROM dk a JOIN esh b ON abs(a.nc - b.nc) <= 16),
+       |cj AS (SELECT id_in, id_ev, ROUND(inter / (tot - inter), 6) AS j
+       |       FROM cp WHERE inter / (tot - inter) >= 0.5),
+       |cb AS (SELECT id_in, id_ev, j FROM (
+       |         SELECT *, ROW_NUMBER() OVER (PARTITION BY id_in
+       |           ORDER BY j DESC, id_ev ASC) AS rn FROM cj) WHERE rn = 1),
+       |ck AS (SELECT dk.* FROM dk LEFT JOIN cb ON dk.doc_id = cb.id_in
+       |       WHERE cb.id_in IS NULL),
+       |bt AS (SELECT source, SUM(nt) AS tot FROM ck GROUP BY source),
+       |bu AS (SELECT ck.*, bt.tot, ${duckHashUnit("ck.doc_id", "curate-budget")} AS hu
+       |       FROM ck JOIN bt USING (source)),
+       |mx AS (SELECT * FROM bu WHERE hu < least(500.0 / tot, 1.0)),
+       |pc AS (SELECT doc_id, source, nt, pu,
+       |         CAST(floor(pu * 8) AS BIGINT) AS bucket
+       |       FROM (SELECT doc_id, source, nt,
+       |               ${duckHashUnit("doc_id", "curate-pack")} AS pu FROM mx)),
+       |pk AS (SELECT doc_id, source, nt, bucket,
+       |         CAST(floor((SUM(nt) OVER (PARTITION BY bucket ORDER BY pu, doc_id
+       |           ROWS UNBOUNDED PRECEDING) - 1.0) / 256) AS BIGINT) AS seq_id
+       |       FROM pc)
+       |SELECT doc_id, source, 'drop_repetition' AS action,
+       |       CAST(NULL AS BIGINT) AS dup_of, CAST(NULL AS DOUBLE) AS jaccard,
+       |       nt AS n_tokens, CAST(NULL AS BIGINT) AS bucket,
+       |       CAST(NULL AS BIGINT) AS seq_id
+       |FROM rd WHERE dupf > 0.3
+       |UNION ALL
+       |SELECT d.doc_id, rk.source, d.action, d.dup_of, d.j, rk.nt, NULL, NULL
+       |FROM ded d JOIN rk ON d.doc_id = rk.doc_id WHERE d.action <> 'keep'
+       |UNION ALL
+       |SELECT cb.id_in, dk.source, 'drop_contaminated', cb.id_ev, cb.j, dk.nt, NULL, NULL
+       |FROM cb JOIN dk ON dk.doc_id = cb.id_in
+       |UNION ALL
+       |SELECT doc_id, source, 'drop_budget', NULL, NULL, nt, NULL, NULL
+       |FROM bu WHERE hu >= least(500.0 / tot, 1.0)
+       |UNION ALL
+       |SELECT doc_id, source, 'keep', NULL, NULL, nt, bucket, seq_id FROM pk""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "x1_dedup_exact" ->
@@ -595,18 +719,27 @@ object ExtensionQueries {
         |        ORDER BY tfidf DESC, term ASC) AS rk FROM s)
         |SELECT doc_id, term, tf, df, tfidf, rk FROM r WHERE rk <= 3""".stripMargin,
     // Same redaction regexes (Java-regex/RE2-identical constructs),
-    // replayed with RE2 'g' replacement.
+    // replayed with RE2 'g' replacement via the shared duckCleanExpr.
     "x17_text_clean" ->
-      """SELECT doc_id,
-        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-        |    'https?://[^\s]+', '<URL>', 'g'),
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\+[0-9]{1,3}[- ]?\(?[0-9]{2,4}\)?[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}|\([0-9]{2,4}\)[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}|[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}', '<PHONE>', 'g'),
-        |    '\s+', ' ', 'g')) AS clean_text,
-        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '\+[0-9]{1,3}[- ]?\(?[0-9]{2,4}\)?[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}|\([0-9]{2,4}\)[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}|[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}')) AS BIGINT) AS n_phones
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id,
+         |  $duckCleanExpr AS clean_text,
+         |  CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$duckPhonePat')) AS BIGINT) AS n_phones
+         |FROM documents""".stripMargin,
+    "x27_curate_e2e" -> x27Sql,
+    "x27b_curate_report" ->
+      s"""SELECT source, COUNT(*) AS n_in,
+         |  CAST(SUM(CASE WHEN action = 'drop_repetition' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_repetition,
+         |  CAST(SUM(CASE WHEN action = 'drop_exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_exact,
+         |  CAST(SUM(CASE WHEN action = 'drop_neardup' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_neardup,
+         |  CAST(SUM(CASE WHEN action = 'drop_contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_contaminated,
+         |  CAST(SUM(CASE WHEN action = 'drop_budget' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_budget,
+         |  CAST(SUM(CASE WHEN action = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN action = 'keep' THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM (
+         |$x27Sql
+         |) GROUP BY source""".stripMargin,
     // fp_min<=fp_max holds for every doc and fp_full is text-determined, so
     // DuckDB states both invariants without computing any hash.
     "x11b_fingerprint_inv" ->

@@ -1,0 +1,98 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ext.Sampling
+
+/** End-to-end curation golden: a synthetic batch engineered to hit every
+  * decision branch exactly once (repetition, exact dup, near dup vs the
+  * train corpus, contamination vs the eval split, keep), plus a
+  * tiny-budget run for the budget branch. The eval/train targets are
+  * discovered through the SAME hash split the job uses, so the fixture
+  * stays valid whatever md5 assigns.
+  */
+class CurateJobSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 40 corpus docs of 30 mutually-distinct words: no accidental cross-doc
+  // near-dups, every doc ~30 tokens
+  private def words(docTag: String): String =
+    (1 to 30).map(w => s"${docTag}w$w").mkString(" ")
+  private lazy val corpus = (1L to 40L)
+    .map(i => (i, s"src${i % 2}", words(s"c$i"))).toDF("doc_id", "source", "text")
+
+  /** (a train-split corpus doc, an eval-split corpus doc), discovered via
+    * the job's own split function.
+    */
+  private lazy val (trainDoc, evalDoc) = {
+    val sp = Sampling.withSplit(corpus, "doc_id", 0.8, 0.1, "split")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1))
+    (sp.collectFirst { case (id, "train") => id }.get,
+      sp.collectFirst { case (id, "test") => id }.get)
+  }
+
+  /** `base` with its last word replaced: 3 of 28 shingles differ, Jaccard
+    * ~0.81 >= 0.5, length within tol — a near-dup that is not exact.
+    */
+  private def nearDupOf(base: String): String =
+    base.split(" ").dropRight(1).mkString(" ") + " changed"
+
+  private def batch = Seq(
+    (1001L, "src0", ("buy now " * 14).trim),                   // drop_repetition
+    (1002L, "src0", words(s"c$trainDoc")),                     // drop_exact
+    (1003L, "src1", nearDupOf(words(s"c$trainDoc"))),          // drop_neardup
+    (1004L, "src1", nearDupOf(words(s"c$evalDoc"))),           // drop_contaminated
+    (1005L, "src0", words("u5")),                              // keep
+    (1006L, "src1", words("u6"))                               // keep
+  ).toDF("doc_id", "source", "text")
+
+  test("curate: every decision branch fires, one row per incoming doc") {
+    val p = CurateParams(budgetTokens = 1e9) // budget never binds here
+    val out = CurateJob.curate(batch, corpus, p)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.isNullAt(6), r.isNullAt(7))).toMap
+
+    assert(out.size == 6) // exactly one decision per batch doc
+    assert(out(1001L)._1 == "drop_repetition")
+    assert(out(1002L) == (("drop_exact", Some(trainDoc), true, true)))
+    assert(out(1003L) == (("drop_neardup", Some(trainDoc), true, true)))
+    assert(out(1004L) == (("drop_contaminated", Some(evalDoc), true, true)))
+    assert(out(1005L)._1 == "keep" && !out(1005L)._3 && !out(1005L)._4)
+    assert(out(1006L)._1 == "keep" && !out(1006L)._3 && !out(1006L)._4)
+  }
+
+  test("curate: tiny token budget drops the survivors as drop_budget") {
+    val p = CurateParams(budgetTokens = 1.0) // threshold ~1/30 per doc
+    val actions = CurateJob.curate(batch, corpus, p)
+      .groupBy("action").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the four early-stage decisions are budget-independent
+    assert(actions.getOrElse("drop_repetition", 0L) == 1L)
+    assert(actions.getOrElse("drop_exact", 0L) == 1L)
+    assert(actions.getOrElse("drop_neardup", 0L) == 1L)
+    assert(actions.getOrElse("drop_contaminated", 0L) == 1L)
+    assert(actions.getOrElse("drop_budget", 0L) +
+      actions.getOrElse("keep", 0L) == 2L)
+    assert(actions.getOrElse("drop_budget", 0L) >= 1L)
+  }
+
+  test("report: per-source counts reconcile with the decision frame") {
+    val p = CurateParams(budgetTokens = 1e9)
+    val decisions = CurateJob.curate(batch, corpus, p).localCheckpoint(true)
+    val rep = CurateJob.report(decisions)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rep.keySet == Set("src0", "src1"))
+    val totalIn = rep.values.map(_.getAs[Long]("n_in")).sum
+    assert(totalIn == 6L)
+    val totalKept = rep.values.map(_.getAs[Long]("n_kept")).sum
+    assert(totalKept == 2L)
+    // kept token mass equals the decision frame's kept n_tokens sum
+    val keptTokens = decisions.where(col("action") === "keep")
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(rep.values.map(_.getAs[Long]("kept_tokens")).sum == keptTokens)
+  }
+}
