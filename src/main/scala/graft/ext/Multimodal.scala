@@ -6,24 +6,29 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (SURVEY.md §7.4): media as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
-  * The container ships no image/audio codecs, so the codec layer
-  * ([[decodeStub]], [[extractFeaturesStub]]) is a clearly-marked
-  * deterministic FAKE; everything around it — the schemas, the
-  * `Dataset[T]` encoders, the `mapPartitions` batch shape, resize/
-  * frame-sample operating on decoded structs, and the partitioning story —
-  * is the real Spark plumbing a codec drops into. At 100 TB the binary
-  * payloads stay distributed (never collected), every stage is
-  * embarrassingly parallel per partition, and outputs are narrow typed
-  * frames.
+  * The image path is a REAL codec: JDK `javax.imageio` (offline-safe, no
+  * external libs) encodes deterministic synthetic images into PNG/BMP
+  * bytes and decodes them back, so x12 verifies actual decoded pixel
+  * planes, not a fake. The fixture tables carry no image payloads, so the
+  * bytes are GENERATED per doc (pixel = a fixed arithmetic function of
+  * (doc_id, x, y, channel)) — which makes the decoded plane checksums
+  * replayable by DuckDB as pure arithmetic while the encode->decode round
+  * trip exercises the real codec. A deployment swaps [[syntheticImage]]
+  * for its real byte source; [[decodeImage]] and the plumbing stay.
+  *
+  * At 100 TB the binary payloads stay distributed (never collected),
+  * every stage is embarrassingly parallel per partition (`mapPartitions`
+  * — codec/model state initializes once per partition, not per row), and
+  * outputs are narrow typed frames.
   */
 object Multimodal {
 
   /** One media item: id + raw bytes + declared format. */
   case class MediaRow(doc_id: Long, bytes: Array[Byte], format: String)
 
-  /** Decoded metadata/features for one media item. */
-  case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long,
-                       channels: Long, format: String)
+  /** Decoded image metadata + per-plane pixel checksums. */
+  case class ImageMeta(doc_id: Long, width: Long, height: Long, channels: Long,
+                       r_sum: Long, g_sum: Long, b_sum: Long, format: String)
 
   /** Fixed-size embedding-ish feature vector per media item. */
   case class MediaFeatures(doc_id: Long, features: Array[Double])
@@ -31,25 +36,86 @@ object Multimodal {
   /** One sampled "frame" of a media item. */
   case class MediaFrame(doc_id: Long, frame_idx: Int, n_bytes: Long, checksum: Long)
 
-  /** STUB decode — deterministic fake standing in for a real codec
-    * (e.g. javax.imageio / ffmpeg). Derives "dimensions" from the byte
-    * length so tests are reproducible. A real implementation replaces ONLY
-    * this function; the distributed plumbing is unchanged.
+  /** Deterministic image dimensions per doc (kept tiny so the oracle's
+    * per-pixel replay stays cheap): width in 4..11, height in 3..7.
     */
-  def decodeStub(r: MediaRow): MediaMeta = {
-    val n = r.bytes.length.toLong
-    MediaMeta(r.doc_id, n, n % 64 + 1, (n / 64) % 64 + 1, 3L, r.format)
+  def imageDims(docId: Long): (Int, Int) =
+    ((docId % 8 + 4).toInt, (docId % 5 + 3).toInt)
+
+  /** Channel value at (x, y): the arithmetic the DuckDB oracle replays.
+    * `c` is the 0-based channel (R=0, G=1, B=2).
+    */
+  def pixel(docId: Long, x: Int, y: Int, c: Int): Int =
+    ((docId * 31 + x * 7 + y * 13 + c * 5) % 256).toInt
+
+  /** Render the deterministic pixel pattern and ENCODE it with the real
+    * JDK codec (`ImageIO.write`) — PNG and BMP are both lossless for RGB,
+    * so the decode side recovers the exact planes.
+    */
+  def syntheticImage(docId: Long, format: String = "png"): Array[Byte] = {
+    val (w, h) = imageDims(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (pixel(docId, x, y, 0) << 16) |
+          (pixel(docId, x, y, 1) << 8) | pixel(docId, x, y, 2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no ImageIO writer for format '$format'")
+    bos.toByteArray
   }
 
-  /** STUB feature extraction — a 16-bin byte histogram, normalized.
-    * (A real implementation would run a vision/audio model per batch; the
-    * batched `mapPartitions` shape below is exactly where model state gets
-    * initialized once per partition, not once per row.)
+  /** REAL decode: `ImageIO.read` on the payload bytes, then per-plane
+    * checksums over the decoded raster. Throws on undecodable bytes — a
+    * corrupt payload should fail loudly, not emit fake metadata.
     */
-  def extractFeaturesStub(r: MediaRow): MediaFeatures = {
+  def decodeImage(r: MediaRow): ImageMeta = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+    require(img != null, s"doc ${r.doc_id}: bytes are not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        rs += (p >> 16) & 0xFF; gs += (p >> 8) & 0xFF; bs += p & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    ImageMeta(r.doc_id, w, h, img.getColorModel.getNumComponents, rs, gs, bs, r.format)
+  }
+
+  /** Feature extraction over DECODED pixels: a 16-bin histogram of all
+    * channel bytes, normalized. (A real implementation would run a vision
+    * model per batch; the `mapPartitions` shape is where its state gets
+    * initialized once per partition.)
+    */
+  def extractFeatures(r: MediaRow): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+    require(img != null, s"doc ${r.doc_id}: bytes are not a decodable image")
     val hist = new Array[Double](16)
-    r.bytes.foreach(b => hist((b & 0xFF) / 16) += 1.0)
-    val n = math.max(r.bytes.length, 1).toDouble
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        hist(((p >> 16) & 0xFF) / 16) += 1.0
+        hist(((p >> 8) & 0xFF) / 16) += 1.0
+        hist((p & 0xFF) / 16) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(img.getWidth * img.getHeight * 3, 1).toDouble
     MediaFeatures(r.doc_id, hist.map(_ / n))
   }
 
@@ -88,20 +154,32 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Attach a binary column built from `documents.text` (fixture stand-in
-    * for real media bytes) and decode per-partition.
+  /** Per-doc synthetic image payloads — the fixture flow's byte source
+    * (the driver tables ship no image bytes). Encoding happens
+    * distributed, inside the partition, with the real codec.
     */
-  def decodeDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaMeta] = {
+  def docImages(spark: SparkSession, documents: DataFrame,
+                format: String = "png"): Dataset[MediaRow] = {
     import spark.implicits._
-    asMedia(spark, documents)
-      .mapPartitions(_.map(decodeStub)) // batch-shaped: one iterator pass per partition
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, syntheticImage(id, format), format)))
+  }
+
+  /** Encode -> decode round trip per partition with the REAL codec; x12
+    * checks the decoded planes against the oracle's arithmetic replay.
+    */
+  def decodeDocuments(spark: SparkSession, documents: DataFrame,
+                      format: String = "png"): Dataset[ImageMeta] = {
+    import spark.implicits._
+    docImages(spark, documents, format).mapPartitions(_.map(decodeImage))
   }
 
   /** Decode -> feature-extract per partition (one model init per partition
     * in a real implementation).
     */
-  def featurizeDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaFeatures] = {
+  def featurizeDocuments(spark: SparkSession, documents: DataFrame,
+                         format: String = "png"): Dataset[MediaFeatures] = {
     import spark.implicits._
-    asMedia(spark, documents).mapPartitions(_.map(extractFeaturesStub))
+    docImages(spark, documents, format).mapPartitions(_.map(extractFeatures))
   }
 }

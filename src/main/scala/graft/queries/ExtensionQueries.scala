@@ -325,7 +325,12 @@ object ExtensionQueries {
         TextStats.tokenCount(col("text")), budgetTokens = 500.0, key = "doc_id")
         .select("doc_id", "source", "n_tokens")),
 
-    // ---- multimodal plumbing ----------------------------------------------
+    // ---- multimodal -------------------------------------------------------
+    // REAL codec round trip: synthetic per-doc pixel patterns encoded to
+    // PNG and decoded back with javax.imageio inside each partition; the
+    // oracle replays the decoded per-plane checksums as pure arithmetic
+    // (possible because PNG is lossless and the pattern is a fixed
+    // function of (doc_id, x, y, channel)).
     "x12_multimodal" -> ((s, dir) =>
       Multimodal.decodeDocuments(s, Tables.documents(s, dir)).toDF()),
     "x13_multimodal_frames" -> ((s, dir) =>
@@ -804,11 +809,18 @@ object ExtensionQueries {
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  CAST(least((frame_idx + 1) * step, n) - frame_idx * step AS BIGINT) AS n_bytes
         |FROM i""".stripMargin,
+    // Decoded-plane checksums replayed as arithmetic: pixel(c) =
+    // (doc_id*31 + x*7 + y*13 + c*5) % 256 over width = doc_id%8+4,
+    // height = doc_id%5+3 (Multimodal.pixel/imageDims). A codec bug —
+    // wrong plane order, truncation, lossy write — breaks the hash.
     "x12_multimodal" ->
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-        |  octet_length(encode(text)) % 64 + 1 AS width,
-        |  (octet_length(encode(text)) // 64) % 64 + 1 AS height,
-        |  CAST(3 AS BIGINT) AS channels, 'txt' AS format
-        |FROM documents""".stripMargin
+      """WITH p AS (SELECT doc_id, doc_id % 8 + 4 AS w, doc_id % 5 + 3 AS h FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(list_sum([(doc_id*31 + (k % w)*7 + (k // w)*13) % 256 for k in range(w*h)]) AS BIGINT) AS r_sum,
+        |  CAST(list_sum([(doc_id*31 + (k % w)*7 + (k // w)*13 + 5) % 256 for k in range(w*h)]) AS BIGINT) AS g_sum,
+        |  CAST(list_sum([(doc_id*31 + (k % w)*7 + (k // w)*13 + 10) % 256 for k in range(w*h)]) AS BIGINT) AS b_sum,
+        |  'png' AS format
+        |FROM p""".stripMargin
   )
 }

@@ -588,13 +588,27 @@ class MonitoringMultimodalSpec extends AnyFunSuite {
     assert(fresh("avg_api_response_time") == "null" && !fresh.contains("custom_key"))
   }
 
-  test("multimodal decode stub: schema and deterministic fake dims") {
+  test("multimodal decode: real PNG/BMP round trip recovers the exact planes") {
     import spark.implicits._
+    import graft.ext.Multimodal
     val docs = Seq((7L, "abcdefgh", "x", "y", 8L)).toDF("doc_id", "text", "lang", "source", "n_chars")
-    val out = graft.ext.Multimodal.decodeDocuments(spark, docs).collect()
-    assert(out.length == 1)
-    val m = out(0)
-    assert(m.doc_id == 7L && m.n_bytes == 8L && m.width == 9L && m.height == 1L && m.format == "txt")
+    // expected plane sums straight from the pixel formula
+    val (w, h) = Multimodal.imageDims(7L)
+    def planeSum(c: Int) = (for (y <- 0 until h; x <- 0 until w)
+      yield Multimodal.pixel(7L, x, y, c).toLong).sum
+    for (fmt <- Seq("png", "bmp")) {
+      val out = Multimodal.decodeDocuments(spark, docs, fmt).collect()
+      assert(out.length == 1)
+      val m = out(0)
+      assert(m.doc_id == 7L && m.width == w && m.height == h && m.channels == 3L)
+      assert((m.r_sum, m.g_sum, m.b_sum) == ((planeSum(0), planeSum(1), planeSum(2))))
+      assert(m.format == fmt)
+    }
+    // the encoded payload really is that container format
+    val png = Multimodal.syntheticImage(7L, "png")
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val bmp = Multimodal.syntheticImage(7L, "bmp")
+    assert(bmp(0) == 'B' && bmp(1) == 'M')
   }
 
   test("multimodal feature-extract, resize, frame-sample plumbing") {
@@ -607,7 +621,12 @@ class MonitoringMultimodalSpec extends AnyFunSuite {
       .map(f => f.doc_id -> f.features).toMap
     assert(feats(1L).length == 16)
     assert(math.abs(feats(1L).sum - 1.0) < 1e-9) // normalized histogram
-    assert(feats(1L)(('a' & 0xFF) / 16) == 1.0) // all bytes are 'a'
+    // histogram over DECODED pixels == histogram over the pixel formula
+    val (w1, h1) = Multimodal.imageDims(1L)
+    val expected = new Array[Double](16)
+    for (y <- 0 until h1; x <- 0 until w1; c <- 0 to 2)
+      expected(Multimodal.pixel(1L, x, y, c) / 16) += 1.0 / (w1 * h1 * 3)
+    assert(feats(1L).zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-9 })
 
     val resized = Multimodal.resize(Multimodal.decodeDocuments(spark, docs).toDF(), maxSide = 4)
       .collect().map(r => r.getAs[Long]("doc_id") ->
