@@ -199,49 +199,83 @@ object Dedup {
   }
 
   /** Resolve near-duplicate PAIRS into per-document keep/drop decisions:
-    * connected components over the undirected pair graph via min-id label
-    * propagation, keeping the smallest id of each component as the
-    * representative. Returns (id, rep_id, is_kept).
+    * connected components over the undirected pair graph, keeping the
+    * smallest id of each component as the representative. Returns
+    * (id, rep_id, is_kept).
     *
-    * Scale shape: each round is one hash join (edges x labels) plus a
-    * partial-aggregable MIN — all shuffles keyed, nothing driver-side but
-    * the convergence counter. Rounds needed = max component diameter;
-    * near-dup clusters are small cliques (diameter 1-2), so this
-    * terminates in 2-3 rounds. (A general billion-node graph would want
-    * the large-star/small-star variant for its O(log n) bound; for dedup
-    * clusters plain propagation is both simpler and faster.) Per-round
-    * eager localCheckpoints cut the exponentially-growing lineage that
-    * sinks naive iterative DataFrame algorithms.
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) — each
+    * round contracts the graph toward per-component stars rooted at the
+    * component minimum, converging in O(log n) rounds on ANY topology
+    * (vs. O(diameter) for plain min-label propagation, which a
+    * pathological chain of near-dups could drag to thousands of rounds at
+    * corpus scale; dedup cliques converge in 2-3 rounds under either).
+    *
+    * Scale shape: each star step is one partial-aggregable MIN groupBy
+    * plus one keyed equi-join — nothing driver-side but the per-round
+    * convergence bit. The component root's post-convergence degree equals
+    * the component size by design (that is what a star IS); the MIN agg
+    * is map-side combinable so the root key never concentrates an
+    * aggregation, and the root-keyed join side is one row joined against
+    * many, which AQE skew-split handles. Per-round eager localCheckpoints
+    * cut the exponentially-growing lineage that sinks naive iterative
+    * DataFrame algorithms.
     */
   def resolveComponents(docs: DataFrame, pairs: DataFrame,
                         id: String = "doc_id", maxRounds: Int = 25): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true) // re-read every round
-    var labels = docs.select(col(id), col(id).as("rep")).localCheckpoint(true)
+    // canonical parent-pointer edges (u, v) with u > v, self-loops dropped
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
     var round = 0
-    var converged = false
+    var converged = edges.isEmpty
     while (!converged && round < maxRounds) {
-      val viaNeighbor = edges
-        .join(labels.select(col(id).as("src"), col("rep")), "src")
-        .select(col("dst").as(id), col("rep"))
-      val next = labels.select(col(id), col("rep"))
-        .unionAll(viaNeighbor)
-        .groupBy(col(id)).agg(min(col("rep")).as("rep"))
-        .localCheckpoint(true)
-      // converged when no label decreased this round (count is the only
-      // driver-side step; one tiny job per round)
-      converged = next.as("n")
-        .join(labels.as("p"), col(s"n.$id") === col(s"p.$id"))
-        .where(col("n.rep") =!= col("p.rep"))
-        .isEmpty
-      labels = next
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixpoint = edge set unchanged (both sides are distinct, so equal
+      // counts + empty one-sided difference means set equality)
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
       round += 1
     }
     require(converged, s"component labels did not converge in $maxRounds rounds")
-    labels.select(col(id), col("rep").as("rep_id"),
-      (col("rep") === col(id)).cast("long").as("is_kept"))
+    // at fixpoint the edges are exactly (member, component-min) stars
+    val reps = edges.select(col("u").as(id), col("v").as("rep"))
+    docs.select(col(id)).join(reps, Seq(id), "left")
+      .select(col(id), coalesce(col("rep"), col(id)).as("rep_id"),
+        (coalesce(col("rep"), col(id)) === col(id)).cast("long").as("is_kept"))
+  }
+
+  /** Large-star: every node strictly larger than u in u's neighborhood is
+    * re-pointed at min(N(u) ∪ {u}). Emitted edges stay canonical (child >
+    * parent) because the target m <= u < child.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+    val mins = sym.groupBy("a").agg(min("b").as("mn"))
+      .select(col("a"), least(col("mn"), col("a")).as("m"))
+    sym.join(mins, "a")
+      .where(col("b") > col("a"))
+      .select(col("b").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: u and all of u's SMALLER neighbors are re-pointed at the
+    * smallest of them. Operates directly on the canonical (u > v)
+    * orientation, so N(u) here is exactly the smaller-neighbor set.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("u").agg(min("v").as("m"))
+    edges.join(mins, "u")
+      .select(col("v").as("node"), col("m"))
+      .unionAll(mins.select(col("u").as("node"), col("m")))
+      .where(col("node") =!= col("m"))
+      .select(col("node").as("u"), col("m").as("v"))
+      .distinct()
   }
 
   /** Blocked exact n-gram Jaccard BETWEEN two frames (no within-frame

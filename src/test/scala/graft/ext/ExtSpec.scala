@@ -93,18 +93,30 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.collect().exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
   }
 
-  test("resolveComponents: long path graphs converge given diameter rounds, fail loud otherwise") {
-    // a 31-node path has diameter 30: min-label propagation needs ~30
-    // rounds, well past the dedup-clique default — the documented boundary
-    val n = 31
+  test("resolveComponents: diameter-50 path and a cycle converge in ~log rounds, fail loud otherwise") {
+    // a 51-node path has diameter 50: min-label propagation would need ~50
+    // rounds; large-star/small-star must land it within O(log n) — assert
+    // convergence inside a 10-round cap (2*log2(50) + slack)
+    val n = 51
     val ids = (0L until n.toLong).toDF("doc_id")
     val pathEdges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
-    val resolved = Dedup.resolveComponents(ids, pathEdges, maxRounds = 40)
+    val resolved = Dedup.resolveComponents(ids, pathEdges, maxRounds = 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0 until n).forall(i => resolved(i.toLong) == 0L)) // one component, rep 0
+    // cycles (no tree structure to exploit) must converge just as fast;
+    // shuffled ids so the minimum sits mid-cycle, not at an endpoint
+    val cyc = 40
+    val perm = new scala.util.Random(7L).shuffle((0 until cyc).toVector)
+    val cycEdges = (0 until cyc)
+      .map(i => (perm(i).toLong + 100L, perm((i + 1) % cyc).toLong + 100L))
+      .toDF("id_a", "id_b")
+    val cycIds = (100L until (100L + cyc)).toDF("doc_id")
+    val cycResolved = Dedup.resolveComponents(cycIds, cycEdges, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((100L until (100L + cyc)).forall(cycResolved(_) == 100L))
     // too few rounds must throw the loud convergence error, not return junk
     val err = intercept[IllegalArgumentException] {
-      Dedup.resolveComponents(ids, pathEdges, maxRounds = 5).collect()
+      Dedup.resolveComponents(ids, pathEdges, maxRounds = 1).collect()
     }
     assert(err.getMessage.contains("converge"))
   }
