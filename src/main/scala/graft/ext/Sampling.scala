@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reproducible sampling / data-mixing operators for a training-data
@@ -77,6 +78,37 @@ object Sampling {
       .where(hashUnit(col(key), salt) <
         least(lit(budgetTokens) / col("__stratum_tokens"), lit(1.0)))
       .drop("__stratum_tokens")
+  }
+
+  /** Exact-cutoff token-budget mixing: the hard-cap counterpart of
+    * [[sampleByTokenBudget]] for when the budget is CONTRACTUAL, not a
+    * target. Rows of each stratum are ranked by their deterministic
+    * [[hashUnit]] draw (key as tie-break, so the order is total) and kept
+    * while the inclusive running token total stays <= budgetTokens — the
+    * selection can never exceed the budget, at the price of one window
+    * per stratum.
+    *
+    * Scale shape: ONE shuffle into #strata window partitions, each sorted
+    * and cumsum'd sequentially — per-stratum parallelism is 1, so a
+    * single giant source becomes a single-task sort (this is the
+    * parallelism-vs-exactness trade; the expected-budget form is
+    * shuffle-free and stays the scale default). Skew across strata is
+    * bounded by the largest source. Like every [[hashUnit]] decision the
+    * selected set is partition-independent and replayable cross-engine:
+    * the hash order, the ROWS-frame cumsum, and the cutoff are all exact
+    * arithmetic. Returns (input columns) + n_tokens + cum_tokens.
+    */
+  def sampleByTokenBudgetExact(df: DataFrame, strataCol: String, tokens: Column,
+                               budgetTokens: Double, key: String,
+                               salt: String = "budget"): DataFrame = {
+    // explicit ROWS frame: the default RANGE frame would sum hash-value
+    // peers together, and the (hash, key) order makes rows unambiguous
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashUnit(col(key), salt), col(key))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budgetTokens)
   }
 
   /** Deterministic train/val/test split label per row: hash in [0,

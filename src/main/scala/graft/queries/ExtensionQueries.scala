@@ -324,6 +324,15 @@ object ExtensionQueries {
       Sampling.sampleByTokenBudget(Tables.documents(s, dir), "source",
         TextStats.tokenCount(col("text")), budgetTokens = 500.0, key = "doc_id")
         .select("doc_id", "source", "n_tokens")),
+    // Hard-cap variant: per-stratum cumsum over the hash order, keep while
+    // the inclusive total stays <= 500 — the selection can never exceed
+    // the budget. DuckDB replays the hash order, the ROWS-frame window,
+    // and the cutoff exactly (cum_tokens in the output pins the window
+    // arithmetic itself, not just the final row set).
+    "x23b_token_budget_exact" -> ((s, dir) =>
+      Sampling.sampleByTokenBudgetExact(Tables.documents(s, dir), "source",
+        TextStats.tokenCount(col("text")), budgetTokens = 500.0, key = "doc_id")
+        .select("doc_id", "source", "n_tokens", "cum_tokens")),
 
     // ---- multimodal -------------------------------------------------------
     // REAL codec round trip: synthetic per-doc pixel patterns encoded to
@@ -780,6 +789,23 @@ object ExtensionQueries {
         |SELECT u.doc_id, u.source, u.n_tokens
         |FROM u JOIN t USING (source)
         |WHERE u.u < least(500.0 / t.tot, 1.0)""".stripMargin,
+    // Hash-ordered per-stratum cumsum with an explicit ROWS frame — the
+    // exact-cutoff window replayed end to end.
+    "x23b_token_budget_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |u AS (SELECT toks.*,
+        |        CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|budget')), 1, 8)) AS BIGINT)
+        |          / 4294967296.0 AS u
+        |      FROM toks),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |      FROM u)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 500""".stripMargin,
     // Same md5-hex arithmetic as Sampling.hashUnit, replayed by DuckDB.
     "x15_sample_stratified" ->
       """WITH u AS (

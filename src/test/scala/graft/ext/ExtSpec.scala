@@ -372,6 +372,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == kept.map(_._1).toSet)
   }
 
+  test("exact token budget: hard cap never exceeded; hash-prefix selection; partition-independent") {
+    // "big": 200 docs x 10 tokens = 2000 total vs budget 500 -> exactly 50
+    // docs (500/10) survive the cumsum cutoff; "small": 50 total, all kept
+    val df = ((0L until 200L).map(i => (i, "big", Seq.fill(10)("w").mkString(" "))) ++
+      (200L until 205L).map(i => (i, "small", Seq.fill(10)("w").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val kept = Sampling.sampleByTokenBudgetExact(df, "source",
+      TextStats.tokenCount(col("text")), budgetTokens = 500.0, key = "doc_id")
+      .select("doc_id", "source", "n_tokens", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(kept.count(_._2 == "small") == 5)
+    val big = kept.filter(_._2 == "big")
+    assert(big.map(_._3).sum == 500L) // exact, not "near": 50 docs x 10
+    assert(big.map(_._4).max == 500L) // inclusive cumsum stops AT the budget
+    // the selection is the lowest-hash prefix: every kept doc hashes below
+    // every dropped doc of the same stratum
+    val hashes = df.select(col("doc_id"),
+      Sampling.hashUnit(col("doc_id"), "budget").as("u"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val keptBig = big.map(_._1).toSet
+    val dropMin = (0L until 200L).filterNot(keptBig).map(hashes).min
+    assert(keptBig.forall(hashes(_) < dropMin))
+    // deterministic under a different partition layout
+    val again = Sampling.sampleByTokenBudgetExact(df.repartition(7), "source",
+      TextStats.tokenCount(col("text")), budgetTokens = 500.0, key = "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
   test("split: exhaustive, exclusive, stable under re-evaluation") {
     val s1 = Sampling.withSplit(docs, "doc_id", 0.8, 0.1)
       .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
