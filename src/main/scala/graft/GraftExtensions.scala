@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{FloatDotProduct, KgramHashMinMax, SortedIntersectSize}
+import graft.functions.{FloatDotProduct, Int8DotProduct, KgramHashMinMax, SortedIntersectSize}
 
 /** SQL-surface registration for graft's custom Catalyst expressions.
   *
@@ -30,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 2, "float_dot_product(a, b) takes 2 arguments")
         FloatDotProduct(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("int8_dot_product"),
+      new ExpressionInfo(classOf[Int8DotProduct].getName, "int8_dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "int8_dot_product(a, b) takes 2 arguments")
+        Int8DotProduct(exprs(0), exprs(1))
       }))
     e.injectFunction((
       new FunctionIdentifier("kgram_hash_minmax"),
@@ -73,6 +80,13 @@ object GraftExtensions {
       exprs => {
         require(exprs.length == 2, "float_dot_product(a, b) takes 2 arguments")
         FloatDotProduct(exprs(0), exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int8_dot_product",
+      exprs => {
+        require(exprs.length == 2, "int8_dot_product(a, b) takes 2 arguments")
+        Int8DotProduct(exprs(0), exprs(1))
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

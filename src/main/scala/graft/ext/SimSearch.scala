@@ -267,13 +267,95 @@ object SimSearch {
     * via the 1e-12 floor on the divisor.
     */
   def quantizeInt8(df: DataFrame, vec: String = "embedding",
-                   outCol: String = "q_vec"): DataFrame =
-    df.withColumn("q_scale",
+                   outCol: String = "q_vec", scaleCol: String = "q_scale"): DataFrame =
+    df.withColumn(scaleCol,
         lit(127.0) / greatest(
           array_max(transform(col(vec), x => abs(x.cast("double")))), lit(1e-12)))
       .withColumn(outCol,
         transform(col(vec),
-          x => floor(x.cast("double") * col("q_scale") + lit(0.5)).cast("byte")))
+          x => floor(x.cast("double") * col(scaleCol) + lit(0.5)).cast("byte")))
+
+  /** The QUANTIZED serving index: same (tbl, bucket) LSH layout as
+    * [[lshIndex]], but the stored payload per corpus vector is its int8
+    * code array + dequantization scale + float norm — the float embedding
+    * itself never enters the index. For a `dim`-float vector that is a
+    * ~4x cut in index bytes (dim tinyints + 16 bytes vs 4*dim), which at
+    * 100 TB of embeddings is the difference between an index that fits
+    * executor page cache and one that doesn't. Hashing still runs on the
+    * float vectors — quantization error never moves a bucket boundary.
+    */
+  def lshIndexQuantized(corpus: DataFrame,
+                        nBits: Int = 8, nTables: Int = 16, dim: Int = 64, seed: Long = 42L,
+                        cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val tables = hyperplanes(nBits * nTables, dim, seed).grouped(nBits).toSeq
+    spread(quantizeInt8(corpus, cVec, "__code", "__cscale"), col(cId))
+      .withColumn("__cn", norm(col(cVec)))
+      .select(col(cId), col("__code"), col("__cscale"), col("__cn"),
+        posexplode(array(tables.map(t => lshBucket(col(cVec), t)): _*))
+          .as(Seq("tbl", "bucket")))
+  }
+
+  /** Quantized ANN serving: LSH candidate generation over the int8 index,
+    * candidate scoring on integer codes only, exact float re-rank of the
+    * bounded survivor set.
+    *
+    * The candidate stage approximates cosine as
+    * `int8_dot(q_code, c_code) / (q_scale * c_scale) / (|q| * |c|)` —
+    * per-element quantization error is <= 0.5/scale, so the score is
+    * within ~1% of true cosine, easily enough to pick the top
+    * `k * rerankFactor` survivors. Only those survivors (<= |queries| *
+    * k * rerankFactor rows, a bounded set) fetch their float vectors back
+    * from the primary store via a keyed join for the exact re-rank — at
+    * serving scale the hot loop reads 1-byte codes, and full-precision
+    * vectors are touched for a few dozen rows per query.
+    *
+    * Scale shape: index side is the [[lshIndexQuantized]] layout (build
+    * once, persist bucketed); the probe side broadcasts; candidates meet
+    * in an equi-join on (tbl, bucket); the survivor top-k runs as a
+    * map-side WindowGroupLimit; the re-rank is a broadcast semi-join
+    * against the corpus scan. Nothing all-pairs, nothing driver-side.
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    rerankFactor: Int = 4,
+                    nBits: Int = 8, nTables: Int = 16, dim: Int = 64, seed: Long = 42L,
+                    qId: String = "q_id", qVec: String = "q_vec",
+                    cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val index = lshIndexQuantized(corpus, nBits, nTables, dim, seed, cId, cVec)
+    val tables = hyperplanes(nBits * nTables, dim, seed).grouped(nBits).toSeq
+    val flips = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
+    // queries quantize with their own per-vector scale; multi-probe like
+    // lshTopKFromIndex (own bucket + every hamming-1 neighbor per table)
+    val q = quantizeInt8(queries, qVec, "__qcode", "__qscale")
+      .withColumn("__qn", norm(col(qVec)))
+      .select(col(qId), col("__qcode"), col("__qscale"), col("__qn"),
+        posexplode(array(tables.map(t => lshBucket(col(qVec), t)): _*))
+          .as(Seq("tbl", "bucket0")))
+      .withColumn("bucket", explode(transform(flips, f => col("bucket0").bitwiseXOR(f))))
+      .drop("bucket0")
+
+    // candidate scoring touches ONLY int8 codes + two scalars per side
+    val cand = index.join(broadcast(q), Seq("tbl", "bucket"))
+      .where(col(qId) =!= col(cId))
+      .withColumn("acos",
+        graft.functions.Int8DotProduct(col("__qcode"), col("__code")).cast("double")
+          / (col("__qscale") * col("__cscale")) / (col("__qn") * col("__cn")))
+      .groupBy(col(qId), col(cId)).agg(max(col("acos")).as("acos"))
+    val wa = Window.partitionBy(col(qId)).orderBy(col("acos").desc, col(cId).asc)
+    val survivors = cand.withColumn("__ar", row_number().over(wa))
+      .where(col("__ar") <= k * rerankFactor)
+      .select(col(qId), col(cId))
+
+    // exact float re-rank of the bounded survivor set
+    val cf = corpus.select(col(cId), col(cVec)).withColumn("__cn", norm(col(cVec)))
+    val qf = queries.select(col(qId), col(qVec)).withColumn("__qn", norm(col(qVec)))
+    val rr = cf.join(broadcast(survivors), Seq(cId))
+      .join(broadcast(qf), Seq(qId))
+      .withColumn("cos", dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId).asc)
+    rr.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(qId), col(cId).as("neighbor_id"), col("rank"), round(col("cos"), 5).as("cos"))
+  }
 
   /** Embedding near-duplicate pairs within a blocking column (e.g. label —
     * standing in for an IVF cell assignment at scale): cosine >= minCos.

@@ -200,6 +200,28 @@ object ExtensionQueries {
         aggregate(col("q_vec"), lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"))
     }),
 
+    // The quantized SERVING path composed end-to-end (x24 + x7): LSH
+    // candidates scored on int8 codes only, exact float re-rank of the
+    // bounded survivors — recall-gated against brute-force truth exactly
+    // like x7c. A quantization or candidate-stage regression (bad scale,
+    // broken int dot, survivor set too small) drops recall and reds this.
+    "x24b_quantized_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      // lazy checkpoint: no job at DataFrame-construction time (x7c note)
+      val truth = SimSearch.bruteTopK(q, e, k = 5).select("q_id", "neighbor_id")
+        .localCheckpoint(false)
+      val found = SimSearch.quantizedTopK(q, e, k = 5).select("q_id", "neighbor_id")
+      found.join(truth, Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(col("n_truth").cast("long").as("n_truth"),
+          when(col("n_truth") === 0, lit(1L))
+            .otherwise((col("n_hits").cast("double") / col("n_truth") >= ANN_RECALL_MIN)
+              .cast("long")).as("recall_ok"))
+    }),
+
     // ---- text analysis ----------------------------------------------------
     "x8_text_lang" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -639,6 +661,16 @@ object ExtensionQueries {
         |  CAST(list_max(qv) AS BIGINT) AS q_max,
         |  CAST(list_sum(qv) AS BIGINT) AS q_sum
         |FROM q""".stripMargin,
+    // Serving-path gate: DuckDB recomputes the exact brute-force truth
+    // count (same CTE as x7c, one row); recall_ok is Spark-computed.
+    "x24b_quantized_recall" ->
+      s"""WITH q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings),
+         |s AS (SELECT q_id, vec_id AS neighbor_id, ${duckCos("qv", "cv")} AS cos
+         |      FROM q CROSS JOIN c WHERE q_id <> vec_id),
+         |r AS (SELECT q_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, CAST(1 AS BIGINT) AS recall_ok
+         |FROM r WHERE rank <= 5""".stripMargin,
     // Quality mass per source: same quality formula as x9 (already proven
     // hash-identical), summed after its own 6-decimal round.
     "x25_corpus_report" ->

@@ -301,6 +301,48 @@ class SimSearchSpec extends AnyFunSuite {
     assert(maintained == rebuilt)
   }
 
+  test("int8 dot product: codegen expression equals the interpreted zip_with form") {
+    val rnd = new scala.util.Random(7)
+    // Seq[Byte], not Array[Byte] — Array[Byte] encodes as BINARY, and the
+    // expression (like the quantized index) wants array<tinyint>
+    val rows = Seq.fill(20)((
+      Seq.fill(64)((rnd.nextInt(255) - 127).toByte),
+      Seq.fill(64)((rnd.nextInt(255) - 127).toByte)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      graft.functions.Int8DotProduct(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, x) => acc + x).as("slow"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // and via the SQL surface
+    graft.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("int8_pairs")
+    val sqlOut = spark.sql("SELECT int8_dot_product(a, b) AS d FROM int8_pairs").collect()
+    assert(sqlOut.map(_.getLong(0)).toSeq == out.map(_.getLong(0)).toSeq)
+  }
+
+  test("quantized serving: int8 candidate scores track exact cosine; recall clears the gate") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val truth = SimSearch.bruteTopK(q, e, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = SimSearch.quantizedTopK(q, e, k = 5).collect()
+    val found = served.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth intersect found).size.toDouble / truth.size
+    assert(recall >= 0.6, s"quantized serving recall $recall below gate")
+    // the re-rank is EXACT: every returned cosine matches a brute-force
+    // recomputation of that pair (quantization never touches final scores)
+    val brute = SimSearch.bruteTopK(q, e, k = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    served.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(math.abs(r.getDouble(3) - brute(key)) < 1e-9,
+        s"pair $key: served cos ${r.getDouble(3)} != exact ${brute(key)}")
+    }
+  }
+
   test("lsh top-k: a near-duplicate query lands in its source's bucket (the LSH contract)") {
     // Random-hyperplane LSH promises recall for TIGHT neighbors (cos ~ 1):
     // an identical vector hashes to the identical bucket, so its source must
