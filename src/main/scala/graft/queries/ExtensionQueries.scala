@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Packing, Sampling, SimSearch, TextStats}
+import graft.ext.{Bpe, Dedup, Multimodal, Packing, Sampling, SimSearch, TextStats}
 import graft.jobs.CurateJob
 
 /** LLM-training-data pipeline operators (SURVEY.md §7.4) as declared
@@ -24,6 +24,13 @@ object ExtensionQueries {
     * 0.6 catches real quality regressions without flapping on data noise.
     */
   val ANN_RECALL_MIN = 0.6
+
+  /** Merge rounds for the x28 BPE queries — small so the generated DuckDB
+    * replay (one CTE block per round) stays readable, large enough that
+    * multi-char symbols appear and the run/overlap semantics get exercised
+    * on real corpus text.
+    */
+  val BPE_MERGES = 6
 
   /** Exact near-dup truth pairs (Jaccard >= 0.9, same formula and length
     * blocking as x3), materialized ONCE: the tiny pair frame is referenced
@@ -266,6 +273,29 @@ object ExtensionQueries {
     }),
     "x18_tfidf_topk" -> ((s, dir) =>
       TextStats.topTfidfTerms(Tables.documents(s, dir), k = 3)),
+    // Corpus-trained BPE vocabulary: the K most frequent adjacent symbol
+    // pairs, merged iteratively on the distinct-word frequency table.
+    // Fully deterministic (char split, integer counts, lexicographic
+    // tie-breaks), so DuckDB re-derives the identical merge table with a
+    // generated K-round CTE chain. NOTE: constructing this DataFrame RUNS
+    // the training rounds (control flow needs the driver) — K shuffles +
+    // K 1-row collects, all on the bounded vocabulary frame.
+    "x28_bpe_vocab" -> ((s, dir) => {
+      import s.implicits._
+      val (merges, _) = Bpe.train(
+        Bpe.wordFrequencies(Tables.documents(s, dir)), k = BPE_MERGES)
+      merges.map(m => (m.rank.toLong, m.lhs, m.rhs, m.merged, m.pairCount))
+        .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+    }),
+    // The trained tokenizer applied back to the corpus: per-doc subword
+    // token counts via the vocabulary-lookup join — the faithful token
+    // count that budget mixing (x23) and packing (x21) want, where
+    // bpeishTokenCount is only a magnitude stand-in.
+    "x28b_bpe_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (_, seg) = Bpe.train(Bpe.wordFrequencies(docs), k = BPE_MERGES)
+      Bpe.tokenCounts(docs, seg)
+    }),
     "x17_text_clean" -> ((s, dir) =>
       TextStats.withCleaned(Tables.documents(s, dir))
         .select("doc_id", "clean_text", "n_urls", "n_emails", "n_phones")),
@@ -486,7 +516,68 @@ object ExtensionQueries {
        |UNION ALL
        |SELECT doc_id, source, 'keep', NULL, NULL, nt, bucket, seq_id FROM pk""".stripMargin
 
+  /** The [[Bpe.train]] derivation replayed as a generated DuckDB CTE
+    * chain, one block per merge round. Pair counts and the arg-max mirror
+    * the Spark side 1:1. The greedy left-to-right merge is replayed with
+    * a window-parity formulation instead of a fold: a selected candidate
+    * consumes its right neighbor, and two candidates can only be adjacent
+    * when l = r (syms[j+1] must equal both r and l), i.e. inside an
+    * identical-symbol run — where greedy keeps the 1st, 3rd, 5th...
+    * candidate of the run. So: group consecutive candidate positions
+    * (j - row_number), select odd parity within each run, emit `l || r`
+    * at selected positions, skip the position after a selected one, and
+    * re-assemble with an ordered list() aggregate.
+    */
+  private def bpeChainSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """w0 AS (
+             |  SELECT word, COUNT(*) AS freq
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |  WHERE len(word) > 0 GROUP BY word),
+             |s0 AS (SELECT word, freq, regexp_extract_all(word, '[\s\S]') AS syms FROM w0)""".stripMargin
+    for (i <- 1 to k) {
+      val prev = s"s${i - 1}"
+      sb ++= s""",
+               |p$i AS (SELECT s.syms[t.j] AS l, s.syms[t.j+1] AS r, SUM(s.freq) AS cnt
+               |       FROM $prev s, unnest(range(1, len(s.syms))) AS t(j)
+               |       GROUP BY 1, 2),
+               |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+               |e$i AS (SELECT word, freq, syms, unnest(range(1, len(syms)+1)) AS j FROM $prev),
+               |c$i AS (SELECT e.word, e.freq, e.syms, e.j, b.l, b.r,
+               |         CASE WHEN e.j < len(e.syms) AND e.syms[e.j] = b.l AND e.syms[e.j+1] = b.r
+               |              THEN 1 ELSE 0 END AS cand
+               |       FROM e$i e CROSS JOIN b$i b),
+               |g$i AS (SELECT *, j - ROW_NUMBER() OVER (PARTITION BY word, cand ORDER BY j) AS grp
+               |       FROM c$i),
+               |h$i AS (SELECT *, CASE WHEN cand = 1 AND
+               |           ROW_NUMBER() OVER (PARTITION BY word, cand, grp ORDER BY j) % 2 = 1
+               |         THEN 1 ELSE 0 END AS sel FROM g$i),
+               |m$i AS (SELECT word, freq, j,
+               |         CASE WHEN sel = 1 THEN l || r
+               |              WHEN COALESCE(LAG(sel) OVER (PARTITION BY word ORDER BY j), 0) = 1 THEN NULL
+               |              ELSE syms[j] END AS sym
+               |       FROM h$i),
+               |s$i AS (SELECT word, freq, list(sym ORDER BY j) FILTER (WHERE sym IS NOT NULL) AS syms
+               |       FROM m$i GROUP BY word, freq)""".stripMargin
+    }
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // BPE vocab: the K winning (pair, count) rows, re-derived end to end.
+    "x28_bpe_vocab" -> {
+      val rows = (1 to BPE_MERGES).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b$i")
+      s"WITH ${bpeChainSql(BPE_MERGES)}\n${rows.mkString("\nUNION ALL\n")}"
+    },
+    // Tokenize-and-count with the trained vocab: corpus words inner-join
+    // the final segmentation (empty words exist in neither side).
+    "x28b_bpe_tokens" ->
+      s"""WITH ${bpeChainSql(BPE_MERGES)},
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |SELECT t.doc_id, CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens
+         |FROM tok t JOIN s$BPE_MERGES s USING (word)
+         |GROUP BY t.doc_id""".stripMargin,
     "x1_dedup_exact" ->
       """SELECT sha256(text) AS text_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY sha256(text)""".stripMargin,

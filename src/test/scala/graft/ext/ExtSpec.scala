@@ -539,6 +539,46 @@ class FunctionsSpec extends AnyFunSuite {
   }
 }
 
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bpe: merges follow frequency with lexicographic tie-breaks; training stops when exhausted") {
+    // ab:5, cd:2 -> round 1 merges (a,b) cnt 5, round 2 (c,d) cnt 2, then
+    // every word is one symbol and training stops short of k
+    val docs = Seq((1L, "ab ab ab ab"), (2L, "ab cd cd")).toDF("doc_id", "text")
+    val (merges, seg) = Bpe.train(Bpe.wordFrequencies(docs), k = 5)
+    assert(merges.map(m => (m.rank, m.lhs, m.rhs, m.merged, m.pairCount)) ==
+      Seq((1, "a", "b", "ab", 5L), (2, "c", "d", "cd", 2L)))
+    val syms = seg.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(syms("ab") == Seq("ab") && syms("cd") == Seq("cd"))
+  }
+
+  test("bpe: identical-symbol runs merge greedily left-to-right, non-overlapping") {
+    // "aaaa": pair (a,a) counts 3 occurrences but greedy merges positions
+    // 1-2 and 3-4 -> [aa, aa]; "aaa" -> [aa, a]. Round 2 ties (aa,aa) vs
+    // (aa,a) at count 1; the lexicographic tie-break picks (aa, a), which
+    // rewrites "aaa" but leaves [aa, aa] alone
+    val docs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val (merges, seg) = Bpe.train(Bpe.wordFrequencies(docs), k = 2)
+    assert(merges(0).lhs == "a" && merges(0).rhs == "a" && merges(0).pairCount == 5L)
+    val syms = seg.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(merges(1).merged == "aaa")
+    assert(syms("aaaa") == Seq("aa", "aa") && syms("aaa") == Seq("aaa"))
+  }
+
+  test("bpe: token counts via the vocab join; deterministic under repartition") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "abcd")).toDF("doc_id", "text")
+    val (_, seg) = Bpe.train(Bpe.wordFrequencies(docs), k = 2)
+    // merges: (a,b) cnt 3 -> (c,d) cnt 2; "ab"->1 sym, "cd"->1, "abcd"->[ab,cd]->2
+    val counts = Bpe.tokenCounts(docs, seg).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 3L, 2L -> 2L))
+    val (m2, _) = Bpe.train(Bpe.wordFrequencies(docs.repartition(5)), k = 2)
+    assert(m2.map(_.merged) == Seq("ab", "cd"))
+  }
+}
+
 class TextStatsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
