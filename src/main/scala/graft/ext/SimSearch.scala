@@ -174,6 +174,13 @@ object SimSearch {
     * training is `lloydIters` DataFrame jobs, each one partial-agg'd
     * shuffle (see below) — only the nCells centroid vectors ever reach
     * the driver.
+    *
+    * Driver-memory bound: the two bounded collects (10k-row init sample,
+    * per-round (cell, pos) stats) hold O(nCells x dim) doubles plus the
+    * fixed 10k x dim sample. At nCells = sqrt(corpus) on a 1e12-vector
+    * corpus with dim 1024 that is ~1e6 x 1024 x 8B = 8 GB of centroid
+    * state — size driver memory accordingly, or cap nCells and accept
+    * coarser cells (recall is recovered by raising nProbe).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 8, lloydIters: Int = 2,

@@ -54,14 +54,24 @@ object TextStats {
   /** Language-ID heuristic: argmax of per-language stopword hit ratio;
     * `und` when no language clears `minRatio`. Deterministic tie-break:
     * higher ratio wins, then lexicographically smaller language code.
+    *
+    * Each language's ratio is computed ONCE: the per-language scores live
+    * in a single array-of-structs and the argmax is one `array_max`
+    * (struct ordering: ratio first, then negated language index — so ties
+    * pick the lexicographically smallest code). The previous formulation
+    * inlined every ratio tree twice (once under greatest(), once per
+    * `when` branch), and per-call Origin stamping means CSE cannot be
+    * trusted to dedupe those copies — at 4 languages that was harmless,
+    * at 50 it would double the scan's work. `best` is one shared subtree
+    * (same vals, same Origins), which CSE does collapse.
     */
   def langId(text: Column, minRatio: Double = 0.02): Column = {
-    val scored = stopwords.keys.toSeq.sorted.map(l => (l, stopwordRatio(text, l)))
-    val maxRatio = greatest(scored.map(_._2): _*)
-    // first (lexicographically smallest) language hitting the max wins ties
-    scored.foldRight(lit("und")) { case ((l, r), acc) =>
-      when(r === maxRatio && r >= minRatio, lit(l)).otherwise(acc)
-    }
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = array(langs.zipWithIndex.map { case (l, i) =>
+      struct(stopwordRatio(text, l).as("r"), lit(-i).as("ni"), lit(l).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(best.getField("r") >= minRatio, best.getField("lang")).otherwise(lit("und"))
   }
 
   /** Per-document quality features + a composite score in [0,1]:
@@ -137,17 +147,23 @@ object TextStats {
     * df >= 1). Deterministic tie-break: higher tfidf, then lexicographic
     * term order.
     *
-    * Scale shape: two partial-agg'd shuffles (per-doc term counts, corpus
-    * document frequencies) + one broadcast-able join on term, then a
-    * map-side WindowGroupLimit for the per-doc top-k. The corpus size N is
-    * a one-row broadcast cross join, not a driver collect.
+    * Scale shape: the corpus explodes to terms ONCE; document frequencies
+    * derive from the per-doc term counts (tf is already one row per
+    * (doc, term), so df is a count over tf — no second corpus scan, no
+    * distinct over exploded terms), with tf lazily checkpointed so its
+    * two consumers don't recompute the explode. Then one broadcast-able
+    * join on term and a map-side WindowGroupLimit for the per-doc top-k.
+    * The corpus size N is a one-row broadcast cross join, not a driver
+    * collect.
     */
   def topTfidfTerms(df: DataFrame, k: Int = 3,
                     text: String = "text", docId: String = "doc_id"): DataFrame = {
     val terms = df.select(col(docId), explode(split(col(text), " ")).as("term"))
+    // lazy: referenced by the join AND the df derivation; without the
+    // checkpoint each consumer would re-run the explode + first agg
     val tf = terms.groupBy(docId, "term").agg(count(lit(1)).as("tf"))
-    val dfreq = terms.select(col(docId), col("term")).distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+      .localCheckpoint(false)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("__n"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") * log(col("__n") / col("df")), 6))
