@@ -182,16 +182,25 @@ object SimSearch {
     * state — size driver memory accordingly, or cap nCells and accept
     * coarser cells (recall is recovered by raising nProbe).
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 8, lloydIters: Int = 2,
-              qId: String = "q_id", qVec: String = "q_vec",
-              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    // Deterministic k-means INIT: the 10k corpus vectors with the SMALLEST
-    // id-hash — a seedless pseudo-random sample of the whole corpus
-    // (ordering by raw id would take the first 10k rows, a biased slice at
-    // scale). Plans as TakeOrderedAndProject: per-partition top-k, no
-    // global sort materialization. Bounded driver collect.
+  /** Spherical-k-means coarse-quantizer training (shared by [[ivfTopK]]
+    * and [[nearDupPairsByCell]]).
+    *
+    * Deterministic INIT: the 10k corpus vectors with the SMALLEST id-hash
+    * — a seedless pseudo-random sample of the whole corpus (ordering by
+    * raw id would take the first 10k rows, a biased slice at scale).
+    * Plans as TakeOrderedAndProject: per-partition top-k, no global sort
+    * materialization. Bounded driver collect.
+    *
+    * Lloyd refinement, pure DataFrame ops: assignment is the codegen'd
+    * [[graft.functions.NearestCentroid]] map; the update is one shuffle
+    * of (cell, pos) PARTIAL sums — map-side combine reduces every
+    * partition to <= nCells x dim rows, so at 100 TB the shuffle and the
+    * driver collect are both O(nCells x dim), never O(corpus). Means are
+    * re-normalized (cosine k-means); a cell that captures no vectors
+    * keeps its previous centroid.
+    */
+  private[ext] def trainCentroids(corpus: DataFrame, nCells: Int, lloydIters: Int,
+                                  cId: String, cVec: String): Array[Array[Double]] = {
     val sampled = corpus.select(col(cId), col(cVec))
       .orderBy(xxhash64(col(cId)).asc, col(cId).asc).limit(10000)
       .collect()
@@ -203,18 +212,7 @@ object SimSearch {
         val n = math.sqrt(v.map(x => x * x).sum)
         v.map(_ / math.max(n, 1e-12))
       }
-
-    // same partitioning-inheritance fix as lshTopK: spread the corpus so
-    // cell assignment + candidate dot products use every core
     val spreadCorpus = spread(corpus, col(cId))
-
-    // Spherical-Lloyd refinement, pure DataFrame ops: assignment reuses the
-    // same codegen'd map as the search path; the update is one shuffle of
-    // (cell, pos) PARTIAL sums — map-side combine reduces every partition
-    // to <= nCells x dim rows, so at 100 TB the shuffle and the driver
-    // collect are both O(nCells x dim), never O(corpus). Means are
-    // re-normalized (cosine k-means); a cell that captures no vectors
-    // keeps its previous centroid.
     for (_ <- 0 until lloydIters) {
       val dim = centroids(0).length
       val stats = spreadCorpus
@@ -238,6 +236,19 @@ object SimSearch {
         }
       }
     }
+    centroids
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 8, lloydIters: Int = 2,
+              qId: String = "q_id", qVec: String = "q_vec",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = trainCentroids(corpus, nCells, lloydIters, cId, cVec)
+
+    // same partitioning-inheritance fix as lshTopK: spread the corpus so
+    // cell assignment + candidate dot products use every core
+    val spreadCorpus = spread(corpus, col(cId))
 
     val cells = spreadCorpus
       .withColumn("cell", graft.functions.NearestCentroid(col(cVec), centroids))
@@ -364,8 +375,10 @@ object SimSearch {
       .select(col(qId), col(cId).as("neighbor_id"), col("rank"), round(col("cos"), 5).as("cos"))
   }
 
-  /** Embedding near-duplicate pairs within a blocking column (e.g. label —
-    * standing in for an IVF cell assignment at scale): cosine >= minCos.
+  /** Embedding near-duplicate pairs within a blocking column (e.g. label,
+    * or a precomputed partition): cosine >= minCos. For the
+    * no-natural-block case, [[nearDupPairsByCell]] derives the blocking
+    * column from a trained quantizer.
     */
   def nearDupPairs(df: DataFrame, blockCol: String, minCos: Double,
                    id: String = "vec_id", vec: String = "embedding"): DataFrame = {
@@ -378,5 +391,52 @@ object SimSearch {
       .where(col("cos") >= minCos)
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
         round(col("cos"), 5).as("cos"))
+  }
+
+  /** The `nAssign` nearest trained centroids per vector, as a map-side
+    * array column: one codegen'd [[graft.functions.FloatDotProduct]] per
+    * centroid against a broadcast literal (centroids are normalized, so
+    * dot order == cosine order), then an ascending struct sort whose tail
+    * is the top-`nAssign` — no shuffle, no window, deterministic
+    * (cell index breaks dot ties).
+    */
+  private def topCells(vec: Column, centroids: Array[Array[Double]], nAssign: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dot(vec, typedLit(c.map(_.toFloat).toSeq)).as("d"), lit(i).as("cell"))
+    }: _*)
+    transform(slice(array_sort(scored), -nAssign, nAssign), s => s.getField("cell"))
+  }
+
+  /** Embedding near-duplicate pairs over a corpus with NO natural blocking
+    * column — the genuinely scalable version of [[nearDupPairs]]: a
+    * spherical-k-means quantizer ([[trainCentroids]]) is trained on the
+    * corpus itself, every vector multi-assigns to its `nAssign` nearest
+    * cells, and pairs meet in an equi-join on cell. Multi-assignment is
+    * the boundary-recall knob: a pair straddling one cell boundary still
+    * collides if the 2nd..nth assignments overlap; pairs found through
+    * several shared cells collapse in one hash-agg.
+    *
+    * Scale shape: training is O(nCells x dim) driver state; assignment is
+    * map-side (nCells codegen'd dots per row, no shuffle); the join is an
+    * equi-join whose per-cell candidate volume is ~(nAssign x N/nCells)^2
+    * — sub-quadratic for nCells >> nAssign^2, tunable via nCells ~
+    * sqrt(corpus). Recall is probabilistic (gated in x5b): tight pairs
+    * (cos ~ 1) share their top cell almost surely; loose pairs rely on
+    * the multi-assign overlap.
+    */
+  def nearDupPairsByCell(df: DataFrame, minCos: Double, nCells: Int = 16,
+                         nAssign: Int = 4, lloydIters: Int = 2,
+                         id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val centroids = trainCentroids(df, nCells, lloydIters, id, vec)
+    val assigned = spread(df, col(id))
+      .withColumn("__n", norm(col(vec)))
+      .withColumn("cell", explode(topCells(col(vec), centroids, nAssign)))
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    a.join(b, col("a.cell") === col("b.cell") && col(s"a.$id") < col(s"b.$id"))
+      .withColumn("cos", dot(col(s"a.$vec"), col(s"b.$vec")) / (col("a.__n") * col("b.__n")))
+      .where(col("cos") >= minCos)
+      .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .agg(round(max(col("cos")), 5).as("cos"))
   }
 }

@@ -25,6 +25,15 @@ object ExtensionQueries {
     */
   val ANN_RECALL_MIN = 0.6
 
+  /** Minimum recall of cell-blocked near-dup pairs (x5b) against the exact
+    * probe-set truth. The fixture's cos >= 0.25 pairs are LOOSE (max
+    * pairwise cosine ~0.5, nearly angle-random), the hard case for any
+    * locality blocking; 16 cells x 4 assignments still lands well above
+    * this on every SF. Tight near-dups (cos ~ 1) share their top cell
+    * almost surely.
+    */
+  val CELL_NEARDUP_RECALL_MIN = 0.5
+
   /** Merge rounds for the x28 BPE queries — small so the generated DuckDB
     * replay (one CTE block per round) stays readable, large enough that
     * multi-char symbols appear and the run/overlap semantics get exercised
@@ -99,6 +108,34 @@ object ExtensionQueries {
     }),
     "x5_embed_neardup" -> ((s, dir) =>
       SimSearch.nearDupPairs(Tables.embeddings(s, dir), "label", minCos = 0.25)),
+    // The blocking-free near-dup path: x5 needs a natural block column;
+    // x5b derives the blocks from a corpus-trained quantizer (the real
+    // 100 TB shape) and gates its recall against exact pairs touching a
+    // bounded probe set (probe side broadcast, truth cost linear in the
+    // corpus — never all-pairs).
+    "x5b_neardup_cell_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val probes = e.where(col("vec_id") < 50)
+        .select(col("vec_id").as("p_id"), col("embedding").as("p_vec"))
+      // lazy checkpoint: referenced twice, no job at construction time
+      val truth = e.crossJoin(broadcast(probes))
+        .where(col("p_id") =!= col("vec_id"))
+        .where(SimSearch.cosine(col("p_vec"), col("embedding")) >= 0.25)
+        .select(least(col("p_id"), col("vec_id")).as("id_a"),
+          greatest(col("p_id"), col("vec_id")).as("id_b"))
+        .distinct()
+        .localCheckpoint(false)
+      val found = SimSearch.nearDupPairsByCell(e, minCos = 0.25)
+        .where(col("id_a") < 50 || col("id_b") < 50)
+        .select("id_a", "id_b")
+      found.join(truth, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .select(col("n_true").cast("long").as("n_true"),
+          when(col("n_true") === 0, lit(1L))
+            .otherwise((col("n_hits").cast("double") / col("n_true") >= CELL_NEARDUP_RECALL_MIN)
+              .cast("long")).as("recall_ok"))
+    }),
     // Incremental corpus dedup: an "incoming" batch (doc_id % 7 == 0 as the
     // stand-in for today's crawl) deduped AGAINST the existing corpus —
     // exact tier via sha2 content-hash lookup, near tier via batch-vs-corpus
@@ -716,6 +753,16 @@ object ExtensionQueries {
          |p AS (SELECT a.vec_id id_a, b.vec_id id_b, ${duckCos("a.v", "b.v")} AS cos
          |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, ROUND(cos, 5) AS cos FROM p WHERE cos >= 0.25""".stripMargin,
+    // Cell-blocked near-dup gate: DuckDB recomputes the exact probe-set
+    // truth count; recall_ok is Spark-computed.
+    "x5b_neardup_cell_recall" ->
+      s"""WITH p AS (SELECT vec_id p_id, CAST(embedding AS DOUBLE[]) pv FROM embeddings WHERE vec_id < 50),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings),
+         |s AS (SELECT least(p_id, vec_id) AS id_a, greatest(p_id, vec_id) AS id_b
+         |      FROM p CROSS JOIN c
+         |      WHERE p_id <> vec_id AND ${duckCos("pv", "cv")} >= 0.25)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_true, CAST(1 AS BIGINT) AS recall_ok
+         |FROM (SELECT DISTINCT id_a, id_b FROM s)""".stripMargin,
     "x6_ann_brute" ->
       s"""WITH q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings),

@@ -301,6 +301,34 @@ class SimSearchSpec extends AnyFunSuite {
     assert(maintained == rebuilt)
   }
 
+  test("cell-blocked near-dup: identical pairs always collide; fixture recall clears gate") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // exact truth over the full fixture (all-pairs is fine at sf0.001)
+    val en = e.withColumn("__n", SimSearch.norm(col("embedding")))
+    val truth = en.as("a").join(en.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", SimSearch.dot(col("a.embedding"), col("b.embedding"))
+        / (col("a.__n") * col("b.__n")))
+      .where(col("cos") >= 0.25)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = SimSearch.nearDupPairsByCell(e, minCos = 0.25).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no false positives: every found pair is a true pair (cos re-checked
+    // exactly inside the operator)
+    assert((found -- truth).isEmpty)
+    val recall = (found intersect truth).size.toDouble / truth.size
+    info(f"cell-blocked near-dup recall on loose fixture pairs: $recall%.3f (n_true=${truth.size})")
+    assert(recall >= 0.5, s"recall $recall below gate")
+    // a vector duplicated under a new id shares its top cell with its
+    // source by construction -> the pair MUST be found
+    val dup = e.where(col("vec_id") === 0)
+      .select((col("vec_id") + 90000L).as("vec_id"), col("embedding"), col("label"))
+    val withDup = e.unionByName(dup)
+    val dupPairs = SimSearch.nearDupPairsByCell(withDup, minCos = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs.contains((0L, 90000L)))
+  }
+
   test("int8 dot product: codegen expression equals the interpreted zip_with form") {
     val rnd = new scala.util.Random(7)
     // Seq[Byte], not Array[Byte] — Array[Byte] encodes as BINARY, and the
