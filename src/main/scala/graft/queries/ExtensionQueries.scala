@@ -227,6 +227,18 @@ object ExtensionQueries {
         TextStats.tokenCount(col("text")), maxTokens = 256, nBuckets = 8,
         key = "doc_id")
         .select("doc_id", "n_tokens", "bucket", "seq_id")),
+    // The x28 -> x21 composition: packing driven by the TRAINED tokenizer's
+    // subword counts instead of the whitespace proxy — the point of
+    // training the vocab is that downstream budget/packing arithmetic uses
+    // counts the model will actually see. DuckDB replays tokenizer
+    // training, the count join, and the packing windows in one query.
+    "x21b_pack_bpe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (_, seg) = Bpe.train(Bpe.wordFrequencies(docs), k = BPE_MERGES)
+      Packing.packSequences(docs.join(Bpe.tokenCounts(docs, seg), "doc_id"),
+        col("n_bpe_tokens"), maxTokens = 256, nBuckets = 8, key = "doc_id")
+        .select("doc_id", "n_tokens", "bucket", "seq_id")
+    }),
     // Document chunking for an embedding/RAG pipeline: 32-token windows,
     // stride 24 (8-token overlap). DuckDB replays the exact slice text.
     "x26_chunk_docs" -> ((s, dir) =>
@@ -748,6 +760,24 @@ object ExtensionQueries {
         |SELECT doc_id, n_tokens, bucket,
         |       CAST(floor((cum - 1.0) / 256) AS BIGINT) AS seq_id
         |FROM c""".stripMargin,
+    // BPE counts feeding the x21 window arithmetic, end to end.
+    "x21b_pack_bpe" ->
+      s"""WITH ${bpeChainSql(BPE_MERGES)},
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |bc AS (SELECT t.doc_id, CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens
+         |       FROM tok t JOIN s$BPE_MERGES s USING (word) GROUP BY t.doc_id),
+         |u AS (SELECT doc_id, n_tokens,
+         |        CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|pack')), 1, 8)) AS BIGINT)
+         |          / 4294967296.0 AS u
+         |      FROM bc),
+         |b AS (SELECT doc_id, n_tokens, u, CAST(floor(u * 8) AS BIGINT) AS bucket FROM u),
+         |c AS (SELECT doc_id, n_tokens, bucket,
+         |        SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY u, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM b)
+         |SELECT doc_id, n_tokens, bucket,
+         |       CAST(floor((cum - 1.0) / 256) AS BIGINT) AS seq_id
+         |FROM c""".stripMargin,
     "x5_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
          |p AS (SELECT a.vec_id id_a, b.vec_id id_b, ${duckCos("a.v", "b.v")} AS cos
