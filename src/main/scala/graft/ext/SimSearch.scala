@@ -401,7 +401,7 @@ object SimSearch {
     * (cell index breaks dot ties).
     */
   private def topCells(vec: Column, centroids: Array[Array[Double]], nAssign: Int): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+    val scored = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(dot(vec, typedLit(c.map(_.toFloat).toSeq)).as("d"), lit(i).as("cell"))
     }: _*)
     transform(slice(array_sort(scored), -nAssign, nAssign), s => s.getField("cell"))
