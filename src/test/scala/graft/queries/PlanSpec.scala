@@ -72,6 +72,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("cell-blocked near-dup: equi-join on cell, no cartesian, no assignment window") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val p = graft.ext.SimSearch.nearDupPairsByCell(e, minCos = 0.25)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // cell assignment is map-side expressions — no Window operator anywhere
+    assert(!p.contains("Window"), p)
+  }
+
   test("token-budget mixing: broadcast totals, no window, one tiny shuffle") {
     val p = plan("x23_token_budget_mix")
     // the only exchange is the per-source totals aggregate (rows = strata);
