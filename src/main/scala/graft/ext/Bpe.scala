@@ -127,4 +127,29 @@ object Bpe {
       .where(length(col("word")) > 0)
       .join(seg.select(col("word"), size(col("syms")).cast("long").as("n_syms")), "word")
       .groupBy(docId).agg(sum(col("n_syms")).as("n_bpe_tokens"))
+
+  /** Full tokenization — each document rendered as its in-order subword
+    * stream (what a training/serving pipeline actually feeds the model,
+    * where [[tokenCounts]] only aggregates). Same scale shape as the
+    * count: explode words WITH POSITION, equi-join the vocabulary lookup,
+    * then one partial-agg'd groupBy whose ordered reassembly is
+    * `array_sort` over (pos, syms) structs — `collect_list` alone has no
+    * order guarantee, the sort restores document order deterministically.
+    * Output: (docId, n_bpe_tokens, bpe_tokens) with the stream as one
+    * '|'-joined string (cross-engine hashable; symbols come from
+    * whitespace-split words, so '|' inside a symbol can only come from
+    * a '|' in the source text — fine for a fixture-grade contract).
+    */
+  def tokenize(df: DataFrame, seg: DataFrame,
+               text: String = "text", docId: String = "doc_id"): DataFrame =
+    df.select(col(docId), posexplode(split(col(text), " ")).as(Seq("pos", "word")))
+      .where(length(col("word")) > 0)
+      .join(seg.select(col("word"), col("syms")), "word")
+      .groupBy(docId)
+      .agg(array_sort(collect_list(struct(col("pos"), col("syms")))).as("ps"))
+      .select(col(docId),
+        flatten(transform(col("ps"), p => p.getField("syms"))).as("__toks"))
+      .select(col(docId),
+        size(col("__toks")).cast("long").as("n_bpe_tokens"),
+        concat_ws("|", col("__toks")).as("bpe_tokens"))
 }

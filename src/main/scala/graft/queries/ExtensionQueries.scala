@@ -345,6 +345,16 @@ object ExtensionQueries {
       val (_, seg) = Bpe.train(Bpe.wordFrequencies(docs), k = BPE_MERGES)
       Bpe.tokenCounts(docs, seg)
     }),
+    // Full tokenization: every document's in-order subword stream — the
+    // payload a training/serving pipeline feeds the model. DuckDB rebuilds
+    // the identical stream (ordinality-joined vocabulary lookup, ordered
+    // list aggregate), so the whole segmentation surface is hash-compared,
+    // not just the counts.
+    "x28c_bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (_, seg) = Bpe.train(Bpe.wordFrequencies(docs), k = BPE_MERGES)
+      Bpe.tokenize(docs, seg)
+    }),
     "x17_text_clean" -> ((s, dir) =>
       TextStats.withCleaned(Tables.documents(s, dir))
         .select("doc_id", "clean_text", "n_urls", "n_emails", "n_phones")),
@@ -760,6 +770,20 @@ object ExtensionQueries {
         |SELECT doc_id, n_tokens, bucket,
         |       CAST(floor((cum - 1.0) / 256) AS BIGINT) AS seq_id
         |FROM c""".stripMargin,
+    // In-order subword streams: positions via the same lateral-range
+    // pattern as the training chain (DuckDB has no WITH ORDINALITY),
+    // reassembled with an ordered list aggregate.
+    "x28c_bpe_tokenize" ->
+      s"""WITH ${bpeChainSql(BPE_MERGES)},
+         |dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tok AS (SELECT d.doc_id, d.ws[t.i] AS word, t.i AS pos
+         |        FROM dw d, unnest(range(1, len(d.ws)+1)) AS t(i)
+         |        WHERE len(d.ws[t.i]) > 0)
+         |SELECT t.doc_id,
+         |  CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens,
+         |  array_to_string(flatten(list(s.syms ORDER BY t.pos)), '|') AS bpe_tokens
+         |FROM tok t JOIN s$BPE_MERGES s USING (word)
+         |GROUP BY t.doc_id""".stripMargin,
     // BPE counts feeding the x21 window arithmetic, end to end.
     "x21b_pack_bpe" ->
       s"""WITH ${bpeChainSql(BPE_MERGES)},

@@ -595,6 +595,16 @@ class BpeSpec extends AnyFunSuite {
     assert(syms("aaaa") == Seq("aa", "aa") && syms("aaa") == Seq("aaa"))
   }
 
+  test("bpe: tokenize emits the in-order subword stream") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "abcd xy ab")).toDF("doc_id", "text")
+    val (_, seg) = Bpe.train(Bpe.wordFrequencies(docs), k = 2) // merges: ab, cd
+    val out = Bpe.tokenize(docs.repartition(3), seg).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == (3L, "ab|ab|cd"))
+    // word order survives the join + unordered collect (array_sort on pos)
+    assert(out(2L) == (5L, "ab|cd|x|y|ab"))
+  }
+
   test("bpe: token counts via the vocab join; deterministic under repartition") {
     val docs = Seq((1L, "ab ab cd"), (2L, "abcd")).toDF("doc_id", "text")
     val (_, seg) = Bpe.train(Bpe.wordFrequencies(docs), k = 2)
