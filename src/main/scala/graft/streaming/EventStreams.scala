@@ -68,6 +68,40 @@ object EventStreams {
       .drop("__h")
   }
 
+  /** Streaming ingestion curation: the stateless front half of
+    * [[graft.jobs.CurateJob]] applied to an unbounded document feed —
+    * clean/redact (x17's chain), the within-doc repetition filter (x22),
+    * then the stateful exact-dedup tier ([[dedupAgainstCorpus]]) on the
+    * CLEANED text, mirroring CurateJob's stage order (a doc that cleans
+    * to a corpus doc's cleaned text is the same doc). The corpus side is
+    * cleaned with the same expressions, reduced to one hash row per
+    * distinct cleaned text.
+    *
+    * The clean/repetition stages are pure column expressions, so they run
+    * identically on a batch frame (parity pinned in StreamingSpec); only
+    * the dedup tier is streaming-stateful (watermark-bounded).
+    * Emits the surviving documents with clean_text, redaction counts,
+    * and repetition stats attached.
+    */
+  def curateStream(stream: DataFrame, corpus: DataFrame,
+                   maxDupFraction: Double = 0.3,
+                   text: String = "text",
+                   watermarkDelay: String = "2 hours"): DataFrame = {
+    val kept = repetitionFiltered(stream, maxDupFraction, text)
+    val cleanCorpus = graft.ext.TextStats.withCleaned(corpus, text)
+    dedupAgainstCorpus(kept, cleanCorpus, text = "clean_text",
+      watermarkDelay = watermarkDelay)
+  }
+
+  /** The stateless stage of [[curateStream]], shared verbatim by the
+    * batch-parity test: clean + repetition-score + filter.
+    */
+  def repetitionFiltered(df: DataFrame, maxDupFraction: Double = 0.3,
+                         text: String = "text"): DataFrame =
+    graft.ext.TextStats.withRepetition(
+      graft.ext.TextStats.withCleaned(df, text), text = "clean_text")
+      .where(col("dup_fraction") <= maxDupFraction)
+
   case class Session(userId: Long, nEvents: Long, totalValue: Double,
                      startTs: Timestamp, endTs: Timestamp)
   case class SessionState(n: Long, total: Double, startMs: Long, lastMs: Long)

@@ -88,6 +88,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation: repetitive, corpus-dup, and cleaned-repeat docs drop; fresh prose keeps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, "an existing corpus document about energy markets"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.curateStream(input.toDF().toDF("doc_id", "ts", "text"), corpus)
+      .writeStream.outputMode("append").format("memory").queryName("curate_out").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "a fresh document with http://x.io/a links and unique prose here"),
+        (2L, ts("2024-01-01 10:01:00"), "an existing corpus document about energy markets"), // corpus dup
+        (3L, ts("2024-01-01 10:02:00"), "spam spam spam spam spam spam spam spam spam spam")) // repetitive
+      q.processAllAvailable()
+      // doc 4 differs from doc 1 only by URL — the dedup tier keys on the
+      // CLEANED text, so it drops as a within-stream repeat
+      input.addData(
+        (4L, ts("2024-01-01 10:03:00"), "a fresh document with http://y.io/b links and unique prose here"))
+      q.processAllAvailable()
+      val rows = spark.table("curate_out").collect()
+      assert(rows.map(r => r.getLong(r.fieldIndex("doc_id"))).toSet == Set(1L))
+      val kept = rows.head
+      assert(kept.getString(kept.fieldIndex("clean_text"))
+        == "a fresh document with <URL> links and unique prose here")
+      assert(kept.getLong(kept.fieldIndex("n_urls")) == 1L)
+      // the stateless stage is the SAME function on a batch frame
+      val batch = EventStreams.repetitionFiltered(Seq(
+        (1L, "a fresh document with http://x.io/a links and unique prose here"),
+        (3L, "spam spam spam spam spam spam spam spam spam spam")).toDF("doc_id", "text"))
+      assert(batch.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    } finally q.stop()
+  }
+
   test("streaming and batch sessionization agree on the same events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
