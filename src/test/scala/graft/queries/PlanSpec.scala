@@ -72,6 +72,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("quantized serving: keyed joins only, candidate scoring on the int8 expression") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val q = e.where(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("q_id"),
+        org.apache.spark.sql.functions.col("embedding").as("q_vec"))
+    val p = graft.ext.SimSearch.quantizedTopK(q, e, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("int8dotproduct"), p) // candidate stage scores on codes
+  }
+
   test("cell-blocked near-dup: equi-join on cell, no cartesian, no assignment window") {
     val e = graft.Tables.embeddings(spark, sf)
     val p = graft.ext.SimSearch.nearDupPairsByCell(e, minCos = 0.25)
