@@ -337,8 +337,24 @@ object SimSearch {
                     rerankFactor: Int = 4,
                     nBits: Int = 8, nTables: Int = 16, dim: Int = 64, seed: Long = 42L,
                     qId: String = "q_id", qVec: String = "q_vec",
-                    cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val index = lshIndexQuantized(corpus, nBits, nTables, dim, seed, cId, cVec)
+                    cId: String = "vec_id", cVec: String = "embedding"): DataFrame =
+    quantizedTopKFromIndex(queries,
+      lshIndexQuantized(corpus, nBits, nTables, dim, seed, cId, cVec),
+      corpus, k, rerankFactor, nBits, nTables, dim, seed, qId, qVec, cId, cVec)
+
+  /** Probe a PREBUILT [[lshIndexQuantized]] — the deployment path: the
+    * index is built once (and persisted bucketed by (tbl, bucket), with
+    * [[graft.io.Store.appendBucketed]] maintenance — same layout contract
+    * as [[lshIndex]]), query batches probe it without re-hashing or
+    * re-quantizing the corpus, and only the exact re-rank touches the
+    * primary `corpus` store for float vectors. The (nBits, nTables, dim,
+    * seed) parameters are the index identity and must match build time.
+    */
+  def quantizedTopKFromIndex(queries: DataFrame, index: DataFrame, corpus: DataFrame,
+                             k: Int, rerankFactor: Int = 4,
+                             nBits: Int = 8, nTables: Int = 16, dim: Int = 64, seed: Long = 42L,
+                             qId: String = "q_id", qVec: String = "q_vec",
+                             cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val tables = hyperplanes(nBits * nTables, dim, seed).grouped(nBits).toSeq
     val flips = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
     // queries quantize with their own per-vector scale; multi-probe like

@@ -329,6 +329,21 @@ class SimSearchSpec extends AnyFunSuite {
     assert(dupPairs.contains((0L, 90000L)))
   }
 
+  test("quantized serving: a prebuilt bucketed on-disk index answers like the direct path") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = asSet(SimSearch.quantizedTopK(q, e, k = 3))
+    val store = new graft.io.Store(spark,
+      java.nio.file.Files.createTempDirectory("graft_q_idx").toString)
+    store.writeBucketed(SimSearch.lshIndexQuantized(e), "q_idx", Seq("tbl", "bucket"),
+      buckets = 8)
+    assert(asSet(SimSearch.quantizedTopKFromIndex(
+      q, store.readTable("q_idx"), e, k = 3)) == direct)
+  }
+
   test("int8 dot product: codegen expression equals the interpreted zip_with form") {
     val rnd = new scala.util.Random(7)
     // Seq[Byte], not Array[Byte] — Array[Byte] encodes as BINARY, and the
