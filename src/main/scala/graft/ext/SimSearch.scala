@@ -243,21 +243,40 @@ object SimSearch {
               nCells: Int = 16, nProbe: Int = 8, lloydIters: Int = 2,
               qId: String = "q_id", qVec: String = "q_vec",
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val (cells, centroidDF) = ivfIndex(corpus, nCells, lloydIters, cId, cVec)
+    ivfTopKFromIndex(queries, cells, centroidDF, k, nProbe, qId, qVec, cId, cVec)
+  }
+
+  /** The persistent IVF index: the cell-assigned corpus (persist bucketed
+    * by `cell` — every later probe batch hits co-located cells) and the
+    * tiny centroid table (nCells rows; this pair IS the index identity,
+    * persist them together). Training runs once here; probes never touch
+    * the quantizer again.
+    */
+  def ivfIndex(corpus: DataFrame, nCells: Int = 16, lloydIters: Int = 2,
+               cId: String = "vec_id", cVec: String = "embedding"): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     val centroids = trainCentroids(corpus, nCells, lloydIters, cId, cVec)
-
     // same partitioning-inheritance fix as lshTopK: spread the corpus so
     // cell assignment + candidate dot products use every core
-    val spreadCorpus = spread(corpus, col(cId))
-
-    val cells = spreadCorpus
+    val cells = spread(corpus, col(cId))
       .withColumn("cell", graft.functions.NearestCentroid(col(cVec), centroids))
       .withColumn("__cn", norm(col(cVec)))
-
-    // per-query probe cells: rank centroids by cosine via a broadcast join
     import spark.implicits._
     val centroidDF = centroids.zipWithIndex
       .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq.toDF("cell", "c_vec")
+    (cells, centroidDF)
+  }
+
+  /** Probe a prebuilt [[ivfIndex]]: rank the broadcast centroid table per
+    * query, equi-join the `nProbe` chosen cells against the cell-assigned
+    * corpus, exact-cosine re-rank. The corpus side reads only its probed
+    * cells when the index is persisted bucketed by `cell`.
+    */
+  def ivfTopKFromIndex(queries: DataFrame, cells: DataFrame, centroidDF: DataFrame,
+                       k: Int, nProbe: Int = 8,
+                       qId: String = "q_id", qVec: String = "q_vec",
+                       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val probes = queries.crossJoin(broadcast(centroidDF))
       .withColumn("c_dot", dot(col(qVec), col("c_vec")))
       .withColumn("__pr", row_number().over(

@@ -329,6 +329,21 @@ class SimSearchSpec extends AnyFunSuite {
     assert(dupPairs.contains((0L, 90000L)))
   }
 
+  test("ivf: a prebuilt bucketed on-disk cell index answers like direct ivfTopK") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = asSet(SimSearch.ivfTopK(q, e, k = 3, nCells = 16, nProbe = 4))
+    val (cells, centroids) = SimSearch.ivfIndex(e, nCells = 16)
+    val store = new graft.io.Store(spark,
+      java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString)
+    store.writeBucketed(cells, "ivf_cells", Seq("cell"), buckets = 8)
+    assert(asSet(SimSearch.ivfTopKFromIndex(
+      q, store.readTable("ivf_cells"), centroids, k = 3, nProbe = 4)) == direct)
+  }
+
   test("quantized serving: a prebuilt bucketed on-disk index answers like the direct path") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.where(col("vec_id") < 5)
