@@ -635,6 +635,34 @@ class BpeSpec extends AnyFunSuite {
     assert(out(2L) == (5L, "ab|cd|x|y|ab"))
   }
 
+  test("bpe property: syms concatenate to the word; a driver-side merge replay agrees exactly") {
+    // random 4-letter-alphabet corpus: lots of repeated pairs and
+    // identical-symbol runs, the adversarial case for greedy merging
+    val rnd = new scala.util.Random(11)
+    val words = Seq.fill(60)(Seq.fill(1 + rnd.nextInt(8))("abcd"(rnd.nextInt(4))).mkString)
+    val docs = words.grouped(6).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val (merges, seg) = Bpe.train(Bpe.wordFrequencies(docs), k = 8)
+    assert(merges.nonEmpty)
+    // independent reimplementation of "apply the merge list to one word",
+    // plain Scala, no Spark: greedy left-to-right fold per merge, in rank
+    // order — must reproduce the distributed segmentation symbol-for-symbol
+    def replay(word: String): Seq[String] =
+      merges.sortBy(_.rank).foldLeft(word.map(_.toString): Seq[String]) { (syms, m) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == m.lhs && x == m.rhs)
+            acc.init :+ (m.lhs + m.rhs)
+          else acc :+ x
+        }
+      }
+    val out = seg.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(out.keySet == words.toSet)
+    out.foreach { case (w, syms) =>
+      assert(syms.mkString == w, s"'$w' segmented to $syms — symbols lost content")
+      assert(syms == replay(w), s"'$w': distributed $syms != replay ${replay(w)}")
+    }
+  }
+
   test("bpe: token counts via the vocab join; deterministic under repartition") {
     val docs = Seq((1L, "ab ab cd"), (2L, "abcd")).toDF("doc_id", "text")
     val (_, seg) = Bpe.train(Bpe.wordFrequencies(docs), k = 2)
