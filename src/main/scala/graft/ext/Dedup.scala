@@ -352,6 +352,51 @@ object Dedup {
         when(col("__exact_of").isNull, col("__near_j")).as("jaccard"))
   }
 
+  /** Corpus-level duplicated-SPAN removal — the exact-substring counterpart
+    * of document-level dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022), at word k-gram granularity: a span
+    * is any word k-gram occurring more than once ANYWHERE in the corpus
+    * (across documents or within one), and every word covered by such a
+    * span is removed from the document rather than dropping the whole doc.
+    * Returns one row per input doc: (id, n_words, n_dup_spans, n_covered,
+    * dedup_text) where dedup_text is the input with covered words removed
+    * (word order preserved).
+    *
+    * Scale shape (suffix arrays are the single-machine tool for this; the
+    * distributed shape is shingle counting): explode to (doc, pos, 64-bit
+    * k-gram hash) — one partial-agg'd count groupBy on 8-byte keys, one
+    * semi-join back on the same keys, then one bounded per-doc groupBy
+    * (positions per doc <= doc length, and pretraining docs are length-
+    * bounded upstream). The coverage mask and text rebuild are per-row
+    * array expressions. Nothing all-pairs, nothing driver-side. Spans are
+    * compared by xxhash64, so removal decisions equal string-k-gram
+    * decisions up to hash collisions (~2^-64 per occurrence pair).
+    */
+  def duplicatedSpans(df: DataFrame, k: Int = 8, text: String = "text",
+                      id: String = "doc_id"): DataFrame = {
+    val exploded = spread(df, col(id))
+      .select(col(id), posexplode(shingleHashesAll(col(text), k)).as(Seq("__p0", "__h")))
+      .select(col(id), (col("__p0") + 1).as("__pos"), col("__h"))
+    val dupHashes = exploded.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__cnt")).where(col("__cnt") > 1)
+    // sort_array: collect_list order is partition-dependent, the output isn't
+    val dupPos = exploded.join(dupHashes, Seq("__h"), "left_semi")
+      .groupBy(col(id)).agg(sort_array(collect_list(col("__pos"))).as("__dp"))
+    val ws = split(col(text), " ")
+    val n = size(ws)
+    val dp = coalesce(col("__dp"), array().cast("array<int>"))
+    // covered word indexes (1-based): union of [p, p+k-1] over dup positions
+    val cov = array_distinct(flatten(transform(dp, p => sequence(p, p + (k - 1)))))
+    df.join(dupPos, Seq(id), "left")
+      .select(col(id),
+        n.cast("long").as("n_words"),
+        size(dp).cast("long").as("n_dup_spans"),
+        size(cov).cast("long").as("n_covered"),
+        array_join(
+          transform(array_except(sequence(lit(1), n), cov), j => element_at(ws, j)),
+          " ").as("dedup_text"))
+  }
+
   /** Exact n-gram Jaccard over a length-blocked pair space: only pairs whose
     * `lenCol` differs by <= `tol` are compared (near-duplicates have
     * near-equal lengths). Like [[graft.operators.AsofJoin]], the band

@@ -111,6 +111,45 @@ object Sampling {
       .where(col("cum_tokens") <= budgetTokens)
   }
 
+  /** Temperature-based domain mixing: downsample each stratum so effective
+    * token mass goes as (stratum mass)^alpha — the standard multilingual /
+    * multi-source rebalancing (alpha = 1 keeps natural proportions,
+    * alpha -> 0 equalizes strata). The smallest stratum keeps everything;
+    * stratum s keeps rate (min_tokens / tokens_s)^(1-alpha), decided per
+    * row by the deterministic [[hashUnit]] draw.
+    *
+    * Reproducibility: for the default alpha = 0.5 the rate is computed
+    * with `sqrt`, which IEEE 754 requires to be correctly rounded — the
+    * rate is bit-identical in every engine, so the selected row SET
+    * replays exactly (the basis of the DuckDB oracle). Other alphas go
+    * through `pow`, which is NOT correctly-rounded-guaranteed; a
+    * last-ulp divergence can only flip a row whose 32-bit hash draw sits
+    * within that ulp of the rate, but cross-engine replay is then
+    * near-exact instead of exact.
+    *
+    * Scale shape: same as [[sampleByTokenBudget]] — one partial-agg'd
+    * groupBy to a handful of stratum totals, a global min over that tiny
+    * frame, broadcast back, then a shuffle-free hash-threshold filter.
+    */
+  def sampleByTemperature(df: DataFrame, strataCol: String, tokens: Column,
+                          alpha: Double = 0.5, key: String,
+                          salt: String = "temp"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val totals = df.groupBy(col(strataCol)).agg(sum(tokens).as("__stratum_tokens"))
+    val minTok = totals.agg(min(col("__stratum_tokens")).as("__min_tokens"))
+    val ratio = col("__min_tokens").cast("double") / col("__stratum_tokens").cast("double")
+    val rate =
+      if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 1.0) lit(1.0)
+      else pow(ratio, 1.0 - alpha)
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .join(broadcast(totals), strataCol)
+      .crossJoin(broadcast(minTok))
+      .withColumn("keep_rate", round(rate, 6))
+      .where(hashUnit(col(key), salt) < rate)
+      .drop("__stratum_tokens", "__min_tokens")
+  }
+
   /** Deterministic train/val/test split label per row: hash in [0,
     * trainFrac) -> train, [trainFrac, trainFrac+valFrac) -> val, rest ->
     * test. A document keeps its split across re-runs and clusters — the

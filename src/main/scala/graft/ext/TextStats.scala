@@ -92,6 +92,38 @@ object TextStats {
       .withColumn("quality_score", round(lenSat * ttr, 6))
   }
 
+  /** Rule-based document quality filter in the style of the Gopher rules
+    * (Rae et al. 2021, table A1): hard keep/drop flags from cheap document
+    * statistics, each rule reported separately so a curation pipeline can
+    * audit WHICH rule fired before the AND-ed `keep` decision drops a doc.
+    * Rules (adapted to a whitespace corpus): word count in [minWords,
+    * maxWords], mean word length in [3, 10], max word length <= 20, and an
+    * English stopword hit ratio >= 0.02 (the "contains common function
+    * words" rule). Pure per-row column expressions — shuffle-free, linear,
+    * whole-stage-codegen'd; every threshold compares exact int/int
+    * division so the flags replay bit-identically cross-engine.
+    */
+  def withQualityRules(df: DataFrame, text: String = "text",
+                       minWords: Int = 30, maxWords: Int = 1000): DataFrame = {
+    val t = terms(col(text))
+    val nTerms = size(t).cast("double")
+    val meanLen = aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      greatest(nTerms, lit(1.0))
+    val maxLen = array_max(transform(t, w => length(w)))
+    val stopRatio = stopwordRatio(col(text), "en")
+    df.withColumn("n_words", size(t).cast("long"))
+      .withColumn("mean_word_len", round(meanLen, 6))
+      .withColumn("max_word_len", maxLen.cast("long"))
+      .withColumn("ok_n_words",
+        (size(t) >= minWords && size(t) <= maxWords).cast("long"))
+      .withColumn("ok_word_len", (meanLen >= 3.0 && meanLen <= 10.0).cast("long"))
+      .withColumn("ok_max_len", (maxLen <= 20).cast("long"))
+      .withColumn("ok_stopwords", (stopRatio >= 0.02).cast("long"))
+      .withColumn("keep",
+        (col("ok_n_words") === 1 && col("ok_word_len") === 1 &&
+          col("ok_max_len") === 1 && col("ok_stopwords") === 1).cast("long"))
+  }
+
   /** Corpus term frequencies: (term, tf, df). One shuffle, partial-agg'd. */
   def termFrequencies(df: DataFrame, text: String = "text", docId: String = "doc_id"): DataFrame =
     df.select(col(docId), explode(terms(col(text))).as("term"))

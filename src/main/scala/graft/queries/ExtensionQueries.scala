@@ -149,6 +149,15 @@ object ExtensionQueries {
         lenCol = "n_chars", tol = 16, minJaccard = 0.5)
     }),
 
+    // Duplicated-SPAN removal (word 8-gram granularity): spans occurring
+    // more than once anywhere in the corpus are cut out of every document
+    // (Lee et al. 2022's exact-substring dedup, shingle-count formulation).
+    // DuckDB replays the whole decision — occurrence counting, coverage
+    // union, and the rebuilt text — over string 8-grams (hash-collision-
+    // equal to the Spark side's xxhash64 spans).
+    "x29_span_dedup" -> ((s, dir) =>
+      Dedup.duplicatedSpans(Tables.documents(s, dir), k = 8)),
+
     // ---- similarity search ------------------------------------------------
     "x6_ann_brute" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -355,6 +364,13 @@ object ExtensionQueries {
       val (_, seg) = Bpe.train(Bpe.wordFrequencies(docs), k = BPE_MERGES)
       Bpe.tokenize(docs, seg)
     }),
+    // Gopher-style rule filter: per-rule audit flags + the AND-ed keep
+    // decision; every threshold is exact int/int arithmetic, so DuckDB
+    // replays the full flag surface bit-identically.
+    "x30_quality_rules" -> ((s, dir) =>
+      TextStats.withQualityRules(Tables.documents(s, dir))
+        .select("doc_id", "n_words", "mean_word_len", "max_word_len",
+          "ok_n_words", "ok_word_len", "ok_max_len", "ok_stopwords", "keep")),
     "x17_text_clean" -> ((s, dir) =>
       TextStats.withCleaned(Tables.documents(s, dir))
         .select("doc_id", "clean_text", "n_urls", "n_emails", "n_phones")),
@@ -435,6 +451,14 @@ object ExtensionQueries {
       Sampling.sampleByTokenBudget(Tables.documents(s, dir), "source",
         TextStats.tokenCount(col("text")), budgetTokens = 500.0, key = "doc_id")
         .select("doc_id", "source", "n_tokens")),
+    // Temperature mixing (alpha = 0.5): per-source keep rates
+    // sqrt(min_tokens / source_tokens) — sqrt is IEEE-correctly-rounded,
+    // so the rate doubles and therefore the selected row SET replay
+    // bit-identically in DuckDB.
+    "x31_temperature_mix" -> ((s, dir) =>
+      Sampling.sampleByTemperature(Tables.documents(s, dir), "source",
+        TextStats.tokenCount(col("text")), alpha = 0.5, key = "doc_id")
+        .select("doc_id", "source", "n_tokens", "keep_rate")),
     // Hard-cap variant: per-stratum cumsum over the hash order, keep while
     // the inclusive total stays <= 500 — the selection can never exceed
     // the budget. DuckDB replays the hash order, the ROWS-frame window,
@@ -984,6 +1008,72 @@ object ExtensionQueries {
       """SELECT COUNT(*) AS n_docs, COUNT(*) AS n_min_le_max,
         |  COUNT(DISTINCT text) AS n_texts, COUNT(DISTINCT text) AS n_text_fp
         |FROM documents""".stripMargin,
+    // Span dedup replayed over string 8-grams: occurrence counts, per-doc
+    // duplicated positions, interval-union coverage, and the rebuilt text.
+    // Positions are 1-based on both sides; DuckDB range(a,b) = [a, b).
+    "x29_span_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |             len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |g AS (SELECT doc_id, t.j AS pos, array_to_string(ws[t.j:t.j+7], ' ') AS sh
+        |      FROM w, unnest(range(1, n - 6)) AS t(j)),
+        |c AS (SELECT sh FROM g GROUP BY sh HAVING COUNT(*) > 1),
+        |dp AS (SELECT doc_id, list(pos ORDER BY pos) AS ps
+        |       FROM g JOIN c USING (sh) GROUP BY doc_id),
+        |j AS (SELECT w.doc_id, w.ws, w.n, COALESCE(dp.ps, CAST([] AS BIGINT[])) AS ps
+        |      FROM w LEFT JOIN dp USING (doc_id)),
+        |v AS (SELECT doc_id, ws, n, ps,
+        |        list_distinct(flatten(list_transform(ps, p -> range(p, p + 8)))) AS cov
+        |      FROM j)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+        |  CAST(len(ps) AS BIGINT) AS n_dup_spans,
+        |  CAST(len(cov) AS BIGINT) AS n_covered,
+        |  COALESCE(array_to_string(
+        |    [ws[k] for k in range(1, n + 1) if NOT list_contains(cov, k)], ' '), '') AS dedup_text
+        |FROM v""".stripMargin,
+    // Gopher-style rule flags: every threshold is int/int arithmetic,
+    // replayed exactly; the stopword list is generated from the same map
+    // the Spark side reads.
+    "x30_quality_rules" -> {
+      val set = TextStats.stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |q AS (SELECT doc_id,
+         |        len(ws) AS nw,
+         |        CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+         |          / greatest(len(ws), 1.0) AS ml,
+         |        list_max(list_transform(ws, w -> len(w))) AS xl,
+         |        CAST(len(list_filter(ws, w -> w IN ($set))) AS DOUBLE)
+         |          / greatest(len(ws), 1) AS sr
+         |      FROM w)
+         |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+         |  ROUND(ml, 6) AS mean_word_len,
+         |  CAST(xl AS BIGINT) AS max_word_len,
+         |  CAST(nw >= 30 AND nw <= 1000 AS BIGINT) AS ok_n_words,
+         |  CAST(ml >= 3.0 AND ml <= 10.0 AS BIGINT) AS ok_word_len,
+         |  CAST(xl <= 20 AS BIGINT) AS ok_max_len,
+         |  CAST(sr >= 0.02 AS BIGINT) AS ok_stopwords,
+         |  CAST(nw >= 30 AND nw <= 1000 AND ml >= 3.0 AND ml <= 10.0
+         |       AND xl <= 20 AND sr >= 0.02 AS BIGINT) AS keep
+         |FROM q""".stripMargin
+    },
+    // Temperature mixing: token totals, the sqrt rate (correctly-rounded
+    // IEEE, bit-identical cross-engine), and the md5 keep decisions.
+    "x31_temperature_mix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |t AS (SELECT source, SUM(n_tokens) AS tot FROM toks GROUP BY source),
+        |m AS (SELECT MIN(tot) AS mn FROM t),
+        |r AS (SELECT source, sqrt(CAST(mn AS DOUBLE) / CAST(tot AS DOUBLE)) AS rate
+        |      FROM t CROSS JOIN m),
+        |u AS (SELECT toks.*,
+        |        CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|temp')), 1, 8)) AS BIGINT)
+        |          / 4294967296.0 AS u
+        |      FROM toks)
+        |SELECT u.doc_id, u.source, u.n_tokens, ROUND(r.rate, 6) AS keep_rate
+        |FROM u JOIN r USING (source)
+        |WHERE u.u < r.rate""".stripMargin,
     // Duplicate-shingle fraction over string shingles — equal to the
     // hashed-shingle fraction up to xxhash64 collisions; same slice
     // comprehension as x3's CTE minus the distinct.

@@ -141,6 +141,32 @@ class DedupSpec extends AnyFunSuite {
     assert(out(12L) == (("keep", -1L, false)))
     assert(out.size == 3) // one decision per batch doc, corpus not echoed
   }
+
+  test("duplicatedSpans: corpus-repeated 8-grams cut from every doc, word order kept") {
+    val run = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, s"$run alpha beta"),          // run at pos 1 -> words 1-8 covered
+      (2L, s"zz $run yy"),               // run at pos 2 -> words 2-9 covered
+      (3L, (1 to 10).map(i => s"u$i").mkString(" ")), // all unique, untouched
+      (4L, "short doc"),                 // < 8 words: no spans, untouched
+      (5L, s"$run $run")                 // internal repeat: fully covered
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(df, k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((10L, 1L, 8L, "alpha beta")))
+    assert(out(2L) == ((10L, 1L, 8L, "zz yy")))
+    assert(out(3L) == ((10L, 0L, 0L, (1 to 10).map(i => s"u$i").mkString(" "))))
+    assert(out(4L) == ((2L, 0L, 0L, "short doc")))
+    // doc 5: the 8-grams at pos 1 and 9 are both `run` (a WITHIN-doc
+    // repeat); their spans [1,8] and [9,16] tile the doc, so every word
+    // goes even though the 7 straddling 8-grams are unique
+    assert(out(5L) == ((16L, 2L, 16L, "")))
+    // decisions are partition-independent
+    val again = Dedup.duplicatedSpans(df.repartition(7), k = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(again == out.map { case (k, v) => k -> v._4 })
+  }
 }
 
 class PackingSpec extends AnyFunSuite {
@@ -501,6 +527,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == kept.map(_._1).toSet)
   }
 
+  test("temperature mixing: smallest stratum keeps all; alpha=0.5 lands near sqrt mass") {
+    // big: 500 x 10 = 5000 tokens, small: 5 x 10 = 50 -> rate_big =
+    // sqrt(50/5000) = 0.1, expected kept big mass = sqrt(50 * 5000) = 500
+    val df = ((0L until 500L).map(i => (i, "big", Seq.fill(10)("w").mkString(" "))) ++
+      (500L until 505L).map(i => (i, "small", Seq.fill(10)("w").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val kept = Sampling.sampleByTemperature(df, "source",
+      TextStats.tokenCount(col("text")), alpha = 0.5, key = "doc_id")
+      .select("doc_id", "source", "n_tokens", "keep_rate").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(kept.count(_._2 == "small") == 5)              // rate exactly 1.0
+    assert(kept.filter(_._2 == "small").forall(_._4 == 1.0))
+    assert(kept.filter(_._2 == "big").forall(_._4 == 0.1)) // sqrt(0.01) exact
+    val bigTokens = kept.filter(_._2 == "big").map(_._3).sum
+    assert(bigTokens > 250 && bigTokens < 750, s"kept $bigTokens of expected ~500")
+    // alpha = 1.0 is natural proportions: everything kept
+    val natural = Sampling.sampleByTemperature(df, "source",
+      TextStats.tokenCount(col("text")), alpha = 1.0, key = "doc_id")
+    assert(natural.count() == 505L)
+    // deterministic under a different partition layout
+    val again = Sampling.sampleByTemperature(df.repartition(7), "source",
+      TextStats.tokenCount(col("text")), alpha = 0.5, key = "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
   test("split: exhaustive, exclusive, stable under re-evaluation") {
     val s1 = Sampling.withSplit(docs, "doc_id", 0.8, 0.1)
       .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -765,6 +817,28 @@ class TextStatsSpec extends AnyFunSuite {
     val sharedScore = TextStats.topTfidfTerms(df, k = 3)
       .where(col("term") === "shared").select("tfidf").collect().map(_.getDouble(0))
     assert(sharedScore.forall(_ == 0.0))
+  }
+
+  test("quality rules: each Gopher-style flag fires on exactly its violation") {
+    val good = "the quick brown fox jumps over a lazy dog near the old stone bridge " +
+      "while birds sing in the warm morning light and children play for hours on " +
+      "the green grass by the river bank today" // 37 words, stopwords present
+    val df = Seq(
+      (1L, good),
+      (2L, "the short doc with a few words only"),            // 8 words < 30
+      (3L, good + " supercalifragilisticexpialidocious"),     // 34-char word
+      (4L, (1 to 35).map(_ => "xx").mkString(" ")),           // mean len 2 < 3, no stopwords
+      (5L, (1 to 35).map(i => s"unique$i").mkString(" "))     // no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextStats.withQualityRules(df)
+      .select("doc_id", "ok_n_words", "ok_word_len", "ok_max_len", "ok_stopwords", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) == ((1L, 1L, 1L, 1L, 1L)))
+    assert(out(2L) == ((0L, 1L, 1L, 1L, 0L)))
+    assert(out(3L)._3 == 0L && out(3L)._5 == 0L)
+    assert(out(4L) == ((1L, 0L, 1L, 0L, 0L)))
+    assert(out(5L) == ((1L, 1L, 1L, 0L, 0L)))
   }
 
   test("fingerprint: identical normalized texts collide; different texts don't") {

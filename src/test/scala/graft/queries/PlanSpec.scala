@@ -100,4 +100,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("span dedup: keyed count + semi-join on span hashes, no all-pairs, no window") {
+    val p = plan("x29_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-doc positions aggregate is map-side combined (partial), and
+    // the coverage mask is per-row expressions — no Window operator
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("temperature mixing: broadcast rate, no window, map-side decisions") {
+    val p = plan("x31_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
