@@ -206,6 +206,67 @@ object TextStats {
       .select(col(docId), col("term"), col("tf"), col("df"), col("tfidf"), col("rk"))
   }
 
+  /** Per-document negative log-likelihood under the corpus's OWN unigram
+    * LM — the distributed form of perplexity-based quality filtering
+    * (CCNet, Wenzek et al. 2020, with a unigram model in place of KenLM):
+    * documents made of corpus-typical words score low, gibberish and
+    * off-distribution text score high. Returns (docId, n_tokens,
+    * nll_total) with nll_total = Σ round(-ln(tf_w / T), 6) over the doc's
+    * tokens, re-rounded after the sum.
+    *
+    * Cross-engine exactness: each token's logprob is rounded to 6 decimals
+    * BEFORE summing, so both engines sum the same multiples of 1e-6 — a
+    * sum of such multiples can never sit on a rounding boundary, and the
+    * final round snaps away summation-order ulps (the x25 ROUND(SUM)
+    * rule). The mean is deliberately NOT emitted: sum/n CAN terminate
+    * exactly on a boundary where a 1-ulp divergence flips the digit.
+    *
+    * Scale shape: one explode; the LM (term -> tf) is one partial-agg'd
+    * shuffle over the same exploded frame (lazily checkpointed — two
+    * consumers, one explode); T is a one-row broadcast; then a keyed join
+    * and a per-doc partial-agg'd sum. No driver state, nothing all-pairs.
+    */
+  def unigramNll(df: DataFrame, text: String = "text", docId: String = "doc_id"): DataFrame = {
+    val toks = df.select(col(docId), explode(terms(col(text))).as("term"))
+      .localCheckpoint(false)
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("__tf"))
+    val total = tf.agg(sum(col("__tf")).as("__T"))
+    toks.join(tf, "term").crossJoin(broadcast(total))
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(round(-log(col("__tf") / col("__T")), 6)), 6).as("nll_total"))
+  }
+
+  /** Per-source KL divergence from the whole-corpus unigram distribution —
+    * the domain-shift diagnostic a mixing pipeline reads next to the x25
+    * volume report: D(source ‖ corpus) = Σ_w p_s(w) · ln(p_s(w)/p_c(w)),
+    * 0 for a source that looks like the corpus, growing as its vocabulary
+    * usage diverges. Always finite: every source term has corpus support
+    * by construction. Same round-before-sum discipline as [[unigramNll]].
+    *
+    * Scale shape: two partial-agg'd shuffles over one explode (per-source
+    * term counts; corpus counts derived from them), a broadcast of the
+    * per-source totals, one keyed join on term, one final partial-agg per
+    * source. Vocabulary-sized frames everywhere after the first agg.
+    */
+  def sourceDivergence(df: DataFrame, source: String = "source",
+                       text: String = "text"): DataFrame = {
+    val st = df.select(col(source), explode(terms(col(text))).as("term"))
+      .groupBy(col(source), col("term")).agg(count(lit(1)).as("__stf"))
+      .localCheckpoint(false)
+    val ct = st.groupBy("term").agg(sum(col("__stf")).as("__ctf"))
+    val stot = st.groupBy(col(source)).agg(sum(col("__stf")).as("__sT"))
+    val ctot = ct.agg(sum(col("__ctf")).as("__cT"))
+    val ps = col("__stf") / col("__sT")
+    val pc = col("__ctf") / col("__cT")
+    st.join(ct, "term")
+      .join(broadcast(stot), source)
+      .crossJoin(broadcast(ctot))
+      .groupBy(col(source))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(round(ps * log(ps / pc), 6)), 6).as("kl_divergence"))
+  }
+
   /** Within-document repetition stats — the standard duplicate-n-gram
     * quality filter for a pretraining corpus (boilerplate, chat spam, and
     * template text repeat whole phrases; prose doesn't): the fraction of

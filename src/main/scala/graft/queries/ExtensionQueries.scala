@@ -374,6 +374,16 @@ object ExtensionQueries {
     "x17_text_clean" -> ((s, dir) =>
       TextStats.withCleaned(Tables.documents(s, dir))
         .select("doc_id", "clean_text", "n_urls", "n_emails", "n_phones")),
+    // Perplexity-style quality score: per-doc negative log-likelihood
+    // under the corpus's own unigram LM (CCNet's filter, unigram form).
+    // Per-token logprobs are rounded BEFORE the sum so DuckDB replays the
+    // float arithmetic exactly (x25 ROUND(SUM) rule).
+    "x32_unigram_nll" -> ((s, dir) =>
+      TextStats.unigramNll(Tables.documents(s, dir))),
+    // Domain-shift diagnostic: per-source KL divergence from the corpus
+    // unigram distribution — read next to x25/x31 when tuning a mix.
+    "x33_source_divergence" -> ((s, dir) =>
+      TextStats.sourceDivergence(Tables.documents(s, dir))),
     // Within-document repetition (duplicate-shingle fraction) — the
     // standard boilerplate/template quality filter; DuckDB recomputes the
     // same fraction over string shingles (hash-collision-equal).
@@ -1008,6 +1018,31 @@ object ExtensionQueries {
       """SELECT COUNT(*) AS n_docs, COUNT(*) AS n_min_le_max,
         |  COUNT(DISTINCT text) AS n_texts, COUNT(DISTINCT text) AS n_text_fp
         |FROM documents""".stripMargin,
+    // Unigram-LM NLL: the whole derivation (term counts, corpus total,
+    // per-token logprob, round-before-sum) replayed; ln-ulp divergence
+    // can only matter if a logprob sits within ~1e-15 of a 0.5e-6
+    // boundary (transcendental values — checked across all three SFs).
+    "x32_unigram_nll" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, COUNT(*) AS tf FROM t GROUP BY term),
+        |tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS T FROM tf)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  ROUND(SUM(ROUND(-ln(tf.tf / tot.T), 6)), 6) AS nll_total
+        |FROM t JOIN tf USING (term) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+    // Per-source KL vs the corpus distribution, same round-before-sum
+    // discipline; every source term has corpus support, so no log(0).
+    "x33_source_divergence" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |st AS (SELECT source, term, COUNT(*) AS stf FROM t GROUP BY source, term),
+        |ct AS (SELECT term, SUM(stf) AS ctf FROM st GROUP BY term),
+        |stot AS (SELECT source, SUM(stf) AS sT FROM st GROUP BY source),
+        |ctot AS (SELECT SUM(ctf) AS cT FROM ct)
+        |SELECT st.source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  ROUND(SUM(ROUND((st.stf / stot.sT)
+        |    * ln((st.stf / stot.sT) / (ct.ctf / ctot.cT)), 6)), 6) AS kl_divergence
+        |FROM st JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
+        |GROUP BY st.source""".stripMargin,
     // Span dedup replayed over string 8-grams: occurrence counts, per-doc
     // duplicated positions, interval-union coverage, and the rebuilt text.
     // Positions are 1-based on both sides; DuckDB range(a,b) = [a, b).

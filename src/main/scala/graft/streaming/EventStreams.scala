@@ -102,6 +102,21 @@ object EventStreams {
       graft.ext.TextStats.withCleaned(df, text), text = "clean_text")
       .where(col("dup_fraction") <= maxDupFraction)
 
+  /** Stateless Gopher-rule quality gate for an unbounded feed: x30's
+    * per-rule flags computed over the CLEANED text, keeping only rows
+    * that pass every rule (the flags ride along for downstream auditing).
+    * Pure column expressions — no watermark, no state, and therefore
+    * byte-identical on a batch frame (parity pinned in StreamingSpec);
+    * composes before [[dedupAgainstCorpus]] the same way
+    * [[repetitionFiltered]] does.
+    */
+  def qualityFiltered(df: DataFrame, text: String = "text",
+                      minWords: Int = 30, maxWords: Int = 1000): DataFrame =
+    graft.ext.TextStats.withQualityRules(
+      graft.ext.TextStats.withCleaned(df, text), text = "clean_text",
+      minWords = minWords, maxWords = maxWords)
+      .where(col("keep") === 1)
+
   case class Session(userId: Long, nEvents: Long, totalValue: Double,
                      startTs: Timestamp, endTs: Timestamp)
   case class SessionState(n: Long, total: Double, startMs: Long, lastMs: Long)

@@ -819,6 +819,39 @@ class TextStatsSpec extends AnyFunSuite {
     assert(sharedScore.forall(_ == 0.0))
   }
 
+  test("unigramNll: corpus-typical docs score lower than rare-word docs") {
+    val df = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common common"),
+      (3L, "common common common common"),
+      (4L, "rare1 rare2 rare3 rare4")
+    ).toDF("doc_id", "text")
+    val out = TextStats.unigramNll(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // 'common' has p = 12/16 -> -ln = 0.287682; each rare word p = 1/16
+    assert(out(1L)._1 == 4L)
+    assert(math.abs(out(1L)._2 - 4 * 0.287682) < 1e-9)
+    assert(out(4L)._2 > out(1L)._2 * 5) // rare-word doc is far less likely
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    // partition-layout independent (round-before-sum kills order ulps)
+    val again = TextStats.unigramNll(df.repartition(3))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == out.map { case (k, v) => k -> v._2 })
+  }
+
+  test("sourceDivergence: corpus-like source scores ~0, skewed source higher") {
+    // corpus mix is x:y = 12:4; srcA (50/50) sits closer to it than the
+    // all-x srcB: KL(a) = 0.5·ln(4/3), KL(b) = ln(4/3) — b doubles a
+    val df = Seq(
+      (1L, "a", "x y x y"), (2L, "a", "y x y x"),
+      (3L, "b", "x x x x"), (4L, "b", "x x x x")
+    ).toDF("doc_id", "source", "text")
+    val out = TextStats.sourceDivergence(df)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("a")._1 == 2L && out("b")._1 == 1L) // distinct terms per source
+    assert(out("a")._2 >= 0.0 && out("b")._2 > out("a")._2)
+  }
+
   test("quality rules: each Gopher-style flag fires on exactly its violation") {
     val good = "the quick brown fox jumps over a lazy dog near the old stone bridge " +
       "while birds sing in the warm morning light and children play for hours on " +

@@ -121,6 +121,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality gate: rule-failing docs drop mid-stream, batch-identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over a lazy dog near the old stone " +
+      "bridge while birds sing in the warm morning light and children play for " +
+      "hours on the green grass by the river bank today"
+    val bad = "too short to pass the word count rule"
+    val rows = Seq((1L, ts("2024-01-01 10:00:00"), good),
+      (2L, ts("2024-01-01 10:01:00"), bad))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.qualityFiltered(input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("qual_out").start()
+    val streamed = try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      spark.table("qual_out").collect()
+        .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("keep"))))
+    } finally q.stop()
+    assert(streamed.toSeq == Seq((1L, 1L)))
+    // the same function on a batch frame selects the same rows
+    val batch = EventStreams.qualityFiltered(
+      rows.toDF("doc_id", "ts", "text")).select("doc_id").collect().map(_.getLong(0))
+    assert(batch.toSeq == Seq(1L))
+  }
+
   test("streaming and batch sessionization agree on the same events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
