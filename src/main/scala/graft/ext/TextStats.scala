@@ -98,19 +98,24 @@ object TextStats {
     * audit WHICH rule fired before the AND-ed `keep` decision drops a doc.
     * Rules (adapted to a whitespace corpus): word count in [minWords,
     * maxWords], mean word length in [3, 10], max word length <= 20, and an
-    * English stopword hit ratio >= 0.02 (the "contains common function
-    * words" rule). Pure per-row column expressions — shuffle-free, linear,
-    * whole-stage-codegen'd; every threshold compares exact int/int
-    * division so the flags replay bit-identically cross-engine.
+    * stopword hit ratio >= 0.02 in `stopwordLang` (the "contains common
+    * function words" rule; pass None for a multilingual corpus — the flag
+    * pins to 1 so `keep` stays the AND of all four flags). Pure per-row
+    * column expressions — shuffle-free, linear, whole-stage-codegen'd;
+    * every threshold compares exact int/int division so the flags replay
+    * bit-identically cross-engine.
     */
   def withQualityRules(df: DataFrame, text: String = "text",
-                       minWords: Int = 30, maxWords: Int = 1000): DataFrame = {
+                       minWords: Int = 30, maxWords: Int = 1000,
+                       stopwordLang: Option[String] = Some("en")): DataFrame = {
     val t = terms(col(text))
     val nTerms = size(t).cast("double")
     val meanLen = aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") /
       greatest(nTerms, lit(1.0))
     val maxLen = array_max(transform(t, w => length(w)))
-    val stopRatio = stopwordRatio(col(text), "en")
+    val stopOk = stopwordLang
+      .map(l => (stopwordRatio(col(text), l) >= 0.02).cast("long"))
+      .getOrElse(lit(1L))
     df.withColumn("n_words", size(t).cast("long"))
       .withColumn("mean_word_len", round(meanLen, 6))
       .withColumn("max_word_len", maxLen.cast("long"))
@@ -118,7 +123,7 @@ object TextStats {
         (size(t) >= minWords && size(t) <= maxWords).cast("long"))
       .withColumn("ok_word_len", (meanLen >= 3.0 && meanLen <= 10.0).cast("long"))
       .withColumn("ok_max_len", (maxLen <= 20).cast("long"))
-      .withColumn("ok_stopwords", (stopRatio >= 0.02).cast("long"))
+      .withColumn("ok_stopwords", stopOk)
       .withColumn("keep",
         (col("ok_n_words") === 1 && col("ok_word_len") === 1 &&
           col("ok_max_len") === 1 && col("ok_stopwords") === 1).cast("long"))

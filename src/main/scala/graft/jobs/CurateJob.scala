@@ -14,6 +14,8 @@ case class CurateParams(
     tol: Int = 16,
     minJaccard: Double = 0.5,
     maxDupFraction: Double = 0.3,
+    minWords: Int = 10,
+    maxWords: Int = 100000,
     trainFrac: Double = 0.8,
     valFrac: Double = 0.1,
     budgetTokens: Double = 500.0,
@@ -29,13 +31,15 @@ case class CurateParams(
   * scan -> delta -> derive -> dedup -> sink
   * (`data_engineering/data_engineering.py:100-132`):
   *
-  *   clean (x17) -> repetition filter (x22) -> incremental dedup vs the
+  *   clean (x17) -> repetition filter (x22) -> Gopher-rule quality gate
+  *   (x30, structural rules only — the stopword rule is language-specific
+  *   and a curation corpus is multilingual) -> incremental dedup vs the
   *   existing TRAIN corpus (x20) -> decontaminate vs the held-out EVAL
   *   split (x19/x16) -> token-budget mix (x23) -> sequence packing (x21)
   *
   * plus a per-source report (x25 shape) over the outcome. Output is one
   * DECISION row per incoming doc: the first pipeline stage that drops it
-  * (`drop_repetition` | `drop_exact` | `drop_neardup` |
+  * (`drop_repetition` | `drop_quality` | `drop_exact` | `drop_neardup` |
   * `drop_contaminated` | `drop_budget`) or `keep` with its packed
   * (bucket, seq_id). Every stage is hash-deterministic, so the whole
   * frame is replayable cross-engine (the x27 oracle).
@@ -52,7 +56,7 @@ case class CurateParams(
   * `nBuckets` parallel windows. The corpus is deliberately NOT
   * checkpointed — its two consumers (train/eval) re-run only a map-side
   * regex scan each, cheaper at 100 TB than materializing the cleaned
-  * corpus. The bounded batch IS lazily checkpointed: five decision
+  * corpus. The bounded batch IS lazily checkpointed: six decision
   * branches re-read it.
   */
 object CurateJob {
@@ -95,13 +99,21 @@ object CurateJob {
     val dropRep = rep.where(col("dup_fraction") > p.maxDupFraction)
     val repKept = rep.where(col("dup_fraction") <= p.maxDupFraction)
 
+    // ---- stage 1b: structural quality gate (x30, per-doc, shuffle-free) -
+    val qual = TextStats.withQualityRules(repKept, "clean_text",
+      p.minWords, p.maxWords, stopwordLang = None)
+    val dropQual = qual.where(col("keep") === 0)
+    val qualKept = qual.where(col("keep") === 1)
+      .drop("n_words", "mean_word_len", "max_word_len",
+        "ok_n_words", "ok_word_len", "ok_max_len", "ok_stopwords", "keep")
+
     // ---- stage 2: incremental dedup vs the train corpus (x20) -----------
-    val dedup = Dedup.incrementalDedup(repKept, trainCorpus,
+    val dedup = Dedup.incrementalDedup(qualKept, trainCorpus,
       lenCol = "n_clean_chars", tol = p.tol, minJaccard = p.minJaccard,
       text = "clean_text").localCheckpoint(false)
     val dropDup = dedup.where(col("action") =!= "keep")
-      .join(repKept.select("doc_id", "source", "n_tokens"), "doc_id")
-    val dedupKept = repKept.join(
+      .join(qualKept.select("doc_id", "source", "n_tokens"), "doc_id")
+    val dedupKept = qualKept.join(
       dedup.where(col("action") === "keep").select("doc_id"), Seq("doc_id"), "left_semi")
 
     // ---- stage 3: decontaminate vs the eval split (x19 target set) ------
@@ -130,6 +142,7 @@ object CurateJob {
       p.maxSeqTokens, p.nBuckets, key = "doc_id", salt = p.packSalt)
 
     branch(dropRep, lit("drop_repetition"))
+      .unionByName(branch(dropQual, lit("drop_quality")))
       .unionByName(branch(dropDup, col("action"),
         dupOf = col("dup_of"), jaccard = col("jaccard")))
       .unionByName(branch(dropContam, lit("drop_contaminated"),
@@ -147,7 +160,7 @@ object CurateJob {
     def n(a: String) = sum((col("action") === a).cast("long")).as(s"n_$a")
     decisions.groupBy("source").agg(
       count(lit(1)).as("n_in"),
-      n("drop_repetition"), n("drop_exact"), n("drop_neardup"),
+      n("drop_repetition"), n("drop_quality"), n("drop_exact"), n("drop_neardup"),
       n("drop_contaminated"), n("drop_budget"),
       sum((col("action") === "keep").cast("long")).as("n_kept"),
       sum(when(col("action") === "keep", col("n_tokens")).otherwise(0L))

@@ -527,9 +527,11 @@ object ExtensionQueries {
     s"[array_to_string($ws[i:i+2], ' ') for i in range(1, len($ws)-1)]"
 
   /** The whole CurateJob composition replayed in DuckDB (default
-    * CurateParams: tol 16, J >= 0.5, dup_fraction <= 0.3, eval = hash
-    * split u >= 0.9, budget 500 tokens/source, 256-token/8-bucket
-    * packing). Stage CTEs mirror the x17/x22/x20/x19/x23/x21 oracles.
+    * CurateParams: tol 16, J >= 0.5, dup_fraction <= 0.3, structural
+    * quality rules [10, 100000] words / mean len [3, 10] / max len <= 20,
+    * eval = hash split u >= 0.9, budget 500 tokens/source,
+    * 256-token/8-bucket packing). Stage CTEs mirror the
+    * x17/x22/x30/x20/x19/x23/x21 oracles.
     */
   private lazy val x27Sql: String =
     s"""WITH cl AS (
@@ -541,8 +543,14 @@ object ExtensionQueries {
        |         ELSE 1.0 - CAST(len(list_distinct(sha)) AS DOUBLE) / len(sha) END, 6) AS dupf
        |       FROM (SELECT *, ${duckShingles("ws")} AS sha
        |             FROM c2 WHERE doc_id % 7 = 0)),
-       |rk AS (SELECT doc_id, source, ct, nc, nt, list_distinct(sha) AS sh
+       |rq AS (SELECT *,
+       |         CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+       |           / greatest(len(ws), 1.0) AS ml,
+       |         list_max(list_transform(ws, w -> len(w))) AS xl
        |       FROM rd WHERE dupf <= 0.3),
+       |rk AS (SELECT doc_id, source, ct, nc, nt, list_distinct(sha) AS sh
+       |       FROM rq WHERE nt >= 10 AND nt <= 100000
+       |         AND ml >= 3.0 AND ml <= 10.0 AND xl <= 20),
        |co AS (SELECT *, ${duckHashUnit("doc_id", "split")} AS su
        |       FROM c2 WHERE doc_id % 7 <> 0),
        |tc AS (SELECT * FROM co WHERE su < 0.9),
@@ -597,6 +605,10 @@ object ExtensionQueries {
        |       nt AS n_tokens, CAST(NULL AS BIGINT) AS bucket,
        |       CAST(NULL AS BIGINT) AS seq_id
        |FROM rd WHERE dupf > 0.3
+       |UNION ALL
+       |SELECT doc_id, source, 'drop_quality', NULL, NULL, nt, NULL, NULL
+       |FROM rq WHERE NOT (nt >= 10 AND nt <= 100000
+       |  AND ml >= 3.0 AND ml <= 10.0 AND xl <= 20)
        |UNION ALL
        |SELECT d.doc_id, rk.source, d.action, d.dup_of, d.j, rk.nt, NULL, NULL
        |FROM ded d JOIN rk ON d.doc_id = rk.doc_id WHERE d.action <> 'keep'
@@ -1003,6 +1015,7 @@ object ExtensionQueries {
     "x27b_curate_report" ->
       s"""SELECT source, COUNT(*) AS n_in,
          |  CAST(SUM(CASE WHEN action = 'drop_repetition' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_repetition,
+         |  CAST(SUM(CASE WHEN action = 'drop_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
          |  CAST(SUM(CASE WHEN action = 'drop_exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_exact,
          |  CAST(SUM(CASE WHEN action = 'drop_neardup' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_neardup,
          |  CAST(SUM(CASE WHEN action = 'drop_contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_contaminated,

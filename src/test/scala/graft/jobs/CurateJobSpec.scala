@@ -7,9 +7,9 @@ import graft.TestSpark
 import graft.ext.Sampling
 
 /** End-to-end curation golden: a synthetic batch engineered to hit every
-  * decision branch exactly once (repetition, exact dup, near dup vs the
-  * train corpus, contamination vs the eval split, keep), plus a
-  * tiny-budget run for the budget branch. The eval/train targets are
+  * decision branch exactly once (repetition, quality rules, exact dup,
+  * near dup vs the train corpus, contamination vs the eval split, keep),
+  * plus a tiny-budget run for the budget branch. The eval/train targets are
   * discovered through the SAME hash split the job uses, so the fixture
   * stays valid whatever md5 assigns.
   */
@@ -46,7 +46,8 @@ class CurateJobSpec extends AnyFunSuite {
     (1003L, "src1", nearDupOf(words(s"c$trainDoc"))),          // drop_neardup
     (1004L, "src1", nearDupOf(words(s"c$evalDoc"))),           // drop_contaminated
     (1005L, "src0", words("u5")),                              // keep
-    (1006L, "src1", words("u6"))                               // keep
+    (1006L, "src1", words("u6")),                              // keep
+    (1007L, "src0", "tiny doc")                                // drop_quality (2 < 10 words)
   ).toDF("doc_id", "source", "text")
 
   test("curate: every decision branch fires, one row per incoming doc") {
@@ -56,8 +57,9 @@ class CurateJobSpec extends AnyFunSuite {
         (r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
           r.isNullAt(6), r.isNullAt(7))).toMap
 
-    assert(out.size == 6) // exactly one decision per batch doc
+    assert(out.size == 7) // exactly one decision per batch doc
     assert(out(1001L)._1 == "drop_repetition")
+    assert(out(1007L)._1 == "drop_quality")
     assert(out(1002L) == (("drop_exact", Some(trainDoc), true, true)))
     assert(out(1003L) == (("drop_neardup", Some(trainDoc), true, true)))
     assert(out(1004L) == (("drop_contaminated", Some(evalDoc), true, true)))
@@ -70,8 +72,9 @@ class CurateJobSpec extends AnyFunSuite {
     val actions = CurateJob.curate(batch, corpus, p)
       .groupBy("action").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // the four early-stage decisions are budget-independent
+    // the early-stage decisions are budget-independent
     assert(actions.getOrElse("drop_repetition", 0L) == 1L)
+    assert(actions.getOrElse("drop_quality", 0L) == 1L)
     assert(actions.getOrElse("drop_exact", 0L) == 1L)
     assert(actions.getOrElse("drop_neardup", 0L) == 1L)
     assert(actions.getOrElse("drop_contaminated", 0L) == 1L)
@@ -87,7 +90,7 @@ class CurateJobSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r).toMap
     assert(rep.keySet == Set("src0", "src1"))
     val totalIn = rep.values.map(_.getAs[Long]("n_in")).sum
-    assert(totalIn == 6L)
+    assert(totalIn == 7L)
     val totalKept = rep.values.map(_.getAs[Long]("n_kept")).sum
     assert(totalKept == 2L)
     // kept token mass equals the decision frame's kept n_tokens sum

@@ -52,11 +52,12 @@ class StressSpec extends AnyFunSuite {
   private def incremental(c: DataFrame) = Dedup.incrementalDedup(
     c.where(col("doc_id") % 7 === 0), c.where(col("doc_id") % 7 =!= 0),
     lenCol = "n_chars", tol = 16, minJaccard = 0.5)
+  private def spans(c: DataFrame) = Dedup.duplicatedSpans(c, k = 8)
 
   test("20x corpus: pair-operator plan shapes hold (no cartesian, blocking joins intact)") {
     val big = corpus(20)
     for ((name, q) <- Seq(("minhash", minhash(big)), ("simhash", simhash(big)),
-                          ("incremental", incremental(big)))) {
+                          ("incremental", incremental(big)), ("spans", spans(big)))) {
       val p = q.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name went all-pairs:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name lost its equi-join:\n$p")
@@ -70,7 +71,8 @@ class StressSpec extends AnyFunSuite {
     val small = corpus(1)
     val big = corpus(20)
     for ((name, q) <- Seq[(String, DataFrame => DataFrame)](
-        ("minhash", minhash), ("simhash", simhash), ("incremental", incremental))) {
+        ("minhash", minhash), ("simhash", simhash), ("incremental", incremental),
+        ("spans", spans))) {
       q(small).write.format("noop").mode("overwrite").save() // warm codegen/JIT
       val t1 = timeRun(q(small))
       val t20 = timeRun(q(big))
