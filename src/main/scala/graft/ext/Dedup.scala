@@ -248,6 +248,30 @@ object Dedup {
         (coalesce(col("rep"), col(id)) === col(id)).cast("long").as("is_kept"))
   }
 
+  /** Collapse resolved components into the surviving corpus: one canonical
+    * document per near-dup component — the highest-[[weight]] member
+    * (ties: smallest id), i.e. "keep the longest copy", the usual corpus-
+    * dedup policy — plus the component's member count and total weight so
+    * downstream mixing can see how much mass each survivor represents.
+    *
+    * Scale shape: [[resolveComponents]] hands back (id, rep_id) stars; the
+    * canonical pick is then ONE rep_id-keyed groupBy whose `max_by` /
+    * `count` / `sum` aggregates are all partial-aggregable (the arg-max
+    * rides a lexicographic (weight, -id) struct) — no per-component window,
+    * no sort, and singleton components never concentrate anywhere.
+    */
+  def collapseComponents(docs: DataFrame, pairs: DataFrame, id: String = "doc_id",
+                         weight: String = "n_chars"): DataFrame = {
+    val reps = resolveComponents(docs, pairs, id).select(col(id), col("rep_id"))
+    docs.join(reps, Seq(id))
+      .groupBy("rep_id")
+      .agg(
+        max_by(col(id), struct(col(weight), (-col(id)).as("__tie"))).as("kept_id"),
+        count(lit(1)).as("n_members"),
+        sum(col(weight)).cast("long").as("total_weight"))
+      .select(col("kept_id").as(id), col("n_members"), col("total_weight"))
+  }
+
   /** Large-star: every node strictly larger than u in u's neighborhood is
     * re-pointed at min(N(u) ∪ {u}). Emitted edges stay canonical (child >
     * parent) because the target m <= u < child.

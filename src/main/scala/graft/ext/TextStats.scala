@@ -292,6 +292,38 @@ object TextStats {
         round(when(n === 0, 0.0).otherwise(lit(1.0) - nd / n), 6))
   }
 
+  /** Lexical-diversity quality signals (the "fraction of unique words"
+    * family of Gopher's rules — Rae et al. 2021 §A1.1): type-token ratio
+    * and single-word dominance, with keep flags at TTR >= 0.4 and top-word
+    * fraction <= 0.125. Low TTR / high dominance marks keyword-stuffed or
+    * template-generated text that k-gram repetition ([[withRepetition]])
+    * can miss when the repeats are non-adjacent single words.
+    *
+    * Shuffle-free by construction: the dominant word count is the longest
+    * equal-run in the SORTED term array — an O(n log n) per-row fold, not
+    * an explode + per-(doc, word) groupBy, so a 100 TB corpus never
+    * shuffles its full token stream. All keep decisions are exact integer
+    * cross-multiplications (5·types >= 2·words, 8·top <= words) — no float
+    * surface to drift cross-engine.
+    */
+  def withLexicalDiversity(df: DataFrame, text: String = "text"): DataFrame = {
+    val t = terms(col(text))
+    val sorted = array_sort(t)
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    val top = aggregate(sorted, zero,
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    df.withColumn("n_words", size(t).cast("long"))
+      .withColumn("n_types", size(array_distinct(t)).cast("long"))
+      .withColumn("top_word_count", top)
+      .withColumn("ok_ttr", (col("n_types") * 5 >= col("n_words") * 2).cast("long"))
+      .withColumn("ok_dominance", (col("top_word_count") * 8 <= col("n_words")).cast("long"))
+      .withColumn("keep", (col("ok_ttr") === 1 && col("ok_dominance") === 1).cast("long"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): min/max xxhash64
     * over character k-grams of the normalized text, plus a full-text hash.
     * Shuffle-free; content-defined so reordered copies of the same k-grams

@@ -106,6 +106,15 @@ object ExtensionQueries {
         minJaccard = 0.5)
       Dedup.resolveComponents(docs, pairs)
     }),
+    // Components -> surviving corpus: keep the longest member of each
+    // near-dup component (ties: smallest id) with its member count and
+    // total mass — the decision frame a dedup pass actually ships.
+    "x34_dedup_collapse" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, lenCol = "n_chars", tol = 16,
+        minJaccard = 0.5)
+      Dedup.collapseComponents(docs, pairs)
+    }),
     "x5_embed_neardup" -> ((s, dir) =>
       SimSearch.nearDupPairs(Tables.embeddings(s, dir), "label", minCos = 0.25)),
     // The blocking-free near-dup path: x5 needs a natural block column;
@@ -371,6 +380,14 @@ object ExtensionQueries {
       TextStats.withQualityRules(Tables.documents(s, dir))
         .select("doc_id", "n_words", "mean_word_len", "max_word_len",
           "ok_n_words", "ok_word_len", "ok_max_len", "ok_stopwords", "keep")),
+    // Lexical-diversity rules (Gopher's unique-word-fraction family):
+    // type-token ratio + single-word dominance, computed as a shuffle-free
+    // sorted-run fold — no token-stream explode. Integer cross-multiplied
+    // thresholds replay bit-identically.
+    "x30b_lexical_diversity" -> ((s, dir) =>
+      TextStats.withLexicalDiversity(Tables.documents(s, dir))
+        .select("doc_id", "n_words", "n_types", "top_word_count",
+          "ok_ttr", "ok_dominance", "keep")),
     "x17_text_clean" -> ((s, dir) =>
       TextStats.withCleaned(Tables.documents(s, dir))
         .select("doc_id", "clean_text", "n_urls", "n_emails", "n_phones")),
@@ -719,6 +736,37 @@ object ExtensionQueries {
         |SELECT s AS doc_id, MIN(t) AS rep_id,
         |       CAST(MIN(t) = s AS BIGINT) AS is_kept
         |FROM reach GROUP BY s""".stripMargin,
+    // Component collapse: x14's transitive closure, then an arg-max per
+    // component by (n_chars DESC, doc_id ASC) plus member count and total
+    // mass.
+    "x34_dedup_collapse" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id, n_chars,
+        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS sh
+        |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT id_a a, id_b b FROM p UNION ALL SELECT id_b, id_a FROM p),
+        |reach(s, t) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN e ON r.t = e.a),
+        |comp AS (SELECT s AS doc_id, MIN(t) AS rep_id FROM reach GROUP BY s),
+        |j AS (SELECT c.rep_id, dd.doc_id, dd.n_chars
+        |      FROM comp c JOIN documents dd USING (doc_id)),
+        |ranked AS (
+        |  SELECT rep_id, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY rep_id ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY rep_id) AS n_members,
+        |         SUM(n_chars) OVER (PARTITION BY rep_id) AS total_weight
+        |  FROM j)
+        |SELECT doc_id, CAST(n_members AS BIGINT) AS n_members,
+        |       CAST(total_weight AS BIGINT) AS total_weight
+        |FROM ranked WHERE rn = 1""".stripMargin,
     // Truth side of the sketch recall gates: exact Jaccard >= 0.9 pair
     // count (same CTE as x3); recall_ok is the Spark-computed comparison.
     "x2b_minhash_recall" ->
@@ -1104,6 +1152,26 @@ object ExtensionQueries {
          |       AND xl <= 20 AND sr >= 0.02 AS BIGINT) AS keep
          |FROM q""".stripMargin
     },
+    // Lexical diversity: the dominant-word count via per-(doc, word)
+    // grouping — semantically identical to the Spark side's sorted-run
+    // fold; thresholds are the same integer cross-multiplications.
+    "x30b_lexical_diversity" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tw AS (SELECT doc_id, MAX(c) AS top FROM (
+        |         SELECT doc_id, COUNT(*) AS c
+        |         FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+        |         GROUP BY doc_id, word)
+        |       GROUP BY doc_id),
+        |q AS (SELECT w.doc_id, len(ws) AS nw, len(list_distinct(ws)) AS nt, tw.top
+        |      FROM w JOIN tw USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(nw AS BIGINT) AS n_words,
+        |  CAST(nt AS BIGINT) AS n_types,
+        |  CAST(top AS BIGINT) AS top_word_count,
+        |  CAST(nt * 5 >= nw * 2 AS BIGINT) AS ok_ttr,
+        |  CAST(top * 8 <= nw AS BIGINT) AS ok_dominance,
+        |  CAST(nt * 5 >= nw * 2 AND top * 8 <= nw AS BIGINT) AS keep
+        |FROM q""".stripMargin,
     // Temperature mixing: token totals, the sqrt rate (correctly-rounded
     // IEEE, bit-identical cross-engine), and the md5 keep decisions.
     "x31_temperature_mix" ->

@@ -874,6 +874,38 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(5L) == ((1L, 1L, 1L, 0L, 0L)))
   }
 
+  test("lexical diversity: sorted-run dominant count; thresholds fire exactly") {
+    val df = Seq(
+      (1L, "all words here are fully distinct tokens"),          // ttr 1.0, top 1
+      (2L, (1 to 10).map(_ => "spam").mkString(" ")),            // ttr 0.1, top 10
+      (3L, "spam ham spam eggs spam ham toast spam jam spam"),   // non-adjacent repeats: top(spam)=5
+      (4L, "a b c d e f g h a b c d e f g h")                   // 16 words, 8 types, top 2
+    ).toDF("doc_id", "text")
+    val out = TextStats.withLexicalDiversity(df)
+      .select("doc_id", "n_words", "n_types", "top_word_count", "ok_ttr", "ok_dominance", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out(1L) == ((7L, 7L, 1L, 1L, 0L, 0L))) // 1*8 > 7: dominance fails on tiny docs
+    assert(out(2L) == ((10L, 1L, 10L, 0L, 0L, 0L)))
+    // the non-adjacent case is exactly what the SORTED run must still catch
+    assert(out(3L) == ((10L, 5L, 5L, 1L, 0L, 0L)))
+    assert(out(4L) == ((16L, 8L, 2L, 1L, 1L, 1L)))
+  }
+
+  test("collapseComponents: longest member survives with component mass") {
+    // component {1,2,5}: weights 10, 30, 30 -> 2 wins (weight tie, smaller id);
+    // singletons 3, 4 survive as themselves
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 7L), (4L, 9L), (5L, 30L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.collapseComponents(docs, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(2L -> ((3L, 70L)), 3L -> ((1L, 7L)), 4L -> ((1L, 9L))))
+    // pairless corpus: everyone survives as a singleton
+    val solo = Dedup.collapseComponents(docs, pairs.limit(0))
+    assert(solo.count() == 5 && solo.where(col("n_members") =!= 1).isEmpty)
+  }
+
   test("fingerprint: identical normalized texts collide; different texts don't") {
     val df = Seq(
       (1L, "Hello   World Friend"), (2L, "hello world friend"), // same after normalize
