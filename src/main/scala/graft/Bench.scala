@@ -16,8 +16,17 @@ object Bench {
     // Timings materialize EVERY output row through the zero-IO `noop` sink:
     // under a bare count() Catalyst prunes computed projections, so map-only
     // queries would be billed for scan+count instead of their expressions.
-    def run(df: org.apache.spark.sql.DataFrame): Unit =
+    def run(df: org.apache.spark.sql.DataFrame): Unit = {
       df.write.format("noop").mode("overwrite").save()
+      // Queries are timed as INDEPENDENT workloads, but several pin eager
+      // localCheckpoint blocks (iterative dedup, Lloyd rounds, curate
+      // stages) that would otherwise accumulate across the run and squeeze
+      // later queries' execution memory — measured: x29 17.8 s standalone
+      // vs 285 s after the curate/IVF queries' blocks piled up. Release
+      // them once the query's rows have been materialized.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
+    }
     // one unmeasured action to absorb session/codegen/JIT warmup so the
     // first measured query isn't charged for it
     try SparkEntry.queries.headOption.foreach(q => run(q._2(spark, sfDir)))
@@ -32,8 +41,14 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    // optional positional args = run only these queries (local profiling;
+    // the driver passes none and gets the full surface)
+    val subset = args.toSet
+    val selected =
+      if (subset.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => subset(n) }
     val errors = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { run(fn(spark, sfDir)) }
       catch { case t: Throwable => errors += name -> esc(t.toString.take(200)) }
