@@ -303,10 +303,13 @@ object TextStats {
     * equal-run in the SORTED term array — an O(n log n) per-row fold, not
     * an explode + per-(doc, word) groupBy, so a 100 TB corpus never
     * shuffles its full token stream. All keep decisions are exact integer
-    * cross-multiplications (5·types >= 2·words, 8·top <= words) — no float
-    * surface to drift cross-engine.
+    * cross-multiplications (types·ttrDen >= words·ttrNum — i.e. TTR >=
+    * ttrNum/ttrDen — and top·domDiv <= words, i.e. dominance <= 1/domDiv)
+    * — no float surface to drift cross-engine.
     */
-  def withLexicalDiversity(df: DataFrame, text: String = "text"): DataFrame = {
+  def withLexicalDiversity(df: DataFrame, text: String = "text",
+                           ttrNum: Int = 2, ttrDen: Int = 5,
+                           domDiv: Int = 8): DataFrame = {
     val t = terms(col(text))
     val sorted = array_sort(t)
     val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
@@ -319,8 +322,10 @@ object TextStats {
     df.withColumn("n_words", size(t).cast("long"))
       .withColumn("n_types", size(array_distinct(t)).cast("long"))
       .withColumn("top_word_count", top)
-      .withColumn("ok_ttr", (col("n_types") * 5 >= col("n_words") * 2).cast("long"))
-      .withColumn("ok_dominance", (col("top_word_count") * 8 <= col("n_words")).cast("long"))
+      .withColumn("ok_ttr",
+        (col("n_types") * ttrDen >= col("n_words") * ttrNum).cast("long"))
+      .withColumn("ok_dominance",
+        (col("top_word_count") * domDiv <= col("n_words")).cast("long"))
       .withColumn("keep", (col("ok_ttr") === 1 && col("ok_dominance") === 1).cast("long"))
   }
 

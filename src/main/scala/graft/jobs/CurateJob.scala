@@ -18,6 +18,9 @@ case class CurateParams(
     maxWords: Int = 100000,
     trainFrac: Double = 0.8,
     valFrac: Double = 0.1,
+    ttrNum: Int = 2, // lexical gate: keep if types/words >= ttrNum/ttrDen
+    ttrDen: Int = 5,
+    domDiv: Int = 8, // ... and top-word fraction <= 1/domDiv
     budgetTokens: Double = 500.0,
     maxSeqTokens: Int = 256,
     nBuckets: Int = 8,
@@ -31,11 +34,13 @@ case class CurateParams(
   * scan -> delta -> derive -> dedup -> sink
   * (`data_engineering/data_engineering.py:100-132`):
   *
-  *   clean (x17) -> repetition filter (x22) -> Gopher-rule quality gate
-  *   (x30, structural rules only — the stopword rule is language-specific
-  *   and a curation corpus is multilingual) -> incremental dedup vs the
-  *   existing TRAIN corpus (x20) -> decontaminate vs the held-out EVAL
-  *   split (x19/x16) -> token-budget mix (x23) -> sequence packing (x21)
+  *   clean (x17) -> repetition filter (x22) -> quality gate = Gopher
+  *   structural rules (x30; the stopword rule is language-specific and a
+  *   curation corpus is multilingual, so it stays off) AND lexical
+  *   diversity (x30b: type-token ratio + top-word dominance) -> incremental
+  *   dedup vs the existing TRAIN corpus (x20) -> decontaminate vs the
+  *   held-out EVAL split (x19/x16) -> token-budget mix (x23) -> sequence
+  *   packing (x21)
   *
   * plus a per-source report (x25 shape) over the outcome. Output is one
   * DECISION row per incoming doc: the first pipeline stage that drops it
@@ -99,13 +104,22 @@ object CurateJob {
     val dropRep = rep.where(col("dup_fraction") > p.maxDupFraction)
     val repKept = rep.where(col("dup_fraction") <= p.maxDupFraction)
 
-    // ---- stage 1b: structural quality gate (x30, per-doc, shuffle-free) -
-    val qual = TextStats.withQualityRules(repKept, "clean_text",
+    // ---- stage 1b: quality gate (per-doc, shuffle-free): structural
+    // rules (x30, stopword rule off — multilingual corpus) AND lexical
+    // diversity (x30b) in one pass, one drop reason
+    val qualRules = TextStats.withQualityRules(repKept, "clean_text",
       p.minWords, p.maxWords, stopwordLang = None)
+      .withColumnRenamed("keep", "keep_rules")
+    val qual = TextStats.withLexicalDiversity(qualRules, "clean_text",
+      p.ttrNum, p.ttrDen, p.domDiv)
+      .withColumn("keep",
+        (col("keep_rules") === 1 && col("ok_ttr") === 1 &&
+          col("ok_dominance") === 1).cast("long"))
     val dropQual = qual.where(col("keep") === 0)
     val qualKept = qual.where(col("keep") === 1)
       .drop("n_words", "mean_word_len", "max_word_len",
-        "ok_n_words", "ok_word_len", "ok_max_len", "ok_stopwords", "keep")
+        "ok_n_words", "ok_word_len", "ok_max_len", "ok_stopwords", "keep_rules",
+        "n_types", "top_word_count", "ok_ttr", "ok_dominance", "keep")
 
     // ---- stage 2: incremental dedup vs the train corpus (x20) -----------
     val dedup = Dedup.incrementalDedup(qualKept, trainCorpus,

@@ -563,11 +563,15 @@ object ExtensionQueries {
        |rq AS (SELECT *,
        |         CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
        |           / greatest(len(ws), 1.0) AS ml,
-       |         list_max(list_transform(ws, w -> len(w))) AS xl
+       |         list_max(list_transform(ws, w -> len(w))) AS xl,
+       |         len(list_distinct(ws)) AS nty,
+       |         list_max(list_transform(list_distinct(ws),
+       |           u -> len(list_filter(ws, x -> x = u)))) AS topc
        |       FROM rd WHERE dupf <= 0.3),
        |rk AS (SELECT doc_id, source, ct, nc, nt, list_distinct(sha) AS sh
        |       FROM rq WHERE nt >= 10 AND nt <= 100000
-       |         AND ml >= 3.0 AND ml <= 10.0 AND xl <= 20),
+       |         AND ml >= 3.0 AND ml <= 10.0 AND xl <= 20
+       |         AND nty * 5 >= nt * 2 AND topc * 8 <= nt),
        |co AS (SELECT *, ${duckHashUnit("doc_id", "split")} AS su
        |       FROM c2 WHERE doc_id % 7 <> 0),
        |tc AS (SELECT * FROM co WHERE su < 0.9),
@@ -625,7 +629,8 @@ object ExtensionQueries {
        |UNION ALL
        |SELECT doc_id, source, 'drop_quality', NULL, NULL, nt, NULL, NULL
        |FROM rq WHERE NOT (nt >= 10 AND nt <= 100000
-       |  AND ml >= 3.0 AND ml <= 10.0 AND xl <= 20)
+       |  AND ml >= 3.0 AND ml <= 10.0 AND xl <= 20
+       |  AND nty * 5 >= nt * 2 AND topc * 8 <= nt)
        |UNION ALL
        |SELECT d.doc_id, rk.source, d.action, d.dup_of, d.j, rk.nt, NULL, NULL
        |FROM ded d JOIN rk ON d.doc_id = rk.doc_id WHERE d.action <> 'keep'

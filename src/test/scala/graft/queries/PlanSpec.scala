@@ -116,4 +116,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("component collapse: canonical pick is a partial-agg'd groupBy, no window") {
+    val p = plan("x34_dedup_collapse")
+    // the max_by arg-max must ride the aggregate (map-side combinable),
+    // not a per-component window/sort
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("lexical diversity is computed without any shuffle or token explode") {
+    val p = plan("x30b_lexical_diversity")
+    assert(exchanges(p) == 0, s"expected 0 shuffles:\n$p")
+    assert(!p.contains("Generate"), p) // no explode — the fold is per-row
+  }
 }
