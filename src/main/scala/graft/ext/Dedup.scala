@@ -248,6 +248,44 @@ object Dedup {
         (coalesce(col("rep"), col(id)) === col(id)).cast("long").as("is_kept"))
   }
 
+  /** Span-level train-vs-eval decontamination — the verbatim n-gram-
+    * collision discipline (GPT-3's appendix-C 13-gram filter, in word
+    * k-gram form): any eval-set k-gram appearing verbatim in a train
+    * document marks the overlapping positions, and a document with any
+    * marked span is contaminated. Complements doc-level Jaccard
+    * decontamination ([[ngramJaccardPairsBetween]] / x19), which misses a
+    * short quoted answer inside an otherwise-unrelated document. Returns
+    * one row per train doc: (id, n_words, n_eval_spans, n_covered, keep).
+    *
+    * Scale shape (same skeleton as [[duplicatedSpans]]): the eval side
+    * collapses to ONE row per distinct span hash (eval sets are bounded —
+    * benchmarks, not corpora); train explodes once into (id, pos, hash)
+    * and left-semi-joins the eval hash set on the hash key; per-doc stats
+    * are one partial-agg'd groupBy; the coverage union is a bounded
+    * per-row expression. Nothing all-pairs, nothing driver-side.
+    */
+  def spanDecontaminate(train: DataFrame, eval: DataFrame, k: Int = 8,
+                        text: String = "text", id: String = "doc_id"): DataFrame = {
+    val evalSpans = eval
+      .select(explode(shingleHashesAll(col(text), k)).as("__h")).distinct()
+    val trainSpans = spread(train, col(id))
+      .select(col(id), posexplode(shingleHashesAll(col(text), k)).as(Seq("__p0", "__h")))
+      .select(col(id), (col("__p0") + 1).as("__pos"), col("__h"))
+    // sort_array: collect_list order is partition-dependent, the output isn't
+    val hitPos = trainSpans.join(evalSpans, Seq("__h"), "left_semi")
+      .groupBy(col(id)).agg(sort_array(collect_list(col("__pos"))).as("__hp"))
+    val ws = split(col(text), " ")
+    val n = size(ws)
+    val hp = coalesce(col("__hp"), array().cast("array<int>"))
+    val cov = array_distinct(flatten(transform(hp, p => sequence(p, p + (k - 1)))))
+    train.join(hitPos, Seq(id), "left")
+      .select(col(id),
+        n.cast("long").as("n_words"),
+        size(hp).cast("long").as("n_eval_spans"),
+        size(cov).cast("long").as("n_covered"),
+        (size(hp) === 0).cast("long").as("keep"))
+  }
+
   /** Collapse resolved components into the surviving corpus: one canonical
     * document per near-dup component — the highest-[[weight]] member
     * (ties: smallest id), i.e. "keep the longest copy", the usual corpus-

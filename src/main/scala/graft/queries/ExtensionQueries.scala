@@ -320,6 +320,17 @@ object ExtensionQueries {
     // assignment (x16) with the blocked exact-Jaccard pair space (x3) —
     // both independently oracle-verified, and DuckDB replays the whole
     // composition here.
+    // Span-level decontamination (GPT-3's verbatim n-gram filter): one
+    // decision row per TRAIN doc, flagged if any eval-split 8-gram appears
+    // verbatim inside it. Doc-level Jaccard (x19) misses a short quoted
+    // answer in an otherwise-unrelated doc; this catches it.
+    "x19b_span_decontaminate" -> ((s, dir) => {
+      val docs = Sampling.withSplit(Tables.documents(s, dir), "doc_id",
+        trainFrac = 0.8, valFrac = 0.1)
+      Dedup.spanDecontaminate(
+        docs.where(col("split") === "train"),
+        docs.where(col("split") === "test"))
+    }),
     "x19_decontaminate" -> ((s, dir) => {
       val docs = Sampling.withSplit(Tables.documents(s, dir), "doc_id",
         trainFrac = 0.8, valFrac = 0.1)
@@ -1017,6 +1028,34 @@ object ExtensionQueries {
         |  CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpeish_tokens,
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_regex_tokens
         |FROM documents""".stripMargin,
+    // Span decontamination replayed over string 8-grams (hash-collision-
+    // equal to the Spark side's xxhash64 spans); same split CTE as x19,
+    // same positions/coverage conventions as x29.
+    "x19b_span_decontaminate" ->
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |         CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |          CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|split')), 1, 8)) AS BIGINT)
+        |            / 4294967296.0 AS u
+        |        FROM documents)),
+        |w AS (SELECT d.doc_id, string_split(text, ' ') AS ws,
+        |        len(string_split(text, ' ')) AS n, sp.split
+        |      FROM documents d JOIN sp USING (doc_id)),
+        |ev AS (SELECT DISTINCT unnest([array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws)-6)]) AS sh
+        |       FROM w WHERE split = 'test'),
+        |tg AS (SELECT doc_id, t.j AS pos, array_to_string(ws[t.j:t.j+7], ' ') AS sh
+        |       FROM w, unnest(range(1, n - 6)) AS t(j) WHERE split = 'train'),
+        |hp AS (SELECT doc_id, list(pos ORDER BY pos) AS ps
+        |       FROM tg JOIN ev USING (sh) GROUP BY doc_id),
+        |tr AS (SELECT doc_id, n FROM w WHERE split = 'train'),
+        |v AS (SELECT tr.doc_id, tr.n, COALESCE(hp.ps, CAST([] AS BIGINT[])) AS ps
+        |      FROM tr LEFT JOIN hp USING (doc_id))
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+        |  CAST(len(ps) AS BIGINT) AS n_eval_spans,
+        |  CAST(len(list_distinct(flatten(list_transform(ps, p -> range(p, p + 8))))) AS BIGINT) AS n_covered,
+        |  CAST(len(ps) = 0 AS BIGINT) AS keep
+        |FROM v""".stripMargin,
     "x19_decontaminate" ->
       """WITH sp AS (
         |  SELECT doc_id,

@@ -167,6 +167,40 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
     assert(again == out.map { case (k, v) => k -> v._4 })
   }
+
+  test("spanDecontaminate: verbatim eval k-grams mark train docs; clean docs keep") {
+    val phrase = "the exact answer to benchmark question forty two" // 8 words
+    val train = Seq(
+      (1L, s"unrelated padding words go here then $phrase and then trailing text"),
+      (2L, "totally clean document with fully original content nothing shared at all"),
+      (3L, phrase) // the whole doc IS the eval span
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, s"prefix words before $phrase suffix after")).toDF("doc_id", "text")
+    val out = Dedup.spanDecontaminate(train, eval, k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // one row per train doc, always
+    assert(out(2L)._2 == 0L && out(2L)._4 == 1L) // clean -> keep
+    assert(out(1L)._2 == 1L && out(1L)._3 == 8L && out(1L)._4 == 0L) // one span, 8 covered
+    assert(out(3L) == ((8L, 1L, 8L, 0L))) // exact-span doc fully covered
+    // eval side shorter than k contributes nothing
+    val out2 = Dedup.spanDecontaminate(train, Seq((200L, "too short")).toDF("doc_id", "text"))
+    assert(out2.where(col("keep") === 0).isEmpty)
+  }
+
+  test("collapseComponents: longest member survives with component mass") {
+    // component {1,2,5}: weights 10, 30, 30 -> 2 wins (weight tie, smaller id);
+    // singletons 3, 4 survive as themselves
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 7L), (4L, 9L), (5L, 30L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.collapseComponents(docs, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(2L -> ((3L, 70L)), 3L -> ((1L, 7L)), 4L -> ((1L, 9L))))
+    // pairless corpus: everyone survives as a singleton
+    val solo = Dedup.collapseComponents(docs, pairs.limit(0))
+    assert(solo.count() == 5 && solo.where(col("n_members") =!= 1).isEmpty)
+  }
 }
 
 class PackingSpec extends AnyFunSuite {
@@ -892,19 +926,6 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(4L) == ((16L, 8L, 2L, 1L, 1L, 1L)))
   }
 
-  test("collapseComponents: longest member survives with component mass") {
-    // component {1,2,5}: weights 10, 30, 30 -> 2 wins (weight tie, smaller id);
-    // singletons 3, 4 survive as themselves
-    val docs = Seq((1L, 10L), (2L, 30L), (3L, 7L), (4L, 9L), (5L, 30L))
-      .toDF("doc_id", "n_chars")
-    val pairs = Seq((1L, 2L), (2L, 5L)).toDF("id_a", "id_b")
-    val out = Dedup.collapseComponents(docs, pairs)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(out == Map(2L -> ((3L, 70L)), 3L -> ((1L, 7L)), 4L -> ((1L, 9L))))
-    // pairless corpus: everyone survives as a singleton
-    val solo = Dedup.collapseComponents(docs, pairs.limit(0))
-    assert(solo.count() == 5 && solo.where(col("n_members") =!= 1).isEmpty)
-  }
 
   test("fingerprint: identical normalized texts collide; different texts don't") {
     val df = Seq(

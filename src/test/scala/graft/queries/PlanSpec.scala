@@ -117,6 +117,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("span decontamination: hash-keyed semi-join vs the eval span set, no all-pairs") {
+    val p = plan("x19b_span_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("component collapse: canonical pick is a partial-agg'd groupBy, no window") {
     val p = plan("x34_dedup_collapse")
     // the max_by arg-max must ride the aggregate (map-side combinable),
