@@ -117,6 +117,16 @@ object EventStreams {
       minWords = minWords, maxWords = maxWords)
       .where(col("keep") === 1)
 
+  /** Stateless lexical-diversity gate (x30b) for an unbounded feed: the
+    * sorted-run fold is a pure per-row expression, so it streams with no
+    * state and stays batch-identical — the property that lets CurateJob's
+    * quality stage and this stream share one definition of "keep".
+    */
+  def diversityFiltered(df: DataFrame, text: String = "text"): DataFrame =
+    graft.ext.TextStats.withLexicalDiversity(
+      graft.ext.TextStats.withCleaned(df, text), text = "clean_text")
+      .where(col("keep") === 1)
+
   case class Session(userId: Long, nEvents: Long, totalValue: Double,
                      startTs: Timestamp, endTs: Timestamp)
   case class SessionState(n: Long, total: Double, startMs: Long, lastMs: Long)

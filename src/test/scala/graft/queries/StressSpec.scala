@@ -53,11 +53,16 @@ class StressSpec extends AnyFunSuite {
     c.where(col("doc_id") % 7 === 0), c.where(col("doc_id") % 7 =!= 0),
     lenCol = "n_chars", tol = 16, minJaccard = 0.5)
   private def spans(c: DataFrame) = Dedup.duplicatedSpans(c, k = 8)
+  private def spanDecon(c: DataFrame) = Dedup.spanDecontaminate(
+    c.where(col("doc_id") % 10 =!= 0), c.where(col("doc_id") % 10 === 0), k = 8)
+  private def collapse(c: DataFrame) = Dedup.collapseComponents(c,
+    Dedup.ngramJaccardPairs(c, lenCol = "n_chars", tol = 16, minJaccard = 0.5))
 
   test("20x corpus: pair-operator plan shapes hold (no cartesian, blocking joins intact)") {
     val big = corpus(20)
     for ((name, q) <- Seq(("minhash", minhash(big)), ("simhash", simhash(big)),
-                          ("incremental", incremental(big)), ("spans", spans(big)))) {
+                          ("incremental", incremental(big)), ("spans", spans(big)),
+                          ("spanDecon", spanDecon(big)), ("collapse", collapse(big)))) {
       val p = q.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name went all-pairs:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name lost its equi-join:\n$p")
@@ -72,7 +77,7 @@ class StressSpec extends AnyFunSuite {
     val big = corpus(20)
     for ((name, q) <- Seq[(String, DataFrame => DataFrame)](
         ("minhash", minhash), ("simhash", simhash), ("incremental", incremental),
-        ("spans", spans))) {
+        ("spans", spans), ("spanDecon", spanDecon))) {
       q(small).write.format("noop").mode("overwrite").save() // warm codegen/JIT
       val t1 = timeRun(q(small))
       val t20 = timeRun(q(big))

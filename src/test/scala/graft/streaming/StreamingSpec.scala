@@ -146,6 +146,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.toSeq == Seq(1L))
   }
 
+  test("streaming diversity gate: low-TTR spam drops mid-stream, batch-identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val diverse = (1 to 8).map(i => s"alpha$i beta$i").mkString(" ") // 16 words, all distinct
+    val spam = (1 to 16).map(_ => "buy").mkString(" ")               // ttr 1/16, top 16
+    val rows = Seq((1L, ts("2024-01-01 10:00:00"), diverse),
+      (2L, ts("2024-01-01 10:01:00"), spam))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.diversityFiltered(input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("div_out").start()
+    val streamed = try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      spark.table("div_out").collect()
+        .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("keep"))))
+    } finally q.stop()
+    assert(streamed.toSeq == Seq((1L, 1L)))
+    val batch = EventStreams.diversityFiltered(
+      rows.toDF("doc_id", "ts", "text")).select("doc_id").collect().map(_.getLong(0))
+    assert(batch.toSeq == Seq(1L))
+  }
+
   test("streaming and batch sessionization agree on the same events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
