@@ -37,14 +37,17 @@ case class CurateParams(
   *   clean (x17) -> repetition filter (x22) -> quality gate = Gopher
   *   structural rules (x30; the stopword rule is language-specific and a
   *   curation corpus is multilingual, so it stays off) AND lexical
-  *   diversity (x30b: type-token ratio + top-word dominance) -> incremental
-  *   dedup vs the existing TRAIN corpus (x20) -> decontaminate vs the
-  *   held-out EVAL split (x19/x16) -> token-budget mix (x23) -> sequence
-  *   packing (x21)
+  *   diversity (x30b: type-token ratio + top-word dominance) ->
+  *   within-batch dedup (exact keep-min-id, then x14-component near-dup —
+  *   without it two copies of the same NEW doc in one batch both survive)
+  *   -> incremental dedup vs the existing TRAIN corpus (x20) ->
+  *   decontaminate vs the held-out EVAL split (x19/x16) -> token-budget
+  *   mix (x23) -> sequence packing (x21)
   *
   * plus a per-source report (x25 shape) over the outcome. Output is one
   * DECISION row per incoming doc: the first pipeline stage that drops it
-  * (`drop_repetition` | `drop_quality` | `drop_exact` | `drop_neardup` |
+  * (`drop_repetition` | `drop_quality` | `drop_batch_exact` |
+  * `drop_batch_neardup` | `drop_exact` | `drop_neardup` |
   * `drop_contaminated` | `drop_budget`) or `keep` with its packed
   * (bucket, seq_id). Every stage is hash-deterministic, so the whole
   * frame is replayable cross-engine (the x27 oracle).
@@ -121,13 +124,38 @@ object CurateJob {
         "ok_n_words", "ok_word_len", "ok_max_len", "ok_stopwords", "keep_rules",
         "n_types", "top_word_count", "ok_ttr", "ok_dominance", "keep")
 
-    // ---- stage 2: incremental dedup vs the train corpus (x20) -----------
-    val dedup = Dedup.incrementalDedup(qualKept, trainCorpus,
+    // ---- stage 2a: within-batch dedup ----------------------------------
+    // The corpus tiers below compare batch vs corpus only; two copies of
+    // the same NEW document arriving in one batch would otherwise both
+    // reach "keep". Exact tier: keep the min-id copy per cleaned text
+    // (one partial-agg'd groupBy on the 256-bit content hash). Near tier:
+    // connected components over the within-batch pair graph (x14
+    // machinery); non-representative members drop toward the component's
+    // min id. jaccard stays null on batch-near drops — membership is
+    // transitive, so a single pair value would misattribute chains.
+    val eMin = qualKept
+      .groupBy(sha2(col("clean_text"), 256).as("__h"))
+      .agg(min(col("doc_id")).as("__keep_id"))
+    val eJoined = qualKept.withColumn("__h", sha2(col("clean_text"), 256))
+      .join(eMin, "__h")
+    val dropBatchExact = eJoined.where(col("doc_id") =!= col("__keep_id"))
+    val exactKept = eJoined.where(col("doc_id") === col("__keep_id"))
+      .drop("__h", "__keep_id")
+    val bPairs = Dedup.ngramJaccardPairs(exactKept, lenCol = "n_clean_chars",
+      tol = p.tol, text = "clean_text", minJaccard = p.minJaccard)
+    val resolved = Dedup.resolveComponents(exactKept, bPairs)
+    val dropBatchNear = exactKept
+      .join(resolved.where(col("is_kept") === 0).select("doc_id", "rep_id"), "doc_id")
+    val batchKept = exactKept.join(
+      resolved.where(col("is_kept") === 1).select("doc_id"), Seq("doc_id"), "left_semi")
+
+    // ---- stage 2b: incremental dedup vs the train corpus (x20) ----------
+    val dedup = Dedup.incrementalDedup(batchKept, trainCorpus,
       lenCol = "n_clean_chars", tol = p.tol, minJaccard = p.minJaccard,
       text = "clean_text").localCheckpoint(false)
     val dropDup = dedup.where(col("action") =!= "keep")
-      .join(qualKept.select("doc_id", "source", "n_tokens"), "doc_id")
-    val dedupKept = qualKept.join(
+      .join(batchKept.select("doc_id", "source", "n_tokens"), "doc_id")
+    val dedupKept = batchKept.join(
       dedup.where(col("action") === "keep").select("doc_id"), Seq("doc_id"), "left_semi")
 
     // ---- stage 3: decontaminate vs the eval split (x19 target set) ------
@@ -157,6 +185,10 @@ object CurateJob {
 
     branch(dropRep, lit("drop_repetition"))
       .unionByName(branch(dropQual, lit("drop_quality")))
+      .unionByName(branch(dropBatchExact, lit("drop_batch_exact"),
+        dupOf = col("__keep_id")))
+      .unionByName(branch(dropBatchNear, lit("drop_batch_neardup"),
+        dupOf = col("rep_id")))
       .unionByName(branch(dropDup, col("action"),
         dupOf = col("dup_of"), jaccard = col("jaccard")))
       .unionByName(branch(dropContam, lit("drop_contaminated"),
@@ -174,7 +206,9 @@ object CurateJob {
     def n(a: String) = sum((col("action") === a).cast("long")).as(s"n_$a")
     decisions.groupBy("source").agg(
       count(lit(1)).as("n_in"),
-      n("drop_repetition"), n("drop_quality"), n("drop_exact"), n("drop_neardup"),
+      n("drop_repetition"), n("drop_quality"),
+      n("drop_batch_exact"), n("drop_batch_neardup"),
+      n("drop_exact"), n("drop_neardup"),
       n("drop_contaminated"), n("drop_budget"),
       sum((col("action") === "keep").cast("long")).as("n_kept"),
       sum(when(col("action") === "keep", col("n_tokens")).otherwise(0L))

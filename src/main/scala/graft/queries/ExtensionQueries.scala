@@ -562,7 +562,7 @@ object ExtensionQueries {
     * x17/x22/x30/x20/x19/x23/x21 oracles.
     */
   private lazy val x27Sql: String =
-    s"""WITH cl AS (
+    s"""WITH RECURSIVE cl AS (
        |  SELECT doc_id, source, $duckCleanExpr AS ct FROM documents),
        |c2 AS (SELECT doc_id, source, ct, len(ct) AS nc, string_split(ct, ' ') AS ws,
        |         CAST(len(string_split(ct, ' ')) AS BIGINT) AS nt
@@ -583,17 +583,31 @@ object ExtensionQueries {
        |       FROM rq WHERE nt >= 10 AND nt <= 100000
        |         AND ml >= 3.0 AND ml <= 10.0 AND xl <= 20
        |         AND nty * 5 >= nt * 2 AND topc * 8 <= nt),
+       |be AS (SELECT ct, MIN(doc_id) AS m FROM rk GROUP BY ct),
+       |rke AS (SELECT rk.* FROM rk JOIN be ON rk.ct = be.ct AND rk.doc_id = be.m),
+       |bp AS (SELECT a.doc_id id_a, b.doc_id id_b
+       |       FROM rke a JOIN rke b ON a.doc_id < b.doc_id AND abs(a.nc - b.nc) <= 16
+       |       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+       |e2 AS (SELECT id_a a, id_b b FROM bp UNION ALL SELECT id_b, id_a FROM bp),
+       |reach2(s, t) AS (
+       |  SELECT doc_id, doc_id FROM rke
+       |  UNION
+       |  SELECT r.s, e2.b FROM reach2 r JOIN e2 ON r.t = e2.a),
+       |comp2 AS (SELECT s AS doc_id, MIN(t) AS rep FROM reach2 GROUP BY s),
+       |rkn AS (SELECT rke.* FROM rke JOIN comp2
+       |        ON rke.doc_id = comp2.doc_id AND comp2.rep = rke.doc_id),
        |co AS (SELECT *, ${duckHashUnit("doc_id", "split")} AS su
        |       FROM c2 WHERE doc_id % 7 <> 0),
        |tc AS (SELECT * FROM co WHERE su < 0.9),
        |ev AS (SELECT * FROM co WHERE su >= 0.9),
        |ch AS (SELECT ct, MIN(doc_id) AS exact_of FROM tc GROUP BY ct),
-       |ex AS (SELECT rk.doc_id, ch.exact_of FROM rk LEFT JOIN ch ON rk.ct = ch.ct),
+       |ex AS (SELECT rkn.doc_id, ch.exact_of FROM rkn LEFT JOIN ch ON rkn.ct = ch.ct),
        |tsh AS (SELECT doc_id, nc, list_distinct(${duckShingles("ws")}) AS sh FROM tc),
        |np AS (SELECT a.doc_id id_in, b.doc_id id_corp,
        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
        |         len(a.sh) + len(b.sh) AS tot
-       |       FROM rk a JOIN tsh b ON abs(a.nc - b.nc) <= 16),
+       |       FROM rkn a JOIN tsh b ON abs(a.nc - b.nc) <= 16),
        |nj AS (SELECT id_in, id_corp, ROUND(inter / (tot - inter), 6) AS j
        |       FROM np WHERE inter / (tot - inter) >= 0.5),
        |nb AS (SELECT id_in, id_corp, j FROM (
@@ -606,7 +620,7 @@ object ExtensionQueries {
        |          COALESCE(ex.exact_of, nb.id_corp) AS dup_of,
        |          CASE WHEN ex.exact_of IS NULL THEN nb.j END AS j
        |        FROM ex LEFT JOIN nb ON ex.doc_id = nb.id_in),
-       |dk AS (SELECT rk.* FROM rk JOIN ded ON rk.doc_id = ded.doc_id
+       |dk AS (SELECT rkn.* FROM rkn JOIN ded ON rkn.doc_id = ded.doc_id
        |       WHERE ded.action = 'keep'),
        |esh AS (SELECT doc_id, nc, list_distinct(${duckShingles("ws")}) AS sh FROM ev),
        |cp AS (SELECT a.doc_id id_in, b.doc_id id_ev,
@@ -643,8 +657,14 @@ object ExtensionQueries {
        |  AND ml >= 3.0 AND ml <= 10.0 AND xl <= 20
        |  AND nty * 5 >= nt * 2 AND topc * 8 <= nt)
        |UNION ALL
-       |SELECT d.doc_id, rk.source, d.action, d.dup_of, d.j, rk.nt, NULL, NULL
-       |FROM ded d JOIN rk ON d.doc_id = rk.doc_id WHERE d.action <> 'keep'
+       |SELECT rk.doc_id, rk.source, 'drop_batch_exact', be.m, NULL, rk.nt, NULL, NULL
+       |FROM rk JOIN be ON rk.ct = be.ct WHERE rk.doc_id <> be.m
+       |UNION ALL
+       |SELECT rke.doc_id, rke.source, 'drop_batch_neardup', comp2.rep, NULL, rke.nt, NULL, NULL
+       |FROM rke JOIN comp2 ON rke.doc_id = comp2.doc_id WHERE comp2.rep <> rke.doc_id
+       |UNION ALL
+       |SELECT d.doc_id, rkn.source, d.action, d.dup_of, d.j, rkn.nt, NULL, NULL
+       |FROM ded d JOIN rkn ON d.doc_id = rkn.doc_id WHERE d.action <> 'keep'
        |UNION ALL
        |SELECT cb.id_in, dk.source, 'drop_contaminated', cb.id_ev, cb.j, dk.nt, NULL, NULL
        |FROM cb JOIN dk ON dk.doc_id = cb.id_in
@@ -1108,6 +1128,8 @@ object ExtensionQueries {
       s"""SELECT source, COUNT(*) AS n_in,
          |  CAST(SUM(CASE WHEN action = 'drop_repetition' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_repetition,
          |  CAST(SUM(CASE WHEN action = 'drop_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
+         |  CAST(SUM(CASE WHEN action = 'drop_batch_exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_batch_exact,
+         |  CAST(SUM(CASE WHEN action = 'drop_batch_neardup' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_batch_neardup,
          |  CAST(SUM(CASE WHEN action = 'drop_exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_exact,
          |  CAST(SUM(CASE WHEN action = 'drop_neardup' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_neardup,
          |  CAST(SUM(CASE WHEN action = 'drop_contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_contaminated,

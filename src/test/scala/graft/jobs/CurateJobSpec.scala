@@ -24,14 +24,17 @@ class CurateJobSpec extends AnyFunSuite {
   private lazy val corpus = (1L to 40L)
     .map(i => (i, s"src${i % 2}", words(s"c$i"))).toDF("doc_id", "source", "text")
 
-  /** (a train-split corpus doc, an eval-split corpus doc), discovered via
-    * the job's own split function.
+  /** (two distinct train-split corpus docs, an eval-split corpus doc),
+    * discovered via the job's own split function. Two train targets keep
+    * the exact-dup and corpus-near-dup showcases from colliding in the
+    * within-batch near stage (1002 and 1003 must not be near-dups of each
+    * other).
     */
-  private lazy val (trainDoc, evalDoc) = {
+  private lazy val (trainDoc, trainDoc2, evalDoc) = {
     val sp = Sampling.withSplit(corpus, "doc_id", 0.8, 0.1, "split")
       .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1))
-    (sp.collectFirst { case (id, "train") => id }.get,
-      sp.collectFirst { case (id, "test") => id }.get)
+    val train = sp.collect { case (id, "train") => id }
+    (train(0), train(1), sp.collectFirst { case (id, "test") => id }.get)
   }
 
   /** `base` with its last word replaced: 3 of 28 shingles differ, Jaccard
@@ -43,11 +46,13 @@ class CurateJobSpec extends AnyFunSuite {
   private def batch = Seq(
     (1001L, "src0", ("buy now " * 14).trim),                   // drop_repetition
     (1002L, "src0", words(s"c$trainDoc")),                     // drop_exact
-    (1003L, "src1", nearDupOf(words(s"c$trainDoc"))),          // drop_neardup
+    (1003L, "src1", nearDupOf(words(s"c$trainDoc2"))),         // drop_neardup
     (1004L, "src1", nearDupOf(words(s"c$evalDoc"))),           // drop_contaminated
     (1005L, "src0", words("u5")),                              // keep
     (1006L, "src1", words("u6")),                              // keep
-    (1007L, "src0", "tiny doc")                                // drop_quality (2 < 10 words)
+    (1007L, "src0", "tiny doc"),                               // drop_quality (2 < 10 words)
+    (1008L, "src1", words("u5")),                              // drop_batch_exact (copy of 1005)
+    (1009L, "src0", nearDupOf(words("u6")))                    // drop_batch_neardup (near 1006)
   ).toDF("doc_id", "source", "text")
 
   test("curate: every decision branch fires, one row per incoming doc") {
@@ -57,14 +62,17 @@ class CurateJobSpec extends AnyFunSuite {
         (r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
           r.isNullAt(6), r.isNullAt(7))).toMap
 
-    assert(out.size == 7) // exactly one decision per batch doc
+    assert(out.size == 9) // exactly one decision per batch doc
     assert(out(1001L)._1 == "drop_repetition")
     assert(out(1007L)._1 == "drop_quality")
     assert(out(1002L) == (("drop_exact", Some(trainDoc), true, true)))
-    assert(out(1003L) == (("drop_neardup", Some(trainDoc), true, true)))
+    assert(out(1003L) == (("drop_neardup", Some(trainDoc2), true, true)))
     assert(out(1004L) == (("drop_contaminated", Some(evalDoc), true, true)))
     assert(out(1005L)._1 == "keep" && !out(1005L)._3 && !out(1005L)._4)
     assert(out(1006L)._1 == "keep" && !out(1006L)._3 && !out(1006L)._4)
+    // within-batch duplicates never reach "keep": the min-id copy wins
+    assert(out(1008L) == (("drop_batch_exact", Some(1005L), true, true)))
+    assert(out(1009L) == (("drop_batch_neardup", Some(1006L), true, true)))
   }
 
   test("curate: tiny token budget drops the survivors as drop_budget") {
@@ -75,6 +83,8 @@ class CurateJobSpec extends AnyFunSuite {
     // the early-stage decisions are budget-independent
     assert(actions.getOrElse("drop_repetition", 0L) == 1L)
     assert(actions.getOrElse("drop_quality", 0L) == 1L)
+    assert(actions.getOrElse("drop_batch_exact", 0L) == 1L)
+    assert(actions.getOrElse("drop_batch_neardup", 0L) == 1L)
     assert(actions.getOrElse("drop_exact", 0L) == 1L)
     assert(actions.getOrElse("drop_neardup", 0L) == 1L)
     assert(actions.getOrElse("drop_contaminated", 0L) == 1L)
@@ -90,7 +100,7 @@ class CurateJobSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r).toMap
     assert(rep.keySet == Set("src0", "src1"))
     val totalIn = rep.values.map(_.getAs[Long]("n_in")).sum
-    assert(totalIn == 7L)
+    assert(totalIn == 9L)
     val totalKept = rep.values.map(_.getAs[Long]("n_kept")).sum
     assert(totalKept == 2L)
     // kept token mass equals the decision frame's kept n_tokens sum
