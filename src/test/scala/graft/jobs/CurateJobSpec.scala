@@ -1,5 +1,7 @@
 package graft.jobs
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -91,6 +93,19 @@ class CurateJobSpec extends AnyFunSuite {
     assert(actions.getOrElse("drop_budget", 0L) +
       actions.getOrElse("keep", 0L) == 2L)
     assert(actions.getOrElse("drop_budget", 0L) >= 1L)
+  }
+
+  test("RunCurate main: parquet in -> decisions + report parquet out") {
+    val dir = Files.createTempDirectory("graft_curate").toString
+    batch.write.mode("overwrite").parquet(s"$dir/batch")
+    corpus.write.mode("overwrite").parquet(s"$dir/corpus")
+    RunCurate.main(Array(s"$dir/batch", s"$dir/corpus", s"$dir/out"))
+    // RunCurate stops its own session; reacquire for assertions
+    val s2 = TestSpark.spark
+    val dec = s2.read.parquet(s"$dir/out/decisions")
+    assert(dec.count() == 9)
+    val rep = s2.read.parquet(s"$dir/out/report")
+    assert(rep.columns.contains("n_drop_batch_exact") && rep.count() == 2)
   }
 
   test("report: per-source counts reconcile with the decision frame") {
