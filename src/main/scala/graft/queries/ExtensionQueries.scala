@@ -461,6 +461,26 @@ object ExtensionQueries {
       CurateJob.curate(docs.where(col("doc_id") % 7 === 0),
         docs.where(col("doc_id") % 7 =!= 0))
     }),
+    // The end product a trainer consumes: one manifest row per packed
+    // training sequence — how many docs it holds, its token mass, and the
+    // doc stream in pack order (hash order within the sequence, the same
+    // (pu, doc_id) key the packing window sorted by). The ENTIRE chain —
+    // curation decisions AND sequence assembly — replays in one DuckDB
+    // query built from the shared x27 CTE prefix.
+    "x36_training_sequences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dec = CurateJob.curate(docs.where(col("doc_id") % 7 === 0),
+        docs.where(col("doc_id") % 7 =!= 0))
+      dec.where(col("action") === "keep")
+        .withColumn("__pu", Sampling.hashUnit(col("doc_id"), "curate-pack"))
+        .groupBy("bucket", "seq_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("seq_tokens"),
+          array_join(
+            transform(sort_array(collect_list(struct(col("__pu"), col("doc_id")))),
+              x => x.getField("doc_id").cast("string")), ",").as("doc_ids"))
+    }),
     "x27b_curate_report" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       CurateJob.report(CurateJob.curate(docs.where(col("doc_id") % 7 === 0),
@@ -561,7 +581,7 @@ object ExtensionQueries {
     * 256-token/8-bucket packing). Stage CTEs mirror the
     * x17/x22/x30/x20/x19/x23/x21 oracles.
     */
-  private lazy val x27Sql: String =
+  private lazy val x27Cte: String =
     s"""WITH RECURSIVE cl AS (
        |  SELECT doc_id, source, $duckCleanExpr AS ct FROM documents),
        |c2 AS (SELECT doc_id, source, ct, len(ct) AS nc, string_split(ct, ' ') AS ws,
@@ -642,10 +662,13 @@ object ExtensionQueries {
        |         CAST(floor(pu * 8) AS BIGINT) AS bucket
        |       FROM (SELECT doc_id, source, nt,
        |               ${duckHashUnit("doc_id", "curate-pack")} AS pu FROM mx)),
-       |pk AS (SELECT doc_id, source, nt, bucket,
+       |pk AS (SELECT doc_id, source, nt, pu, bucket,
        |         CAST(floor((SUM(nt) OVER (PARTITION BY bucket ORDER BY pu, doc_id
        |           ROWS UNBOUNDED PRECEDING) - 1.0) / 256) AS BIGINT) AS seq_id
-       |       FROM pc)
+       |       FROM pc)""".stripMargin
+
+  private lazy val x27Sql: String =
+    s"""$x27Cte
        |SELECT doc_id, source, 'drop_repetition' AS action,
        |       CAST(NULL AS BIGINT) AS dup_of, CAST(NULL AS DOUBLE) AS jaccard,
        |       nt AS n_tokens, CAST(NULL AS BIGINT) AS bucket,
@@ -1124,6 +1147,15 @@ object ExtensionQueries {
          |  CAST(len(regexp_extract_all(text, '$duckPhonePat')) AS BIGINT) AS n_phones
          |FROM documents""".stripMargin,
     "x27_curate_e2e" -> x27Sql,
+    // Sequence manifests: group the replayed pk frame; doc order within a
+    // sequence is the packing window's own (pu, doc_id) sort key.
+    "x36_training_sequences" ->
+      s"""$x27Cte
+         |SELECT bucket, seq_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(nt) AS BIGINT) AS seq_tokens,
+         |  array_to_string(list(doc_id ORDER BY pu, doc_id), ',') AS doc_ids
+         |FROM pk GROUP BY bucket, seq_id""".stripMargin,
     "x27b_curate_report" ->
       s"""SELECT source, COUNT(*) AS n_in,
          |  CAST(SUM(CASE WHEN action = 'drop_repetition' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_repetition,
