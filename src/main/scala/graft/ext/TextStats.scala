@@ -166,16 +166,27 @@ object TextStats {
     * filtering/auditing. Pure codegen'd column expressions — shuffle-free,
     * linear, no driver state.
     */
+  /** IPv4 dotted quads, octets 0-255, word-bounded on both sides so
+    * version-like "1.2.3.4.5" runs and digit substrings of longer tokens
+    * never redact. `\b` and bounded alternations only — no lookaround, so
+    * Java regex and DuckDB's RE2 agree (RE2 has no lookbehind at all).
+    */
+  val ipPattern =
+    "\\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}" +
+      "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b"
+
   def withCleaned(df: DataFrame, text: String = "text"): DataFrame = {
-    val redacted = regexp_replace(regexp_replace(
+    val redacted = regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(col(text), urlPattern, "<URL>"), emailPattern, "<EMAIL>"),
-      phonePattern, "<PHONE>")
+      phonePattern, "<PHONE>"), ipPattern, "<IP>")
     df.withColumn("n_urls",
         size(regexp_extract_all(col(text), lit(urlPattern), lit(0))).cast("long"))
       .withColumn("n_emails",
         size(regexp_extract_all(col(text), lit(emailPattern), lit(0))).cast("long"))
       .withColumn("n_phones",
         size(regexp_extract_all(col(text), lit(phonePattern), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col(text), lit(ipPattern), lit(0))).cast("long"))
       .withColumn("clean_text", trim(regexp_replace(redacted, "\\s+", " ")))
   }
 

@@ -401,7 +401,7 @@ object ExtensionQueries {
           "ok_ttr", "ok_dominance", "keep")),
     "x17_text_clean" -> ((s, dir) =>
       TextStats.withCleaned(Tables.documents(s, dir))
-        .select("doc_id", "clean_text", "n_urls", "n_emails", "n_phones")),
+        .select("doc_id", "clean_text", "n_urls", "n_emails", "n_phones", "n_ips")),
     // Perplexity-style quality score: per-doc negative log-likelihood
     // under the corpus's own unigram LM (CCNet's filter, unigram form).
     // Per-token logprobs are rounded BEFORE the sum so DuckDB replays the
@@ -559,11 +559,14 @@ object ExtensionQueries {
     */
   private val duckPhonePat =
     """\+[0-9]{1,3}[- ]?\(?[0-9]{2,4}\)?[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}|\([0-9]{2,4}\)[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}|[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}"""
+  private val duckIpPat =
+    """\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"""
   private val duckCleanExpr =
-    s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+    s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
        |    'https?://[^\\s]+', '<URL>', 'g'),
        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
        |    '$duckPhonePat', '<PHONE>', 'g'),
+       |    '$duckIpPat', '<IP>', 'g'),
        |    '\\s+', ' ', 'g'))""".stripMargin
 
   /** `Sampling.hashUnit(key, salt)` replayed as a DuckDB expression. */
@@ -1144,7 +1147,8 @@ object ExtensionQueries {
          |  $duckCleanExpr AS clean_text,
          |  CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(text, '$duckPhonePat')) AS BIGINT) AS n_phones
+         |  CAST(len(regexp_extract_all(text, '$duckPhonePat')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '$duckIpPat')) AS BIGINT) AS n_ips
          |FROM documents""".stripMargin,
     "x27_curate_e2e" -> x27Sql,
     // Sequence manifests: group the replayed pk frame; doc order within a

@@ -824,6 +824,28 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(5L) == (("hyphenated <PHONE> still caught", 1L)))
   }
 
+  test("cleaning: IPv4 addresses redacted, octets bounded, versions left alone") {
+    val df = Seq(
+      (1L, "server at 192.168.0.1 and 10.0.0.255 responded"),
+      (2L, "not an ip: 999.1.2.3 or 1.2.3.256, version v1.2.3.4.5"),
+      (3L, "date 2023.01.15 has three parts only"),
+      (4L, "url http://10.0.0.1/path hides its ip")).toDF("doc_id", "text")
+    val out = TextStats.withCleaned(df).select("doc_id", "clean_text", "n_ips")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("server at <IP> and <IP> responded", 2L)))
+    // 999.1.2.3: no valid octet parse from any word boundary; 1.2.3.256
+    // fails the last octet. KNOWN tradeoff (no lookbehind in RE2): a
+    // version-like "v1.2.3.4.5" leftmost-matches its "2.3.4.5" suffix —
+    // verified identical in Java regex and DuckDB RE2, so cross-engine
+    // consistent even where imperfect
+    assert(out(2L)._1 == "not an ip: 999.1.2.3 or 1.2.3.256, version v1.<IP>")
+    assert(out(2L)._2 == 1L)
+    assert(out(3L) == (("date 2023.01.15 has three parts only", 0L)))
+    // the URL pass runs first, so the embedded IP is already gone from the
+    // text; n_ips still audits the ORIGINAL text like every other count
+    assert(out(4L) == (("url <URL> hides its ip", 1L)))
+  }
+
   test("repetition: repeated phrases raise dup_fraction; distinct prose scores 0") {
     val df = Seq(
       (1L, "buy now " * 10 + "limited offer"),       // heavy phrase repeats
