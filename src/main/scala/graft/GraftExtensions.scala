@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // HyperplaneBucket / NearestCentroid carry a literal plane/centroid
     // matrix and are deliberately NOT exposed to SQL — a matrix cannot be
     // written as a SQL argument; use the Column API (SimSearch) instead.
+
+    // Optimizer rule: naive `abs(l - r) <= tol` band joins become
+    // overlap-bucket equi-joins instead of nested-loop joins.
+    e.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }
 
@@ -91,5 +95,8 @@ object GraftExtensions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kgram_hash_minmax", mkKgram, "built-in")
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BandJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
   }
 }

@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The band-join optimizer rule: a naive `abs(l − r) <= tol` inner join
+  * must stop planning as a nested-loop join once the rule is registered,
+  * with row-identical results; joins that already carry an equi-key
+  * (AsofJoin's pre-bucketed shape) must pass through untouched.
+  */
+class BandJoinRewriteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withRule[A](f: => A): A = {
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ BandJoinRewrite
+    try f finally spark.experimental.extraOptimizations = before
+  }
+
+  private lazy val sensors =
+    (0L until 300L).map(i => (i, i * 7 % 1000)).toDF("s_id", "s_ts")
+  private lazy val readings =
+    (0L until 400L).map(i => (i, i * 13 % 1000)).toDF("r_id", "r_ts")
+
+  private def bandJoin(): DataFrame =
+    sensors.join(readings, abs(col("s_ts") - col("r_ts")) <= 25, "inner")
+
+  test("naive band join: nested-loop without the rule, hash join with it") {
+    val naive = bandJoin().queryExecution.executedPlan.toString
+    assert(naive.contains("BroadcastNestedLoopJoin"), naive)
+
+    withRule {
+      val p = bandJoin().queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      assert(p.contains("Generate explode"), p) // the 3-bucket right side
+    }
+  }
+
+  test("rewrite is row-identical to the nested-loop plan") {
+    val expected = bandJoin().collect().map(_.toSeq).toSet
+    val got = withRule { bandJoin().collect().map(_.toSeq).toSet }
+    assert(got == expected && got.nonEmpty)
+    // boundary rows (diff exactly tol) are present — bucket edges covered
+    assert(got.exists { r =>
+      math.abs(r(1).asInstanceOf[Long] - r(3).asInstanceOf[Long]) == 25
+    })
+  }
+
+  test("joins with an equi-key (as-of shape) are not double-bucketed") {
+    withRule {
+      // AsofJoin's internal join has bucket equality + band residual: the
+      // rule must leave it alone (no Generate injected by the rewrite)
+      val left = (0L until 50L).map(i => (i, i * 60)).toDF("l_id", "ts")
+      val right = (0L until 50L).map(i => (i, i * 90)).toDF("r_id", "rts")
+      val asof = graft.operators.AsofJoin.nearest(
+        left.withColumn("datetime", timestamp_seconds(col("ts"))).drop("ts"),
+        right.withColumn("datetime", timestamp_seconds(col("rts"))).drop("rts"),
+        "datetime", toleranceSeconds = 120L, leftKey = Seq("l_id"))
+      // AsofJoin has its OWN bucket explode; the rule must not add a
+      // second layer — its marker columns must be absent
+      val p = asof.queryExecution.executedPlan.toString
+      assert(!p.contains("__band_bucket"), p)
+      assert(asof.count() == 50) // left-preserving as always
+    }
+  }
+
+  test("SQL surface: rule active via GraftExtensions.register") {
+    // newSession: isolated temp views + isolated experimental methods,
+    // so registration here never leaks into the shared test session
+    val fresh = spark.newSession()
+    graft.GraftExtensions.register(fresh)
+    fresh.range(300).selectExpr("id AS s_id", "id * 7 % 1000 AS s_ts")
+      .createOrReplaceTempView("band_sensors")
+    fresh.range(400).selectExpr("id AS r_id", "id * 13 % 1000 AS r_ts")
+      .createOrReplaceTempView("band_readings")
+    val df = fresh.sql(
+      """SELECT s_id, r_id FROM band_sensors JOIN band_readings
+        |ON abs(s_ts - r_ts) <= 25""".stripMargin)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(df.count() > 0)
+  }
+}
