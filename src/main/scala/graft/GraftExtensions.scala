@@ -13,7 +13,8 @@ import graft.functions.{FloatDotProduct, Int8DotProduct, KgramHashMinMax, Sorted
   *   - config: `spark.sql.extensions=graft.GraftExtensions` — injected at
   *     session build, available in every `spark.sql(...)`;
   *   - [[GraftExtensions.register]]: imperative registration on an existing
-  *     session (used by tests and the Verify/Bench mains).
+  *     session (used by the specs; the Verify/Bench mains run the declared
+  *     queries through the Column API and need no registration).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
