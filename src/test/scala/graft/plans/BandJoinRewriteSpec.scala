@@ -15,9 +15,19 @@ class BandJoinRewriteSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // Other suites may have registered the rule on the shared session via
+  // GraftExtensions.register (that IS the deployment path), so both
+  // helpers set the exact state they need rather than assuming a baseline.
   private def withRule[A](f: => A): A = {
     val before = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = before :+ BandJoinRewrite
+    spark.experimental.extraOptimizations =
+      before.filterNot(_ == BandJoinRewrite) :+ BandJoinRewrite
+    try f finally spark.experimental.extraOptimizations = before
+  }
+
+  private def withoutRule[A](f: => A): A = {
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before.filterNot(_ == BandJoinRewrite)
     try f finally spark.experimental.extraOptimizations = before
   }
 
@@ -30,7 +40,7 @@ class BandJoinRewriteSpec extends AnyFunSuite {
     sensors.join(readings, abs(col("s_ts") - col("r_ts")) <= 25, "inner")
 
   test("naive band join: nested-loop without the rule, hash join with it") {
-    val naive = bandJoin().queryExecution.executedPlan.toString
+    val naive = withoutRule { bandJoin().queryExecution.executedPlan.toString }
     assert(naive.contains("BroadcastNestedLoopJoin"), naive)
 
     withRule {
@@ -41,7 +51,7 @@ class BandJoinRewriteSpec extends AnyFunSuite {
   }
 
   test("rewrite is row-identical to the nested-loop plan") {
-    val expected = bandJoin().collect().map(_.toSeq).toSet
+    val expected = withoutRule { bandJoin().collect().map(_.toSeq).toSet }
     val got = withRule { bandJoin().collect().map(_.toSeq).toSet }
     assert(got == expected && got.nonEmpty)
     // boundary rows (diff exactly tol) are present — bucket edges covered
