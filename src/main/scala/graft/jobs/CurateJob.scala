@@ -64,7 +64,7 @@ case class CurateParams(
   * `nBuckets` parallel windows. The corpus is deliberately NOT
   * checkpointed — its two consumers (train/eval) re-run only a map-side
   * regex scan each, cheaper at 100 TB than materializing the cleaned
-  * corpus. The bounded batch IS lazily checkpointed: six decision
+  * corpus. The bounded batch IS lazily checkpointed: eight decision
   * branches re-read it.
   */
 object CurateJob {
