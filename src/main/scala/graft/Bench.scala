@@ -62,11 +62,14 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // Stdout is shared with Spark/log4j noise, so tail-parsing the process
-    // output is fragile; also drop the line into a file when asked.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
+    // output is fragile; always also drop the line into a file — an sbt-forked
+    // driver run then still yields machine-readable JSON even if the stdout
+    // line is wrapped in log noise.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case t: Throwable =>
+      System.err.println(s"bench: could not write $outPath: $t") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

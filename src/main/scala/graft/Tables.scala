@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet fixture tables (TESTDATA.md).
   *
@@ -25,19 +25,29 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
-    * to TimestampType. Read nanos as long (legacy flag) and truncate to
-    * microseconds — the same truncation DuckDB's `CAST(ts AS TIMESTAMP)`
-    * applies, so oracle comparisons line up.
+  /** The driver has shipped `events.ts` in two physical shapes across
+    * testdata regenerations, and this loader normalizes both to a session-
+    * local TimestampType so every downstream operator sees one type:
+    *   - TIMESTAMP(NANOS), which Spark 4 refuses to map to TimestampType:
+    *     read nanos as long (legacy flag) and truncate to microseconds —
+    *     the same truncation DuckDB's `CAST(ts AS TIMESTAMP)` applies;
+    *   - timestamp[us] with isAdjustedToUTC=false, which Spark 4 reads as
+    *     TIMESTAMP_NTZ: cast to TimestampType. Under the UTC session
+    *     timezone (set by Verify/Bench/tests) the wall-clock values are
+    *     preserved, matching the oracle's `CAST(ts AS TIMESTAMP)`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      // `div` = exact integer division; `/` would go through double and
-      // lose precision above 2^53 (epoch-nanos are ~1.7e18).
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // `div` = exact integer division; `/` would go through double and
+        // lose precision above 2^53 (epoch-nanos are ~1.7e18).
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** As-of joins (time-series point lookup), Spark-first.
   *
@@ -50,10 +51,21 @@ object AsofJoin {
               toleranceSeconds: Long, leftKey: Seq[String]): DataFrame =
     asof(left, right, on, toleranceSeconds, leftKey, Forward)
 
-  def asof(left: DataFrame, right: DataFrame, on: String,
+  // `unix_micros` rejects TIMESTAMP_NTZ input (analysis error); cast NTZ
+  // columns to the session-local TimestampType up front so callers can pass
+  // either flavor. No-op on already-LTZ input; under a UTC session timezone
+  // the wall-clock values are preserved.
+  private def ltz(df: DataFrame, on: String): DataFrame =
+    if (df.schema(on).dataType == TimestampNTZType)
+      df.withColumn(on, col(on).cast(TimestampType))
+    else df
+
+  def asof(left0: DataFrame, right0: DataFrame, on: String,
            toleranceSeconds: Long, leftKey: Seq[String],
            direction: Direction): DataFrame = {
     require(toleranceSeconds > 0, "tolerance must be positive")
+    val left = ltz(left0, on)
+    val right = ltz(right0, on)
     // Contract (was implicit): right payload columns land next to the full
     // left row, so any shared name other than `on` would make the final
     // equi-join ambiguous and silently mis-resolve. Fail fast instead.

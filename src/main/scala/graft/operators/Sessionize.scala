@@ -20,9 +20,16 @@ import org.apache.spark.sql.functions._
 object Sessionize {
 
   /** Attach `session_seq` (1-based per key, ordered by `tsCol`). */
-  def assign(df: DataFrame, keyCol: String, tsCol: String,
+  def assign(df0: DataFrame, keyCol: String, tsCol: String,
              gapSeconds: Long): DataFrame = {
     require(gapSeconds > 0, "gap must be positive")
+    // TIMESTAMP_NTZ can't `cast("long")` (analysis error) — normalize to the
+    // session-local TimestampType first; no-op on LTZ input, wall-clock
+    // values preserved under the UTC session timezone.
+    val df =
+      if (df0.schema(tsCol).dataType == org.apache.spark.sql.types.TimestampNTZType)
+        df0.withColumn(tsCol, col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      else df0
     val byTs = Window.partitionBy(keyCol).orderBy(tsCol)
     val gap: Column =
       col(tsCol).cast("long") - lag(col(tsCol), 1).over(byTs).cast("long")

@@ -13,6 +13,13 @@ import graft.jobs.CurateJob
   * LSH, fingerprints) depend on xxhash64 and are deliberately oracle-less —
   * the driver records a rows-only check; their semantics are covered by
   * ScalaTest specs instead.
+  *
+  * ORACLE SQL CONVENTION: every aggregate (plain or windowed) that reaches
+  * a FINAL select must be wrapped in an explicit CAST. DuckDB widens
+  * `SUM(BIGINT)` to HUGEINT (int128), which the driver's hasher
+  * distinguishes from Spark's int64 even when the values are identical —
+  * round 7's only hash mismatch (x23b) was exactly this. Intermediate CTE
+  * aggregates that only feed arithmetic/predicates don't need the cast.
   */
 object ExtensionQueries {
 
@@ -1333,8 +1340,8 @@ object ExtensionQueries {
         |          / 4294967296.0 AS u
         |      FROM toks),
         |c AS (SELECT doc_id, source, n_tokens,
-        |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |      FROM u)
         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 500""".stripMargin,

@@ -152,6 +152,22 @@ object ReferenceQueries {
         .select(col("o_orderkey"), col("o_orderstatus"), lit("low").as("bucket"))
       hi.unionByName(lo)
     }),
+    // The naive SQL band join a user would actually write — no equi-key, so
+    // stock Catalyst can only plan BroadcastNestedLoopJoin (O(|L|*|R|)).
+    // With GraftExtensions registered, plans.BandJoinRewrite turns it into
+    // the overlap-bucket hash join end-to-end: this query proves the
+    // optimizer rule under the SQL surface, oracle-checked (the rewrite
+    // keeps the original predicate, so results are exact).
+    "j6_band_sql" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      s.sql(
+        """WITH a AS (SELECT event_id, value FROM events_v WHERE event_id % 97 = 0),
+          |     b AS (SELECT event_id, value FROM events_v WHERE event_id % 89 = 1)
+          |SELECT a.event_id AS l_id, b.event_id AS r_id,
+          |       a.value AS l_value, b.value AS r_value
+          |FROM a JOIN b ON abs(a.value - b.value) <= 1.0""".stripMargin)
+    }),
 
     // ---- D* dedup / upsert / sort -----------------------------------------
     "d1_upsert_newest" -> ((s, dir) => {
@@ -428,6 +444,14 @@ object ReferenceQueries {
       """SELECT o_orderkey, o_orderstatus, 'high' AS bucket FROM orders WHERE o_totalprice > 300000
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, 'low' AS bucket FROM orders WHERE o_totalprice < 10000""".stripMargin,
+    // Same text as the Spark-side SQL (modulo the view name): values come
+    // straight from the parquet doubles, so no rounding is needed.
+    "j6_band_sql" ->
+      """WITH a AS (SELECT event_id, value FROM events WHERE event_id % 97 = 0),
+        |     b AS (SELECT event_id, value FROM events WHERE event_id % 89 = 1)
+        |SELECT a.event_id AS l_id, b.event_id AS r_id,
+        |       a.value AS l_value, b.value AS r_value
+        |FROM a JOIN b ON abs(a.value - b.value) <= 1.0""".stripMargin,
     "d1_upsert_newest" ->
       """WITH existing AS (SELECT event_id, user_id, value, 0 AS prio FROM events),
         |     incoming AS (SELECT event_id, user_id, ROUND(value*2,2) AS value, 1 AS prio

@@ -25,6 +25,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("SQL-surface band join is rewritten to a hash join by BandJoinRewrite") {
+    // j6_band_sql writes the naive `abs(l - r) <= tol` predicate through
+    // spark.sql — without the optimizer rule this can only plan as a
+    // BroadcastNestedLoopJoin; with it, the overlap-bucket equi-key makes
+    // it a hash join. This is the end-to-end proof the extension closes
+    // the SQL-user trap, not just the DataFrame path.
+    val p = plan("j6_band_sql")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("ngram jaccard pairs join on the length bucket, never all-pairs") {
     val p = plan("x3_dedup_ngram")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
