@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Batch gap-based sessionization — the batch twin of
   * [[graft.streaming.EventStreams]]' stateful sessionizer: a new session
@@ -27,8 +28,8 @@ object Sessionize {
     // session-local TimestampType first; no-op on LTZ input, wall-clock
     // values preserved under the UTC session timezone.
     val df =
-      if (df0.schema(tsCol).dataType == org.apache.spark.sql.types.TimestampNTZType)
-        df0.withColumn(tsCol, col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      if (df0.schema(tsCol).dataType == TimestampNTZType)
+        df0.withColumn(tsCol, col(tsCol).cast(TimestampType))
       else df0
     val byTs = Window.partitionBy(keyCol).orderBy(tsCol)
     val gap: Column =
