@@ -230,14 +230,27 @@ object Dedup {
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    // Fixpoint detection via a (count, xxhash64-XOR) signature: both star
+    // outputs are distinct sets, so signature equality means set equality
+    // up to a 64-bit-hash-fold collision (~2^-64/round — and the x14/x34
+    // oracle replay would catch a systematic failure). XOR, not SUM: ANSI
+    // mode makes a long hash sum overflow. One map-side agg job per round,
+    // vs the count()+except() alternative whose except is a full extra
+    // shuffle of the edge set every round — the wrong shape for a 100 TB
+    // pair graph.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(edges)
     var round = 0
-    var converged = edges.isEmpty
+    var converged = sig._1 == 0L
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // fixpoint = edge set unchanged (both sides are distinct, so equal
-      // counts + empty one-sided difference means set equality)
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      val nextSig = signature(next)
+      converged = nextSig == sig
       edges = next
+      sig = nextSig
       round += 1
     }
     require(converged, s"component labels did not converge in $maxRounds rounds")
