@@ -359,4 +359,63 @@ object TextStats {
       .withColumn("fp_full", xxhash64(norm))
       .drop("__mm")
   }
+
+  /** Naive-Bayes source classification — the domain-tagging stage of a
+    * curation pipeline (the role CCNet/fastText domain filters play):
+    * score every document against every source's Laplace-smoothed unigram
+    * LM, predict `argmax_s [ log P(s) + Σ_w tf_w · log P(w|s) ]`, ties
+    * broken toward the lexicographically smaller source.
+    *
+    * Scale shape: the per-(source, term) model is a vocabulary-sized frame
+    * joined by TERM key (never collected); the candidate blow-up is ×
+    * nSources — a small bounded dimension, broadcast; scoring is one
+    * partial-aggregable groupBy per (doc, candidate); the final argmax is a
+    * per-doc `row_number` window (hash-partitioned by doc). Float
+    * discipline follows [[unigramNll]]: per-term log-probs are rounded to
+    * 6 decimals BEFORE the sum and the total re-rounded, so the score —
+    * and therefore the argmax — is reproducible cross-engine.
+    *
+    * Output: one row per doc — `doc_id, true_source, predicted_source,
+    * score, is_correct`.
+    */
+  def classifySource(df: DataFrame, source: String = "source",
+                     text: String = "text", docId: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(docId), col(source).as("true_source"),
+        explode(terms(col(text))).as("term"))
+      .groupBy(col(docId), col("true_source"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    // per-(source, term) counts feed the totals AND the scoring join
+    val st = df.select(col(source), explode(terms(col(text))).as("term"))
+      .groupBy(col(source), col("term")).agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(false)
+    val stR = st.select(col(source).as("cand_source"), col("term"), col("__cnt"))
+    val stot = st.groupBy(col(source)).agg(sum(col("__cnt")).as("__sT"))
+      .select(col(source).as("cand_source"), col("__sT"))
+    val vocab = st.select("term").distinct().agg(count(lit(1)).as("__V"))
+    val priors = df.groupBy(col(source)).agg(count(lit(1)).as("__nd"))
+      .select(col(source).as("cand_source"), col("__nd"))
+    val ndTot = df.agg(count(lit(1)).as("__n"))
+    val sources = df.select(col(source).as("cand_source")).distinct()
+
+    val scored = toks.crossJoin(broadcast(sources))
+      .join(stR, Seq("cand_source", "term"), "left")
+      .join(broadcast(stot), "cand_source")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(docId), col("true_source"), col("cand_source"))
+      .agg(sum(col("__tf") *
+        round(log((coalesce(col("__cnt"), lit(0L)) + 1.0) /
+          (col("__sT") + col("__V"))), 6)).as("__sTerms"))
+    val fin = scored.join(broadcast(priors), "cand_source")
+      .crossJoin(broadcast(ndTot))
+      .withColumn("score",
+        round(col("__sTerms") + round(log(col("__nd") / col("__n")), 6), 6))
+    val w = Window.partitionBy(col(docId))
+      .orderBy(col("score").desc, col("cand_source").asc)
+    fin.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col(docId), col("true_source"),
+        col("cand_source").as("predicted_source"), col("score"),
+        (col("cand_source") === col("true_source")).cast("long").as("is_correct"))
+  }
 }

@@ -419,6 +419,11 @@ object ExtensionQueries {
     // unigram distribution — read next to x25/x31 when tuning a mix.
     "x33_source_divergence" -> ((s, dir) =>
       TextStats.sourceDivergence(Tables.documents(s, dir))),
+    // Naive-Bayes domain tagging over per-source Laplace-smoothed unigram
+    // LMs (the CCNet/fastText-filter role); DuckDB replays the full model
+    // fit + scoring + argmax from the same rounded-log arithmetic.
+    "x37_source_classify" -> ((s, dir) =>
+      TextStats.classifySource(Tables.documents(s, dir))),
     // Within-document repetition (duplicate-shingle fraction) — the
     // standard boilerplate/template quality filter; DuckDB recomputes the
     // same fraction over string shingles (hash-collision-equal).
@@ -1213,6 +1218,41 @@ object ExtensionQueries {
         |    * ln((st.stf / stot.sT) / (ct.ctf / ctot.cT)), 6)), 6) AS kl_divergence
         |FROM st JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
         |GROUP BY st.source""".stripMargin,
+    // Full naive-Bayes replay: per-source Laplace-smoothed unigram model,
+    // per-(doc, candidate) scores with round-before-sum logs (x32
+    // discipline, so the argmax is reproducible), argmax via the same
+    // (score DESC, source ASC) window on the ROUNDED score.
+    "x37_source_classify" ->
+      """WITH t AS (SELECT doc_id, source AS true_source,
+        |             unnest(string_split(text, ' ')) AS term FROM documents),
+        |toks AS (SELECT doc_id, true_source, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |         FROM t GROUP BY 1, 2, 3),
+        |st AS (SELECT source, term, COUNT(*) AS cnt
+        |       FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+        |       GROUP BY source, term),
+        |stot AS (SELECT source, SUM(cnt) AS sT FROM st GROUP BY source),
+        |v AS (SELECT COUNT(DISTINCT term) AS V FROM st),
+        |priors AS (SELECT source, COUNT(*) AS nd FROM documents GROUP BY source),
+        |ntot AS (SELECT COUNT(*) AS n FROM documents),
+        |srcs AS (SELECT DISTINCT source AS cand_source FROM documents),
+        |scored AS (
+        |  SELECT tk.doc_id, tk.true_source, sc.cand_source,
+        |         SUM(tk.tf * ROUND(ln((COALESCE(st.cnt, 0) + 1.0)
+        |           / (stot.sT + v.V)), 6)) AS s_terms
+        |  FROM toks tk CROSS JOIN srcs sc
+        |  LEFT JOIN st ON st.source = sc.cand_source AND st.term = tk.term
+        |  JOIN stot ON stot.source = sc.cand_source
+        |  CROSS JOIN v
+        |  GROUP BY 1, 2, 3),
+        |fin AS (
+        |  SELECT scored.doc_id, true_source, cand_source,
+        |         ROUND(s_terms + ROUND(ln(priors.nd / ntot.n), 6), 6) AS score
+        |  FROM scored JOIN priors ON priors.source = cand_source CROSS JOIN ntot),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, cand_source ASC) AS rn FROM fin)
+        |SELECT doc_id, true_source, cand_source AS predicted_source, score,
+        |       CAST(cand_source = true_source AS BIGINT) AS is_correct
+        |FROM r WHERE rn = 1""".stripMargin,
     // Span dedup replayed over string 8-grams: occurrence counts, per-doc
     // duplicated positions, interval-union coverage, and the rebuilt text.
     // Positions are 1-based on both sides; DuckDB range(a,b) = [a, b).

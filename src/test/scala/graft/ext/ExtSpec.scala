@@ -908,6 +908,28 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out("a")._2 >= 0.0 && out("b")._2 > out("a")._2)
   }
 
+  test("classifySource: docs with source-typical vocabulary tag their source; deterministic") {
+    // srcA speaks {alpha, beta}, srcB speaks {gamma, delta}; doc 5 is an
+    // obvious srcA-dialect doc filed under srcB — the classifier should
+    // call it srcA (is_correct = 0) and everything else correctly.
+    val df = Seq(
+      (1L, "srcA", "alpha beta alpha beta alpha"),
+      (2L, "srcA", "beta alpha beta alpha beta"),
+      (3L, "srcB", "gamma delta gamma delta gamma"),
+      (4L, "srcB", "delta gamma delta gamma delta"),
+      (5L, "srcB", "alpha beta alpha beta alpha")
+    ).toDF("doc_id", "source", "text")
+    val out = TextStats.classifySource(df)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(4))).toMap
+    assert(out(1L) == ("srcA", 1L) && out(2L) == ("srcA", 1L))
+    assert(out(3L) == ("srcB", 1L) && out(4L) == ("srcB", 1L))
+    assert(out(5L) == ("srcA", 0L), s"dialect doc should tag srcA: ${out(5L)}")
+    // exactly one row per doc, stable under repartition
+    val again = TextStats.classifySource(df.repartition(3))
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(4))).toMap
+    assert(again == out)
+  }
+
   test("quality rules: each Gopher-style flag fires on exactly its violation") {
     val good = "the quick brown fox jumps over a lazy dog near the old stone bridge " +
       "while birds sing in the warm morning light and children play for hours on " +
