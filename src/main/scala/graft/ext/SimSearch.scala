@@ -247,6 +247,17 @@ object SimSearch {
     ivfTopKFromIndex(queries, cells, centroidDF, k, nProbe, qId, qVec, cId, cVec)
   }
 
+  /** Metadata-filtered exact top-k: neighbors restricted to corpus rows
+    * satisfying `pred`, applied below the scoring join (the filtered-search
+    * discipline — see [[ivfTopKFromIndexFiltered]] for why pre-filtering
+    * is the only correct shape).
+    */
+  def bruteTopKFiltered(queries: DataFrame, corpus: DataFrame, k: Int,
+                        pred: Column,
+                        qId: String = "q_id", qVec: String = "q_vec",
+                        cId: String = "vec_id", cVec: String = "embedding"): DataFrame =
+    bruteTopK(queries, corpus.where(pred), k, qId, qVec, cId, cVec)
+
   /** The persistent IVF index: the cell-assigned corpus (persist bucketed
     * by `cell` — every later probe batch hits co-located cells) and the
     * tiny centroid table (nCells rows; this pair IS the index identity,
@@ -293,6 +304,25 @@ object SimSearch {
       .where(col("rank") <= k)
       .select(col(qId), col(cId).as("neighbor_id"), col("rank"), round(col("cos"), 5).as("cos"))
   }
+
+  /** Metadata-filtered probe of a prebuilt [[ivfIndex]] — ONE index serves
+    * every predicate. The predicate filters the cell-assigned corpus
+    * BEFORE candidate scoring and the top-k (pre-filtering): post-filtering
+    * the returned top-k instead silently starves results whenever the
+    * filter is selective — with selectivity s, an unfiltered top-k keeps
+    * only ~s·k qualifying rows and loses every true neighbor that sat
+    * outside it. Index rows keep their metadata columns precisely so
+    * predicates can push down here (onto the bucketed cell scan when the
+    * index is persisted); with `nProbe = nCells` the result is exactly
+    * [[bruteTopKFiltered]].
+    */
+  def ivfTopKFromIndexFiltered(queries: DataFrame, cells: DataFrame,
+                               centroidDF: DataFrame, k: Int, pred: Column,
+                               nProbe: Int = 8,
+                               qId: String = "q_id", qVec: String = "q_vec",
+                               cId: String = "vec_id", cVec: String = "embedding"): DataFrame =
+    ivfTopKFromIndex(queries, cells.where(pred), centroidDF, k, nProbe,
+      qId, qVec, cId, cVec)
 
   /** Symmetric per-vector int8 quantization: `scale = 127 / max|v_i|`,
     * `q_i = floor(v_i * scale + 0.5)` (round-half-toward-+inf — `floor`

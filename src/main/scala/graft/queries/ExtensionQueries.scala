@@ -221,6 +221,37 @@ object ExtensionQueries {
             .cast("long").as("recall_ok"))
     }),
 
+    // Metadata-filtered similarity search ("neighbors among label-X rows"):
+    // ONE prebuilt index serves every predicate, and the predicate filters
+    // the cell-assigned corpus BEFORE candidate scoring — post-filtering an
+    // ANN top-k starves results whenever the filter is selective (~42%
+    // here). x38 is the exact filtered path, fully oracle-replayed; x38b
+    // gates the filtered-IVF probe's recall against it (x7c contract).
+    "x38_ann_filtered" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      SimSearch.bruteTopKFiltered(q, e, k = 5, pred = col("label") % 3 === 0)
+    }),
+    "x38b_ann_filtered_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      // lazy checkpoint: referenced twice, no job at construction (x7c note)
+      val truth = SimSearch.bruteTopKFiltered(q, e, k = 5,
+        pred = col("label") % 3 === 0)
+        .select("q_id", "neighbor_id").localCheckpoint(false)
+      val (cells, cents) = SimSearch.ivfIndex(e)
+      val found = SimSearch.ivfTopKFromIndexFiltered(q, cells, cents, k = 5,
+        pred = col("label") % 3 === 0).select("q_id", "neighbor_id")
+      found.join(truth, Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(col("n_truth").cast("long").as("n_truth"),
+          (col("n_hits").cast("double") / col("n_truth") >= ANN_RECALL_MIN)
+            .cast("long").as("recall_ok"))
+    }),
+
     // The deployment path of x20's near tier: probe a PREBUILT LSH index of
     // the existing corpus with the incoming batch, gated on recall@5
     // against exact brute-force (same contract as x7c). Exercises the
@@ -1006,6 +1037,25 @@ object ExtensionQueries {
          |t AS (SELECT COUNT(*) AS n_truth FROM r WHERE rank <= 5)
          |SELECT m.method, CAST(t.n_truth AS BIGINT) AS n_truth, CAST(1 AS BIGINT) AS recall_ok
          |FROM (VALUES ('ivf'), ('lsh')) m(method) CROSS JOIN t""".stripMargin,
+    // Exact filtered top-k: the x6 replay with the predicate inside the
+    // corpus CTE — pre-filtering is part of the contract being verified.
+    "x38_ann_filtered" ->
+      s"""WITH q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings WHERE label % 3 = 0),
+         |s AS (SELECT q_id, vec_id AS neighbor_id, ${duckCos("qv", "cv")} AS cos
+         |      FROM q CROSS JOIN c WHERE q_id <> vec_id),
+         |r AS (SELECT q_id, neighbor_id, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM s)
+         |SELECT q_id, neighbor_id, rank, ROUND(cos, 5) AS cos FROM r WHERE rank <= 5""".stripMargin,
+    "x38b_ann_filtered_recall" ->
+      s"""WITH q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings WHERE label % 3 = 0),
+         |s AS (SELECT q_id, vec_id AS neighbor_id, ${duckCos("qv", "cv")} AS cos
+         |      FROM q CROSS JOIN c WHERE q_id <> vec_id),
+         |r AS (SELECT q_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank FROM s),
+         |t AS (SELECT COUNT(*) AS n_truth FROM r WHERE rank <= 5)
+         |SELECT CAST(t.n_truth AS BIGINT) AS n_truth, CAST(1 AS BIGINT) AS recall_ok FROM t""".stripMargin,
     // Same scale/floor arithmetic over the DOUBLE-cast embedding; integer
     // outputs are hash-exact across engines.
     "x24_quantize_int8" ->

@@ -389,6 +389,29 @@ class SimSearchSpec extends AnyFunSuite {
     assert(dupPairs.contains((0L, 90000L)))
   }
 
+  test("filtered search: predicate honored, exhaustive filtered probe == filtered brute force") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val pred = col("label") % 3 === 0
+    val allowed = e.where(pred).select("vec_id").collect().map(_.getLong(0)).toSet
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val truth = asSet(SimSearch.bruteTopKFiltered(q, e, k = 5, pred))
+    assert(truth.nonEmpty && truth.forall { case (_, n, _) => allowed(n) })
+    // nProbe = nCells means every cell is probed: the pre-filtered probe
+    // must reproduce the exact filtered top-k, proving the predicate cuts
+    // candidates, never truth
+    val (cells, centroids) = SimSearch.ivfIndex(e, nCells = 8)
+    val exhaustive = asSet(SimSearch.ivfTopKFromIndexFiltered(
+      q, cells, centroids, k = 5, pred, nProbe = 8))
+    assert(exhaustive == truth)
+    // a partial probe still returns only predicate-satisfying neighbors
+    val partial = asSet(SimSearch.ivfTopKFromIndexFiltered(
+      q, cells, centroids, k = 5, pred, nProbe = 4))
+    assert(partial.forall { case (_, n, _) => allowed(n) })
+  }
+
   test("ivf: a prebuilt bucketed on-disk cell index answers like direct ivfTopK") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.where(col("vec_id") < 5)
