@@ -45,6 +45,39 @@ object EventStreams {
     df.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Watermarked stream-STREAM interval join: pair each left event with
+    * the right-stream events of the same key whose timestamp falls in
+    * `[leftTs - beforeSeconds, leftTs + afterSeconds]` — the streaming
+    * face of the batch band/as-of family (enrich clicks with the
+    * readings around them, impressions with conversions that follow).
+    *
+    * Scale shape: both sides buffer in join state hash-partitioned by the
+    * key; the watermark PLUS the interval bound is exactly what lets Spark
+    * evict state (an unbounded-interval stream-stream join would grow
+    * state forever — the time-range conjunct is load-bearing, not an
+    * optimization). Inner joins emit matches immediately in append mode.
+    * Column names must be disjoint across the two sides (same contract as
+    * [[graft.operators.AsofJoin]]): pre-rename the right side.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   beforeSeconds: Long, afterSeconds: Long,
+                   watermarkDelay: String = "2 hours"): DataFrame = {
+    require(beforeSeconds >= 0 && afterSeconds >= 0,
+      "interval bounds must be non-negative")
+    val collisions = right.columns.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right-side columns collide with left: ${collisions.mkString(", ")} — rename before joining")
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $beforeSeconds SECONDS") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $afterSeconds SECONDS"),
+      "inner")
+  }
+
   /** Streaming incremental exact dedup: the streaming face of
     * [[graft.ext.Dedup.incrementalDedup]]'s exact tier — documents
     * arriving on a stream are dropped when their content hash (a) already

@@ -67,6 +67,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: in-window pairs emit, out-of-window don't, batch agrees") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val reads = MemoryStream[(Long, Timestamp, Double)]
+    val lDf = clicks.toDF().toDF("user_id", "ts")
+    val rDf = reads.toDF().toDF("r_user", "rts", "r_value")
+    val joined = EventStreams.intervalJoin(lDf, rDf,
+      leftKey = "user_id", rightKey = "r_user", leftTs = "ts", rightTs = "rts",
+      beforeSeconds = 60, afterSeconds = 120)
+      .select("user_id", "ts", "rts", "r_value")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ivj_out").start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:10:00")), (2L, ts("2024-01-01 10:30:00")))
+      reads.addData(
+        (1L, ts("2024-01-01 10:09:30"), 5.0),  // 30s before  -> in  (before=60)
+        (1L, ts("2024-01-01 10:11:30"), 6.0),  // 90s after   -> in  (after=120)
+        (1L, ts("2024-01-01 10:07:00"), 7.0),  // 180s before -> out
+        (2L, ts("2024-01-01 10:29:00"), 8.0),  // same window, other key -> in for 2 only
+        (3L, ts("2024-01-01 10:10:00"), 9.0))  // key with no left event -> out
+      q.processAllAvailable()
+      val out = spark.table("ivj_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(3))).toSet
+      assert(out == Set((1L, 5.0), (1L, 6.0), (2L, 8.0)))
+      // the same plan over the same data as BATCH frames agrees
+      val lb = Seq((1L, ts("2024-01-01 10:10:00")), (2L, ts("2024-01-01 10:30:00")))
+        .toDF("user_id", "ts")
+      val rb = Seq(
+        (1L, ts("2024-01-01 10:09:30"), 5.0), (1L, ts("2024-01-01 10:11:30"), 6.0),
+        (1L, ts("2024-01-01 10:07:00"), 7.0), (2L, ts("2024-01-01 10:29:00"), 8.0),
+        (3L, ts("2024-01-01 10:10:00"), 9.0)).toDF("r_user", "rts", "r_value")
+      val batch = EventStreams.intervalJoin(lb, rb,
+        "user_id", "r_user", "ts", "rts", 60, 120)
+        .select("user_id", "ts", "rts", "r_value")
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSet
+      assert(batch == out)
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup: corpus hits and within-stream repeats both drop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
