@@ -37,6 +37,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("source classifier: no cartesian beyond bounded broadcasts, argmax uses group-limit") {
+    // the xnSources blow-up must ride broadcast nested-loops of BOUNDED
+    // dims (sources, 1-row totals) — never a real CartesianProduct — and
+    // the per-doc argmax must get Spark's window group-limit pushdown
+    val p = plan("x37_source_classify")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("ngram jaccard pairs join on the length bucket, never all-pairs") {
     val p = plan("x3_dedup_ngram")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
