@@ -375,21 +375,27 @@ object TextStats {
     * 6 decimals BEFORE the sum and the total re-rounded, so the score —
     * and therefore the argmax — is reproducible cross-engine.
     *
-    * Output: one row per doc — `doc_id, true_source, predicted_source,
-    * score, is_correct`.
+    * Output: one row per doc with at least one term — `doc_id,
+    * true_source, predicted_source, score, is_correct`. Docs whose `text`
+    * is NULL (or splits to no terms) are excluded, the same exclusion the
+    * DuckDB oracle's `unnest(string_split(...))` applies.
     */
   def classifySource(df: DataFrame, source: String = "source",
                      text: String = "text", docId: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the ONLY corpus tokenize/explode in the operator: the per-(source,
+    // term) model counts below re-aggregate these per-doc counts instead
+    // of exploding the corpus a second time (lazily checkpointed — the
+    // frame feeds both the model fit and the scoring join)
     val toks = df
       .select(col(docId), col(source).as("true_source"),
         explode(terms(col(text))).as("term"))
       .groupBy(col(docId), col("true_source"), col("term"))
       .agg(count(lit(1)).as("__tf"))
-    // per-(source, term) counts feed the totals AND the scoring join
-    val st = df.select(col(source), explode(terms(col(text))).as("term"))
-      .groupBy(col(source), col("term")).agg(count(lit(1)).as("__cnt"))
       .localCheckpoint(false)
+    val st = toks.groupBy(col("true_source"), col("term"))
+      .agg(sum(col("__tf")).as("__cnt"))
+      .select(col("true_source").as(source), col("term"), col("__cnt"))
     val stR = st.select(col(source).as("cand_source"), col("term"), col("__cnt"))
     val stot = st.groupBy(col(source)).agg(sum(col("__cnt")).as("__sT"))
       .select(col(source).as("cand_source"), col("__sT"))
@@ -397,7 +403,8 @@ object TextStats {
     val priors = df.groupBy(col(source)).agg(count(lit(1)).as("__nd"))
       .select(col(source).as("cand_source"), col("__nd"))
     val ndTot = df.agg(count(lit(1)).as("__n"))
-    val sources = df.select(col(source).as("cand_source")).distinct()
+    // exactly one row per source already — no extra corpus scan/distinct
+    val sources = priors.select("cand_source")
 
     val scored = toks.crossJoin(broadcast(sources))
       .join(stR, Seq("cand_source", "term"), "left")
