@@ -25,6 +25,22 @@ class SessionizeSpec extends AnyFunSuite {
     assert(out((2L, 1L)) == 1L)
   }
 
+  test("TIMESTAMP_NTZ input is accepted and wall-clock-identical to LTZ (UTC session)") {
+    // the round-7 testdata regeneration shipped NTZ timestamps and broke
+    // analysis far from the loader; the operator now normalizes defensively
+    import org.apache.spark.sql.types.TimestampNTZType
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 11:00:01"))
+    ).toDF("user_id", "t")
+    val ltz = Sessionize.sessions(df, "user_id", "t", 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ntz = Sessionize.sessions(
+      df.withColumn("t", col("t").cast(TimestampNTZType)), "user_id", "t", 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ntz == ltz && ltz.size == 2)
+  }
+
   test("sessionization plans exactly one exchange (rollup reuses the window partitioning)") {
     val df = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"))).toDF("user_id", "t")
     val plan = Sessionize.sessions(df, "user_id", "t", 1800L)
@@ -51,6 +67,20 @@ class AsofJoinSpec extends AnyFunSuite {
       .orderBy("id").select("v").collect()
     assert(out(0).getDouble(0) == 1.0)
     assert(out(1).getDouble(0) == 2.0) // exactly +30min -> inclusive
+  }
+
+  test("TIMESTAMP_NTZ inputs are accepted on either side (round-7 testdata regression)") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val l = left("2024-01-01 10:00:00", "2024-01-01 11:00:00")
+    val r = right("2024-01-01 10:00:00" -> 1.0, "2024-01-01 11:30:00" -> 2.0)
+    val expected = AsofJoin.nearest(l, r, "t", 1800L, Seq("id"))
+      .orderBy("id").select("v").collect().map(_.getDouble(0)).toSeq
+    val got = AsofJoin.nearest(
+      l.withColumn("t", col("t").cast(TimestampNTZType)),
+      r.withColumn("t", col("t").cast(TimestampNTZType)),
+      "t", 1800L, Seq("id"))
+      .orderBy("id").select("v").collect().map(_.getDouble(0)).toSeq
+    assert(got == expected && got == Seq(1.0, 2.0))
   }
 
   test("colliding payload column names are rejected up front") {
