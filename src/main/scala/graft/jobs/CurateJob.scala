@@ -64,8 +64,11 @@ case class CurateParams(
   * `nBuckets` parallel windows. The corpus is deliberately NOT
   * checkpointed — its two consumers (train/eval) re-run only a map-side
   * regex scan each, cheaper at 100 TB than materializing the cleaned
-  * corpus. The bounded batch IS lazily checkpointed: eight decision
-  * branches re-read it.
+  * corpus. The bounded batch IS lazily checkpointed at each stage
+  * boundary (rep, qual, exactKept, batchKept, cleanKept, plus the two
+  * pair-decision frames): eight decision branches re-read those frames,
+  * and without the cuts each branch replays the regex/hash chain from
+  * the last checkpoint — measured ~25% of x27's runtime at sf0.1.
   */
 object CurateJob {
 
@@ -113,11 +116,16 @@ object CurateJob {
     val qualRules = TextStats.withQualityRules(repKept, "clean_text",
       p.minWords, p.maxWords, stopwordLang = None)
       .withColumnRenamed("keep", "keep_rules")
+    // lazily checkpointed like rep: the quality annotations feed the drop
+    // branch plus every later batch stage, and the clean/quality regex
+    // chain is the most expensive per-row work in the pipeline — without
+    // the cut each decision branch re-runs it from the rep checkpoint
     val qual = TextStats.withLexicalDiversity(qualRules, "clean_text",
       p.ttrNum, p.ttrDen, p.domDiv)
       .withColumn("keep",
         (col("keep_rules") === 1 && col("ok_ttr") === 1 &&
           col("ok_dominance") === 1).cast("long"))
+      .localCheckpoint(false)
     val dropQual = qual.where(col("keep") === 0)
     val qualKept = qual.where(col("keep") === 1)
       .drop("n_words", "mean_word_len", "max_word_len",
@@ -139,8 +147,11 @@ object CurateJob {
     val eJoined = qualKept.withColumn("__h", sha2(col("clean_text"), 256))
       .join(eMin, "__h")
     val dropBatchExact = eJoined.where(col("doc_id") =!= col("__keep_id"))
+    // four consumers (pair generation, component docs, both near branches)
+    // would each replay the content-hash self-join otherwise
     val exactKept = eJoined.where(col("doc_id") === col("__keep_id"))
       .drop("__h", "__keep_id")
+      .localCheckpoint(false)
     val bPairs = Dedup.ngramJaccardPairs(exactKept, lenCol = "n_clean_chars",
       tol = p.tol, text = "clean_text", minJaccard = p.minJaccard)
     val resolved = Dedup.resolveComponents(exactKept, bPairs)
@@ -148,6 +159,7 @@ object CurateJob {
       .join(resolved.where(col("is_kept") === 0).select("doc_id", "rep_id"), "doc_id")
     val batchKept = exactKept.join(
       resolved.where(col("is_kept") === 1).select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
 
     // ---- stage 2b: incremental dedup vs the train corpus (x20) ----------
     val dedup = Dedup.incrementalDedup(batchKept, trainCorpus,
@@ -172,6 +184,7 @@ object CurateJob {
     val dropContam = contamBest
       .join(dedupKept.select("doc_id", "source", "n_tokens"), "doc_id")
     val cleanKept = dedupKept.join(contamBest.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
 
     // ---- stage 4: token-budget mix (x23) --------------------------------
     val mixed = Sampling.sampleByTokenBudget(cleanKept, "source",
