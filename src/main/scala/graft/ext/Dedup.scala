@@ -30,13 +30,20 @@ object Dedup {
     * An explicit count makes the exchange REPARTITION_BY_NUM, which AQE
     * never coalesces. Skipped when the scan already has enough splits (the
     * 100 TB case) so no gratuitous full-corpus shuffle is added at scale.
-    * `df.rdd.getNumPartitions` converts the plan to an RDD but only reads
-    * partition METADATA — no Spark job runs; the cost is one plan
-    * translation per call.
+    * The split-count decision reads the OPTIMIZER's size estimate
+    * (`optimizedPlan.stats.sizeInBytes` vs. target × maxPartitionBytes) —
+    * logical-plan-only, so unlike a `df.rdd.getNumPartitions` probe it
+    * never forces a second physical planning of the frame. Frames with no
+    * estimate (e.g. checkpointed intermediates, which already carry their
+    * shuffle's partitioning) default to Long.MaxValue and are left alone.
     */
   private def spread(df: DataFrame, cols: Column*): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, cols: _*) else df
+    val sess = df.sparkSession
+    val target = sess.sparkContext.defaultParallelism
+    val maxSplit = sess.sessionState.conf.filesMaxPartitionBytes
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(maxSplit) * target)
+      df.repartition(target, cols: _*)
+    else df
   }
 
   /** Distinct word k-shingles as 64-bit hashes, built WITHOUT string

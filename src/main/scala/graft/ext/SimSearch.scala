@@ -37,12 +37,18 @@ object SimSearch {
     * loops because broadcast joins inherit probe-side partitioning). At
     * real scale the scan already has plenty of splits and NO shuffle is
     * added. Explicit-count repartition = REPARTITION_BY_NUM, which AQE
-    * never coalesces away. (`df.rdd.getNumPartitions` reads partition
-    * metadata only — it triggers a plan-to-RDD translation, never a job.)
+    * never coalesces away. The decision reads the optimizer's size
+    * estimate (logical-plan stats vs. target × maxPartitionBytes) instead
+    * of probing `df.rdd`, so the frame is never physically planned twice;
+    * estimate-free frames (checkpointed intermediates) stay untouched.
     */
   private def spread(df: DataFrame, key: Column): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+    val sess = df.sparkSession
+    val target = sess.sparkContext.defaultParallelism
+    val maxSplit = sess.sessionState.conf.filesMaxPartitionBytes
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(maxSplit) * target)
+      df.repartition(target, key)
+    else df
   }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
