@@ -1,9 +1,40 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Fixed-work single-thread CPU spin — the JVM twin of
+    * `scripts/spin_calibrate.py`. The sandbox hypervisor starves guest CPU
+    * unpredictably (BASELINE.md: identical binaries 78 s .. 187 s), so the
+    * bench certifies its own window: the same fixed loop runs BEFORE the
+    * session is built and AFTER it stops, and both wall times land in the
+    * JSON line. Quiet reference ~4.0 s (1e9 iterations, measured alongside
+    * python-spin 4.6 s in a load-avg<1 window); a spin >= 2x reference
+    * means the window — and therefore the totals — is untrustworthy, and
+    * the JSON now says so itself instead of relying on out-of-band spin
+    * runs. Returns (seconds, acc) — acc is printed so the loop cannot be
+    * dead-code-eliminated.
+    */
+  private def spin(): (Double, Long) = {
+    val t0 = System.nanoTime()
+    var acc = 0L
+    var i = 0L
+    while (i < 1000000000L) { acc = (acc + i * i) % 1000003L; i += 1 }
+    ((System.nanoTime() - t0) / 1e9, acc)
+  }
+
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Spin calibration is ON for official (full-surface) runs and OFF for
+    // positional-arg subset profiling (where ~8 s of spin would dominate
+    // the feedback loop); SPARK_GRAFT_SPIN=1/0 overrides either way.
+    val doSpin = sys.env.get("SPARK_GRAFT_SPIN")
+      .map(_ == "1").getOrElse(args.isEmpty)
+    val loadBefore = loadAvg()
+    val spinBefore = if (doSpin) Some(spin()) else None
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,6 +44,14 @@ object Bench {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Register the graft extensions (SQL functions + BandJoinRewrite) UP
+    // FRONT: j6_band_sql registers them lazily for standalone use, which
+    // would otherwise flip the optimizer environment mid-run and make
+    // every later query's planning depend on query order. Registering here
+    // makes planning uniform across the whole run (the rule is
+    // semantics-preserving and skips joins that already have an equality
+    // conjunct, so no other plan changes — only the environment is pinned).
+    GraftExtensions.register(spark)
     // Timings materialize EVERY output row through the zero-IO `noop` sink:
     // under a bare count() Catalyst prunes computed projections, so map-only
     // queries would be billed for scan+count instead of their expressions.
@@ -76,18 +115,39 @@ object Bench {
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val skip = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"skipped_verify_gates":$skip,"sf":"$sfDir"}"""
+    // stop the session BEFORE the closing spin so Spark's own shutdown
+    // (executor threads, cleaner) can't pollute the after-window reading
+    spark.stop()
+    val spinAfter = if (doSpin) Some(spin()) else None
+    val loadAfter = loadAvg()
+    def num(d: Double): String = if (d.isNaN || d.isInfinite) "null" else f"$d%.2f"
+    val spinJson = (spinBefore, spinAfter) match {
+      case (Some((sb, accB)), Some((sa, accA))) =>
+        s""""spin_before_sec":${num(sb)},"spin_after_sec":${num(sa)},""" +
+        s""""spin_ref_sec":4.0,"spin_acc":${accB + accA},"""
+      case _ => ""
+    }
+    // "bench_surface" versions what "total" measures (the r8 verify-gate
+    // split changed it): cross-surface totals must not be compared.
+    val surface =
+      if (subset.nonEmpty) "subset"
+      else if (full) "full-r8"
+      else "default-r8"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"skipped_verify_gates":$skip,$spinJson"load_avg_before":${num(loadBefore)},"load_avg_after":${num(loadAfter)},"bench_surface":"$surface","sf":"$sfDir"}"""
     println(line)
     // Stdout is shared with Spark/log4j noise, so tail-parsing the process
     // output is fragile; always also drop the line into a file — an sbt-forked
     // driver run then still yields machine-readable JSON even if the stdout
-    // line is wrapped in log noise.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case t: Throwable =>
-      System.err.println(s"bench: could not write $outPath: $t") }
-    spark.stop()
+    // line is wrapped in log noise. Subset profiling runs don't overwrite
+    // the committed BENCH_LAST.json unless they name an output explicitly.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (subset.isEmpty) Some("BENCH_LAST.json") else None)
+    outPath.foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case t: Throwable =>
+        System.err.println(s"bench: could not write $p: $t") }
+    }
     if (errors.nonEmpty) sys.exit(1)
   }
 }

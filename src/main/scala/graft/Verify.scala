@@ -18,6 +18,10 @@ object Verify {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // uniform optimizer environment: see the matching comment in Bench —
+    // without this, queries built after j6_band_sql are planned with
+    // BandJoinRewrite active and queries before it are not
+    GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     // Mirror Bench's loud-failure contract: every failure is reported AND
     // the process exits nonzero — but only after all queries ran and

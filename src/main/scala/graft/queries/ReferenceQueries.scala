@@ -158,6 +158,9 @@ object ReferenceQueries {
     // the overlap-bucket hash join end-to-end: this query proves the
     // optimizer rule under the SQL surface, oracle-checked (the rewrite
     // keeps the original predicate, so results are exact).
+    // NOTE: register() mutates the SHARED session (extraOptimizations +
+    // the events_v temp view). Bench/Verify register up front so planning
+    // is uniform; this lazy call only matters for standalone use.
     "j6_band_sql" -> ((s, dir) => {
       graft.GraftExtensions.register(s)
       Tables.events(s, dir).createOrReplaceTempView("events_v")
