@@ -351,6 +351,14 @@ object ReferenceQueries {
     "w2_sessionize" -> ((s, dir) =>
       graft.operators.Sessionize.sessions(Tables.events(s, dir),
         "user_id", "ts", gapSeconds = 1800L)),
+    // The skew-safe two-phase sessionizer, declared against the SAME
+    // oracle as w2 (semantics are identical by construction; the property
+    // spec proves it on random data, this row proves it cross-engine on
+    // the fixture). 6-hour buckets make real session stitching happen at
+    // sf0.01+ instead of degenerating to one bucket per key.
+    "w2b_sessionize_skewsafe" -> ((s, dir) =>
+      graft.operators.Sessionize.sessionsSkewSafe(Tables.events(s, dir),
+        "user_id", "ts", gapSeconds = 1800L, bucketSeconds = 21600L)),
     // ---- Exact percentiles (order statistics) ------------------------------
     // percentile_disc picks an actual data value (no interpolation
     // arithmetic), so it is bit-identical across engines — unlike
@@ -557,6 +565,20 @@ object ReferenceQueries {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS cum_value
         |FROM events""".stripMargin,
     "w2_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM e),
+        |t AS (SELECT user_id, ts,
+        |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+        |      FROM s)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM t GROUP BY user_id, session_seq""".stripMargin,
+    // identical semantics -> identical oracle (see the w2b query comment)
+    "w2b_sessionize_skewsafe" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |s AS (SELECT user_id, ts,
         |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

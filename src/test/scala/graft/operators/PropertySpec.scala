@@ -81,6 +81,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("skew-safe sessionize == plain sessionize (skewed keys, boundary-spanning and empty buckets)") {
+    // timestamps cluster so sessions regularly straddle bucket edges, one
+    // key dominates (the skew case the two-phase path exists for), and the
+    // small buckets leave some buckets empty mid-session
+    val rows = Gen.listOfN(300, Gen.zip(
+      Gen.frequency(4 -> Gen.const(7L), 1 -> Gen.choose(0L, 3L)),
+      Gen.choose(0L, 6L * 86400L)))
+    for (seed <- 1 to 5; (gap, bucket) <- Seq((1800L, 86400L), (7200L, 3600L), (90000L, 3600L))) {
+      val data = sample(rows, seed).map { case (k, off) =>
+        (k, new Timestamp(base + off * 1000L))
+      }
+      val df = data.toDF("user_id", "t")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime)
+      val plain = Sessionize.assign(df, "user_id", "t", gap)
+        .select("user_id", "session_seq", "t").collect().map(key).toSet
+      val safe = Sessionize.assignSkewSafe(df, "user_id", "t", gap, bucket)
+        .select("user_id", "session_seq", "t").collect().map(key).toSet
+      assert(safe == plain, s"seed=$seed gap=$gap bucket=$bucket")
+      // rollup face agrees too (n_events + bounds per session)
+      val pr = Sessionize.sessions(df, "user_id", "t", gap).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getTimestamp(3), r.getTimestamp(4))).toMap
+      val sr = Sessionize.sessionsSkewSafe(df, "user_id", "t", gap, bucket).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getTimestamp(3), r.getTimestamp(4))).toMap
+      assert(sr == pr, s"seed=$seed gap=$gap bucket=$bucket")
+    }
+  }
+
   test("scaler output: mean ~ 0, stddev_pop ~ 1 on non-degenerate input") {
     val xs = Gen.listOfN(50, Gen.choose(-1000.0, 1000.0))
     for (seed <- 1 to 3) {
