@@ -359,6 +359,31 @@ object ReferenceQueries {
     "w2b_sessionize_skewsafe" -> ((s, dir) =>
       graft.operators.Sessionize.sessionsSkewSafe(Tables.events(s, dir),
         "user_id", "ts", gapSeconds = 1800L, bucketSeconds = 21600L)),
+    // ---- streaming surface, batch-materialized (§2.9) ----------------------
+    // The EventStreams operators run the SAME plan on batch and streaming
+    // frames (StreamingSpec asserts batch identity); these declared rows
+    // close the loop by oracle-checking the batch face in DuckDB, so the
+    // streaming surface is no longer spec-only. st1 reads the exact sum
+    // surface (see hourlyAggregate's scaladoc on avg's boundary hazard).
+    "st1_stream_hourly" -> ((s, dir) =>
+      graft.streaming.EventStreams.hourlyAggregate(Tables.events(s, dir))
+        .select("hour", "event_type", "n", "sum_value")),
+    // stream-stream interval join on its batch face: clicks paired with
+    // the same user's purchases within ±30 min — the watermark is a no-op
+    // on batch input, the time-range conjunct is the join semantics
+    "st2_stream_interval_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+          col("ts").as("l_ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+          col("ts").as("r_ts"), col("value").as("r_value"))
+      graft.streaming.EventStreams.intervalJoin(clicks, purchases,
+        "l_user", "r_user", "l_ts", "r_ts", 1800L, 1800L)
+        .select("l_id", "r_id", "r_value")
+    }),
+
     // ---- Exact percentiles (order statistics) ------------------------------
     // percentile_disc picks an actual data value (no interpolation
     // arithmetic), so it is bit-identical across engines — unlike
@@ -591,6 +616,20 @@ object ReferenceQueries {
         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
         |       COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM t GROUP BY user_id, session_seq""".stripMargin,
+    "st1_stream_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        |       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "st2_stream_interval_join" ->
+      """WITH c AS (SELECT event_id AS l_id, user_id AS u, CAST(ts AS TIMESTAMP) AS lts
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT event_id AS r_id, user_id AS u, CAST(ts AS TIMESTAMP) AS rts,
+        |                  value AS r_value
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT c.l_id, p.r_id, p.r_value
+        |FROM c JOIN p ON c.u = p.u
+        |  AND p.rts >= c.lts - INTERVAL 30 MINUTE
+        |  AND p.rts <= c.lts + INTERVAL 30 MINUTE""".stripMargin,
     "a6_percentiles" ->
       """SELECT event_type, COUNT(*) AS n,
         |  quantile_disc(value, 0.5)  AS p50,

@@ -28,12 +28,18 @@ object EventStreams {
 
   /** Hourly per-type value aggregate over an unbounded event stream.
     * `df` may be a streaming OR batch frame (same plan either way).
+    * `sum_value` is the cross-engine-exact surface (2-decimal inputs sum
+    * exactly at ROUND 2); `avg_value`'s division can land on a rounding
+    * boundary where summation-order ulps differ between engines, so the
+    * declared oracle query (st1) reads the sum, not the avg.
     */
   def hourlyAggregate(df: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
     df.withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
-      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("avg_value"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("avg_value"), col("sum_value"))
 
   /** Streaming key-dedup: first arrival wins within the watermark horizon
     * (the reference's D2; D1 keep-newest has no streaming analogue because
