@@ -8,11 +8,30 @@ import org.apache.spark.sql.functions._
   * document fingerprinting.
   *
   * All per-document derivations are pure codegen'd column expressions — no
-  * UDFs, no shuffle; the only shuffle in this file is the term-frequency
-  * groupBy (hash-partitioned on term, map-side combined). At 100 TB every
-  * operator here scales linearly with input and needs no driver state.
+  * UDFs, no shuffle; the only shuffles in this file are the term-frequency
+  * groupBy (hash-partitioned on term, map-side combined) and a fixture-only
+  * spread before the fingerprint's rolling pass. At 100 TB every operator
+  * here scales linearly with input and needs no driver state.
   */
 object TextStats {
+
+  /** Same contract as [[Dedup]]'s spread: fan a CPU-heavy, byte-tiny frame
+    * across all cores when the optimizer's size estimate says the scan
+    * would arrive in fewer splits than the session's parallelism (fixture
+    * corpora are one parquet file — a per-char rolling hash then runs on
+    * ONE core). Logical-stats decision, no second physical planning; at
+    * real scale the estimate is large and no shuffle is added.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val target = sess.sparkContext.defaultParallelism
+    val maxSplit = sess.sessionState.conf.filesMaxPartitionBytes
+    // round-robin (no key): the consumer is a pure per-row map, so even
+    // distribution beats any hash key, and values don't depend on placement
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(maxSplit) * target)
+      df.repartition(target)
+    else df
+  }
 
   /** Minimal per-language stopword lists for the n-gram/stopword-ratio
     * language heuristic. Kept tiny and deterministic on purpose — the
@@ -353,7 +372,10 @@ object TextStats {
     */
   def withFingerprint(df: DataFrame, text: String = "text", k: Int = 9): DataFrame = {
     val norm = lower(regexp_replace(col(text), "\\s+", " "))
-    df.withColumn("__mm", graft.functions.KgramHashMinMax(norm, k))
+    // the rolling k-gram pass is the heaviest per-row expression in this
+    // file — a single-split fixture scan serializes it (measured ~2.5x on
+    // the sf0.1 bench), so spread first
+    spread(df).withColumn("__mm", graft.functions.KgramHashMinMax(norm, k))
       .withColumn("fp_min", col("__mm").getItem(0))
       .withColumn("fp_max", col("__mm").getItem(1))
       .withColumn("fp_full", xxhash64(norm))
