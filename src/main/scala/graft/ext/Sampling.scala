@@ -85,30 +85,51 @@ object Sampling {
     * target. Rows of each stratum are ranked by their deterministic
     * [[hashUnit]] draw (key as tie-break, so the order is total) and kept
     * while the inclusive running token total stays <= budgetTokens — the
-    * selection can never exceed the budget, at the price of one window
-    * per stratum.
+    * selection can never exceed the budget.
     *
-    * Scale shape: ONE shuffle into #strata window partitions, each sorted
-    * and cumsum'd sequentially — per-stratum parallelism is 1, so a
-    * single giant source becomes a single-task sort (this is the
-    * parallelism-vs-exactness trade; the expected-budget form is
-    * shuffle-free and stays the scale default). Skew across strata is
-    * bounded by the largest source. Like every [[hashUnit]] decision the
-    * selected set is partition-independent and replayable cross-engine:
-    * the hash order, the ROWS-frame cumsum, and the cutoff are all exact
-    * arithmetic. Returns (input columns) + n_tokens + cum_tokens.
+    * Scale shape — a TWO-PHASE prefix sum, not one window per stratum:
+    * the draw u is bucketed by its own VALUE RANGE (`floor(u * B)`), so
+    * bucket b's rows all rank before bucket b+1's and the per-(stratum,
+    * bucket) local cumsum + a running bucket-total offset reproduce the
+    * global cumsum EXACTLY (integer arithmetic, u = k/2^32 so u*B is an
+    * exact double). Per-stratum parallelism is therefore B (the session's
+    * parallelism), not 1 — a single giant source no longer serializes
+    * into one sort task, which was this operator's one named scale
+    * caveat. The offset stitch is a tiny per-stratum window over B rows,
+    * and the offsets join back on (stratum, bucket), a partitioning the
+    * event side already carries from the local window. Like every
+    * [[hashUnit]] decision the selected set AND cum_tokens are
+    * partition-independent, identical for any B, and replayable
+    * cross-engine (the x23b oracle replays the single-window SQL form).
+    * Returns (input columns) + n_tokens + cum_tokens.
     */
   def sampleByTokenBudgetExact(df: DataFrame, strataCol: String, tokens: Column,
                                budgetTokens: Double, key: String,
                                salt: String = "budget"): DataFrame = {
+    val buckets = df.sparkSession.sparkContext.defaultParallelism
+    val u = hashUnit(col(key), salt)
+    // u < 1 guarantees floor(u*B) <= B-1; least() guards the u == 1.0
+    // corner that a future hashUnit change could introduce
+    val bkt = least(floor(u * buckets), lit(buckets - 1)).cast("int")
     // explicit ROWS frame: the default RANGE frame would sum hash-value
     // peers together, and the (hash, key) order makes rows unambiguous
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(hashUnit(col(key), salt), col(key))
+    val wLocal = Window.partitionBy(col(strataCol), col("__bkt"))
+      .orderBy(u, col(key))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tokens", tokens.cast("long"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val local = df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("__bkt", bkt)
+      .withColumn("__local_cum", sum(col("n_tokens")).over(wLocal))
+    val wOff = Window.partitionBy(col(strataCol)).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col(strataCol), col("__bkt"))
+      .agg(sum(col("n_tokens")).as("__bkt_tokens"))
+      .withColumn("__offset", coalesce(sum(col("__bkt_tokens")).over(wOff), lit(0L)))
+      .select(col(strataCol), col("__bkt"), col("__offset"))
+    val outCols = ((df.columns.toSeq :+ "n_tokens").distinct :+ "cum_tokens").map(col)
+    local.join(offsets, Seq(strataCol, "__bkt"))
+      .withColumn("cum_tokens", col("__offset") + col("__local_cum"))
       .where(col("cum_tokens") <= budgetTokens)
+      .select(outCols: _*)
   }
 
   /** Temperature-based domain mixing: downsample each stratum so effective

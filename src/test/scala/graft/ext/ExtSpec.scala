@@ -584,6 +584,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == kept.map(_._1).toSet)
   }
 
+  test("exact token budget: two-phase prefix sum == single-window reference") {
+    // varied token masses across 3 strata; the reference is the naive ONE
+    // window per stratum the two-phase implementation replaced — row sets
+    // AND cum_tokens must agree exactly
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    val df = (0L until 300L)
+      .map(i => (i, s"s${i % 3}", Seq.fill(1 + rnd.nextInt(12))("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.sampleByTokenBudgetExact(df, "source",
+      TextStats.tokenCount(col("text")), budgetTokens = 400.0, key = "doc_id")
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.partitionBy(col("source"))
+      .orderBy(Sampling.hashUnit(col("doc_id"), "budget"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df.withColumn("n_tokens", TextStats.tokenCount(col("text")))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= 400.0)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got == ref)
+  }
+
   test("temperature mixing: smallest stratum keeps all; alpha=0.5 lands near sqrt mass") {
     // big: 500 x 10 = 5000 tokens, small: 5 x 10 = 50 -> rate_big =
     // sqrt(50/5000) = 0.1, expected kept big mass = sqrt(50 * 5000) = 500
