@@ -25,6 +25,16 @@ object ExtensionQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The x39 incoming batch: the fresh mod-7 slice plus id-shifted
+    * (+100000) copies of every mod-5 doc, simulating a re-crawl whose
+    * mod-5-not-mod-7 members byte-duplicate the existing corpus. Pure id
+    * arithmetic over the fixture so DuckDB replays it verbatim.
+    */
+  private def bloomBatch(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 7 === 0).select("doc_id", "text")
+      .unionByName(docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+
   /** Minimum acceptable recall@5 for the approximate ANN tiers (x7c gate).
     * LSH (8-bit buckets, hamming-1 multiprobe) and IVF (16 cells, 8-probe)
     * both sit well above this on the synthetic embeddings at every SF;
@@ -250,6 +260,47 @@ object ExtensionQueries {
         .select(col("n_truth").cast("long").as("n_truth"),
           (col("n_hits").cast("double") / col("n_truth") >= ANN_RECALL_MIN)
             .cast("long").as("recall_ok"))
+    }),
+
+    // Sketch-based incremental exact dedup: one Bloom filter of the corpus's
+    // content hashes answers "seen before?" for the whole incoming batch
+    // with a map-only codegen'd probe — no corpus shuffle per batch (the
+    // 100 TB shape of x20's exact tier). At the 1e-8 fpp default the
+    // sketch verdict is value-identical to exact membership at oracle
+    // scale, so DuckDB replays it as an exact IN-subquery; x39b audits the
+    // one-sided error bounds (no false negatives, fp count within budget)
+    // against the exact join every round.
+    // The fixture has no byte-identical text shared across the mod-7 split,
+    // so the bloom batch simulates a RE-CRAWL: the fresh mod-7 slice plus
+    // id-shifted copies of every mod-5 doc. Copies whose original sits in
+    // the corpus (mod-5, not mod-7) are true duplicates the probe must
+    // drop; mod-35 copies duplicate only batch-side docs and must be kept.
+    // Derivation is pure id arithmetic on the fixture — DuckDB replays it.
+    "x39_dedup_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.bloomDedup(bloomBatch(docs), docs.where(col("doc_id") % 7 =!= 0))
+    }),
+    "x39b_bloom_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val incoming = bloomBatch(docs)
+      val corpus = docs.where(col("doc_id") % 7 =!= 0)
+      val verdict = Dedup.bloomDedup(incoming, corpus)
+      val truth = incoming.select(col("doc_id"), col("text"))
+        .join(corpus.select(col("text"), lit(1L).as("__dup")).distinct(),
+          Seq("text"), "left")
+      truth.join(verdict, Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n_probes"),
+          sum(coalesce(col("__dup"), lit(0L))).as("n_true_dups"),
+          sum(when(col("__dup").isNotNull && col("action") === "keep", 1L)
+            .otherwise(0L)).as("n_false_neg"),
+          sum(when(col("__dup").isNull && col("action") === "drop", 1L)
+            .otherwise(0L)).as("n_false_pos"))
+        .select(col("n_probes").cast("long").as("n_probes"),
+          col("n_true_dups").cast("long").as("n_true_dups"),
+          (col("n_false_neg") === 0 &&
+            col("n_false_pos") <= greatest(lit(1L), col("n_probes") / 1000))
+            .cast("long").as("bloom_ok"))
     }),
 
     // The deployment path of x20's near tier: probe a PREBUILT LSH index of
@@ -1056,6 +1107,30 @@ object ExtensionQueries {
          |r AS (SELECT q_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank FROM s),
          |t AS (SELECT COUNT(*) AS n_truth FROM r WHERE rank <= 5)
          |SELECT CAST(t.n_truth AS BIGINT) AS n_truth, CAST(1 AS BIGINT) AS recall_ok FROM t""".stripMargin,
+    // Exact-membership replay of the Bloom verdict: value-identical as long
+    // as the sketch produces no false positive at oracle scale (verified;
+    // deterministic seed, and x39b bounds the fp budget every round).
+    "x39_dedup_bloom" ->
+      """WITH incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id,
+        |  CASE WHEN text IN (SELECT text FROM documents WHERE doc_id % 7 <> 0)
+        |       THEN 'drop' ELSE 'keep' END AS action
+        |FROM incoming""".stripMargin,
+    // Audit gate: DuckDB recomputes the exact probe/dup counts; bloom_ok
+    // (no false negatives + fp within budget) is Spark-verified.
+    "x39b_bloom_audit" ->
+      """WITH incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |  CAST(SUM(CASE WHEN text IN (SELECT text FROM documents WHERE doc_id % 7 <> 0)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dups,
+        |  CAST(1 AS BIGINT) AS bloom_ok
+        |FROM incoming""".stripMargin,
     // Same scale/floor arithmetic over the DOUBLE-cast embedding; integer
     // outputs are hash-exact across engines.
     "x24_quantize_int8" ->

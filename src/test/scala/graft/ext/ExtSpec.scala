@@ -142,6 +142,38 @@ class DedupSpec extends AnyFunSuite {
     assert(out.size == 3) // one decision per batch doc, corpus not echoed
   }
 
+  test("bloomDedup: verdicts equal exact membership on the sf0.001 fixture") {
+    // re-crawl shape of the x39 query: fresh mod-7 slice + id-shifted
+    // copies of mod-5 docs (the fixture has no cross-slice exact dups)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val incoming = docs.where(col("doc_id") % 7 === 0).select("doc_id", "text")
+      .unionByName(docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val corpus = docs.where(col("doc_id") % 7 =!= 0)
+    val got = Dedup.bloomDedup(incoming, corpus)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dupIds = incoming.join(corpus.select("text"), Seq("text"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dupIds.nonEmpty && dupIds.size < got.size,
+      "fixture should exercise both branches")
+    got.foreach { case (id, action) =>
+      assert(action == (if (dupIds(id)) "drop" else "keep"),
+        s"doc $id: bloom said $action, exact membership says ${dupIds(id)}")
+    }
+  }
+
+  test("bloomDedup: a true duplicate is NEVER kept, even with a tiny sketch") {
+    // 64 expected items / 10% fpp -> heavy false-positive pressure, but the
+    // one-sided guarantee (no false negatives) must hold regardless
+    val corpus = (1 to 200).map(i => (i.toLong, s"corpus doc number $i"))
+      .toDF("doc_id", "text")
+    val batch = (1 to 100).map(i => (1000L + i, s"corpus doc number ${i * 2}"))
+      .toDF("doc_id", "text") // all 100 are true duplicates
+    val kept = Dedup.bloomDedup(batch, corpus, expectedItems = 64, fpp = 0.1)
+      .where(col("action") === "keep").count()
+    assert(kept == 0L, s"$kept true duplicates slipped past the bloom filter")
+  }
+
   test("duplicatedSpans: corpus-repeated 8-grams cut from every doc, word order kept") {
     val run = "one two three four five six seven eight"
     val df = Seq(

@@ -159,4 +159,15 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges(p) == 0, s"expected 0 shuffles:\n$p")
     assert(!p.contains("Generate"), p) // no explode — the fold is per-row
   }
+
+  test("bloom dedup probe is map-only: no join, no shuffle, constant sketch") {
+    // the corpus bloom is built by a separate (partial-agg'd) job inside
+    // bloomDedup; the PROBE frame the query returns must then plan as
+    // scan + codegen'd might_contain predicate — no join node and no
+    // exchange anywhere, the whole point of the sketch path
+    val p = plan("x39_dedup_bloom")
+    assert(p.contains("might_contain"), p)
+    assert(!p.toLowerCase.contains("join"), s"probe should not join:\n$p")
+    assert(exchanges(p) == 0, s"expected 0 shuffles:\n$p")
+  }
 }
