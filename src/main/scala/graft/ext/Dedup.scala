@@ -478,6 +478,25 @@ object Dedup {
     corpus.select(GraftBridge.toColumn(agg).as("bf")).head.getAs[Array[Byte]](0)
   }
 
+  /** OR-merge of two [[corpusBloom]] sketches — the corpus-APPEND path.
+    * Bloom filters with identical (numBits, numHashes) geometry merge by
+    * bitwise OR into the filter of the union, so corpus growth is
+    * sketch-merge only: build a filter over each new batch and fold it in,
+    * never re-reading old data (the same maintenance contract as the
+    * persisted ANN indexes' append path, `io/Store.appendIndex`). Uses the
+    * public `org.apache.spark.util.sketch.BloomFilter` codec, i.e. exactly
+    * the bytes [[corpusBloom]] emits. Geometry mismatch throws — callers
+    * must build batch filters with the same (expectedItems, fpp).
+    */
+  def mergeBloom(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+    val fb = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+    val out = new java.io.ByteArrayOutputStream()
+    fa.mergeInPlace(fb).writeTo(out)
+    out.toByteArray
+  }
+
   /** `might_contain` probe of a [[corpusBloom]] sketch — a codegen'd row
     * predicate (Spark's `BloomFilterMightContain`, fed the same
     * `xxhash64(text)` the build side used) with the serialized filter as a

@@ -162,6 +162,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeBloom: probing a merged sketch == probing the union-built sketch") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val c1 = docs.where(col("doc_id") % 3 === 0)
+    val c2 = docs.where(col("doc_id") % 3 === 1)
+    val merged = Dedup.mergeBloom(Dedup.corpusBloom(c1), Dedup.corpusBloom(c2))
+    val whole = Dedup.corpusBloom(c1.unionByName(c2))
+    val probes = docs.select("doc_id", "text")
+    def verdicts(bf: Array[Byte]) = probes
+      .select(col("doc_id"), Dedup.bloomMightContain(bf, col("text")).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(verdicts(merged) == verdicts(whole))
+    // and the merged sketch actually contains both halves
+    val got = verdicts(merged)
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      if (id % 3 != 2) assert(got(id), s"doc $id lost by merge")
+    }
+  }
+
   test("bloomDedup: a true duplicate is NEVER kept, even with a tiny sketch") {
     // 64 expected items / 10% fpp -> heavy false-positive pressure, but the
     // one-sided guarantee (no false negatives) must hold regardless
