@@ -382,6 +382,54 @@ object TextStats {
       .drop("__mm")
   }
 
+  /** Corpus-frequent span mining (boilerplate detection) via a count-min
+    * sketch prefilter — the heavy-hitter shape of [[graft.ext.Dedup
+    * .duplicatedSpans]]'s counting stage: find every word k-gram occurring
+    * at least `minCount` times anywhere in the corpus, EXACTLY, without
+    * shuffling the full span key space.
+    *
+    * Two passes over the exploded spans: (1) `count_min_sketch` builds ONE
+    * bounded sketch (width·depth counters; partial sketches merge up the
+    * agg tree — nothing keyed ever shuffles) over the 64-bit span hashes;
+    * (2) a map-only [[graft.functions.CmsEstimate]] probe keeps only span
+    * occurrences whose estimate reaches `minCount`, and an exact count over
+    * the SURVIVORS (joined back to their word slices, grouped by the actual
+    * span STRING) confirms. The composition is exact, not approximate: a
+    * CMS estimate is never below the true count, so every occurrence of a
+    * truly-frequent span survives the prefilter (same hash ⇒ same
+    * estimate), and the final `HAVING count >= minCount` on exact counts
+    * discards every false candidate the sketch let through — whatever the
+    * sketch quality. Hash-fold collisions between DIFFERENT strings only
+    * ever ADD candidates (the final group key is the string), so the
+    * output equals a full exact count at any eps/confidence.
+    *
+    * Scale shape: at 100 TB the span key space is ~corpus-sized and a full
+    * count groupBy shuffles all of it (x29 pays this because it needs
+    * EVERY duplicated span); when only the frequent head is wanted — the
+    * boilerplate/template case — the shuffled volume drops to the
+    * survivors (εN-bounded overcount above the true head). Sketch memory
+    * is the (eps, confidence) grid, independent of data size.
+    */
+  def frequentSpans(df: DataFrame, k: Int = 3, minCount: Long = 5,
+                    eps: Double = 1e-4, confidence: Double = 0.99,
+                    text: String = "text", id: String = "doc_id"): DataFrame = {
+    val spans = spread(df)
+      .select(col(id), posexplode(Dedup.shingleHashesAll(col(text), k))
+        .as(Seq("__p0", "__h")))
+    val sketch = spans
+      .agg(count_min_sketch(col("__h"), lit(eps), lit(confidence), lit(42)))
+      .head.getAs[Array[Byte]](0)
+    val cand = spans
+      .where(graft.functions.CmsEstimate(sketch, col("__h")) >= minCount)
+    cand.join(df.select(col(id), split(col(text), " ").as("__ws")), Seq(id))
+      .select(col(id),
+        array_join(slice(col("__ws"), col("__p0") + 1, lit(k)), " ").as("span"))
+      .groupBy("span")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(id)).as("n_docs"))
+      .where(col("n_occurrences") >= minCount)
+  }
+
   /** Naive-Bayes source classification — the domain-tagging stage of a
     * curation pipeline (the role CCNet/fastText domain filters play):
     * score every document against every source's Laplace-smoothed unigram

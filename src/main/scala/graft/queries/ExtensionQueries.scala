@@ -506,6 +506,15 @@ object ExtensionQueries {
     // fit + scoring + argmax from the same rounded-log arithmetic.
     "x37_source_classify" -> ((s, dir) =>
       TextStats.classifySource(Tables.documents(s, dir))),
+    // Corpus-frequent span mining (boilerplate detection): all word
+    // trigrams occurring >= 5 times anywhere, found via a count-min-sketch
+    // prefilter + exact confirm on the survivors. The composition is EXACT
+    // (a CMS never underestimates, so no frequent span can be lost; the
+    // confirm pass drops every false candidate), so DuckDB replays it as a
+    // plain string-trigram count with HAVING — no gate needed, the oracle
+    // checks the sketch path outright.
+    "x40_frequent_spans" -> ((s, dir) =>
+      TextStats.frequentSpans(Tables.documents(s, dir), k = 3, minCount = 5)),
     // Within-document repetition (duplicate-shingle fraction) — the
     // standard boilerplate/template quality filter; DuckDB recomputes the
     // same fraction over string shingles (hash-collision-equal).
@@ -1343,6 +1352,16 @@ object ExtensionQueries {
         |    * ln((st.stf / stot.sT) / (ct.ctf / ctot.cT)), 6)), 6) AS kl_divergence
         |FROM st JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
         |GROUP BY st.source""".stripMargin,
+    // Exact string-trigram counting with HAVING — the sketch path's output
+    // is exact by construction (one-sided CMS error + confirm pass), so
+    // the replay needs no sketch at all.
+    "x40_frequent_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS span
+        |      FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(i))
+        |SELECT span, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM g GROUP BY span HAVING COUNT(*) >= 5""".stripMargin,
     // Full naive-Bayes replay: per-source Laplace-smoothed unigram model,
     // per-(doc, candidate) scores with round-before-sum logs (x32
     // discipline, so the argmax is reproducible), argmax via the same

@@ -162,6 +162,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("frequentSpans equals the exact span count at any sketch quality") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // exact truth: count word trigrams by string, keep >= 3
+    val exact = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, greatest(size(ws) - 2, 0)), i -> array_join(slice(ws, i, 3), ' '))"))
+        .as(Seq("p", "span")))
+      .groupBy("span")
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_occurrences") >= 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain frequent trigrams")
+    // a good sketch and a deliberately terrible one (width ~4 counters,
+    // massive overestimates) must BOTH return exactly the truth — the
+    // one-sided-error + confirm-pass composition is exact by construction
+    for (eps <- Seq(1e-5, 0.5)) {
+      val got = TextStats.frequentSpans(docs, k = 3, minCount = 3, eps = eps)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == exact, s"eps=$eps: sketch path diverged from exact counts")
+    }
+  }
+
   test("mergeBloom: probing a merged sketch == probing the union-built sketch") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val c1 = docs.where(col("doc_id") % 3 === 0)
