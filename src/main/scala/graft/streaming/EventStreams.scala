@@ -107,6 +107,31 @@ object EventStreams {
       .drop("__h")
   }
 
+  /** Sketch-probe variant of [[dedupAgainstCorpus]]: the corpus side is a
+    * prebuilt [[graft.ext.Dedup.corpusBloom]] filter instead of a
+    * stream-static join. The probe is a pure codegen'd predicate, so the
+    * corpus contributes NO join state, no per-microbatch static-side
+    * rescan, and no broadcast — the sketch rides the query plan as a
+    * constant, the right cost model when the corpus is 100 TB but its
+    * membership sketch is megabytes. Error is one-sided ([[graft.ext
+    * .Dedup.bloomDedup]]): a corpus duplicate is never emitted; a unique
+    * doc is lost with p <= the build fpp. Within-stream repeats are still
+    * dropped exactly (sha2 keys in watermark-bounded state). Corpus
+    * APPENDS between sketch refreshes are the one semantic gap vs the
+    * join — fold per-batch filters in with [[graft.ext.Dedup.mergeBloom]]
+    * and restart the query (same static-snapshot caveat as
+    * [[dedupAgainstCorpus]], whose static side is also fixed at start).
+    */
+  def dedupAgainstCorpusSketch(stream: DataFrame, corpusBloom: Array[Byte],
+                               text: String = "text",
+                               watermarkDelay: String = "2 hours"): DataFrame =
+    stream
+      .withColumn("__h", sha2(col(text), 256))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("__h")
+      .where(!graft.ext.Dedup.bloomMightContain(corpusBloom, col(text)))
+      .drop("__h")
+
   /** Streaming ingestion curation: the stateless front half of
     * [[graft.jobs.CurateJob]] applied to an unbounded document feed —
     * clean/redact (x17's chain), the within-doc repetition filter (x22),

@@ -128,6 +128,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sketch dedup: bloom corpus hits and within-stream repeats both drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, "existing corpus document text")).toDF("doc_id", "text")
+    val bloom = graft.ext.Dedup.corpusBloom(corpus)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.dedupAgainstCorpusSketch(
+        input.toDF().toDF("doc_id", "ts", "text"), bloom)
+      .writeStream.outputMode("append").format("memory").queryName("sketch_dedup_out").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "existing corpus document text"), // bloom hit
+        (2L, ts("2024-01-01 10:01:00"), "a brand new document"))          // kept
+      q.processAllAvailable()
+      input.addData(
+        (3L, ts("2024-01-01 10:02:00"), "a brand new document"))          // stream repeat
+      q.processAllAvailable()
+      val out = spark.table("sketch_dedup_out").collect().map(_.getLong(0)).toSet
+      assert(out == Set(2L))
+    } finally q.stop()
+  }
+
   test("streaming curation: repetitive, corpus-dup, and cleaned-repeat docs drop; fresh prose keeps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
