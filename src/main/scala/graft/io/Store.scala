@@ -103,4 +103,30 @@ class Store(spark: SparkSession, baseDir: String) {
       .saveAsTable(table)
 
   def readTable(table: String): DataFrame = spark.table(table)
+
+  /** Training-export sink: hash-sharded JSONL, the artifact shape LLM
+    * trainers consume. Shard assignment is `Sampling.hashUnit` on the key
+    * — a pure function of the ROW, so the same corpus lands in the same
+    * shard regardless of partition layout, cluster size, or write order
+    * (the same leakage-safe determinism contract as x16's splits), and
+    * line order within a shard is (hash, key)-sorted, so shard CONTENT is
+    * reproducible byte-for-byte. Each shard's rows are repartitioned to
+    * one task and written under `__shard=<i>/` — `shards` parallel
+    * writers, no `coalesce(1)` bottleneck (S8's single-file CSV is the
+    * export-artifact special case; THIS is the scale sink: at 100 TB pick
+    * shards ~ corpus_bytes / 1 GB and every executor streams its shards
+    * out concurrently).
+    */
+  def writeJsonl(df: DataFrame, rel: String, shards: Int = 8,
+                 key: String = "doc_id"): Unit = {
+    val unit = graft.ext.Sampling.hashUnit(col(key), "jsonl")
+    df.withColumn("__shard", floor(unit * shards).cast("int"))
+      .repartition(shards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), unit, col(key))
+      .write.mode("overwrite").partitionBy("__shard")
+      .json(s"$baseDir/$rel")
+  }
+
+  def readJsonl(rel: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(s"$baseDir/$rel").drop("__shard")
 }

@@ -44,6 +44,44 @@ class StoreSpec extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(s"$base/.tmp_exports")))
   }
 
+  test("writeJsonl: sharded export is complete, hash-law-sharded, byte-reproducible") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "source")
+    val base = Files.createTempDirectory("graft_jsonl").toString
+    val store = new Store(spark, base)
+
+    def shardContents(rel: String): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(s"$base/$rel")
+      Files.list(root).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("__shard="))
+        .map { dir =>
+          val parts = Files.list(dir).iterator().asScala
+            .filter(_.getFileName.toString.startsWith("part-"))
+            .toSeq.sortBy(_.getFileName.toString)
+          dir.getFileName.toString ->
+            parts.map(f => new String(Files.readAllBytes(f), "UTF-8")).mkString
+        }.toMap
+    }
+
+    store.writeJsonl(docs, "export_a", shards = 4)
+    // a second write from a DIFFERENT partition layout of the same rows
+    store.writeJsonl(docs.repartition(7), "export_b", shards = 4)
+    val a = shardContents("export_a")
+    val b = shardContents("export_b")
+    assert(a.keySet == (0 until 4).map(i => s"__shard=$i").toSet)
+    assert(a == b, "shard contents must not depend on input partitioning")
+
+    // complete round-trip, and the shard of every row obeys the hash law
+    val back = store.readJsonl("export_a", docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").except(docs.select("doc_id")).isEmpty)
+    val withShard = spark.read.schema(docs.schema).json(s"$base/export_a")
+    val lawBreaks = withShard.where(
+      col("__shard") =!= floor(graft.ext.Sampling.hashUnit(col("doc_id"), "jsonl") * 4).cast("int"))
+    assert(lawBreaks.isEmpty, "shard dir must equal the hashUnit assignment")
+  }
+
   test("bucketed tables: equi-join on the bucket key plans without a shuffle") {
     val store = new Store(spark, Files.createTempDirectory("graft_bucket").toString)
     val sf = "/root/testdata/sf0.001"
