@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // HyperplaneBucket / NearestCentroid carry a literal plane/centroid
     // matrix and are deliberately NOT exposed to SQL — a matrix cannot be
     // written as a SQL argument; use the Column API (SimSearch) instead.
+    // CmsEstimate likewise rides a megabyte-scale sketch blob (a hex
+    // binary literal is impractical to write) — use the Column API
+    // (TextStats.frequentSpans / functions.CmsEstimate).
 
     // Optimizer rule: naive `abs(l - r) <= tol` band joins become
     // overlap-bucket equi-joins instead of nested-loop joins.

@@ -742,6 +742,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == Seq(2, 0, 1))
   }
 
+  test("CmsEstimate: never below the true count, exact when collision-free, null-safe") {
+    val rows = Seq(1L, 1L, 1L, 2L, 2L, 3L)
+    val df = rows.toDF("v")
+    val sketch = df.agg(count_min_sketch(col("v"), lit(0.001), lit(0.99), lit(42)))
+      .head.getAs[Array[Byte]](0)
+    // width 2000 >> 3 keys: estimates are exact
+    val got = df.distinct()
+      .select(col("v"), graft.functions.CmsEstimate(sketch, col("v")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    // a key never added estimates >= 0 (usually 0 here), and nulls propagate
+    val extra = Seq[java.lang.Long](99L, null).toDF("v")
+      .select(graft.functions.CmsEstimate(sketch, col("v")).as("est")).collect()
+    assert(!extra(0).isNullAt(0) && extra(0).getLong(0) >= 0L)
+    assert(extra(1).isNullAt(0))
+  }
+
   test("KgramHashMinMax: value-identical to the builtin transform/sequence form") {
     val df = Seq(
       "the quick brown fox jumps over the lazy dog",

@@ -160,6 +160,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), p) // no explode — the fold is per-row
   }
 
+  test("frequent spans: cms prefilter on the scan side, keyed join-back, no cartesian") {
+    val p = plan("x40_frequent_spans")
+    assert(p.contains("cms_estimate"), p) // the map-only sketch probe survived planning
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bloom dedup probe is map-only: no join, no shuffle, constant sketch") {
     // the corpus bloom is built by a separate (partial-agg'd) job inside
     // bloomDedup; the PROBE frame the query returns must then plan as
