@@ -53,6 +53,31 @@ object Sampling {
     df.where(hashUnit(col(key), salt) < rate)
   }
 
+  /** Per-group document cap — the domain-domination control every
+    * web-scale pipeline applies (at most `cap` docs per source/domain, so
+    * one crawler-friendly site cannot dominate the mix). Which docs
+    * survive is decided by [[hashUnit]] order (ties by key), NOT arrival
+    * order: deterministic, partition-layout independent, and an unbiased
+    * uniform sample of each group — the same reproducibility contract as
+    * [[sampleStratified]], but with a hard COUNT guarantee per group
+    * (rate-based sampling can only bound the expectation).
+    *
+    * Scale shape: one hash-partitioned `row_number` window per group;
+    * because the predicate is `rk <= cap`, Spark's WindowGroupLimit
+    * inserts a MAP-SIDE partial top-`cap` before the exchange, so the
+    * shuffle carries at most cap rows per group per input task — a
+    * dominant domain never concentrates its full row set anywhere.
+    */
+  def capPerGroup(df: DataFrame, group: String, cap: Int, key: String,
+                  salt: String = "cap"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__u", hashUnit(col(key), salt))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(group)).orderBy(col("__u"), col(key))))
+      .where(col("__rk") <= cap)
+      .drop("__u", "__rk")
+  }
+
   /** Proportional token-budget corpus mixing: downsample every stratum
     * (source) to an EXPECTED `budgetTokens` tokens by keeping each row
     * with probability `min(budgetTokens / stratumTokens, 1.0)` — data

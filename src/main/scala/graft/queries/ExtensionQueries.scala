@@ -506,6 +506,13 @@ object ExtensionQueries {
     // fit + scoring + argmax from the same rounded-log arithmetic.
     "x37_source_classify" -> ((s, dir) =>
       TextStats.classifySource(Tables.documents(s, dir))),
+    // Per-source document cap (domain-domination control): at most 40 docs
+    // per source, chosen by deterministic md5-hash order — a hard count
+    // guarantee per group, complementing x15's rate-based sampling. DuckDB
+    // replays the hash order and the window verbatim.
+    "x41_source_cap" -> ((s, dir) =>
+      Sampling.capPerGroup(Tables.documents(s, dir), "source", cap = 40,
+        key = "doc_id").select("doc_id", "source", "n_chars")),
     // Corpus-frequent span mining (boilerplate detection): all word
     // trigrams occurring >= 5 times anywhere, found via a count-min-sketch
     // prefilter + exact confirm on the survivors. The composition is EXACT
@@ -1352,6 +1359,17 @@ object ExtensionQueries {
         |    * ln((st.stf / stot.sT) / (ct.ctf / ctot.cT)), 6)), 6) AS kl_divergence
         |FROM st JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
         |GROUP BY st.source""".stripMargin,
+    // Same md5-unit order and window as Sampling.capPerGroup (salt "cap").
+    "x41_source_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|cap')), 1, 8)) AS BIGINT)
+        |           / 4294967296.0 AS unit
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, n_chars,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY unit, doc_id) AS rk
+        |      FROM u)
+        |SELECT doc_id, source, n_chars FROM r WHERE rk <= 40""".stripMargin,
     // Exact string-trigram counting with HAVING — the sketch path's output
     // is exact by construction (one-sided CMS error + confirm pass), so
     // the replay needs no sketch at all.

@@ -597,6 +597,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(c != a)
   }
 
+  test("capPerGroup: hard cap per group, hash-order prefix, layout-independent") {
+    val capped = Sampling.capPerGroup(docs, "source", cap = 40, key = "doc_id")
+    val perSource = capped.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource.values.forall(_ <= 40L))
+    // every source larger than the cap is cut to EXACTLY the cap
+    val sizes = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (s, n) =>
+      assert(perSource.getOrElse(s, 0L) == math.min(n, 40L), s"source $s")
+    }
+    // identical survivors regardless of partition layout
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.capPerGroup(docs.repartition(7), "source", 40, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // survivors are the hashUnit-order prefix of each group
+    val firstBySource = docs
+      .withColumn("__u", Sampling.hashUnit(col("doc_id"), "cap"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("__u")))
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (t._3, t._2)).take(40).map(_._2).toSet)
+    firstBySource.foreach { case (s, ids) =>
+      val got = capped.where(col("source") === s)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == ids, s"source $s survivors are not the hash-order prefix")
+    }
+  }
+
   test("stratified rates: rate-1.0 stratum complete, rate-0 stratum empty") {
     val out = Sampling.sampleStratified(docs, "source",
       rates = Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5, key = "doc_id")

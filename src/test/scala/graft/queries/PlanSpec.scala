@@ -160,6 +160,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), p) // no explode — the fold is per-row
   }
 
+  test("source cap: rank filter runs as a map-side group limit before the shuffle") {
+    val p = plan("x41_source_cap")
+    assert(p.contains("WindowGroupLimit"), s"expected map-side top-cap:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("frequent spans: cms prefilter on the scan side, keyed join-back, no cartesian") {
     val p = plan("x40_frequent_spans")
     assert(p.contains("cms_estimate"), p) // the map-only sketch probe survived planning
