@@ -475,7 +475,17 @@ object Dedup {
     val agg = new BloomFilterAggregate(
       GraftBridge.toExpression(xxhash64(col(text))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    corpus.select(GraftBridge.toColumn(agg).as("bf")).head.getAs[Array[Byte]](0)
+    val bytes = corpus.select(GraftBridge.toColumn(agg).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    if (bytes != null) bytes
+    else {
+      // the aggregate yields NULL over zero rows; an EMPTY corpus means an
+      // empty filter (nothing is a duplicate), not a null sketch
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.spark.util.sketch.BloomFilter
+        .create(expectedItems, numBits).writeTo(out)
+      out.toByteArray
+    }
   }
 
   /** OR-merge of two [[corpusBloom]] sketches — the corpus-APPEND path.

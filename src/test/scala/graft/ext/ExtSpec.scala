@@ -185,6 +185,21 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bloomDedup: an EMPTY corpus keeps everything (null-sketch hardening)") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, "anything"), (2L, "at all")).toDF("doc_id", "text")
+    val out = Dedup.bloomDedup(batch, corpus)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "keep", 2L -> "keep"))
+  }
+
+  test("frequentSpans: empty and span-free inputs return empty, not an error") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextStats.frequentSpans(empty, k = 3, minCount = 1).count() == 0L)
+    val short = Seq((1L, "one two")).toDF("doc_id", "text") // < k words: no spans
+    assert(TextStats.frequentSpans(short, k = 3, minCount = 1).count() == 0L)
+  }
+
   test("mergeBloom: probing a merged sketch == probing the union-built sketch") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val c1 = docs.where(col("doc_id") % 3 === 0)
