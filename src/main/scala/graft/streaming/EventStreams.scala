@@ -121,6 +121,9 @@ object EventStreams {
     * join — fold per-batch filters in with [[graft.ext.Dedup.mergeBloom]]
     * and restart the query (same static-snapshot caveat as
     * [[dedupAgainstCorpus]], whose static side is also fixed at start).
+    * NULL-text rows differ between the faces: the probe predicate is null
+    * for them (row dropped) where the anti join keeps them — feed both
+    * through the P6 not-null guard upstream, as the curation chain does.
     */
   def dedupAgainstCorpusSketch(stream: DataFrame, corpusBloom: Array[Byte],
                                text: String = "text",
