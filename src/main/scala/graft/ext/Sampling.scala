@@ -209,4 +209,31 @@ object Sampling {
         .when(u < trainFrac + valFrac, "val")
         .otherwise("test"))
   }
+
+  /** Dataset-release card: the manifest published WITH a dataset — one row
+    * per (split, source) carrying doc/token mass, the id range, and an
+    * order-independent content checksum (bit-XOR of a 32-bit md5 prefix of
+    * each text), so a consumer can verify a download and a re-release can
+    * prove which cells changed without shipping the data twice. XOR makes
+    * the checksum partition- and order-independent (commutative), and the
+    * md5 basis keeps it replayable by any engine — the same discipline as
+    * the [[hashUnit]] family.
+    *
+    * Scale shape: one partial-agg'd groupBy over a handful of
+    * (split, source) cells — count/sum/xor/min/max all map-side combine;
+    * nothing driver-side, nothing ordered.
+    */
+  def datasetCard(df: DataFrame, key: String = "doc_id",
+                  text: String = "text", source: String = "source",
+                  trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame =
+    withSplit(df, key, trainFrac, valFrac)
+      .withColumn("__h",
+        conv(substring(md5(col(text)), 1, 8), 16, 10).cast("long"))
+      .groupBy(col("split"), col(source))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col(text), " "))).cast("long").as("n_tokens"),
+        expr("bit_xor(__h)").as("checksum"),
+        min(col(key)).as("min_id"),
+        max(col(key)).as("max_id"))
 }

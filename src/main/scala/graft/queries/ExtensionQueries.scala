@@ -506,6 +506,13 @@ object ExtensionQueries {
     // fit + scoring + argmax from the same rounded-log arithmetic.
     "x37_source_classify" -> ((s, dir) =>
       TextStats.classifySource(Tables.documents(s, dir))),
+    // Dataset-release card: per-(split, source) manifest with doc/token
+    // mass, id range, and an order-independent md5-prefix XOR content
+    // checksum — the artifact a dataset release ships so consumers can
+    // verify downloads cell-by-cell. DuckDB replays counts, split
+    // assignment, and the checksum arithmetic exactly.
+    "x42_dataset_card" -> ((s, dir) =>
+      Sampling.datasetCard(Tables.documents(s, dir))),
     // Per-source document cap (domain-domination control): at most 40 docs
     // per source, chosen by deterministic md5-hash order — a hard count
     // guarantee per group, complementing x15's rate-based sampling. DuckDB
@@ -1359,6 +1366,23 @@ object ExtensionQueries {
         |    * ln((st.stf / stot.sT) / (ct.ctf / ctot.cT)), 6)), 6) AS kl_divergence
         |FROM st JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
         |GROUP BY st.source""".stripMargin,
+    // Same split thresholds as x16 (salt "split"), md5-prefix XOR checksum.
+    "x42_dataset_card" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, text,
+        |         CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|split')), 1, 8)) AS BIGINT)
+        |                   / 4294967296.0 < 0.8 THEN 'train'
+        |              WHEN CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|split')), 1, 8)) AS BIGINT)
+        |                   / 4294967296.0 < 0.9 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT split, source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(bit_xor(h) AS BIGINT) AS checksum,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM s GROUP BY split, source""".stripMargin,
     // Same md5-unit order and window as Sampling.capPerGroup (salt "cap").
     "x41_source_cap" ->
       """WITH u AS (

@@ -612,6 +612,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(c != a)
   }
 
+  test("datasetCard: complete cells, layout-independent checksum, changed cell flips") {
+    val card = Sampling.datasetCard(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // every doc lands in exactly one cell
+    assert(card.values.map(_._1).sum == docs.count())
+    // checksum independent of partition layout and row order
+    val again = Sampling.datasetCard(docs.repartition(7).sortWithinPartitions("n_chars"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(again == card)
+    // editing ONE doc's text flips exactly the checksums of its cell
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 7, concat(col("text"), lit(" tampered")))
+        .otherwise(col("text")))
+    val diff = Sampling.datasetCard(edited)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      .filter { case (k, v) => card(k)._3 != v._3 }
+    assert(diff.size == 1, s"expected one flipped cell, got ${diff.keys}")
+  }
+
   test("capPerGroup: hard cap per group, hash-order prefix, layout-independent") {
     val capped = Sampling.capPerGroup(docs, "source", cap = 40, key = "doc_id")
     val perSource = capped.groupBy("source").count()
