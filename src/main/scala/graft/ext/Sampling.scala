@@ -217,7 +217,13 @@ object Sampling {
     * prove which cells changed without shipping the data twice. XOR makes
     * the checksum partition- and order-independent (commutative), and the
     * md5 basis keeps it replayable by any engine — the same discipline as
-    * the [[hashUnit]] family.
+    * the [[hashUnit]] family. The 32-bit prefix is the cross-engine-replay
+    * width (the widest md5 slice every oracle engine can parse as a
+    * signed BIGINT without sign surprises); it detects any single-doc
+    * change deterministically (spec-pinned) while an adversarial or
+    * coincidental multi-doc cancellation needs ~2^16 same-cell edits —
+    * for a tamper-evident (not tamper-proof) release manifest, swap in
+    * xxhash64 and give up the SQL replay.
     *
     * Scale shape: one partial-agg'd groupBy over a handful of
     * (split, source) cells — count/sum/xor/min/max all map-side combine;

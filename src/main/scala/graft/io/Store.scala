@@ -129,4 +129,19 @@ class Store(spark: SparkSession, baseDir: String) {
 
   def readJsonl(rel: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(s"$baseDir/$rel").drop("__shard")
+
+  /** Dataset release = the shards plus their manifest: [[writeJsonl]]
+    * under `rel/data` and the [[graft.ext.Sampling.datasetCard]] under
+    * `rel/_card` (single JSON file — the card is a handful of rows by
+    * construction). A consumer re-derives the card from the downloaded
+    * shards and compares checksums cell-by-cell; StoreSpec proves that
+    * round trip — card(read-back shards) == shipped card — byte-level.
+    */
+  def writeRelease(df: DataFrame, rel: String, shards: Int = 8,
+                   key: String = "doc_id", text: String = "text",
+                   source: String = "source"): Unit = {
+    writeJsonl(df, s"$rel/data", shards, key)
+    graft.ext.Sampling.datasetCard(df, key, text, source)
+      .coalesce(1).write.mode("overwrite").json(s"$baseDir/$rel/_card")
+  }
 }

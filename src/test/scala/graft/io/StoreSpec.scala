@@ -82,6 +82,25 @@ class StoreSpec extends AnyFunSuite {
     assert(lawBreaks.isEmpty, "shard dir must equal the hashUnit assignment")
   }
 
+  test("writeRelease: the shipped card verifies against the downloaded shards") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "source")
+    val base = Files.createTempDirectory("graft_release").toString
+    val store = new Store(spark, base)
+    store.writeRelease(docs, "rel1", shards = 4)
+    // the consumer's integrity check: re-derive the card from what was
+    // actually downloaded and compare cell-by-cell
+    val downloaded = store.readJsonl("rel1/data", docs.schema)
+    val rederived = graft.ext.Sampling.datasetCard(downloaded)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val cardSchema = graft.ext.Sampling.datasetCard(docs).schema
+    val shipped = spark.read.schema(cardSchema).json(s"$base/rel1/_card")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(shipped.nonEmpty && rederived == shipped)
+  }
+
   test("bucketed tables: equi-join on the bucket key plans without a shuffle") {
     val store = new Store(spark, Files.createTempDirectory("graft_bucket").toString)
     val sf = "/root/testdata/sf0.001"
