@@ -43,6 +43,57 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bloom dedup law: no false negative on any corpus/batch; merge == union build") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val doc = Gen.listOfN(6, word).map(_.mkString(" "))
+    for (seed <- 1 to 5) {
+      val corpusTexts = sample(Gen.listOfN(30, doc), seed).distinct
+      val batchTexts = sample(Gen.listOfN(20, doc), seed + 50).distinct
+      val corpus = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val batch = batchTexts.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .toDF("doc_id", "text")
+      // tiny sketch: false positives likely, false negatives must be impossible
+      val out = graft.ext.Dedup.bloomDedup(batch, corpus,
+        expectedItems = 16, fpp = 0.2)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      batchTexts.zipWithIndex.foreach { case (t, i) =>
+        if (corpusTexts.contains(t))
+          assert(out(1000L + i) == "drop", s"seed=$seed: duplicate '$t' kept")
+      }
+      // OR-merging per-half sketches answers exactly like the union build
+      val (c1, c2) = corpusTexts.splitAt(corpusTexts.size / 2)
+      def bloom(ts: Seq[String]) = graft.ext.Dedup.corpusBloom(
+        ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+      val merged = graft.ext.Dedup.mergeBloom(bloom(c1), bloom(c2))
+      val whole = bloom(corpusTexts)
+      val probes = batch.select(col("doc_id"), col("text"))
+      def hits(bf: Array[Byte]) = probes
+        .select(col("doc_id"), graft.ext.Dedup.bloomMightContain(bf, col("text")))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(hits(merged) == hits(whole), s"seed=$seed: merge != union build")
+    }
+  }
+
+  test("frequent spans law: sketch path == exact count on random corpora") {
+    val word = Gen.oneOf("a", "b", "c", "d") // tiny vocab -> many repeated spans
+    val doc = Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    for (seed <- 1 to 5) {
+      val docs = sample(Gen.listOfN(25, doc), seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val exact = docs
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)), " +
+            "i -> array_join(slice(split(text, ' '), i, 3), ' '))")).as("span"))
+        .groupBy("span").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = graft.ext.TextStats.frequentSpans(docs, k = 3, minCount = 3, eps = 0.4)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exact, s"seed=$seed: sketch path diverged")
+    }
+  }
+
   test("upsert laws: idempotent, key-total, incoming-wins") {
     val kvs = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0, 1000)))
     for (seed <- 1 to 5) {
