@@ -157,6 +157,45 @@ object Sampling {
       .select(outCols: _*)
   }
 
+  /** Epoch-aware UP-sampling to a per-stratum token budget — the missing
+    * half of [[sampleByTokenBudget]]: a training mix often asks for MORE
+    * tokens from a small high-quality source than it physically has, which
+    * every real recipe answers by repeating the source for multiple epochs
+    * (The Pile's per-set epoch counts, Llama's Wikipedia/Books upsampling).
+    * With f = budgetTokens / stratumTokens, every doc is emitted
+    * `floor(f)` times and one more time iff its deterministic [[hashUnit]]
+    * draw falls below `frac(f)` — so each stratum's expected emitted token
+    * mass is exactly `budgetTokens` whether f is above or below 1 (f <= 1
+    * degenerates to [[sampleByTokenBudget]]'s keep-with-probability-f).
+    * The `epoch` column (0-based repeat index) lets the trainer interleave
+    * copies instead of streaming them back-to-back.
+    *
+    * Scale shape: identical to [[sampleByTokenBudget]] — one partial-agg'd
+    * groupBy for stratum totals, broadcast back, then a shuffle-free
+    * per-row `explode(sequence(...))` whose fan-out is the (bounded,
+    * recipe-chosen) epoch count. All IEEE ops (one division, `floor`, one
+    * subtraction, one compare) are exact or correctly rounded, so the
+    * emitted multiset replays bit-identically cross-engine.
+    * Returns (input columns) + n_tokens + epoch.
+    */
+  def upsampleToBudget(df: DataFrame, strataCol: String, tokens: Column,
+                       budgetTokens: Double, key: String,
+                       salt: String = "budget"): DataFrame = {
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(tokens).as("__stratum_tokens"))
+    val f = lit(budgetTokens) / col("__stratum_tokens")
+    val copies = (floor(f) +
+      when(hashUnit(col(key), salt) < f - floor(f), 1).otherwise(0)).cast("int")
+    val outCols = ((df.columns.toSeq :+ "n_tokens").distinct :+ "epoch").map(col)
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .join(broadcast(totals), strataCol)
+      .withColumn("__copies", copies)
+      // sequence(0, -1) would DESCEND, not empty out — guard the 0-copy case
+      .where(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("__copies") - 1)))
+      .select(outCols: _*)
+  }
+
   /** Temperature-based domain mixing: downsample each stratum so effective
     * token mass goes as (stratum mass)^alpha — the standard multilingual /
     * multi-source rebalancing (alpha = 1 keeps natural proportions,

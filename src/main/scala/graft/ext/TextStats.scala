@@ -430,6 +430,61 @@ object TextStats {
       .where(col("n_occurrences") >= minCount)
   }
 
+  /** Cross-document boilerplate REMOVAL — the stripping counterpart of
+    * [[frequentSpans]] (which only REPORTS the frequent head): any word
+    * k-gram appearing in at least `minDocs` DISTINCT documents is treated
+    * as template text (navigation chrome, license banners, share buttons —
+    * the CCNet/RefinedWeb line-dedup signal at span granularity) and every
+    * word it covers is cut from each document. Distinct-doc counting is
+    * what separates boilerplate from [[Dedup.duplicatedSpans]]' exact-
+    * substring dedup: a phrase a single document repeats ten times is
+    * repetition (x22's signal), not boilerplate, and survives here.
+    *
+    * Returns one row per input doc: (id, n_words, n_boiler_spans,
+    * n_covered, clean_text) with word order preserved in `clean_text`.
+    *
+    * Scale shape: the occurrence-count CMS prefilters the span stream
+    * before the expensive distinct-doc groupBy — occurrences upper-bound
+    * distinct docs, so no boilerplate span can be lost (one-sided error,
+    * the x40 argument), and the exact `countDistinct` on the survivors
+    * discards every false candidate, making the composition exact at any
+    * sketch quality. The shuffled volume is the frequent head + εN
+    * overcount, not the corpus-sized span key space; coverage mask and
+    * text rebuild are bounded per-row array expressions (the x29
+    * machinery). Nothing all-pairs, nothing driver-side beyond the
+    * fixed-size sketch.
+    */
+  def removeBoilerplate(df: DataFrame, k: Int = 3, minDocs: Long = 5,
+                        eps: Double = 1e-4, confidence: Double = 0.99,
+                        text: String = "text", id: String = "doc_id"): DataFrame = {
+    val exploded = spread(df)
+      .select(col(id), posexplode(Dedup.shingleHashesAll(col(text), k))
+        .as(Seq("__p0", "__h")))
+      .select(col(id), (col("__p0") + 1).as("__pos"), col("__h"))
+    val sketch = exploded
+      .agg(count_min_sketch(col("__h"), lit(eps), lit(confidence), lit(42)))
+      .head.getAs[Array[Byte]](0)
+    val cand = exploded
+      .where(graft.functions.CmsEstimate(sketch, col("__h")) >= minDocs)
+    val boiler = cand.groupBy(col("__h"))
+      .agg(countDistinct(col(id)).as("__nd")).where(col("__nd") >= minDocs)
+    // sort_array: collect_list order is partition-dependent, the output isn't
+    val hitPos = exploded.join(boiler, Seq("__h"), "left_semi")
+      .groupBy(col(id)).agg(sort_array(collect_list(col("__pos"))).as("__bp"))
+    val ws = split(col(text), " ")
+    val n = size(ws)
+    val bp = coalesce(col("__bp"), array().cast("array<int>"))
+    val cov = array_distinct(flatten(transform(bp, p => sequence(p, p + (k - 1)))))
+    df.join(hitPos, Seq(id), "left")
+      .select(col(id),
+        n.cast("long").as("n_words"),
+        size(bp).cast("long").as("n_boiler_spans"),
+        size(cov).cast("long").as("n_covered"),
+        array_join(
+          transform(array_except(sequence(lit(1), n), cov), j => element_at(ws, j)),
+          " ").as("clean_text"))
+  }
+
   /** Naive-Bayes source classification — the domain-tagging stage of a
     * curation pipeline (the role CCNet/fastText domain filters play):
     * score every document against every source's Laplace-smoothed unigram

@@ -529,6 +529,13 @@ object ExtensionQueries {
     // checks the sketch path outright.
     "x40_frequent_spans" -> ((s, dir) =>
       TextStats.frequentSpans(Tables.documents(s, dir), k = 3, minCount = 5)),
+    // Boilerplate REMOVAL: trigrams in >= 5 distinct docs are cut from
+    // every document (x40 only reports them). The CMS prefilter is
+    // one-sided (occurrences upper-bound distinct docs) and the exact
+    // countDistinct confirms, so DuckDB replays the whole decision —
+    // distinct-doc counting, coverage union, rebuilt text — outright.
+    "x43_boilerplate_removal" -> ((s, dir) =>
+      TextStats.removeBoilerplate(Tables.documents(s, dir), k = 3, minDocs = 5)),
     // Within-document repetition (duplicate-shingle fraction) — the
     // standard boilerplate/template quality filter; DuckDB recomputes the
     // same fraction over string shingles (hash-collision-equal).
@@ -626,6 +633,15 @@ object ExtensionQueries {
       Sampling.sampleByTokenBudget(Tables.documents(s, dir), "source",
         TextStats.tokenCount(col("text")), budgetTokens = 500.0, key = "doc_id")
         .select("doc_id", "source", "n_tokens")),
+    // Epoch-aware UPsampling: budget 1400 sits inside the per-source token
+    // range (~1136-1553 at sf0.01), so some sources repeat (floor(f) = 1
+    // plus a fractional extra epoch) while others downsample (f < 1) in
+    // the same run. DuckDB replays the totals, the floor/frac split, the
+    // md5 draw, and the per-copy epoch indexes exactly.
+    "x44_upsample_epochs" -> ((s, dir) =>
+      Sampling.upsampleToBudget(Tables.documents(s, dir), "source",
+        TextStats.tokenCount(col("text")), budgetTokens = 1400.0, key = "doc_id")
+        .select("doc_id", "source", "n_tokens", "epoch")),
     // Temperature mixing (alpha = 0.5): per-source keep rates
     // sqrt(min_tokens / source_tokens) — sqrt is IEEE-correctly-rounded,
     // so the rate doubles and therefore the selected row SET replay
@@ -1404,6 +1420,30 @@ object ExtensionQueries {
         |SELECT span, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM g GROUP BY span HAVING COUNT(*) >= 5""".stripMargin,
+    // Boilerplate removal replayed over string trigrams: distinct-doc
+    // counting (NOT occurrence counting — within-doc repeats are x22's
+    // signal, not boilerplate), interval-union coverage, rebuilt text.
+    // Positions are 1-based on both sides; DuckDB range(a,b) = [a, b).
+    "x43_boilerplate_removal" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |             len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |g AS (SELECT doc_id, t.j AS pos, array_to_string(ws[t.j:t.j+2], ' ') AS sh
+        |      FROM w, unnest(range(1, n - 1)) AS t(j)),
+        |c AS (SELECT sh FROM g GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 5),
+        |bp AS (SELECT doc_id, list(pos ORDER BY pos) AS ps
+        |       FROM g JOIN c USING (sh) GROUP BY doc_id),
+        |j AS (SELECT w.doc_id, w.ws, w.n, COALESCE(bp.ps, CAST([] AS BIGINT[])) AS ps
+        |      FROM w LEFT JOIN bp USING (doc_id)),
+        |v AS (SELECT doc_id, ws, n, ps,
+        |        list_distinct(flatten(list_transform(ps, p -> range(p, p + 3)))) AS cov
+        |      FROM j)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+        |  CAST(len(ps) AS BIGINT) AS n_boiler_spans,
+        |  CAST(len(cov) AS BIGINT) AS n_covered,
+        |  COALESCE(array_to_string(
+        |    [ws[k] for k in range(1, n + 1) if NOT list_contains(cov, k)], ' '), '') AS clean_text
+        |FROM v""".stripMargin,
     // Full naive-Bayes replay: per-source Laplace-smoothed unigram model,
     // per-(doc, candidate) scores with round-before-sum logs (x32
     // discipline, so the argmax is reproducible), argmax via the same
@@ -1554,6 +1594,28 @@ object ExtensionQueries {
         |SELECT u.doc_id, u.source, u.n_tokens
         |FROM u JOIN t USING (source)
         |WHERE u.u < least(500.0 / t.tot, 1.0)""".stripMargin,
+    // Upsampling replay: per-source totals, f = budget/total split into
+    // floor(f) guaranteed copies + one md5-decided fractional epoch, the
+    // per-copy epoch index generated by range(). floor and the division
+    // are IEEE-exact/correctly-rounded, so the emitted multiset matches
+    // bit for bit.
+    "x44_upsample_epochs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |t AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tot FROM toks GROUP BY source),
+        |u AS (SELECT toks.*,
+        |        CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|budget')), 1, 8)) AS BIGINT)
+        |          / 4294967296.0 AS u
+        |      FROM toks),
+        |c AS (SELECT u.doc_id, u.source, u.n_tokens,
+        |        CAST(floor(1400.0 / t.tot) AS BIGINT)
+        |          + CASE WHEN u.u < 1400.0 / t.tot - floor(1400.0 / t.tot)
+        |                 THEN 1 ELSE 0 END AS n_copies
+        |      FROM u JOIN t USING (source))
+        |SELECT doc_id, source, n_tokens, CAST(e.epoch AS INT) AS epoch
+        |FROM c, unnest(range(n_copies)) AS e(epoch)""".stripMargin,
     // Hash-ordered per-stratum cumsum with an explicit ROWS frame — the
     // exact-cutoff window replayed end to end.
     "x23b_token_budget_exact" ->

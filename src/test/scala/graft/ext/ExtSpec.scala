@@ -773,6 +773,50 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == kept.map(_._1).toSet)
   }
 
+  test("upsampleToBudget: guaranteed epochs, expected mass, epoch indexes dense") {
+    // tiny: 4 docs x 10 tokens = 40 -> f = 100/40 = 2.5 (2 guaranteed
+    // copies + p=0.5 third); big: 100 x 10 = 1000 -> f = 0.1 (downsample)
+    val df = ((0L until 4L).map(i => (i, "tiny", Seq.fill(10)("w").mkString(" "))) ++
+      (100L until 200L).map(i => (i, "big", Seq.fill(10)("w").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.upsampleToBudget(df, "source",
+      TextStats.tokenCount(col("text")), budgetTokens = 100.0, key = "doc_id")
+      .select("doc_id", "source", "n_tokens", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // every tiny doc appears at least floor(2.5) = 2 times, at most 3
+    val tinyCopies = out.filter(_._2 == "tiny").groupBy(_._1).map(_._2.length)
+    assert(tinyCopies.size == 4 && tinyCopies.forall(c => c == 2 || c == 3))
+    // epochs are dense 0..n-1 per doc (a trainer can interleave on them)
+    out.groupBy(r => (r._1, r._2)).foreach { case (_, copies) =>
+      assert(copies.map(_._4).sorted.toSeq == (0 until copies.length))
+    }
+    // expected mass: tiny lands in [2,3] epochs x 40 = [80,120]; big is
+    // binomial(100, 0.1) x 10 — wide bounds, deterministic draw
+    val tinyMass = out.filter(_._2 == "tiny").map(_._3).sum
+    assert(tinyMass >= 80 && tinyMass <= 120, s"tiny mass $tinyMass")
+    val bigMass = out.filter(_._2 == "big").map(_._3).sum
+    assert(bigMass > 20 && bigMass < 250, s"big mass $bigMass")
+    // partition-independent multiset
+    val again = Sampling.upsampleToBudget(df.repartition(7), "source",
+      TextStats.tokenCount(col("text")), budgetTokens = 100.0, key = "doc_id")
+      .select("doc_id", "source", "n_tokens", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+  }
+
+  test("upsampleToBudget: f <= 1 degenerates to sampleByTokenBudget's selection") {
+    // same budget, same salt -> the fractional-epoch draw IS the
+    // keep-with-probability-f draw, so the selected doc sets must agree
+    val down = Sampling.sampleByTokenBudget(docs, "source",
+      TextStats.tokenCount(col("text")), budgetTokens = 500.0, key = "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val up = Sampling.upsampleToBudget(docs, "source",
+      TextStats.tokenCount(col("text")), budgetTokens = 500.0, key = "doc_id")
+      .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(up.map(_._1).toSet == down)
+    assert(up.forall(_._2 == 0), "f <= 1 must never emit a second epoch")
+  }
+
   test("split: exhaustive, exclusive, stable under re-evaluation") {
     val s1 = Sampling.withSplit(docs, "doc_id", 0.8, 0.1)
       .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -976,6 +1020,48 @@ class TextStatsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 4)
     // ceil(3/4)+ceil(5/4)+ceil(8/4)+ceil(3/4) = 1+2+2+1 = 6
     assert(r.getLong(1) == 6)
+  }
+
+  test("removeBoilerplate: cross-doc templates cut, within-doc repetition kept") {
+    // "share this page" appears in 5 distinct docs -> boilerplate;
+    // doc 6 repeats its own phrase 5 times in ONE doc -> NOT boilerplate
+    val body = Seq(
+      (1L, "alpha beta gamma share this page delta"),
+      (2L, "epsilon share this page zeta eta theta"),
+      (3L, "share this page iota kappa lambda mu"),
+      (4L, "nu xi omicron pi share this page"),
+      (5L, "rho sigma share this page tau upsilon"),
+      (6L, "own phrase here own phrase here own phrase here own phrase here own phrase here")
+    ).toDF("doc_id", "text")
+    val out = TextStats.removeBoilerplate(body, k = 3, minDocs = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // every occurrence of the template trigram is covered
+    (1L to 5L).foreach { i =>
+      assert(!out(i)._4.contains("share this page"), s"doc $i kept the template")
+      assert(out(i)._2 >= 1, s"doc $i should flag the boilerplate span")
+    }
+    // the self-repeating doc is untouched (distinct-doc count is 1)
+    assert(out(6L) == (15L, 0L, 0L, body.where(col("doc_id") === 6)
+      .head.getString(1)))
+    // surviving words keep their order
+    assert(out(1L)._4 == "alpha beta gamma delta")
+  }
+
+  test("removeBoilerplate: exact at any sketch quality; empty input safe") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val ref = TextStats.removeBoilerplate(docs, k = 3, minDocs = 4, eps = 1e-5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(ref.exists(_._3 > 0), "fixture should contain cross-doc boilerplate")
+    // a deliberately terrible sketch (eps = 0.5, ~4 counters) must match:
+    // the CMS is a one-sided prefilter, the exact countDistinct confirms
+    val loose = TextStats.removeBoilerplate(docs, k = 3, minDocs = 4, eps = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(loose == ref, "sketch quality changed the removal decision")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextStats.removeBoilerplate(empty, k = 3, minDocs = 1).count() == 0L)
   }
 
   test("langId: English stopwords -> en; gibberish -> und") {

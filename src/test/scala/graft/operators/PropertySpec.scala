@@ -94,6 +94,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("upsample law: copy counts match the driver-replayed floor/frac rule on random mixes") {
+    val tok = Gen.choose(1, 40)
+    for (seed <- 1 to 5) {
+      val nTok = sample(Gen.listOfN(30, tok), seed)
+      val rows = nTok.zipWithIndex.map { case (t, i) =>
+        (i.toLong, s"s${i % 3}", Seq.fill(t)("w").mkString(" "))
+      }
+      val df = rows.toDF("doc_id", "source", "text")
+      val budget = 150.0
+      val out = graft.ext.Sampling.upsampleToBudget(df, "source",
+        graft.ext.TextStats.tokenCount(col("text")), budget, key = "doc_id")
+        .groupBy("doc_id").agg(count(lit(1)).as("n"), max("epoch").as("maxe"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+      // driver-side referee: recompute f per stratum and the md5 draw per doc
+      val totals = rows.groupBy(_._2).view.mapValues(_.map(_._3.split(" ").length.toLong).sum).toMap
+      def unit(id: Long): Double = {
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id|budget".getBytes("UTF-8"))
+        java.lang.Long.parseLong(md5.take(4).map(b => f"${b & 0xff}%02x").mkString, 16) / 4294967296.0
+      }
+      val expected = rows.flatMap { case (id, src, _) =>
+        val f = budget / totals(src)
+        val n = math.floor(f).toLong + (if (unit(id) < f - math.floor(f)) 1 else 0)
+        if (n > 0) Some((id, n, n.toInt - 1)) else None
+      }
+      assert(out.sorted == expected.sorted, s"seed=$seed: copy counts diverged")
+    }
+  }
+
   test("upsert laws: idempotent, key-total, incoming-wins") {
     val kvs = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0, 1000)))
     for (seed <- 1 to 5) {
