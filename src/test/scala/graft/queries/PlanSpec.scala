@@ -173,6 +173,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("boilerplate removal: cms prefilter survives, keyed joins only, no window") {
+    val p = plan("x43_boilerplate_removal")
+    assert(p.contains("cms_estimate"), p) // the map-only sketch probe
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // coverage mask + rebuild are per-row array expressions, never a Window
+    assert(!p.contains("Window"), p)
+  }
+
+  test("upsampling: broadcast totals, no window, fan-out is a map-side explode") {
+    val p = plan("x44_upsample_epochs")
+    // same shape contract as x23: the only exchange is the totals agg
+    assert(exchanges(p) == 1, s"expected 1 shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Generate"), s"epoch fan-out should be an explode:\n$p")
+  }
+
   test("bloom dedup probe is map-only: no join, no shuffle, constant sketch") {
     // the corpus bloom is built by a separate (partial-agg'd) job inside
     // bloomDedup; the PROBE frame the query returns must then plan as
