@@ -22,6 +22,74 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, acc)
   }
 
+  /** Full-WIDTH spin: the 1-thread spin certifies per-core speed but not
+    * machine width — on an oversubscribed host a lone spin thread still
+    * gets a whole core while 32-thread throughput collapses (observed:
+    * spin 3.7 s "quiet" windows bracketing totals of 94..168 s on an
+    * identical binary). `nThreads` concurrent fixed-work loops measure
+    * the width the bench actually uses; each loop is 1/4 the 1-thread
+    * work, so quiet wall is ~1 s on 32 real cores (~2 s if the 32 are
+    * hyperthread pairs). A multi-thread spin >= 2x its own reference
+    * marks the window contended even when the 1-thread spin looks clean.
+    */
+  private def spinMt(nThreads: Int): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val acc = new java.util.concurrent.atomic.AtomicLong()
+    val ts = (0 until nThreads).map { _ =>
+      new Thread(() => {
+        var a = 0L
+        var i = 0L
+        while (i < 250000000L) { a = (a + i * i) % 1000003L; i += 1 }
+        acc.addAndGet(a)
+      })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    ((System.nanoTime() - t0) / 1e9, acc.get)
+  }
+
+  /** Memory-bandwidth probe — the dimension both spins are blind to: the
+    * spin loops live in registers, so a co-tenant saturating the memory
+    * controller leaves them untouched while every Spark stage (scans,
+    * hash tables, shuffles) slows uniformly. Observed exactly that:
+    * windows with 1-thread spin ~3.8 s AND 32-thread spin ~1.2 s bracketing
+    * totals 92..168 s vs the certified-quiet 64 s — a ~1.4x uniform
+    * inflation with no CPU signal. `nThreads` threads stream-sum disjoint
+    * slices of one 256 MiB long array; reported as GB/s touched. Quiet
+    * reference is recorded next to the spin refs in BASELINE.md.
+    */
+  private def memBw(nThreads: Int): Double = {
+    val n = 32 * 1024 * 1024 // 32M longs = 256 MiB
+    val a = new Array[Long](n)
+    java.util.Arrays.fill(a, 3L)
+    val passes = 4
+    def sweep(): Double = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val t0 = System.nanoTime()
+      val ts = (0 until nThreads).map { t =>
+        new Thread(() => {
+          val lo = (n.toLong * t / nThreads).toInt
+          val hi = (n.toLong * (t + 1) / nThreads).toInt
+          var s = 0L
+          var p = 0
+          while (p < passes) {
+            var i = lo
+            while (i < hi) { s += a(i); i += 1 }
+            p += 1
+          }
+          acc.addAndGet(s)
+        })
+      }
+      ts.foreach(_.start())
+      ts.foreach(_.join())
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(acc.get == 3L * n * passes) // defeat dead-code elimination
+      (8.0 * n * passes / secs) / 1e9
+    }
+    sweep() // untimed JIT/page warmup: the first sweep reads ~8x low
+    sweep()
+  }
+
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
@@ -35,6 +103,8 @@ object Bench {
       .map(_ == "1").getOrElse(args.isEmpty)
     val loadBefore = loadAvg()
     val spinBefore = if (doSpin) Some(spin()) else None
+    val spinMtBefore = if (doSpin) Some(spinMt(cpus.toInt)) else None
+    val memBwBefore = if (doSpin) Some(memBw(cpus.toInt)) else None
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,6 +114,25 @@ object Bench {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Contention-robust secondary metric: accumulate ON-CPU nanoseconds
+    // across all tasks. Wall totals inflate under mid-run co-tenant bursts
+    // that the before/after probes cannot see (observed: all probes green,
+    // total 92 s vs certified 64 s); task CPU time does NOT count
+    // involuntary preemption, so two runs of the same binary should agree
+    // on cpu_total_sec even when their walls disagree — if cpu_total_sec
+    // itself moved, the ENGINE changed (or memory got slower host-wide).
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong()
+    val runNanos = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            cpuNanos.addAndGet(m.executorCpuTime)
+            runNanos.addAndGet(m.executorRunTime * 1000000L)
+          }
+        }
+      })
     // Register the graft extensions (SQL functions + BandJoinRewrite) UP
     // FRONT: j6_band_sql registers them lazily for standalone use, which
     // would otherwise flip the optimizer environment mid-run and make
@@ -120,6 +209,8 @@ object Bench {
     // (executor threads, cleaner) can't pollute the after-window reading
     spark.stop()
     val spinAfter = if (doSpin) Some(spin()) else None
+    val spinMtAfter = if (doSpin) Some(spinMt(cpus.toInt)) else None
+    val memBwAfter = if (doSpin) Some(memBw(cpus.toInt)) else None
     val loadAfter = loadAvg()
     def num(d: Double): String = if (d.isNaN || d.isInfinite) "null" else f"$d%.2f"
     val spinJson = (spinBefore, spinAfter) match {
@@ -128,13 +219,24 @@ object Bench {
         s""""spin_ref_sec":4.0,"spin_acc":${accB + accA},"""
       case _ => ""
     }
+    val spinMtJson = (spinMtBefore, spinMtAfter) match {
+      case (Some((mb, accB)), Some((ma, accA))) =>
+        s""""spin_mt_before_sec":${num(mb)},"spin_mt_after_sec":${num(ma)},""" +
+        s""""spin_mt_threads":$cpus,"spin_mt_ref_sec":2.0,"spin_mt_acc":${accB + accA},"""
+      case _ => ""
+    }
+    val memBwJson = (memBwBefore, memBwAfter) match {
+      case (Some(bb), Some(ba)) =>
+        s""""mem_bw_gbps_before":${num(bb)},"mem_bw_gbps_after":${num(ba)},"mem_bw_ref_gbps":90.0,"""
+      case _ => ""
+    }
     // "bench_surface" versions what "total" measures (the r8 verify-gate
     // split changed it): cross-surface totals must not be compared.
     val surface =
       if (subset.nonEmpty) "subset"
       else if (full) "full-r8"
       else "default-r8"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"skipped_verify_gates":$skip,$spinJson"load_avg_before":${num(loadBefore)},"load_avg_after":${num(loadAfter)},"bench_surface":"$surface","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"skipped_verify_gates":$skip,$spinJson$spinMtJson$memBwJson"cpu_total_sec":${num(cpuNanos.get / 1e9)},"task_time_total_sec":${num(runNanos.get / 1e9)},"load_avg_before":${num(loadBefore)},"load_avg_after":${num(loadAfter)},"bench_surface":"$surface","sf":"$sfDir"}"""
     println(line)
     // Stdout is shared with Spark/log4j noise, so tail-parsing the process
     // output is fragile; always also drop the line into a file — an sbt-forked
