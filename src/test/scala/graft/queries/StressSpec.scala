@@ -57,12 +57,15 @@ class StressSpec extends AnyFunSuite {
     c.where(col("doc_id") % 10 =!= 0), c.where(col("doc_id") % 10 === 0), k = 8)
   private def collapse(c: DataFrame) = Dedup.collapseComponents(c,
     Dedup.ngramJaccardPairs(c, lenCol = "n_chars", tol = 16, minJaccard = 0.5))
+  private def boiler(c: DataFrame) =
+    graft.ext.TextStats.removeBoilerplate(c, k = 3, minDocs = 5)
 
   test("20x corpus: pair-operator plan shapes hold (no cartesian, blocking joins intact)") {
     val big = corpus(20)
     for ((name, q) <- Seq(("minhash", minhash(big)), ("simhash", simhash(big)),
                           ("incremental", incremental(big)), ("spans", spans(big)),
-                          ("spanDecon", spanDecon(big)), ("collapse", collapse(big)))) {
+                          ("spanDecon", spanDecon(big)), ("collapse", collapse(big)),
+                          ("boiler", boiler(big)))) {
       val p = q.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name went all-pairs:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name lost its equi-join:\n$p")
