@@ -184,8 +184,12 @@ object Sampling {
     val totals = df.groupBy(col(strataCol))
       .agg(sum(tokens).as("__stratum_tokens"))
     val f = lit(budgetTokens) / col("__stratum_tokens")
-    val copies = (floor(f) +
-      when(hashUnit(col(key), salt) < f - floor(f), 1).otherwise(0)).cast("int")
+    // a zero-token stratum would make f infinite and the epoch sequence
+    // astronomically long — emit nothing for it (matching the oracle,
+    // where x/0 is NULL and NULL copy counts generate no rows)
+    val copies = when(col("__stratum_tokens") <= 0, lit(0)).otherwise(
+      floor(f) +
+        when(hashUnit(col(key), salt) < f - floor(f), 1).otherwise(0)).cast("int")
     val outCols = ((df.columns.toSeq :+ "n_tokens").distinct :+ "epoch").map(col)
     df.withColumn("n_tokens", tokens.cast("long"))
       .join(broadcast(totals), strataCol)

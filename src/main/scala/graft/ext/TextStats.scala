@@ -468,8 +468,12 @@ object TextStats {
       .where(graft.functions.CmsEstimate(sketch, col("__h")) >= minDocs)
     val boiler = cand.groupBy(col("__h"))
       .agg(countDistinct(col(id)).as("__nd")).where(col("__nd") >= minDocs)
+    // probe CAND, not exploded: cand is a superset of every boilerplate
+    // occurrence (same hash => same CMS estimate), so the semi-join is
+    // exact while the corpus explodes only twice (sketch pass + probe
+    // pass), not three times
     // sort_array: collect_list order is partition-dependent, the output isn't
-    val hitPos = exploded.join(boiler, Seq("__h"), "left_semi")
+    val hitPos = cand.join(boiler, Seq("__h"), "left_semi")
       .groupBy(col(id)).agg(sort_array(collect_list(col("__pos"))).as("__bp"))
     val ws = split(col(text), " ")
     val n = size(ws)

@@ -804,6 +804,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(again.sorted.toSeq == out.sorted.toSeq)
   }
 
+  test("upsampleToBudget: a zero-token stratum emits nothing instead of exploding") {
+    // f = budget/0 is infinite; the guard must drop the stratum (the
+    // oracle's x/0 -> NULL path), never build an astronomic epoch range
+    val df = Seq(
+      (1L, "zero", 0L), (2L, "zero", 0L),
+      (3L, "real", 4L)
+    ).toDF("doc_id", "source", "ntok")
+    val out = Sampling.upsampleToBudget(df, "source",
+      col("ntok"), budgetTokens = 100.0, key = "doc_id")
+      .select("doc_id", "source", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.forall(_._2 == "real"), s"zero-token stratum leaked: ${out.toSeq}")
+    assert(out.length == 25, s"real stratum should emit f = 100/4 = 25 epochs, got ${out.length}")
+    assert(out.map(_._3).sorted.toSeq == (0 until 25)) // dense epochs, one doc
+  }
+
   test("upsampleToBudget: f <= 1 degenerates to sampleByTokenBudget's selection") {
     // same budget, same salt -> the fractional-epoch draw IS the
     // keep-with-probability-f draw, so the selected doc sets must agree
