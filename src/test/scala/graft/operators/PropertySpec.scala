@@ -94,6 +94,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate law: sketch path == exact distinct-doc removal on random corpora") {
+    val word = Gen.oneOf("a", "b", "c", "d") // tiny vocab -> many shared spans
+    val doc = Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    for (seed <- 1 to 5) {
+      val docs = sample(Gen.listOfN(25, doc), seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      // exact referee: trigrams in >= 3 distinct docs, coverage by position
+      val exact = docs
+        .select(col("doc_id"), expr("split(text, ' ')").as("ws"))
+        .select(col("doc_id"), col("ws"), posexplode(expr(
+          "transform(sequence(1, greatest(size(ws) - 2, 0)), i -> array_join(slice(ws, i, 3), ' '))"))
+          .as(Seq("p0", "span")))
+        .withColumn("pos", col("p0") + 1)
+      val boilerSpans = exact.groupBy("span")
+        .agg(countDistinct(col("doc_id")).as("nd")).where(col("nd") >= 3)
+      val refee = exact.join(boilerSpans, Seq("span"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // a terrible sketch must agree exactly (one-sided prefilter + confirm)
+      val got = graft.ext.TextStats.removeBoilerplate(docs, k = 3, minDocs = 3, eps = 0.4)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got.filter(_._2 > 0) == refee.filter(_._2 > 0),
+        s"seed=$seed: boilerplate span counts diverged")
+      // docs the referee never flagged must come back untouched
+      val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val rebuilt = graft.ext.TextStats.removeBoilerplate(docs, k = 3, minDocs = 3, eps = 0.4)
+        .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+      texts.keys.filterNot(refee.contains).foreach { id =>
+        assert(rebuilt(id) == texts(id), s"seed=$seed: clean doc $id was edited")
+      }
+    }
+  }
+
   test("upsample law: copy counts match the driver-replayed floor/frac rule on random mixes") {
     val tok = Gen.choose(1, 40)
     for (seed <- 1 to 5) {
