@@ -577,14 +577,32 @@ object Dedup {
     * decisions up to hash collisions (~2^-64 per occurrence pair).
     */
   def duplicatedSpans(df: DataFrame, k: Int = 8, text: String = "text",
-                      id: String = "doc_id"): DataFrame = {
+                      id: String = "doc_id",
+                      cmsEps: Option[Double] = None): DataFrame = {
     val exploded = spread(df, col(id))
       .select(col(id), posexplode(shingleHashesAll(col(text), k)).as(Seq("__p0", "__h")))
       .select(col(id), (col("__p0") + 1).as("__pos"), col("__h"))
-    val dupHashes = exploded.groupBy(col("__h"))
+    // Optional CMS prefilter (the x40/x43 move): an estimate below 2 proves
+    // a span unique (CMS never underestimates), so only candidate
+    // occurrences reach the count shuffle and the answer stays COMPLETE —
+    // at corpus scale most spans are unique and the span-key exchange
+    // shrinks to the duplicated head + eps*N overcount. Off by default:
+    // at fixture scale the extra sketch pass costs more than the shuffle
+    // it saves (measured; see PLANS.md x29).
+    val counted = cmsEps match {
+      case Some(eps) =>
+        val sketch = exploded
+          .agg(count_min_sketch(col("__h"), lit(eps), lit(0.99), lit(42)))
+          .head.getAs[Array[Byte]](0)
+        exploded.where(graft.functions.CmsEstimate(sketch, col("__h")) >= 2)
+      case None => exploded
+    }
+    val dupHashes = counted.groupBy(col("__h"))
       .agg(count(lit(1)).as("__cnt")).where(col("__cnt") > 1)
     // sort_array: collect_list order is partition-dependent, the output isn't
-    val dupPos = exploded.join(dupHashes, Seq("__h"), "left_semi")
+    // (probing `counted` is exact: it retains EVERY occurrence of every
+    // duplicated span — only provably-unique occurrences are dropped)
+    val dupPos = counted.join(dupHashes, Seq("__h"), "left_semi")
       .groupBy(col(id)).agg(sort_array(collect_list(col("__pos"))).as("__dp"))
     val ws = split(col(text), " ")
     val n = size(ws)

@@ -256,6 +256,21 @@ class DedupSpec extends AnyFunSuite {
     assert(again == out.map { case (k, v) => k -> v._4 })
   }
 
+  test("duplicatedSpans: CMS-prefiltered path == exact path at any sketch quality") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.duplicatedSpans(docs, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    // a deliberately terrible sketch must still be exact: estimate < 2
+    // PROVES uniqueness (one-sided), the count confirm drops the rest
+    for (eps <- Seq(1e-4, 0.5)) {
+      val got = Dedup.duplicatedSpans(docs, k = 8, cmsEps = Some(eps))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSet
+      assert(got == exact, s"eps=$eps: prefiltered path diverged")
+    }
+  }
+
   test("spanDecontaminate: verbatim eval k-grams mark train docs; clean docs keep") {
     val phrase = "the exact answer to benchmark question forty two" // 8 words
     val train = Seq(
