@@ -102,9 +102,14 @@ object Bench {
     val doSpin = sys.env.get("SPARK_GRAFT_SPIN")
       .map(_ == "1").getOrElse(args.isEmpty)
     val loadBefore = loadAvg()
+    // Probes measure the MACHINE, so they always run at full machine
+    // width — tying them to SPARK_GRAFT_CPUS (default "4") would make a
+    // 4-thread bandwidth probe read far below the 32-thread-calibrated
+    // reference on a perfectly quiet host and brand the window contended.
+    val probeThreads = Runtime.getRuntime.availableProcessors()
     val spinBefore = if (doSpin) Some(spin()) else None
-    val spinMtBefore = if (doSpin) Some(spinMt(cpus.toInt)) else None
-    val memBwBefore = if (doSpin) Some(memBw(cpus.toInt)) else None
+    val spinMtBefore = if (doSpin) Some(spinMt(probeThreads)) else None
+    val memBwBefore = if (doSpin) Some(memBw(probeThreads)) else None
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -209,8 +214,8 @@ object Bench {
     // (executor threads, cleaner) can't pollute the after-window reading
     spark.stop()
     val spinAfter = if (doSpin) Some(spin()) else None
-    val spinMtAfter = if (doSpin) Some(spinMt(cpus.toInt)) else None
-    val memBwAfter = if (doSpin) Some(memBw(cpus.toInt)) else None
+    val spinMtAfter = if (doSpin) Some(spinMt(probeThreads)) else None
+    val memBwAfter = if (doSpin) Some(memBw(probeThreads)) else None
     val loadAfter = loadAvg()
     def num(d: Double): String = if (d.isNaN || d.isInfinite) "null" else f"$d%.2f"
     val spinJson = (spinBefore, spinAfter) match {
@@ -222,12 +227,12 @@ object Bench {
     val spinMtJson = (spinMtBefore, spinMtAfter) match {
       case (Some((mb, accB)), Some((ma, accA))) =>
         s""""spin_mt_before_sec":${num(mb)},"spin_mt_after_sec":${num(ma)},""" +
-        s""""spin_mt_threads":$cpus,"spin_mt_ref_sec":2.0,"spin_mt_acc":${accB + accA},"""
+        s""""spin_mt_threads":$probeThreads,"spin_mt_ref_sec":2.0,"spin_mt_acc":${accB + accA},"""
       case _ => ""
     }
     val memBwJson = (memBwBefore, memBwAfter) match {
       case (Some(bb), Some(ba)) =>
-        s""""mem_bw_gbps_before":${num(bb)},"mem_bw_gbps_after":${num(ba)},"mem_bw_ref_gbps":90.0,"""
+        s""""mem_bw_gbps_before":${num(bb)},"mem_bw_gbps_after":${num(ba)},"mem_bw_ref_gbps":100.0,"""
       case _ => ""
     }
     // "bench_surface" versions what "total" measures (the r8 verify-gate

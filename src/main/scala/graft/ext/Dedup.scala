@@ -591,9 +591,7 @@ object Dedup {
     // it saves (measured; see PLANS.md x29).
     val counted = cmsEps match {
       case Some(eps) =>
-        val sketch = exploded
-          .agg(count_min_sketch(col("__h"), lit(eps), lit(0.99), lit(42)))
-          .head.getAs[Array[Byte]](0)
+        val sketch = graft.functions.CmsEstimate.sketchOf(exploded, col("__h"), eps)
         exploded.where(graft.functions.CmsEstimate(sketch, col("__h")) >= 2)
       case None => exploded
     }

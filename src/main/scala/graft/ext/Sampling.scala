@@ -180,16 +180,25 @@ object Sampling {
     */
   def upsampleToBudget(df: DataFrame, strataCol: String, tokens: Column,
                        budgetTokens: Double, key: String,
-                       salt: String = "budget"): DataFrame = {
+                       salt: String = "budget", maxEpochs: Long = 1000L): DataFrame = {
     val totals = df.groupBy(col(strataCol))
       .agg(sum(tokens).as("__stratum_tokens"))
     val f = lit(budgetTokens) / col("__stratum_tokens")
     // a zero-token stratum would make f infinite and the epoch sequence
     // astronomically long — emit nothing for it (matching the oracle,
-    // where x/0 is NULL and NULL copy counts generate no rows)
-    val copies = when(col("__stratum_tokens") <= 0, lit(0)).otherwise(
+    // where x/0 is NULL and NULL copy counts generate no rows). The count
+    // stays LONG until after the maxEpochs check: casting first would
+    // silently int-wrap a huge f (e.g. budget 1e10 over a 3-token stratum
+    // -> floor(f) ~ 3.3e9 wraps negative) and drop exactly the stratum
+    // that most needed upsampling; an absurd recipe must fail loudly.
+    val copiesL = when(col("__stratum_tokens") <= 0, lit(0L)).otherwise(
       floor(f) +
-        when(hashUnit(col(key), salt) < f - floor(f), 1).otherwise(0)).cast("int")
+        when(hashUnit(col(key), salt) < f - floor(f), 1).otherwise(0))
+    val copies = when(copiesL <= lit(maxEpochs), copiesL.cast("int"))
+      .otherwise(raise_error(concat(
+        lit("upsampleToBudget: copy count "), copiesL,
+        lit(s" exceeds maxEpochs=$maxEpochs for stratum "), col(strataCol),
+        lit(" — raise maxEpochs if the recipe really repeats a source this often"))))
     val outCols = ((df.columns.toSeq :+ "n_tokens").distinct :+ "epoch").map(col)
     df.withColumn("n_tokens", tokens.cast("long"))
       .join(broadcast(totals), strataCol)

@@ -416,9 +416,7 @@ object TextStats {
     val spans = spread(df)
       .select(col(id), posexplode(Dedup.shingleHashesAll(col(text), k))
         .as(Seq("__p0", "__h")))
-    val sketch = spans
-      .agg(count_min_sketch(col("__h"), lit(eps), lit(confidence), lit(42)))
-      .head.getAs[Array[Byte]](0)
+    val sketch = graft.functions.CmsEstimate.sketchOf(spans, col("__h"), eps, confidence)
     val cand = spans
       .where(graft.functions.CmsEstimate(sketch, col("__h")) >= minCount)
     cand.join(df.select(col(id), split(col(text), " ").as("__ws")), Seq(id))
@@ -461,9 +459,7 @@ object TextStats {
       .select(col(id), posexplode(Dedup.shingleHashesAll(col(text), k))
         .as(Seq("__p0", "__h")))
       .select(col(id), (col("__p0") + 1).as("__pos"), col("__h"))
-    val sketch = exploded
-      .agg(count_min_sketch(col("__h"), lit(eps), lit(confidence), lit(42)))
-      .head.getAs[Array[Byte]](0)
+    val sketch = graft.functions.CmsEstimate.sketchOf(exploded, col("__h"), eps, confidence)
     val cand = exploded
       .where(graft.functions.CmsEstimate(sketch, col("__h")) >= minDocs)
     val boiler = cand.groupBy(col("__h"))

@@ -54,4 +54,20 @@ case class CmsEstimate(bytes: Array[Byte], child: Expression)
 object CmsEstimate {
   def apply(bytes: Array[Byte], value: Column): Column =
     GraftBridge.toColumn(CmsEstimate(bytes, GraftBridge.toExpression(value)))
+
+  /** Build the count-min sketch this expression probes: one partial-agg'd
+    * `count_min_sketch` over `value`, collected as bytes (the sketch is
+    * (eps, confidence)-grid-sized, independent of data volume). The seed
+    * is FIXED — every probe site must use the sketch its own build
+    * produced, and a shared helper keeps the seed/collect semantics in
+    * one place instead of three copy-pasted blocks (x40 / x43 / x29).
+    */
+  def sketchOf(df: org.apache.spark.sql.DataFrame, value: Column,
+               eps: Double, confidence: Double = 0.99): Array[Byte] =
+    df.agg(org.apache.spark.sql.functions.count_min_sketch(
+        value,
+        org.apache.spark.sql.functions.lit(eps),
+        org.apache.spark.sql.functions.lit(confidence),
+        org.apache.spark.sql.functions.lit(42)))
+      .head.getAs[Array[Byte]](0)
 }

@@ -835,6 +835,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.map(_._3).sorted.toSeq == (0 until 25)) // dense epochs, one doc
   }
 
+  test("upsampleToBudget: an absurd copy count fails loudly, never int-wraps to silence") {
+    // budget 1e10 over a 4-token stratum -> floor(f) ~ 2.5e9, beyond any
+    // real recipe; the old int cast wrapped negative and silently dropped
+    // the stratum — now it must raise, naming the limit
+    val df = Seq((1L, "tiny", 4L)).toDF("doc_id", "source", "ntok")
+    val e = intercept[Exception] {
+      Sampling.upsampleToBudget(df, "source", col("ntok"),
+        budgetTokens = 1e10, key = "doc_id").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("maxEpochs"),
+      s"expected a loud maxEpochs failure, got: ${e.getMessage}")
+    // and a legitimately large-but-sane recipe passes when the cap is raised
+    val ok = Sampling.upsampleToBudget(df, "source", col("ntok"),
+      budgetTokens = 8000.0, key = "doc_id", maxEpochs = 5000L)
+    assert(ok.count() == 2000L) // f = 8000/4 = 2000 exact epochs
+  }
+
   test("upsampleToBudget: f <= 1 degenerates to sampleByTokenBudget's selection") {
     // same budget, same salt -> the fractional-epoch draw IS the
     // keep-with-probability-f draw, so the selected doc sets must agree
