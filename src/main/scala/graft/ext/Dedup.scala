@@ -475,7 +475,14 @@ object Dedup {
     val agg = new BloomFilterAggregate(
       GraftBridge.toExpression(xxhash64(col(text))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    val bytes = corpus.select(GraftBridge.toColumn(agg).as("bf"))
+    // null texts are EXCLUDED from the sketch: xxhash64 hashes a null to
+    // the bare seed, so a single null corpus row would otherwise insert
+    // that sentinel hash and make every null-text probe read "duplicate" —
+    // the opposite of the exact anti-join face, where a null key never
+    // matches and the row is kept. With nulls excluded both faces agree:
+    // null-text rows always pass through.
+    val bytes = corpus.where(col(text).isNotNull)
+      .select(GraftBridge.toColumn(agg).as("bf"))
       .head.getAs[Array[Byte]](0)
     if (bytes != null) bytes
     else {

@@ -40,13 +40,17 @@ object Multimodal {
     * per-pixel replay stays cheap): width in 4..11, height in 3..7.
     */
   def imageDims(docId: Long): (Int, Int) =
-    ((docId % 8 + 4).toInt, (docId % 5 + 3).toInt)
+    // floorMod: Scala's signed % on a negative id would yield nonpositive
+    // dimensions and a throwing BufferedImage constructor
+    (Math.floorMod(docId, 8).toInt + 4, Math.floorMod(docId, 5).toInt + 3)
 
   /** Channel value at (x, y): the arithmetic the DuckDB oracle replays.
     * `c` is the 0-based channel (R=0, G=1, B=2).
     */
   def pixel(docId: Long, x: Int, y: Int, c: Int): Int =
-    ((docId * 31 + x * 7 + y * 13 + c * 5) % 256).toInt
+    // floorMod keeps channels in [0, 255] for negative ids too — a signed %
+    // would sign-extend across the packed RGB word
+    Math.floorMod(docId * 31 + x * 7 + y * 13 + c * 5, 256).toInt
 
   /** Render the deterministic pixel pattern and ENCODE it with the real
     * JDK codec (`ImageIO.write`) — PNG and BMP are both lossless for RGB,
@@ -132,14 +136,20 @@ object Multimodal {
   /** Frame sampling: split each payload into `frames` contiguous chunks and
     * emit one row per sampled chunk with a checksum — the video-frame
     * analogue (seek + decode per frame) with the byte-slicing stubbed.
+    * The LAST chunk absorbs the remainder when the payload length is not
+    * divisible by `frames`: coverage is complete (sum of n_bytes == total
+    * payload bytes), so a consumer verifying payload integrity through
+    * frame checksums can never miss tail corruption.
     */
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRow], frames: Int): Dataset[MediaFrame] = {
     import spark.implicits._
     media.mapPartitions(_.flatMap { r =>
       val n = r.bytes.length
       val step = math.max(n / frames, 1)
-      (0 until math.min(frames, n)).iterator.map { i =>
-        val chunk = r.bytes.slice(i * step, math.min((i + 1) * step, n))
+      val m = math.min(frames, n)
+      (0 until m).iterator.map { i =>
+        val hi = if (i == m - 1) n else (i + 1) * step
+        val chunk = r.bytes.slice(i * step, hi)
         MediaFrame(r.doc_id, i, chunk.length.toLong,
           chunk.foldLeft(1125899906842597L)((h, b) => 31 * h + b))
       }

@@ -54,7 +54,16 @@ class Store(spark: SparkSession, baseDir: String) {
     // observe a missing target for longer than one rename, and a failed
     // rename can roll back instead of having already destroyed the target.
     fs.delete(old, true)
-    val hadTarget = fs.exists(target) && fs.rename(target, old)
+    val targetExisted = fs.exists(target)
+    val hadTarget = targetExisted && fs.rename(target, old)
+    // If parking the old data FAILED but the target still exists, the next
+    // rename would succeed by moving tmp INSIDE the existing directory
+    // (Hadoop rename-into-existing-dir semantics) — readers would keep the
+    // stale rows and the fresh export would be buried where nobody looks.
+    // Fail loudly instead; nothing has been destroyed at this point.
+    if (targetExisted && !hadTarget && fs.exists(target))
+      throw new IllegalStateException(
+        s"could not park $target aside as $old; aborting swap with data intact")
     if (!fs.rename(tmp, target)) {
       if (hadTarget) fs.rename(old, target) // roll back
       throw new IllegalStateException(s"rename $tmp -> $target failed")
@@ -120,7 +129,14 @@ class Store(spark: SparkSession, baseDir: String) {
   def writeJsonl(df: DataFrame, rel: String, shards: Int = 8,
                  key: String = "doc_id"): Unit = {
     val unit = graft.ext.Sampling.hashUnit(col(key), "jsonl")
-    df.withColumn("__shard", floor(unit * shards).cast("int"))
+    // a null key hashes to a null shard, which the partitioned write files
+    // under __HIVE_DEFAULT_PARTITION__ — OUTSIDE the 0..shards-1 layout a
+    // release consumer enumerates, so the row would ship in no shard while
+    // still counting in the card. Loud per-row failure instead.
+    val shard = when(col(key).isNotNull, floor(unit * shards).cast("int"))
+      .otherwise(raise_error(lit(
+        s"writeJsonl: null $key cannot be shard-assigned — drop or key such rows upstream")))
+    df.withColumn("__shard", shard)
       .repartition(shards, col("__shard"))
       .sortWithinPartitions(col("__shard"), unit, col(key))
       .write.mode("overwrite").partitionBy("__shard")
@@ -141,7 +157,15 @@ class Store(spark: SparkSession, baseDir: String) {
                    key: String = "doc_id", text: String = "text",
                    source: String = "source"): Unit = {
     writeJsonl(df, s"$rel/data", shards, key)
-    graft.ext.Sampling.datasetCard(df, key, text, source)
+    // The card is derived from the WRITTEN shards, not from df: computing
+    // it from the input would re-execute the whole upstream lineage a
+    // second time (the release sits at the end of the curation chain) and,
+    // worse, any upstream nondeterminism would ship a card that disagrees
+    // with the shards — the exact mismatch the consumer checksum protocol
+    // exists to catch. Reading back costs one scan of the just-written
+    // JSONL and guarantees card == content by construction.
+    graft.ext.Sampling.datasetCard(readJsonl(s"$rel/data", df.schema),
+        key, text, source)
       .coalesce(1).write.mode("overwrite").json(s"$baseDir/$rel/_card")
   }
 }

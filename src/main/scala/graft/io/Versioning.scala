@@ -63,12 +63,15 @@ class Versioning(workspaceDir: String) {
 
   def readPointer(rel: String): Option[Pointer] = {
     val pp = pointerPath(rel)
-    if (!Files.exists(pp)) None
-    else {
-      val m = graft.Monitoring.parseFlatJson(Files.readString(pp))
-      Some(Pointer(m("md5").stripPrefix("\"").stripSuffix("\""), m("size").toLong,
-        m("dir") == "true"))
-    }
+    if (!Files.exists(pp)) None else Some(parsePointer(pp))
+  }
+
+  /** Single place that understands the pointer JSON — local and remote
+    * pointers must never grow divergent parsers. */
+  private def parsePointer(path: Path): Pointer = {
+    val m = graft.Monitoring.parseFlatJson(Files.readString(path))
+    Pointer(m("md5").stripPrefix("\"").stripSuffix("\""), m("size").toLong,
+      m("dir") == "true")
   }
 
   // ---- content addressing -------------------------------------------------
@@ -109,8 +112,17 @@ class Versioning(workspaceDir: String) {
         walker.iterator().asScala
           .filter(Files.isRegularFile(_))
           .filterNot { f =>
-            val n = f.getFileName.toString
-            n.startsWith(".") || n.startsWith("_")
+            // every RELATIVE segment, not just the leaf: a crashed Spark
+            // write leaves _temporary/.../part-*.parquet whose leaf name
+            // looks like data — hashing in-flight temp files would break
+            // the "identical data hashes identically" invariant
+            val segs = dir.relativize(f).iterator()
+            var hidden = false
+            while (segs.hasNext && !hidden) {
+              val n = segs.next().toString
+              hidden = n.startsWith(".") || n.startsWith("_")
+            }
+            hidden
           }
           .toVector
       } finally walker.close()
@@ -185,9 +197,7 @@ class Versioning(workspaceDir: String) {
     val remote = Paths.get(remoteDir)
     val rp = remote.resolve("ptr").resolve(rel + ".ptr")
     if (!Files.exists(rp)) return false
-    val m = graft.Monitoring.parseFlatJson(Files.readString(rp))
-    val ptr = Pointer(m("md5").stripPrefix("\"").stripSuffix("\""), m("size").toLong,
-      m("dir") == "true")
+    val ptr = parsePointer(rp)
 
     // fetch one object into the local cache, preferring what's cached
     def fetch(h: String): Option[Path] = {
@@ -212,6 +222,11 @@ class Versioning(workspaceDir: String) {
       // stage fully, then swap — a reader never sees a half-pulled dataset
       val tmp = art.resolveSibling("." + art.getFileName + ".pulltmp")
       deleteRecursively(tmp)
+      // created unconditionally: an EMPTY manifest (a dir artifact whose
+      // only files were hidden/underscore metadata) must still stage a
+      // valid empty dir — without this the old workspace copy was deleted
+      // and the swap then crashed on a missing staging dir
+      Files.createDirectories(tmp)
       blobs.foreach { case (src, r) =>
         val dst = tmp.resolve(r)
         Files.createDirectories(dst.getParent)

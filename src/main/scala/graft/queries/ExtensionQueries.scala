@@ -1654,13 +1654,15 @@ object ExtensionQueries {
         |       COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM u GROUP BY 1""".stripMargin,
     // Frame chunk boundaries replayed in SQL: step = max(n/4, 1); frame i
-    // (i < min(4, n)) spans [i*step, min((i+1)*step, n)).
+    // (i < m = min(4, n)) spans [i*step, (i+1)*step) except the LAST frame,
+    // which extends to n — coverage is complete, sum(n_bytes) == n.
     "x13b_frames_meta" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
-        |f AS (SELECT doc_id, n, greatest(n // 4, 1) AS step FROM d),
-        |i AS (SELECT doc_id, n, step, unnest(range(least(4, n))) AS frame_idx FROM f)
+        |f AS (SELECT doc_id, n, greatest(n // 4, 1) AS step, least(4, n) AS m FROM d),
+        |i AS (SELECT doc_id, n, step, m, unnest(range(m)) AS frame_idx FROM f)
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-        |  CAST(least((frame_idx + 1) * step, n) - frame_idx * step AS BIGINT) AS n_bytes
+        |  CAST(CASE WHEN frame_idx = m - 1 THEN n - frame_idx * step
+        |            ELSE step END AS BIGINT) AS n_bytes
         |FROM i""".stripMargin,
     // Decoded-plane checksums replayed as arithmetic: pixel(c) =
     // (doc_id*31 + x*7 + y*13 + c*5) % 256 over width = doc_id%8+4,

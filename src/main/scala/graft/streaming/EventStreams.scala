@@ -121,9 +121,12 @@ object EventStreams {
     * join — fold per-batch filters in with [[graft.ext.Dedup.mergeBloom]]
     * and restart the query (same static-snapshot caveat as
     * [[dedupAgainstCorpus]], whose static side is also fixed at start).
-    * NULL-text rows differ between the faces: the probe predicate is null
-    * for them (row dropped) where the anti join keeps them — feed both
-    * through the P6 not-null guard upstream, as the curation chain does.
+    * NULL-text rows behave identically in both faces — they are KEPT:
+    * the anti join's null key never matches, and the sketch is built over
+    * non-null texts only (see [[graft.ext.Dedup.corpusBloom]]) so the
+    * probe's null-sentinel hash is never present. Feed a P6 not-null
+    * guard upstream if nulls should not survive at all, as the curation
+    * chain does.
     */
   def dedupAgainstCorpusSketch(stream: DataFrame, corpusBloom: Array[Byte],
                                text: String = "text",
@@ -233,7 +236,14 @@ object EventStreams {
                   new Timestamp(st.startMs), new Timestamp(st.lastMs))
                 st = SessionState(0, 0.0, ts.getTime, ts.getTime)
               }
-              st = SessionState(st.n + 1, st.total + v, st.startMs, ts.getTime)
+              // min/max, not blind assignment: sorting is batch-LOCAL, so a
+              // cross-batch late event (within the watermark but older than
+              // the session's last event) must extend the session bounds,
+              // never rewind lastMs — a rewind would shift the end timestamp
+              // back, fire the event-time timeout early, and make a
+              // following event mis-measure the inactivity gap
+              st = SessionState(st.n + 1, st.total + v,
+                math.min(st.startMs, ts.getTime), math.max(st.lastMs, ts.getTime))
             }
             state.update(st)
             state.setTimeoutTimestamp(st.lastMs + gapMinutes * 60000L)

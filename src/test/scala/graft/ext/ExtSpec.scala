@@ -1404,4 +1404,17 @@ class MonitoringMultimodalSpec extends AnyFunSuite {
       .collect().groupBy(_.doc_id)
     assert(frames(1L).map(_.checksum).toSeq == again(1L).map(_.checksum).toSeq)
   }
+
+  test("sampleFrames: non-divisible payloads still cover every byte (tail in last frame)") {
+    import spark.implicits._
+    // 201 bytes over 4 frames: step 50, last frame [150, 201) = 51 bytes —
+    // the old slicing dropped byte 200 from every frame
+    val docs = Seq((9L, "x" * 201)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(spark, Multimodal.asMedia(spark, docs), frames = 4)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 4)
+    assert(frames.map(_.n_bytes).sum == 201L,
+      s"coverage incomplete: ${frames.map(_.n_bytes).toSeq}")
+    assert(frames.last.n_bytes == 51L)
+  }
 }

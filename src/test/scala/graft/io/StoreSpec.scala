@@ -82,6 +82,18 @@ class StoreSpec extends AnyFunSuite {
     assert(lawBreaks.isEmpty, "shard dir must equal the hashUnit assignment")
   }
 
+  test("writeJsonl: a null shard key fails loudly instead of leaking to a hive default partition") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "a", "s"), (None, "b", "s"))
+      .toDF("doc_id", "text", "source")
+    val store = new Store(spark, Files.createTempDirectory("graft_nullkey").toString)
+    val e = intercept[Exception] { store.writeJsonl(df, "bad") }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("shard-assigned")),
+      s"expected the loud null-key error, got: ${messages(e)}")
+  }
+
   test("writeRelease: the shipped card verifies against the downloaded shards") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text", "source")

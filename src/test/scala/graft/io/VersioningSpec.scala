@@ -121,6 +121,41 @@ class VersioningSpec extends AnyFunSuite {
 
   val runDate: LocalDate = LocalDate.parse("2024-03-10")
 
+  test("metadata-only directory: empty manifest round-trips without destroying the workspace") {
+    // a Spark write of an empty frame leaves only _SUCCESS-style files;
+    // the manifest is then EMPTY, and pull used to delete the workspace
+    // copy and crash on the never-created staging dir
+    val ws = tmp("vws"); val remote = tmp("vremote")
+    val v = new Versioning(ws)
+    write(ws, "data/empty_ds/_SUCCESS", "")
+    write(ws, "data/empty_ds/.crc", "x")
+    val ptr = v.add("data/empty_ds")
+    assert(ptr.isDir)
+    v.push("data/empty_ds", remote)
+    // pull over the EXISTING workspace copy must swap cleanly...
+    assert(v.pull("data/empty_ds", remote))
+    assert(Files.isDirectory(Paths.get(ws, "data/empty_ds")))
+    // ...and into a fresh workspace too
+    val ws2 = tmp("vws2")
+    val v2 = new Versioning(ws2)
+    assert(v2.pull("data/empty_ds", remote))
+    assert(Files.isDirectory(Paths.get(ws2, "data/empty_ds")))
+  }
+
+  test("files under hidden/underscore DIRECTORIES stay out of the manifest") {
+    // a crashed Spark write leaves _temporary/.../part-*.parquet whose leaf
+    // name looks like data; hashing it would break "identical data hashes
+    // identically" and ship in-flight temp files on pull
+    val ws = tmp("vws")
+    val v = new Versioning(ws)
+    write(ws, "data/ds/part-00000.csv", "a,b\n1,2\n")
+    val clean = v.add("data/ds")
+    write(ws, "data/ds/_temporary/0/attempt_1/part-00001.csv", "half,written\n")
+    val dirty = v.add("data/ds")
+    assert(dirty.md5 == clean.md5,
+      "in-flight _temporary files leaked into the directory manifest")
+  }
+
   test("runChain: collect -> push raw -> engineering pulls + pushes engineered") {
     val ws = tmp("vws"); val rawRemote = tmp("vraw"); val engRemote = tmp("veng")
     val client = new FixtureApiClient(Payloads.all(runDate))

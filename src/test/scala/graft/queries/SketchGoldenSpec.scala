@@ -44,7 +44,10 @@ class SketchGoldenSpec extends AnyFunSuite {
     "x7_ann_lsh" -> "c38a11c49708e61d6d665c3a1883b7e2ceff3490b8d3b415bfbeec849c9218ed",
     "x7b_ann_ivf" -> "4acf08ae3be400bfc69383ea521fab876682c67a8ad4acd62e17edcf1ffd6c63",
     "x11_fingerprint" -> "d9f1224835eb75440273d1f257d726fc159b29bae7ba9653ac9d5360968f44bd",
-    "x13_multimodal_frames" -> "f20a0ed58e7bf8f57839b0057f60d80fcc1dc1e8cd9660a3168746440dacbaf5")
+    // x13 re-pinned 2026-08-14: the last frame now absorbs the payload
+    // tail (complete coverage) — a deliberate semantics fix, oracle x13b
+    // updated in the same commit
+    "x13_multimodal_frames" -> "3797147b6d1be3c264c6dfc4c82cf5314c9e92d90f33dae742da48aabedbc831")
 
   pinned.toSeq.sortBy(_._1).foreach { case (name, want) =>
     test(s"$name: sf0.001 sketch output matches the committed pin") {

@@ -282,4 +282,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(out(0).startTs == ts("2024-01-01 09:00:00") && out(0).endTs == ts("2024-01-01 09:10:00"))
     } finally q.stop()
   }
+
+  test("sessionization: a cross-batch late event extends the session, never rewinds it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    // generous watermark so the late event is admitted, not dropped
+    val q = EventStreams.sessionize(
+        input.toDF().toDF("user_id", "ts", "value"),
+        gapMinutes = 30, watermarkDelay = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("sess_late").start()
+    try {
+      input.addData((7L, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // a LATE event, older than the session's last event but inside the
+      // watermark: with the old blind lastMs assignment this rewound the
+      // session end to 11:55, so the 12:27 event (true gap 27 min) read a
+      // 32-minute gap and wrongly split the session in two
+      input.addData((7L, ts("2024-01-01 11:55:00"), 2.0))
+      q.processAllAvailable()
+      input.addData((7L, ts("2024-01-01 12:27:00"), 4.0))
+      q.processAllAvailable()
+      input.addData((999L, ts("2024-01-03 00:00:00"), 0.0)) // close via timeout
+      q.processAllAvailable()
+      val out = spark.table("sess_late").as[EventStreams.Session].collect()
+        .filter(_.userId == 7L)
+      assert(out.length == 1, s"late event split the session: ${out.toSeq}")
+      assert(out(0).nEvents == 3 && out(0).totalValue == 7.0)
+      assert(out(0).startTs == ts("2024-01-01 11:55:00") &&
+        out(0).endTs == ts("2024-01-01 12:27:00"))
+    } finally q.stop()
+  }
 }
