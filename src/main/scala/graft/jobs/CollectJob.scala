@@ -32,7 +32,13 @@ object CollectJob {
       .join(carbon, Seq("datetime"), "outer")
     val withPrices = AsofJoin.nearest(joined, prices, "datetime",
       toleranceSeconds = 1800L, leftKey = Seq("datetime"))
-    withPrices.crossJoin(broadcast(genMix.drop("datetime"))) // raw_data.py:231-234
+    // LOUD on an empty gen-mix frame: the cross join would otherwise wipe
+    // the whole day's merged collection to 0 rows and the run would report
+    // success — the reference fails with IndexError on .iloc[0] here
+    // (raw_data.py:231-234), and silent data loss is strictly worse.
+    require(!genMix.isEmpty,
+      "generation-mix snapshot is empty — refusing to stamp (would erase the day's collection)")
+    withPrices.crossJoin(broadcast(genMix.drop("datetime")))
   }
 
   /** Full EP1 run for `runDate`; returns the post-upsert stored table. */

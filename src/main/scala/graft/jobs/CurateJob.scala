@@ -46,7 +46,7 @@ case class CurateParams(
   *
   * plus a per-source report (x25 shape) over the outcome. Output is one
   * DECISION row per incoming doc: the first pipeline stage that drops it
-  * (`drop_repetition` | `drop_quality` | `drop_batch_exact` |
+  * (`drop_invalid` (null text) | `drop_repetition` | `drop_quality` | `drop_batch_exact` |
   * `drop_batch_neardup` | `drop_exact` | `drop_neardup` |
   * `drop_contaminated` | `drop_budget`) or `keep` with its packed
   * (bucket, seq_id). Every stage is hash-deterministic, so the whole
@@ -97,7 +97,14 @@ object CurateJob {
   def curate(batch: DataFrame, corpus: DataFrame,
              p: CurateParams = CurateParams()): DataFrame = {
     // ---- stage 0: clean, then split the corpus into train vs eval -------
-    val b = withCleanCols(batch)
+    // NULL text is representable in any real batch (parquet permits it)
+    // and every downstream predicate is null-blind (NULL > x and
+    // NULL <= x are both false) — without an explicit branch such a doc
+    // would fall out of EVERY stage and the one-decision-row-per-doc
+    // contract would silently break. It gets its own first-drop reason.
+    val bAll = withCleanCols(batch)
+    val dropInvalid = bAll.where(col("text").isNull)
+    val b = bAll.where(col("text").isNotNull)
     val c = withCleanCols(corpus)
     val cSplit = Sampling.withSplit(c, "doc_id", p.trainFrac, p.valFrac, p.splitSalt)
     val trainCorpus = cSplit.where(col("split") =!= "test")
@@ -196,7 +203,8 @@ object CurateJob {
     val packed = Packing.packSequences(mixed, col("n_tokens"),
       p.maxSeqTokens, p.nBuckets, key = "doc_id", salt = p.packSalt)
 
-    branch(dropRep, lit("drop_repetition"))
+    branch(dropInvalid, lit("drop_invalid"))
+      .unionByName(branch(dropRep, lit("drop_repetition")))
       .unionByName(branch(dropQual, lit("drop_quality")))
       .unionByName(branch(dropBatchExact, lit("drop_batch_exact"),
         dupOf = col("__keep_id")))
@@ -219,7 +227,7 @@ object CurateJob {
     def n(a: String) = sum((col("action") === a).cast("long")).as(s"n_$a")
     decisions.groupBy("source").agg(
       count(lit(1)).as("n_in"),
-      n("drop_repetition"), n("drop_quality"),
+      n("drop_invalid"), n("drop_repetition"), n("drop_quality"),
       n("drop_batch_exact"), n("drop_batch_neardup"),
       n("drop_exact"), n("drop_neardup"),
       n("drop_contaminated"), n("drop_budget"),

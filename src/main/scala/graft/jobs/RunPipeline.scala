@@ -30,7 +30,12 @@ object RunPipeline {
     val runDate = LocalDate.parse(args(1))
     val client: ApiClient = args.toSeq match {
       case Seq(_, _, "--fixtures", dir) => fixtureClient(dir, runDate)
-      case _ => new HttpApiClient
+      case Seq(_, _) => new HttpApiClient
+      // anything else is a malformed invocation — failing loudly beats
+      // silently falling through to live HTTP (which a typo like
+      // "--fixture" would otherwise do, hanging in a zero-egress sandbox)
+      case other => throw new IllegalArgumentException(
+        s"unrecognized arguments: ${other.drop(2).mkString(" ")} — usage: RunPipeline <storeDir> <runDate> [--fixtures <dir>]")
     }
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

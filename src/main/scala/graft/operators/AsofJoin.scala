@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** As-of joins (time-series point lookup), Spark-first.
   *
@@ -51,14 +50,8 @@ object AsofJoin {
               toleranceSeconds: Long, leftKey: Seq[String]): DataFrame =
     asof(left, right, on, toleranceSeconds, leftKey, Forward)
 
-  // `unix_micros` rejects TIMESTAMP_NTZ input (analysis error); cast NTZ
-  // columns to the session-local TimestampType up front so callers can pass
-  // either flavor. No-op on already-LTZ input; under a UTC session timezone
-  // the wall-clock values are preserved.
-  private def ltz(df: DataFrame, on: String): DataFrame =
-    if (df.schema(on).dataType == TimestampNTZType)
-      df.withColumn(on, col(on).cast(TimestampType))
-    else df
+  // NTZ inputs normalize through the shared TimeCols.ltz (see its note).
+  private def ltz(df: DataFrame, on: String): DataFrame = TimeCols.ltz(df, on)
 
   def asof(left0: DataFrame, right0: DataFrame, on: String,
            toleranceSeconds: Long, leftKey: Seq[String],

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Batch gap-based sessionization — the batch twin of
   * [[graft.streaming.EventStreams]]' stateful sessionizer: a new session
@@ -25,13 +24,8 @@ object Sessionize {
   def assign(df0: DataFrame, keyCol: String, tsCol: String,
              gapSeconds: Long): DataFrame = {
     require(gapSeconds > 0, "gap must be positive")
-    // TIMESTAMP_NTZ can't `cast("long")` (analysis error) — normalize to the
-    // session-local TimestampType first; no-op on LTZ input, wall-clock
-    // values preserved under the UTC session timezone.
-    val df =
-      if (df0.schema(tsCol).dataType == TimestampNTZType)
-        df0.withColumn(tsCol, col(tsCol).cast(TimestampType))
-      else df0
+    // NTZ inputs normalize through the shared TimeCols.ltz (see its note).
+    val df = TimeCols.ltz(df0, tsCol)
     val byTs = Window.partitionBy(keyCol).orderBy(tsCol)
     val gap: Column =
       col(tsCol).cast("long") - lag(col(tsCol), 1).over(byTs).cast("long")
@@ -80,10 +74,7 @@ object Sessionize {
                      gapSeconds: Long, bucketSeconds: Long = 86400L): DataFrame = {
     require(gapSeconds > 0, "gap must be positive")
     require(bucketSeconds > 0, "bucket must be positive")
-    val df =
-      if (df0.schema(tsCol).dataType == TimestampNTZType)
-        df0.withColumn(tsCol, col(tsCol).cast(TimestampType))
-      else df0
+    val df = TimeCols.ltz(df0, tsCol)
     val bucket = floor(col(tsCol).cast("long") / bucketSeconds)
     val local = Window.partitionBy(col(keyCol), col("__bkt")).orderBy(col(tsCol))
     val gap: Column =

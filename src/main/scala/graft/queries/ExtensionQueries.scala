@@ -805,10 +805,15 @@ object ExtensionQueries {
 
   private lazy val x27Sql: String =
     s"""$x27Cte
-       |SELECT doc_id, source, 'drop_repetition' AS action,
+       |SELECT doc_id, source, 'drop_invalid' AS action,
        |       CAST(NULL AS BIGINT) AS dup_of, CAST(NULL AS DOUBLE) AS jaccard,
-       |       nt AS n_tokens, CAST(NULL AS BIGINT) AS bucket,
+       |       CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS bucket,
        |       CAST(NULL AS BIGINT) AS seq_id
+       |FROM documents WHERE text IS NULL
+       |UNION ALL
+       |SELECT doc_id, source, 'drop_repetition',
+       |       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       |       nt, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
        |FROM rd WHERE dupf > 0.3
        |UNION ALL
        |SELECT doc_id, source, 'drop_quality', NULL, NULL, nt, NULL, NULL
@@ -1338,6 +1343,7 @@ object ExtensionQueries {
          |FROM pk GROUP BY bucket, seq_id""".stripMargin,
     "x27b_curate_report" ->
       s"""SELECT source, COUNT(*) AS n_in,
+         |  CAST(SUM(CASE WHEN action = 'drop_invalid' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_invalid,
          |  CAST(SUM(CASE WHEN action = 'drop_repetition' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_repetition,
          |  CAST(SUM(CASE WHEN action = 'drop_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
          |  CAST(SUM(CASE WHEN action = 'drop_batch_exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_batch_exact,

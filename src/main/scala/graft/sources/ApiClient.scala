@@ -57,6 +57,10 @@ class HttpApiClient extends ApiClient {
         .timeout(java.time.Duration.ofMillis(timeoutMs)).build()
       val t0 = System.nanoTime()
       val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
-      if (resp.statusCode() / 100 == 2) Some((System.nanoTime() - t0) / 1e9) else None
+      // < 400, not == 2xx: the reference's requests.head does not follow
+      // redirects and raise_for_status() only raises on 4xx/5xx, so a 3xx
+      // answer counts as a SUCCESS there (raw_data.py:379-394) — matching
+      // that keeps api_success_rate parity when an endpoint grows a redirect
+      if (resp.statusCode() < 400) Some((System.nanoTime() - t0) / 1e9) else None
     } catch { case _: Exception => None }
 }

@@ -143,12 +143,18 @@ object Fetchers {
                          runDate: LocalDate): DataFrame = {
     val productSel = payloadDF(spark, client.get(octopusProductsUrl))
       .select(from_json(col("j"), Schemas.octopusProducts).getField("results").as("rs"))
-      // array-level filter preserves API response order; element_at(1) == take-first
-      .select(element_at(filter(col("rs"), p => p.getField("code").contains("AGILE")), 1).as("p"))
+      // array-level filter preserves API response order; try_element_at(1)
+      // == take-first. try_, not element_at: Spark 4 defaults to ANSI mode,
+      // where element_at on an EMPTY filtered array (no AGILE product, or a
+      // product listing with only rel=self links — the real-API case the
+      // coalesce fallback exists for, raw_data.py:176-179) throws
+      // INVALID_ARRAY_INDEX instead of yielding the null those fallbacks
+      // and the loud require below are written to handle.
+      .select(try_element_at(filter(col("rs"), p => p.getField("code").contains("AGILE")), lit(1)).as("p"))
       .select(
         col("p.code").as("code"),
-        element_at(
-          filter(col("p.links"), l => l.getField("href").contains("electricity-tariffs")), 1)
+        try_element_at(
+          filter(col("p.links"), l => l.getField("href").contains("electricity-tariffs")), lit(1))
           .getField("href").as("href"))
       .select(col("code"),
         coalesce(element_at(split(col("href"), "/"), -2),

@@ -77,6 +77,21 @@ class CurateJobSpec extends AnyFunSuite {
     assert(out(1009L) == (("drop_batch_neardup", Some(1006L), true, true)))
   }
 
+  test("curate: a null-text doc gets a drop_invalid decision, never vanishes") {
+    // every downstream predicate is null-blind, so before the explicit
+    // branch this doc fell out of EVERY stage and the decision frame lost
+    // a row silently
+    val withNull = batch.unionByName(
+      Seq((2000L, "src0")).toDF("doc_id", "source")
+        .withColumn("text", lit(null).cast("string")))
+    val out = CurateJob.curate(withNull, corpus, CurateParams(budgetTokens = 1e9))
+    assert(out.count() == withNull.count(), "decision frame lost or gained rows")
+    val row = out.where(col("doc_id") === 2000L).collect()
+    assert(row.length == 1 && row(0).getString(2) == "drop_invalid")
+    val rep = CurateJob.report(out)
+    assert(rep.select(sum("n_drop_invalid")).head.getLong(0) == 1L)
+  }
+
   test("curate: tiny token budget drops the survivors as drop_budget") {
     val p = CurateParams(budgetTokens = 1.0) // threshold ~1/30 per doc
     val actions = CurateJob.curate(batch, corpus, p)

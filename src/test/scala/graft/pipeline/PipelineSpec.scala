@@ -27,6 +27,24 @@ class PipelineSpec extends AnyFunSuite {
     CollectJob.run(spark, client, d, store)
   }
 
+  test("EP1 octopus: a products listing without tariff links takes the code fallback") {
+    // the real /v1/products/ listing can carry only rel=self links; the
+    // take-first/link-parse must then fall back to E-1R-<code>-A
+    // (raw_data.py:176-179) — and under Spark 4's default ANSI mode that
+    // path only survives with try_element_at (element_at on the empty
+    // filtered array would throw INVALID_ARRAY_INDEX, never reaching the
+    // fallback). The rates fixture still resolves because the fallback
+    // tariff URL contains the same product prefix.
+    val noLinks = Payloads.all(runDate) + ("octopus.energy/v1/products/" ->
+      """{"results":[
+        |{"code":"AGILE-24-10-01","links":[
+        |  {"href":"https://api.octopus.energy/v1/products/AGILE-24-10-01/","method":"GET","rel":"self"}]}
+        |]}""".stripMargin)
+    val client = new FixtureApiClient(noLinks)
+    val prices = graft.sources.Fetchers.fetchOctopusPrices(spark, client, runDate)
+    assert(prices.count() > 0, "fallback tariff path produced no rates")
+  }
+
   test("EP1 collection: 24 hourly rows, 23 columns, sorted") {
     val store = freshStore()
     val out = collect(store)
