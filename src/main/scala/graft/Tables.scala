@@ -37,6 +37,14 @@ object Tables {
     *     preserved, matching the oracle's `CAST(ts AS TIMESTAMP)`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Session-WIDE side effect, deliberately not restored: the flag is
+    // captured at physical-planning time, so resetting it after this lazy
+    // read would break the returned frame's own later execution. The only
+    // behavior change for other reads is that TIMESTAMP(NANOS) parquet
+    // columns arrive as bigint instead of failing the scan — every such
+    // read in this engine goes through this loader anyway, which
+    // normalizes them. Out-of-engine callers sharing the session should
+    // know the flag is on.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {

@@ -19,18 +19,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * drops from ~3 µs to ~0.05 µs per 64-dim pair.
   *
   * Lengths must match (it iterates min(len) — same truncation `zip_with`
-  * would only hit on ragged input).
+  * would only hit on ragged input). A NULL element anywhere makes the
+  * result NULL — the same poison-the-sum semantics the zip_with form has
+  * (`null * y` is null and the aggregate sum of a null is null); reading
+  * through `getFloat` would instead NPE or silently treat the slot as 0.
   */
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"float_dot needs two array<float> args, got ${left.dataType} / ${right.dataType}")
+        s"float_dot_product needs two array<float> args, got ${left.dataType} / ${right.dataType}")
     }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -40,6 +44,7 @@ case class FloatDotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -55,9 +60,10 @@ case class FloatDotProduct(left: Expression, right: Expression)
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
-         |${ev.value} = $acc;
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
        """.stripMargin
     })
 

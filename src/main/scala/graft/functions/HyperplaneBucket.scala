@@ -19,7 +19,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression {
 
+  // bit i of a 64-bit bucket: plane 64 would silently alias onto bit 0
+  // (`1L << 64` wraps) and merge unrelated LSH buckets with no error
+  require(planes.length <= 64,
+    s"hyperplane_bucket supports at most 64 planes, got ${planes.length}")
+
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -30,9 +36,12 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
     val x = v.asInstanceOf[ArrayData]
     var bucket = 0L
     var i = 0
+    val ne = x.numElements()
+    var d0 = 0
+    while (d0 < ne) { if (x.isNullAt(d0)) return null; d0 += 1 }
     while (i < planes.length) {
       val p = planes(i)
-      val n = math.min(x.numElements(), p.length)
+      val n = math.min(ne, p.length)
       var acc = 0.0
       var d = 0
       while (d < n) { acc += x.getFloat(d).toDouble * p(d); d += 1 }
@@ -48,9 +57,13 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
       val i = ctx.freshName("i"); val d = ctx.freshName("d")
       val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
       val p = ctx.freshName("p"); val bucket = ctx.freshName("bucket")
+      val d0 = ctx.freshName("d0")
       s"""
          |long $bucket = 0L;
-         |for (int $i = 0; $i < $planesRef.length; $i++) {
+         |for (int $d0 = 0; $d0 < $v.numElements(); $d0++) {
+         |  if ($v.isNullAt($d0)) { ${ev.isNull} = true; break; }
+         |}
+         |if (!${ev.isNull}) for (int $i = 0; $i < $planesRef.length; $i++) {
          |  final double[] $p = $planesRef[$i];
          |  final int $n = java.lang.Math.min($v.numElements(), $p.length);
          |  double $acc = 0.0;
@@ -59,7 +72,7 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
          |  }
          |  if ($acc >= 0) $bucket |= (1L << $i);
          |}
-         |${ev.value} = $bucket;
+         |if (!${ev.isNull}) { ${ev.value} = $bucket; }
        """.stripMargin
     })
   }

@@ -20,18 +20,21 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, LongType}
   * bandwidth than float re-scoring — the point of serving on int8).
   *
   * Lengths must match (it iterates min(len), the truncation `zip_with`
-  * would apply on ragged input).
+  * would apply on ragged input). A NULL element anywhere makes the result
+  * NULL (the zip_with form's poison-the-sum semantics — see
+  * [[FloatDotProduct]]).
   */
 case class Int8DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(ByteType, _), ArrayType(ByteType, _)) => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"int8_dot needs two array<tinyint> args, got ${left.dataType} / ${right.dataType}")
+        s"int8_dot_product needs two array<tinyint> args, got ${left.dataType} / ${right.dataType}")
     }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -41,6 +44,7 @@ case class Int8DotProduct(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getByte(i).toLong * y.getByte(i).toLong
       i += 1
     }
@@ -56,9 +60,10 @@ case class Int8DotProduct(left: Expression, right: Expression)
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += ((long) $a.getByte($i)) * ((long) $b.getByte($i));
          |}
-         |${ev.value} = $acc;
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
        """.stripMargin
     })
 

@@ -54,18 +54,42 @@ object KgramHashMinMax {
 
   /** Rolling min/max k-gram hash; shared by interpreted and generated
     * paths. Code-point indexing mirrors `substr` (multibyte-safe).
+    *
+    * TWO rolling byte cursors (gram start / gram end), each advanced one
+    * code point per iteration, hashing the bytes in place — O(bytes)
+    * total and zero allocation. The previous `substringSQL(i+1, k)` form
+    * re-scanned the string from byte 0 on every gram and copied its bytes
+    * into a fresh UTF8String: O(n^2) byte steps plus one allocation per
+    * gram, which on 100k-char documents resurrects exactly the
+    * interpreted-HOF overhead this expression exists to eliminate.
     */
   def compute(s: UTF8String, k: Int): ArrayData = {
+    import org.apache.spark.unsafe.Platform
     val n = s.numChars()
-    val grams = math.max(n - k + 1, 1)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val total = s.numBytes
+    if (n <= k) {
+      // single whole-string gram, matching substr's truncating semantics
+      val h = XXH64.hashUnsafeBytes(base, off, total, 42L)
+      return new GenericArrayData(Array(h, h))
+    }
+    def charWidth(byteIdx: Int): Int =
+      UTF8String.numBytesForFirstByte(Platform.getByte(base, off + byteIdx))
+    var startByte = 0
+    var endByte = 0
+    var c = 0
+    while (c < k) { endByte += charWidth(endByte); c += 1 }
+    val grams = n - k + 1
     var mn = Long.MaxValue
     var mx = Long.MinValue
     var i = 0
     while (i < grams) {
-      val g = s.substringSQL(i + 1, k) // 1-based, truncates like substr
-      val h = XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42L)
+      val h = XXH64.hashUnsafeBytes(base, off + startByte, endByte - startByte, 42L)
       if (h < mn) mn = h
       if (h > mx) mx = h
+      startByte += charWidth(startByte)
+      if (i + k < n) endByte += charWidth(endByte)
       i += 1
     }
     new GenericArrayData(Array(mn, mx))

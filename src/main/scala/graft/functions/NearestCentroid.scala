@@ -20,6 +20,7 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -28,6 +29,9 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
 
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
+    val ne = x.numElements()
+    var d0 = 0
+    while (d0 < ne) { if (x.isNullAt(d0)) return null; d0 += 1 }
     var best = 0
     var bestDot = Double.NegativeInfinity
     var i = 0
@@ -50,10 +54,14 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
       val c = ctx.freshName("c"); val best = ctx.freshName("best")
       val bestDot = ctx.freshName("bestDot")
+      val d0 = ctx.freshName("d0")
       s"""
          |int $best = 0;
          |double $bestDot = java.lang.Double.NEGATIVE_INFINITY;
-         |for (int $i = 0; $i < $cRef.length; $i++) {
+         |for (int $d0 = 0; $d0 < $v.numElements(); $d0++) {
+         |  if ($v.isNullAt($d0)) { ${ev.isNull} = true; break; }
+         |}
+         |if (!${ev.isNull}) for (int $i = 0; $i < $cRef.length; $i++) {
          |  final double[] $c = $cRef[$i];
          |  final int $n = java.lang.Math.min($v.numElements(), $c.length);
          |  double $acc = 0.0;
@@ -62,7 +70,7 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
          |  }
          |  if ($acc > $bestDot) { $bestDot = $acc; $best = $i; }
          |}
-         |${ev.value} = $best;
+         |if (!${ev.isNull}) { ${ev.value} = $best; }
        """.stripMargin
     })
   }

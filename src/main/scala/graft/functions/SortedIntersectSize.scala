@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -19,12 +18,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   *
   * Inputs MUST be sorted ascending and distinct (use
   * `array_sort(array_distinct(...))` upstream); behavior on unsorted input
-  * is an undercount, never an error.
+  * is an undercount, never an error. A NULL element anywhere makes the
+  * result NULL — the hash-derived inputs this serves never contain nulls,
+  * and poisoning beats a silent spurious match from a null slot reading
+  * as 0.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
@@ -41,6 +44,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     var i = 0; var j = 0; var n = 0
     val xn = x.numElements(); val yn = y.numElements()
     while (i < xn && j < yn) {
+      if (x.isNullAt(i) || y.isNullAt(j)) return null
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv == yv) { n += 1; i += 1; j += 1 }
       else if (xv < yv) i += 1
@@ -54,17 +58,19 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val xn = ctx.freshName("xn"); val yn = ctx.freshName("yn")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val acc = ctx.freshName("acc")
       s"""
          |int $i = 0, $j = 0;
          |final int $xn = $a.numElements(), $yn = $b.numElements();
-         |int ${ev.value}Acc = 0;
+         |int $acc = 0;
          |while ($i < $xn && $j < $yn) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
          |  final long $xv = $a.getLong($i);
          |  final long $yv = $b.getLong($j);
-         |  if ($xv == $yv) { ${ev.value}Acc++; $i++; $j++; }
+         |  if ($xv == $yv) { $acc++; $i++; $j++; }
          |  else if ($xv < $yv) { $i++; } else { $j++; }
          |}
-         |${ev.value} = ${ev.value}Acc;
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
        """.stripMargin
     })
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types._
 
 /** Optimizer rule: rewrite a naive numeric band join
   * `a JOIN b ON abs(a.x - b.y) <= tol` into the overlap-bucket equi-join
@@ -32,7 +32,18 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   *     equi-key and hash-plans it fine — AsofJoin's own pre-bucketed join
   *     lands here and must not be double-bucketed);
   *   - both band expressions are plain numerics (timestamps arrive here
-  *     already cast by the caller).
+  *     already cast by the caller) AND deterministic — a non-deterministic
+  *     band expression (e.g. involving rand()) would be evaluated once for
+  *     the bucket and again in the kept original predicate, two different
+  *     draws, silently changing results;
+  *   - the bucket ids can be computed EXACTLY: float/double/byte/short/int
+  *     expressions bucket in double arithmetic (every int is exact in a
+  *     double), and long expressions bucket in pure long arithmetic when
+  *     the tolerance is integral — routing longs through double would
+  *     round values beyond 2^53 (ulp at 1e18 is 256), letting two truly
+  *     qualifying values land in buckets 2 apart and DROPPING their pair
+  *     from the join output. Decimal bands and fractional-tolerance longs
+  *     are left to the nested-loop plan: slow but correct.
   *
   * Registered via `spark.sql.extensions=graft.GraftExtensions` or
   * `spark.experimental.extraOptimizations` (tests, Verify/Bench mains).
@@ -80,19 +91,47 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
     def numeric(x: Expression) = x.dataType.isInstanceOf[NumericType]
+    def ok(x: Expression, y: Expression) =
+      numeric(x) && numeric(y) && x.deterministic && y.deterministic
     e match {
-      case LessThanOrEqual(Abs(Subtract(x, y, _), _), lit) if numeric(x) && numeric(y) =>
-        for (t <- tolOf(lit); o <- orient(x, y)) yield (o._1, o._2, t)
-      case GreaterThanOrEqual(lit, Abs(Subtract(x, y, _), _)) if numeric(x) && numeric(y) =>
-        for (t <- tolOf(lit); o <- orient(x, y)) yield (o._1, o._2, t)
+      case LessThanOrEqual(Abs(Subtract(x, y, _), _), lit) if ok(x, y) =>
+        for (t <- tolOf(lit); o <- orient(x, y); if bucketable(o._1, o._2, t))
+          yield (o._1, o._2, t)
+      case GreaterThanOrEqual(lit, Abs(Subtract(x, y, _), _)) if ok(x, y) =>
+        for (t <- tolOf(lit); o <- orient(x, y); if bucketable(o._1, o._2, t))
+          yield (o._1, o._2, t)
       case _ => None
     }
   }
 
+  /** The types for which an EXACT bucket id expression exists (see the
+    * scaladoc precondition): both sides must take the same strategy so the
+    * cross-side adjacency argument runs in one arithmetic. */
+  private def bucketable(x: Expression, y: Expression, tol: Double): Boolean =
+    (doubleSafe(x.dataType) && doubleSafe(y.dataType)) ||
+      (x.dataType == LongType && y.dataType == LongType &&
+        tol.isWhole && tol <= Long.MaxValue.toDouble)
+
+  /** Every value of these types is exactly representable as a double, so
+    * `floor(x / tol)` in double arithmetic is 1-Lipschitz-safe. */
+  private def doubleSafe(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType | ByteType | ShortType | IntegerType => true
+    case _ => false
+  }
+
   private def rewrite(j: Join, lExpr: Expression, rExpr: Expression,
                       tol: Double): LogicalPlan = {
+    // LONG bands bucket in pure long arithmetic: x - pmod(x, t) is the
+    // largest multiple of t <= x (pmod is the non-negative remainder), and
+    // dividing an exact multiple makes truncation == floor — so the bucket
+    // id is exact at every magnitude, where the double path would round
+    // values past 2^53. The adjacency invariant |bucket diff| <= 1 is then
+    // plain integer math.
     def bucket(x: Expression): Expression =
-      Floor(Divide(Cast(x, DoubleType), Literal(tol, DoubleType)))
+      if (x.dataType == LongType) {
+        val t = Literal(tol.toLong, LongType)
+        IntegralDivide(Subtract(x, Pmod(x, t)), t)
+      } else Floor(Divide(Cast(x, DoubleType), Literal(tol, DoubleType)))
 
     val lAlias = Alias(bucket(lExpr), "__band_bucket_l")()
     val newLeft = Project(j.left.output :+ lAlias, j.left)

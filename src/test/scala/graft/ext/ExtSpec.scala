@@ -900,6 +900,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == Seq(2, 0, 1))
   }
 
+  test("array expressions: a NULL ELEMENT poisons the result to null, never NPE/0") {
+    import graft.functions._
+    // the zip_with/aggregate equivalents propagate an element null into a
+    // null sum; reading through getFloat/getLong would NPE (interpreted)
+    // or silently read 0 (unsafe rows) — both paths must return null
+    val f = Seq((Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](2.0f, 3.0f)))
+      .toDF("a", "b")
+    assert(f.select(FloatDotProduct(col("a"), col("b"))).head.isNullAt(0))
+    val i8 = Seq((Seq[java.lang.Byte](1.toByte, null), Seq[java.lang.Byte](2.toByte, 3.toByte)))
+      .toDF("a", "b")
+    assert(i8.select(Int8DotProduct(col("a"), col("b"))).head.isNullAt(0))
+    val sl = Seq((Seq[java.lang.Long](0L, null), Seq[java.lang.Long](0L, 5L)))
+      .toDF("a", "b")
+    assert(sl.select(SortedIntersectSize(col("a"), col("b"))).head.isNullAt(0))
+    val vec = Seq(Tuple1(Seq[java.lang.Float](1.0f, null))).toDF("v")
+    assert(vec.select(HyperplaneBucket(col("v"), Seq(Array(1.0, 1.0)))).head.isNullAt(0))
+    assert(vec.select(NearestCentroid(col("v"), Array(Array(1.0, 1.0)))).head.isNullAt(0))
+    // and non-null inputs still compute through the same (now-nullable) path
+    val ok = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    assert(ok.select(FloatDotProduct(col("a"), col("b"))).head.getDouble(0) == 11.0)
+  }
+
   test("CmsEstimate: never below the true count, exact when collision-free, null-safe") {
     val rows = Seq(1L, 1L, 1L, 2L, 2L, 3L)
     val df = rows.toDF("v")

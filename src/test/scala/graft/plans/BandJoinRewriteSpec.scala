@@ -60,6 +60,52 @@ class BandJoinRewriteSpec extends AnyFunSuite {
     })
   }
 
+  test("long bands beyond 2^53 bucket exactly: no qualifying pair is dropped") {
+    // epoch-nanos-scale ids: the ulp of a double at 1.7e18 is 256, so the
+    // old double-arithmetic bucketing could put a truly-qualifying pair
+    // (diff exactly tol) in buckets 2 apart and silently drop it from the
+    // join output — the long path buckets in exact integer arithmetic
+    val base = 1700000000000000000L
+    val l = Seq((1L, base + 100L), (2L, base + 777L), (3L, base - 50L))
+      .toDF("l_id", "l_ts")
+    val r = Seq((10L, base + 200L), (11L, base + 999L), (12L, base - 150L))
+      .toDF("r_id", "r_ts")
+    def join() = l.join(r, abs(col("l_ts") - col("r_ts")) <= 100, "inner")
+    val expected = withoutRule { join().collect().map(_.toSeq).toSet }
+    assert(expected.nonEmpty)
+    withRule {
+      val p = join().queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"long band not rewritten:\n$p")
+      assert(join().collect().map(_.toSeq).toSet == expected,
+        "rewritten long band join dropped or invented pairs")
+    }
+    // negative values exercise the floor-vs-truncate divide distinction
+    val ln = Seq((1L, -1000L), (2L, -907L)).toDF("l_id", "l_ts")
+    val rn = Seq((10L, -950L), (11L, -850L)).toDF("r_id", "r_ts")
+    def joinN() = ln.join(rn, abs(col("l_ts") - col("r_ts")) <= 100, "inner")
+    val expN = withoutRule { joinN().collect().map(_.toSeq).toSet }
+    withRule { assert(joinN().collect().map(_.toSeq).toSet == expN) }
+  }
+
+  test("non-deterministic band expressions never reach the rewrite") {
+    // rand() in the band would make the rewrite evaluate one draw for the
+    // bucket and a different draw in the kept predicate. The analyzer
+    // already rejects non-deterministic join conditions outright
+    // (INVALID_NON_DETERMINISTIC_EXPRESSIONS), so the rule can never see
+    // one — this pins that upstream guarantee, and asBand's own
+    // `deterministic` check stays as defense-in-depth should a future
+    // Spark relax the analyzer.
+    val l = (0L until 50L).map(i => (i, i.toDouble)).toDF("l_id", "l_v")
+    val r = (0L until 50L).map(i => (i, i.toDouble)).toDF("r_id", "r_v")
+    withRule {
+      val e = intercept[Exception] {
+        l.join(r, abs(col("l_v") * rand(7) - col("r_v")) <= 0.5, "inner").collect()
+      }
+      assert(e.getMessage.contains("NON_DETERMINISTIC"),
+        s"expected the analyzer to reject the join, got: ${e.getMessage}")
+    }
+  }
+
   test("joins with an equi-key (as-of shape) are not double-bucketed") {
     withRule {
       // AsofJoin's internal join has bucket equality + band residual: the
