@@ -120,13 +120,21 @@ object Bpe {
     * same shape a production "tokenize and count" pass has. Words absent
     * from the vocabulary (impossible when `seg` was trained on the same
     * corpus) would drop out of the inner join on both engines alike.
+    * Documents with NO countable words (empty / whitespace-only text)
+    * come back with n_bpe_tokens = 0 rather than vanishing: a downstream
+    * inner join on the counts (x21b's packing feed) must not silently
+    * drop corpus rows.
     */
   def tokenCounts(df: DataFrame, seg: DataFrame,
-                  text: String = "text", docId: String = "doc_id"): DataFrame =
-    df.select(col(docId), explode(split(col(text), " ")).as("word"))
+                  text: String = "text", docId: String = "doc_id"): DataFrame = {
+    val counted = df
+      .select(col(docId), explode(split(col(text), " ")).as("word"))
       .where(length(col("word")) > 0)
       .join(seg.select(col("word"), size(col("syms")).cast("long").as("n_syms")), "word")
       .groupBy(docId).agg(sum(col("n_syms")).as("n_bpe_tokens"))
+    df.select(col(docId)).distinct().join(counted, Seq(docId), "left")
+      .select(col(docId), coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
 
   /** Full tokenization — each document rendered as its in-order subword
     * stream (what a training/serving pipeline actually feeds the model,

@@ -70,7 +70,6 @@ object Sampling {
     */
   def capPerGroup(df: DataFrame, group: String, cap: Int, key: String,
                   salt: String = "cap"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     df.withColumn("__u", hashUnit(col(key), salt))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col(group)).orderBy(col("__u"), col(key))))
@@ -181,6 +180,11 @@ object Sampling {
   def upsampleToBudget(df: DataFrame, strataCol: String, tokens: Column,
                        budgetTokens: Double, key: String,
                        salt: String = "budget", maxEpochs: Long = 1000L): DataFrame = {
+    // the post-guard cast to int is only safe if the guard itself is
+    // int-ranged: a maxEpochs above Int.MaxValue would re-open the exact
+    // silent wrap-and-drop hole the guard exists to close
+    require(maxEpochs > 0 && maxEpochs <= Int.MaxValue,
+      s"maxEpochs must be in (0, ${Int.MaxValue}], got $maxEpochs")
     val totals = df.groupBy(col(strataCol))
       .agg(sum(tokens).as("__stratum_tokens"))
     val f = lit(budgetTokens) / col("__stratum_tokens")
@@ -191,8 +195,12 @@ object Sampling {
     // silently int-wrap a huge f (e.g. budget 1e10 over a 3-token stratum
     // -> floor(f) ~ 3.3e9 wraps negative) and drop exactly the stratum
     // that most needed upsampling; an absurd recipe must fail loudly.
-    val copiesL = when(col("__stratum_tokens") <= 0, lit(0L)).otherwise(
-      floor(f) +
+    // null keys emit NOTHING, explicitly: the guaranteed floor(f) copies
+    // don't consult the hash draw, so without this a null-key row would
+    // still emit them (the fractional `when`'s null condition just falls
+    // to otherwise(0)) — while every sibling sampler drops null keys
+    val copiesL = when(col(key).isNull || col("__stratum_tokens") <= 0, lit(0L))
+      .otherwise(floor(f) +
         when(hashUnit(col(key), salt) < f - floor(f), 1).otherwise(0))
     val copies = when(copiesL <= lit(maxEpochs), copiesL.cast("int"))
       .otherwise(raise_error(concat(
@@ -243,7 +251,12 @@ object Sampling {
     df.withColumn("n_tokens", tokens.cast("long"))
       .join(broadcast(totals), strataCol)
       .crossJoin(broadcast(minTok))
-      .withColumn("keep_rate", round(rate, 6))
+      // the published rate is EXACTLY the value the filter compares, so a
+      // consumer replaying the selection from keep_rate reconstructs the
+      // same row set (a rounded display value diverged ~1 in 2e6 draws);
+      // the harness comparator rounds floats at hash time, and both
+      // engines produce the identical double (sqrt is correctly rounded)
+      .withColumn("keep_rate", rate)
       .where(hashUnit(col(key), salt) < rate)
       .drop("__stratum_tokens", "__min_tokens")
   }
@@ -255,6 +268,10 @@ object Sampling {
     */
   def withSplit(df: DataFrame, key: String, trainFrac: Double,
                 valFrac: Double, salt: String = "split"): DataFrame = {
+    // the one operator whose purpose is leakage-safety must not accept a
+    // configuration that silently empties the test (or val) split
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      s"invalid split fractions: train=$trainFrac val=$valFrac (must be >= 0, sum <= 1)")
     val u = hashUnit(col(key), salt)
     df.withColumn("split",
       when(u < trainFrac, "train")

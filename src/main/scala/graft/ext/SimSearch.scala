@@ -68,10 +68,7 @@ object SimSearch {
     val joined = c.crossJoin(broadcast(q))
       .where(col(qId) =!= col(cId))
       .withColumn("cos", dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId).asc)
-    joined.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col(qId), col(cId).as("neighbor_id"), col("rank"), round(col("cos"), 5).as("cos"))
+    topKSelect(joined, k, qId, cId)
   }
 
   /** Deterministic pseudo-random unit hyperplanes (seeded). */
@@ -86,6 +83,34 @@ object SimSearch {
     */
   def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
     graft.functions.HyperplaneBucket(vec, planes)
+
+  /** Shared ANN epilogue: rank candidates per query by (score desc, id
+    * asc) and emit the tier-uniform output schema. ONE definition — the
+    * probe set or tie-break changing in one tier but not another is
+    * exactly the drift this prevents.
+    */
+  private def topKSelect(scored: DataFrame, k: Int, qId: String,
+                         cId: String, cosCol: String = "cos"): DataFrame = {
+    val w = Window.partitionBy(col(qId)).orderBy(col(cosCol).desc, col(cId).asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(qId), col(cId).as("neighbor_id"), col("rank"),
+        round(col(cosCol), 5).as("cos"))
+  }
+
+  /** Per-table multi-probe bucket expansion — own bucket plus every
+    * hamming-1 flip — shared by the float and quantized LSH probes.
+    * Emits (input columns) + (tbl, bucket).
+    */
+  private def multiProbe(df: DataFrame, vecCol: String,
+                         tables: Seq[Seq[Array[Double]]], nBits: Int): DataFrame = {
+    val flips = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
+    df.select(col("*"),
+        posexplode(array(tables.map(t => lshBucket(col(vecCol), t)): _*))
+          .as(Seq("tbl", "bucket0")))
+      .withColumn("bucket", explode(transform(flips, f => col("bucket0").bitwiseXOR(f))))
+      .drop("bucket0")
+  }
 
   /** Multi-table LSH ANN (the standard OR-construction): `nTables`
     * independent sign-bit hash tables of `nBits` each; a corpus vector is a
@@ -146,14 +171,9 @@ object SimSearch {
                        qId: String = "q_id", qVec: String = "q_vec",
                        cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val tables = hyperplanes(nBits * nTables, dim, seed).grouped(nBits).toSeq
-    // per-table multi-probe: the table's own bucket + each 1-bit flip
-    val flips = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
-    val q = queries.withColumn("__qn", norm(col(qVec)))
-      .select(col(qId), col(qVec), col("__qn"),
-        posexplode(array(tables.map(t => lshBucket(col(qVec), t)): _*))
-          .as(Seq("tbl", "bucket0")))
-      .withColumn("bucket", explode(transform(flips, f => col("bucket0").bitwiseXOR(f))))
-      .drop("bucket0")
+    val q = multiProbe(
+      queries.select(col(qId), col(qVec)).withColumn("__qn", norm(col(qVec))),
+      qVec, tables, nBits)
 
     // a pair can meet in several tables -> collapse before ranking (cos is
     // identical for every copy, so max() is pure dedup)
@@ -161,10 +181,7 @@ object SimSearch {
       .where(col(qId) =!= col(cId))
       .withColumn("cos", dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")))
       .groupBy(col(qId), col(cId)).agg(max(col("cos")).as("cos"))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId).asc)
-    cand.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col(qId), col(cId).as("neighbor_id"), col("rank"), round(col("cos"), 5).as("cos"))
+    topKSelect(cand, k, qId, cId)
   }
 
   /** IVF-style ANN with a TRAINED coarse quantizer: k-means centroids
@@ -207,9 +224,18 @@ object SimSearch {
     */
   private[ext] def trainCentroids(corpus: DataFrame, nCells: Int, lloydIters: Int,
                                   cId: String, cVec: String): Array[Array[Double]] = {
-    val sampled = corpus.select(col(cId), col(cVec))
+    // train only on well-formed vectors: a null vector or null ELEMENT
+    // would otherwise surface as an opaque driver-side NPE (null init
+    // sample row) or a cell=NULL stats row (NearestCentroid poisons null
+    // elements to a null cell by design) — skipping them keeps the
+    // quantizer defined by the data that can actually be assigned
+    val clean = corpus.where(col(cVec).isNotNull &&
+      !exists(col(cVec), e => e.isNull))
+    val sampled = clean.select(col(cId), col(cVec))
       .orderBy(xxhash64(col(cId)).asc, col(cId).asc).limit(10000)
       .collect()
+    require(sampled.nonEmpty,
+      "cannot train a quantizer: corpus has no non-null embedding vectors")
     val step = math.max(sampled.length / nCells, 1)
     var centroids = sampled.zipWithIndex.collect { case (r, i) if i % step == 0 => r }
       .take(nCells)
@@ -218,7 +244,7 @@ object SimSearch {
         val n = math.sqrt(v.map(x => x * x).sum)
         v.map(_ / math.max(n, 1e-12))
       }
-    val spreadCorpus = spread(corpus, col(cId))
+    val spreadCorpus = spread(clean, col(cId))
     for (_ <- 0 until lloydIters) {
       val dim = centroids(0).length
       val stats = spreadCorpus
@@ -305,10 +331,7 @@ object SimSearch {
     val cand = cells.join(broadcast(probes), Seq("cell"))
       .where(col(qId) =!= col(cId))
       .withColumn("cos", dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId).asc)
-    cand.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col(qId), col(cId).as("neighbor_id"), col("rank"), round(col("cos"), 5).as("cos"))
+    topKSelect(cand, k, qId, cId)
   }
 
   /** Metadata-filtered probe of a prebuilt [[ivfIndex]] — ONE index serves
@@ -411,16 +434,14 @@ object SimSearch {
                              qId: String = "q_id", qVec: String = "q_vec",
                              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val tables = hyperplanes(nBits * nTables, dim, seed).grouped(nBits).toSeq
-    val flips = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
-    // queries quantize with their own per-vector scale; multi-probe like
-    // lshTopKFromIndex (own bucket + every hamming-1 neighbor per table)
-    val q = quantizeInt8(queries, qVec, "__qcode", "__qscale")
-      .withColumn("__qn", norm(col(qVec)))
-      .select(col(qId), col("__qcode"), col("__qscale"), col("__qn"),
-        posexplode(array(tables.map(t => lshBucket(col(qVec), t)): _*))
-          .as(Seq("tbl", "bucket0")))
-      .withColumn("bucket", explode(transform(flips, f => col("bucket0").bitwiseXOR(f))))
-      .drop("bucket0")
+    // queries quantize with their own per-vector scale; the float vector
+    // is only needed to compute buckets and drops before the broadcast
+    val q = multiProbe(
+      quantizeInt8(queries, qVec, "__qcode", "__qscale")
+        .withColumn("__qn", norm(col(qVec)))
+        .select(col(qId), col(qVec), col("__qcode"), col("__qscale"), col("__qn")),
+      qVec, tables, nBits)
+      .drop(qVec)
 
     // candidate scoring touches ONLY int8 codes + two scalars per side
     val cand = index.join(broadcast(q), Seq("tbl", "bucket"))
@@ -440,10 +461,7 @@ object SimSearch {
     val rr = cf.join(broadcast(survivors), Seq(cId))
       .join(broadcast(qf), Seq(qId))
       .withColumn("cos", dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId).asc)
-    rr.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col(qId), col(cId).as("neighbor_id"), col("rank"), round(col("cos"), 5).as("cos"))
+    topKSelect(rr, k, qId, cId)
   }
 
   /** Embedding near-duplicate pairs within a blocking column (e.g. label,

@@ -1082,8 +1082,11 @@ object ExtensionQueries {
     "x21b_pack_bpe" ->
       s"""WITH ${bpeChainSql(BPE_MERGES)},
          |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-         |bc AS (SELECT t.doc_id, CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens
-         |       FROM tok t JOIN s$BPE_MERGES s USING (word) GROUP BY t.doc_id),
+         |bc0 AS (SELECT t.doc_id, CAST(SUM(len(s.syms)) AS BIGINT) AS n_tokens
+         |        FROM tok t JOIN s$BPE_MERGES s USING (word) GROUP BY t.doc_id),
+         |bc AS (SELECT d.doc_id, COALESCE(bc0.n_tokens, 0) AS n_tokens
+         |       FROM (SELECT DISTINCT doc_id FROM documents) d
+         |       LEFT JOIN bc0 USING (doc_id)),
          |u AS (SELECT doc_id, n_tokens,
          |        CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|pack')), 1, 8)) AS BIGINT)
          |          / 4294967296.0 AS u
@@ -1568,7 +1571,7 @@ object ExtensionQueries {
         |        CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|temp')), 1, 8)) AS BIGINT)
         |          / 4294967296.0 AS u
         |      FROM toks)
-        |SELECT u.doc_id, u.source, u.n_tokens, ROUND(r.rate, 6) AS keep_rate
+        |SELECT u.doc_id, u.source, u.n_tokens, r.rate AS keep_rate
         |FROM u JOIN r USING (source)
         |WHERE u.u < r.rate""".stripMargin,
     // Duplicate-shingle fraction over string shingles — equal to the
@@ -1619,7 +1622,8 @@ object ExtensionQueries {
         |        CAST(floor(1400.0 / t.tot) AS BIGINT)
         |          + CASE WHEN u.u < 1400.0 / t.tot - floor(1400.0 / t.tot)
         |                 THEN 1 ELSE 0 END AS n_copies
-        |      FROM u JOIN t USING (source))
+        |      FROM u JOIN t USING (source)
+        |      WHERE u.doc_id IS NOT NULL)
         |SELECT doc_id, source, n_tokens, CAST(e.epoch AS INT) AS epoch
         |FROM c, unnest(range(n_copies)) AS e(epoch)""".stripMargin,
     // Hash-ordered per-stratum cumsum with an explicit ROWS frame — the

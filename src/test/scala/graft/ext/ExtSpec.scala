@@ -852,6 +852,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(ok.count() == 2000L) // f = 8000/4 = 2000 exact epochs
   }
 
+  test("upsampleToBudget: null keys emit no rows (not a raise); oversized maxEpochs rejected") {
+    import org.apache.spark.sql.functions.lit
+    // a null key's draw is null -> null copy count -> zero rows, matching
+    // the oracle's NULL arithmetic and every sibling sampler; the guard
+    // must not fire on it
+    val df = Seq((Some(1L), "s", 10L), (None, "s", 10L))
+      .toDF("doc_id", "source", "ntok")
+    val out = Sampling.upsampleToBudget(df, "source", col("ntok"),
+      budgetTokens = 20.0, key = "doc_id").select("doc_id").collect()
+    assert(out.forall(!_.isNullAt(0)), "null-key row leaked into the output")
+    // maxEpochs beyond Int.MaxValue would re-open the silent int-wrap hole
+    val e = intercept[IllegalArgumentException] {
+      Sampling.upsampleToBudget(df, "source", col("ntok"),
+        budgetTokens = 20.0, key = "doc_id", maxEpochs = 3000000000L)
+    }
+    assert(e.getMessage.contains("maxEpochs"))
+    // leakage-guard: split fractions that empty the test split are rejected
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.withSplit(df, "doc_id", trainFrac = 0.8, valFrac = 0.3)
+    }
+    assert(e2.getMessage.contains("split fractions"))
+  }
+
   test("upsampleToBudget: f <= 1 degenerates to sampleByTokenBudget's selection") {
     // same budget, same salt -> the fractional-epoch draw IS the
     // keep-with-probability-f draw, so the selected doc sets must agree
