@@ -401,8 +401,13 @@ object Dedup {
       .where(abs(col("len_l") - col("len_r")) <= tol)
       .withColumn("inter",
         graft.functions.SortedIntersectSize(col("sh_l"), col("sh_r")).cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sh_l")) + size(col("sh_r")) - col("inter")))
+      // zero-guard: two sub-k-word docs have EMPTY shingle sets, and under
+      // Spark 4's default ANSI mode 0.0/0.0 aborts the query instead of
+      // yielding NaN; empty-vs-empty is "no evidence of similarity" -> 0
+      .withColumn("jaccard", when(
+          size(col("sh_l")) + size(col("sh_r")) - col("inter") === 0, lit(0.0))
+        .otherwise(
+          col("inter") / (size(col("sh_l")) + size(col("sh_r")) - col("inter"))))
       .where(col("jaccard") >= minJaccard)
       .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -481,9 +486,28 @@ object Dedup {
     // the opposite of the exact anti-join face, where a null key never
     // matches and the row is kept. With nulls excluded both faces agree:
     // null-text rows always pass through.
-    val bytes = corpus.where(col(text).isNotNull)
-      .select(GraftBridge.toColumn(agg).as("bf"))
-      .head.getAs[Array[Byte]](0)
+    // BloomFilterAggregate silently CLAMPS its geometry to the runtime-
+    // join-filter confs (maxNumItems default 4M, maxNumBits default 67M):
+    // a 1e9-item build would come back as a saturated 4M-item filter that
+    // marks a huge fraction of unique docs "drop", and it would refuse to
+    // merge with the unclamped empty-corpus fallback below. Raise the caps
+    // to cover the REQUESTED geometry for the duration of the build.
+    val sess = corpus.sparkSession
+    val kItems = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val kBits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val oldItems = sess.conf.get(kItems)
+    val oldBits = sess.conf.get(kBits)
+    val bytes =
+      try {
+        sess.conf.set(kItems, math.max(oldItems.toLong, expectedItems).toString)
+        sess.conf.set(kBits, math.max(oldBits.toLong, numBits).toString)
+        corpus.where(col(text).isNotNull)
+          .select(GraftBridge.toColumn(agg).as("bf"))
+          .head.getAs[Array[Byte]](0)
+      } finally {
+        sess.conf.set(kItems, oldItems)
+        sess.conf.set(kBits, oldBits)
+      }
     if (bytes != null) bytes
     else {
       // the aggregate yields NULL over zero rows; an EMPTY corpus means an
@@ -599,7 +623,10 @@ object Dedup {
     val counted = cmsEps match {
       case Some(eps) =>
         val sketch = graft.functions.CmsEstimate.sketchOf(exploded, col("__h"), eps)
+        // checkpoint: the candidate stream feeds both the count and the
+        // semi-join — see removeBoilerplate's matching note
         exploded.where(graft.functions.CmsEstimate(sketch, col("__h")) >= 2)
+          .localCheckpoint(false)
       case None => exploded
     }
     val dupHashes = counted.groupBy(col("__h"))
@@ -655,8 +682,11 @@ object Dedup {
       .where(col("id_a") < col("id_b") && abs(col("len_a") - col("len_b")) <= tol)
       .withColumn("inter",
         graft.functions.SortedIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      // zero-guard: see ngramJaccardPairsBetween — ANSI 0.0/0.0 aborts
+      .withColumn("jaccard", when(
+          size(col("sh_a")) + size(col("sh_b")) - col("inter") === 0, lit(0.0))
+        .otherwise(
+          col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter"))))
       .where(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -144,6 +144,10 @@ object Multimodal {
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRow], frames: Int): Dataset[MediaFrame] = {
     import spark.implicits._
     media.mapPartitions(_.flatMap { r =>
+      // a null payload (e.g. asMedia over a null-text doc) yields zero
+      // frames, mirroring the zero-byte case — not an opaque task NPE
+      if (r.bytes == null) Iterator.empty
+      else {
       val n = r.bytes.length
       val step = math.max(n / frames, 1)
       val m = math.min(frames, n)
@@ -152,6 +156,7 @@ object Multimodal {
         val chunk = r.bytes.slice(i * step, hi)
         MediaFrame(r.doc_id, i, chunk.length.toLong,
           chunk.foldLeft(1125899906842597L)((h, b) => 31 * h + b))
+      }
       }
     })
   }

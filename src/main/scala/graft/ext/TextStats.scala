@@ -94,7 +94,9 @@ object TextStats {
   }
 
   /** Per-document quality features + a composite score in [0,1]:
-    * length saturation x type-token ratio x (1 - flagged-token share).
+    * length saturation x type-token ratio. (Redaction pressure is
+    * reported separately by [[withCleaned]]'s count columns — it is
+    * deliberately NOT folded into this score.)
     */
   def withQuality(df: DataFrame, text: String = "text"): DataFrame = {
     val t = terms(col(text))
@@ -460,8 +462,14 @@ object TextStats {
         .as(Seq("__p0", "__h")))
       .select(col(id), (col("__p0") + 1).as("__pos"), col("__h"))
     val sketch = graft.functions.CmsEstimate.sketchOf(exploded, col("__h"), eps, confidence)
+    // lazily checkpointed: cand feeds BOTH the distinct-doc confirm and
+    // the position semi-join below — without the cut each consumer would
+    // re-run the explode + CMS probe, making the corpus explode three
+    // times instead of the two the scale note promises. The checkpoint
+    // materializes only the frequent head + the eps*N overcount.
     val cand = exploded
       .where(graft.functions.CmsEstimate(sketch, col("__h")) >= minDocs)
+      .localCheckpoint(false)
     val boiler = cand.groupBy(col("__h"))
       .agg(countDistinct(col(id)).as("__nd")).where(col("__nd") >= minDocs)
     // probe CAND, not exploded: cand is a superset of every boilerplate

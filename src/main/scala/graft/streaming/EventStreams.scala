@@ -99,7 +99,14 @@ object EventStreams {
                          text: String = "text",
                          watermarkDelay: String = "2 hours"): DataFrame = {
     val corpusHash = corpus.select(sha2(col(text), 256).as("__h")).distinct()
+    // null text is dropped UP FRONT, loudly documented: sha2(null) is a
+    // null key, and the within-stream dedup state would otherwise collapse
+    // every distinct null-text row onto one state entry (silently dropping
+    // the rest as "duplicates" of each other) — content dedup of
+    // contentless rows is undefined; run the P6 guard / drop_invalid stage
+    // upstream if such rows must be preserved elsewhere.
     stream
+      .where(col(text).isNotNull)
       .withColumn("__h", sha2(col(text), 256))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("__h")
@@ -121,17 +128,19 @@ object EventStreams {
     * join — fold per-batch filters in with [[graft.ext.Dedup.mergeBloom]]
     * and restart the query (same static-snapshot caveat as
     * [[dedupAgainstCorpus]], whose static side is also fixed at start).
-    * NULL-text rows behave identically in both faces — they are KEPT:
-    * the anti join's null key never matches, and the sketch is built over
-    * non-null texts only (see [[graft.ext.Dedup.corpusBloom]]) so the
-    * probe's null-sentinel hash is never present. Feed a P6 not-null
-    * guard upstream if nulls should not survive at all, as the curation
-    * chain does.
+    * NULL-text rows are DROPPED by both faces, explicitly and up front:
+    * content-dedup of contentless rows is undefined, and leaving them in
+    * would collapse every distinct null-text row onto the single null
+    * dedup key (silently "deduplicating" unrelated rows against each
+    * other). The curation chain gives such rows an explicit drop_invalid
+    * decision before this stage; do the same upstream if they must be
+    * accounted for.
     */
   def dedupAgainstCorpusSketch(stream: DataFrame, corpusBloom: Array[Byte],
                                text: String = "text",
                                watermarkDelay: String = "2 hours"): DataFrame =
     stream
+      .where(col(text).isNotNull) // same null-text rule as dedupAgainstCorpus
       .withColumn("__h", sha2(col(text), 256))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("__h")
@@ -235,15 +244,29 @@ object EventStreams {
                 closed += Session(userId, st.n, st.total,
                   new Timestamp(st.startMs), new Timestamp(st.lastMs))
                 st = SessionState(0, 0.0, ts.getTime, ts.getTime)
+              } else if (st.n > 0 && st.startMs - ts.getTime > gapMinutes * 60000L) {
+                // stray cross-batch late event, older than the OPEN session
+                // by more than the gap: batch semantics put it in its own
+                // earlier session, so merging (which the min/max update
+                // would do) would weld two sessions across a super-gap
+                // interval. Emit it as a closed singleton and leave the
+                // open session untouched. Bounded deviation from batch:
+                // two such stray events of the SAME old session arriving
+                // in DIFFERENT micro-batches emit as two singletons where
+                // batch emits one pair — same-batch strays sort together
+                // and merge correctly.
+                closed += Session(userId, 1, v, ts, ts)
               }
-              // min/max, not blind assignment: sorting is batch-LOCAL, so a
-              // cross-batch late event (within the watermark but older than
-              // the session's last event) must extend the session bounds,
-              // never rewind lastMs — a rewind would shift the end timestamp
-              // back, fire the event-time timeout early, and make a
-              // following event mis-measure the inactivity gap
-              st = SessionState(st.n + 1, st.total + v,
-                math.min(st.startMs, ts.getTime), math.max(st.lastMs, ts.getTime))
+              if (st.n == 0 || st.startMs - ts.getTime <= gapMinutes * 60000L) {
+                // min/max, not blind assignment: sorting is batch-LOCAL, so
+                // a cross-batch late event (within the watermark but older
+                // than the session's last event) must extend the session
+                // bounds, never rewind lastMs — a rewind would shift the
+                // end timestamp back, fire the event-time timeout early,
+                // and make a following event mis-measure the gap
+                st = SessionState(st.n + 1, st.total + v,
+                  math.min(st.startMs, ts.getTime), math.max(st.lastMs, ts.getTime))
+              }
             }
             state.update(st)
             state.setTimeoutTimestamp(st.lastMs + gapMinutes * 60000L)

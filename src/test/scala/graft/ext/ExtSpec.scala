@@ -87,6 +87,44 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("ngram jaccard: sub-k-word docs don't abort the query under ANSI") {
+    // two docs shorter than k words have EMPTY shingle sets; the jaccard
+    // denominator is then 0 and Spark 4's default ANSI mode turns an
+    // unguarded 0.0/0.0 into a query-aborting DIVIDE_BY_ZERO
+    val tiny = Seq(
+      (1L, "hi there", 8L), (2L, "yo bro", 6L),
+      (3L, "a proper document with plenty of words inside it", 48L)
+    ).toDF("doc_id", "text", "n_chars")
+    val pairs = Dedup.ngramJaccardPairs(tiny, lenCol = "n_chars", tol = 16,
+      minJaccard = 0.1).collect()
+    assert(!pairs.exists(r => Set(r.getLong(0), r.getLong(1)) == Set(1L, 2L)),
+      "empty-shingle docs must not report similarity")
+    // the between-frames variant shares the guard
+    val between = Dedup.ngramJaccardPairsBetween(
+      tiny.where(col("doc_id") === 1), tiny.where(col("doc_id") =!= 1),
+      lenCol = "n_chars", tol = 16, minJaccard = 0.1).collect()
+    assert(between.isEmpty)
+  }
+
+  test("corpusBloom: requested geometry survives past the runtime-filter clamps") {
+    // BloomFilterAggregate clamps to the runtime-join-filter confs (4M
+    // items / 67M bits by default); a build above that silently saturated
+    // AND refused to merge with the unclamped empty-corpus fallback
+    val items = 5000000L // > the 4M default clamp
+    val corpus = Seq((1L, "seen doc")).toDF("doc_id", "text")
+    val built = Dedup.corpusBloom(corpus, expectedItems = items, fpp = 0.01)
+    val emptyBf = Dedup.corpusBloom(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      expectedItems = items, fpp = 0.01)
+    // pre-fix this threw IncompatibleMergeException (clamped vs unclamped)
+    val merged = Dedup.mergeBloom(built, emptyBf)
+    val probe = Seq((1L, "seen doc"), (2L, "never seen")).toDF("doc_id", "text")
+    val out = probe.select(col("doc_id"),
+        Dedup.bloomMightContain(merged, col("text")).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L), "merged filter lost the corpus doc")
+  }
+
   test("ngram jaccard: length blocking excludes far-apart lengths") {
     val out = Dedup.ngramJaccardPairs(docs, lenCol = "n_chars", tol = 5, minJaccard = 0.0)
     // doc3 (88 chars) is >5 from all others -> never compared
@@ -1448,6 +1486,16 @@ class MonitoringMultimodalSpec extends AnyFunSuite {
     val again = Multimodal.sampleFrames(spark, Multimodal.asMedia(spark, docs), frames = 4)
       .collect().groupBy(_.doc_id)
     assert(frames(1L).map(_.checksum).toSeq == again(1L).map(_.checksum).toSeq)
+  }
+
+  test("sampleFrames: a null payload yields zero frames, not a task NPE") {
+    import spark.implicits._
+    val docs = Seq((1L, "real bytes here"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(spark, Multimodal.asMedia(spark, docs), frames = 4)
+      .collect()
+    assert(frames.nonEmpty && frames.forall(_.doc_id == 1L),
+      s"null-payload doc should emit nothing: ${frames.toSeq}")
   }
 
   test("sampleFrames: non-divisible payloads still cover every byte (tail in last frame)") {

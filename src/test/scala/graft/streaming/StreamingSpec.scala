@@ -283,6 +283,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization: a stray late event beyond the gap becomes its own session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStreams.sessionize(
+        input.toDF().toDF("user_id", "ts", "value"),
+        gapMinutes = 30, watermarkDelay = "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("sess_stray").start()
+    try {
+      input.addData((7L, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // 45 minutes BEFORE the open session's start (> gap): batch
+      // semantics put it in its own session — the old min/max merge would
+      // weld one session spanning a 45-minute internal gap
+      input.addData((7L, ts("2024-01-01 11:15:00"), 2.0))
+      q.processAllAvailable()
+      input.addData((7L, ts("2024-01-01 12:10:00"), 4.0))
+      q.processAllAvailable()
+      input.addData((999L, ts("2024-01-03 00:00:00"), 0.0)) // close via timeout
+      q.processAllAvailable()
+      val out = spark.table("sess_stray").as[EventStreams.Session].collect()
+        .filter(_.userId == 7L).sortBy(_.startTs.getTime)
+      assert(out.length == 2, s"expected stray singleton + main session: ${out.toSeq}")
+      assert(out(0).nEvents == 1 && out(0).startTs == ts("2024-01-01 11:15:00"))
+      assert(out(1).nEvents == 2 &&
+        out(1).startTs == ts("2024-01-01 12:00:00") &&
+        out(1).endTs == ts("2024-01-01 12:10:00"))
+      // batch agreement on the same event multiset
+      val batch = graft.operators.Sessionize.sessions(
+        Seq((7L, ts("2024-01-01 12:00:00"), 1.0), (7L, ts("2024-01-01 11:15:00"), 2.0),
+            (7L, ts("2024-01-01 12:10:00"), 4.0)).toDF("user_id", "ts", "value"),
+        "user_id", "ts", 1800L)
+      assert(batch.count() == 2)
+    } finally q.stop()
+  }
+
   test("sessionization: a cross-batch late event extends the session, never rewinds it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
