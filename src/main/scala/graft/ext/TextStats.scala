@@ -454,21 +454,32 @@ object TextStats {
     * machinery). Nothing all-pairs, nothing driver-side beyond the
     * fixed-size sketch.
     */
-  def removeBoilerplate(df: DataFrame, k: Int = 3, minDocs: Long = 5,
-                        eps: Double = 1e-4, confidence: Double = 0.99,
-                        text: String = "text", id: String = "doc_id"): DataFrame = {
+  /** The CMS-prefiltered candidate occurrence stream behind
+    * [[removeBoilerplate]] — every (doc, position, hash) whose estimate
+    * reaches `minDocs`. Exposed separately so the probe stage's plan (the
+    * map-only `cms_estimate` filter) stays assertable after
+    * removeBoilerplate checkpoints it.
+    */
+  private[graft] def boilerplateCandidates(df: DataFrame, k: Int = 3, minDocs: Long = 5,
+                                           eps: Double = 1e-4, confidence: Double = 0.99,
+                                           text: String = "text", id: String = "doc_id"): DataFrame = {
     val exploded = spread(df)
       .select(col(id), posexplode(Dedup.shingleHashesAll(col(text), k))
         .as(Seq("__p0", "__h")))
       .select(col(id), (col("__p0") + 1).as("__pos"), col("__h"))
     val sketch = graft.functions.CmsEstimate.sketchOf(exploded, col("__h"), eps, confidence)
+    exploded.where(graft.functions.CmsEstimate(sketch, col("__h")) >= minDocs)
+  }
+
+  def removeBoilerplate(df: DataFrame, k: Int = 3, minDocs: Long = 5,
+                        eps: Double = 1e-4, confidence: Double = 0.99,
+                        text: String = "text", id: String = "doc_id"): DataFrame = {
     // lazily checkpointed: cand feeds BOTH the distinct-doc confirm and
     // the position semi-join below — without the cut each consumer would
     // re-run the explode + CMS probe, making the corpus explode three
     // times instead of the two the scale note promises. The checkpoint
     // materializes only the frequent head + the eps*N overcount.
-    val cand = exploded
-      .where(graft.functions.CmsEstimate(sketch, col("__h")) >= minDocs)
+    val cand = boilerplateCandidates(df, k, minDocs, eps, confidence, text, id)
       .localCheckpoint(false)
     val boiler = cand.groupBy(col("__h"))
       .agg(countDistinct(col(id)).as("__nd")).where(col("__nd") >= minDocs)

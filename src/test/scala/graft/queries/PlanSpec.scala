@@ -173,13 +173,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("boilerplate removal: cms prefilter survives, keyed joins only, no window") {
+  test("boilerplate removal: keyed joins only, no window; probe stage keeps the cms filter") {
+    // the final plan reads the CANDIDATE stream from its lazy checkpoint
+    // (one materialization for both consumers), so the cms probe lives in
+    // the candidate stage's own plan, not the final one — assert both
     val p = plan("x43_boilerplate_removal")
-    assert(p.contains("cms_estimate"), p) // the map-only sketch probe
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // coverage mask + rebuild are per-row array expressions, never a Window
     assert(!p.contains("Window"), p)
+    val docs = graft.Tables.documents(spark, sf)
+    val candPlan = graft.ext.TextStats.boilerplateCandidates(docs, k = 3, minDocs = 5)
+      .queryExecution.executedPlan.toString
+    assert(candPlan.contains("cms_estimate"), s"probe stage lost the sketch filter:\n$candPlan")
   }
 
   test("upsampling: broadcast totals, no window, fan-out is a map-side explode") {
