@@ -57,15 +57,25 @@ object Monitoring {
   }
 
   /** Minimal flat-JSON object parser (string/number/null values) — enough
-    * for metrics.json without a JSON dependency. Throws on malformed input
-    * (caller treats that as corruption).
+    * for metrics.json without a JSON dependency. Throws on malformed OR
+    * NESTED input (caller treats that as corruption and starts fresh):
+    * silently skipping a nested section would hoist its inner keys to top
+    * level and the merge-write would then rewrite the file flattened,
+    * destroying foreign structure the preserve-unknown-keys contract
+    * promises to keep.
     */
   private[graft] def parseFlatJson(s: String): Map[String, String] = {
     val t = s.trim
     require(t.startsWith("{") && t.endsWith("}"), "not a JSON object")
     val body = t.substring(1, t.length - 1).trim
+    require(!body.contains("{") && !body.contains("["),
+      "nested JSON — this parser is flat-only")
     if (body.isEmpty) return Map.empty
-    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*("(?:[^"\\]|\\.)*"|-?[0-9.eE+]+|null|true|false)""".r
+    // number: full JSON grammar incl. negative exponents — the old
+    // [0-9.eE+]+ class stopped at the '-' of 1.5e-3 and truncated the
+    // value, which a later merge-write would persist as invalid JSON
+    val entry = ("\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*" +
+      "(\"(?:[^\"\\\\]|\\\\.)*\"|-?[0-9]+(?:\\.[0-9]+)?(?:[eE][-+]?[0-9]+)?|null|true|false)").r
     val found = entry.findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toMap
     require(found.nonEmpty, "no entries parsed")
     found

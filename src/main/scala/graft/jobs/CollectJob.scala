@@ -53,14 +53,14 @@ object CollectJob {
     val merged = mergeAllSources(weather, aqi, carbon, genMix, prices)
       .where(to_date(col("datetime")) === lit(runDate.toString).cast("date")) // raw_data.py:310
       .where(minute(col("datetime")) === 0) // raw_data.py:313
-      .select(Schemas.raw.fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*)
+      .transform(Schemas.project(_, Schemas.raw))
 
     qualityGate(merged)
 
     // D1 upsert-keep-newest into the historical store (raw_data.py:241-269)
     val existing = store.readCsvOrEmpty(rawFile, Schemas.raw)
     val combined = Upsert.keepNewest(existing, merged, Seq("datetime"))
-    val ordered = combined.select(Schemas.raw.fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*)
+    val ordered = combined.transform(Schemas.project(_, Schemas.raw))
     store.writeCsv(ordered, rawFile)
     // re-read: the lazy plan above still references the pre-swap file
     store.readCsv(rawFile, Schemas.raw)

@@ -30,7 +30,7 @@ object FeatureEngineeringJob {
         Features.withInteractions(
           Features.withTemporal(delta))),
       Scaling.referenceColumns)
-    chained.select(Schemas.engineered.fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*)
+    Schemas.project(chained, Schemas.engineered)
   }
 
   def run(spark: SparkSession, store: Store): DataFrame = {
@@ -46,7 +46,7 @@ object FeatureEngineeringJob {
 
     // J5+D2: previous rows win on key collision (data_engineering.py:123-127)
     val finalDf = Upsert.keepFirst(prev, engineered, Seq("datetime"))
-      .select(Schemas.engineered.fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*)
+      .transform(Schemas.project(_, Schemas.engineered))
     store.writeCsv(finalDf, engineeredFile)
     // re-read: the lazy plan above still references the pre-swap file
     store.readCsv(engineeredFile, Schemas.engineered)

@@ -96,10 +96,19 @@ object Sessionize {
       coalesce(sum(col("__n_sessions") - col("__merge")).over(
         byBucket.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(keyCol), col("__bkt"), col("__merge"), col("__offset"))
-    assigned.join(offsets, Seq(keyCol, "__bkt"))
+    // NULL-SAFE join keys: a null user key (or a null timestamp's null
+    // bucket) forms its own group in both the window and the offsets
+    // aggregate, but a plain equi-join would match it to nothing and
+    // silently DROP those rows — where assign() and the oracle's
+    // PARTITION BY both keep them as a group
+    val off = offsets
+      .withColumnRenamed(keyCol, "__o_key").withColumnRenamed("__bkt", "__o_bkt")
+    assigned.join(off,
+        col(keyCol) <=> col("__o_key") && col("__bkt") <=> col("__o_bkt"))
       .withColumn("session_seq",
         col("__offset") + col("__local_seq") - col("__merge"))
-      .drop("__bkt", "__new", "__local_seq", "__merge", "__offset")
+      .drop("__bkt", "__new", "__local_seq", "__merge", "__offset",
+        "__o_key", "__o_bkt")
   }
 
   /** [[sessions]] over the skew-safe assignment (identical rows). */

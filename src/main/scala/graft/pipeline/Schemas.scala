@@ -94,4 +94,14 @@ object Schemas {
       StructField("valid_to", StringType, nullable = true),
       StructField("value_exc_vat", DoubleType, nullable = true),
       StructField("value_inc_vat", DoubleType, nullable = true)))), nullable = true)))
+
+  /** Project a frame to exactly a schema's columns, in order (backtick-
+    * quoted: `%`/`£` names). ONE definition for the four call sites in
+    * CollectJob/FeatureEngineeringJob — a projection tweak must not be
+    * applied to three of four copies.
+    */
+  def project(df: org.apache.spark.sql.DataFrame,
+              schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    df.select(schema.fieldNames.map(n =>
+      org.apache.spark.sql.functions.col(s"`$n`")): _*)
 }

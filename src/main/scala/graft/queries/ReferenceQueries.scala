@@ -304,6 +304,10 @@ object ReferenceQueries {
           ids = Array(col("l_orderkey"), col("l_linenumber")),
           values = Array(col("l_quantity"), col("l_discount"), col("l_tax")),
           variableColumnName = "measure", valueColumnName = "val")
+        // DuckDB's UNPIVOT excludes NULL measures and has no INCLUDE NULLS
+        // escape; the declared melt pins that shared semantics explicitly
+        // rather than depending on the fixture staying null-free
+        .where(col("val").isNotNull)
         .withColumn("l_linenumber", col("l_linenumber").cast("long"))
     }),
     // HLL sketch gate: approx_count_distinct must land within 5% of the
@@ -473,9 +477,13 @@ object ReferenceQueries {
       """SELECT l_orderkey, l_linenumber,
         | ROUND(l_extendedprice / (SELECT AVG(l_extendedprice) FROM lineitem), 6) AS price_ratio
         |FROM lineitem""".stripMargin,
+    // NOT EXISTS, not NOT IN: a single NULL o_custkey would make NOT IN
+    // return zero rows while Spark's left_anti treats NULL as no-match —
+    // NOT EXISTS has exactly the anti-join's semantics
     "j4_anti" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin,
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""".stripMargin,
     "j5_union" ->
       """SELECT o_orderkey, o_orderstatus, 'high' AS bucket FROM orders WHERE o_totalprice > 300000
         |UNION ALL

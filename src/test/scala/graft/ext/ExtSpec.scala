@@ -1414,6 +1414,19 @@ class MonitoringMultimodalSpec extends AnyFunSuite {
     assert(m2.apiSuccessRate == 0.0 && m2.avgApiResponseTime.isEmpty)
   }
 
+  test("parseFlatJson: negative exponents survive, nested JSON rejected loudly") {
+    import graft.Monitoring
+    // the old number class truncated 1.5e-3 to "1.5e", which a merge-write
+    // would persist as invalid JSON
+    val m = Monitoring.parseFlatJson("""{"p99": 1.5e-3, "n": -2, "ok": true}""")
+    assert(m("p99") == "1.5e-3" && m("n") == "-2" && m("ok") == "true")
+    // nested sections cannot be represented flat: silently hoisting inner
+    // keys would destroy the structure on rewrite — must throw instead
+    intercept[IllegalArgumentException] {
+      Monitoring.parseFlatJson("""{"extra": {"b": 1}, "c": 2}""")
+    }
+  }
+
   test("metrics.json: merge preserves unknown keys; corrupt file starts fresh") {
     import graft.Monitoring
     val dir = java.nio.file.Files.createTempDirectory("graft_metrics")

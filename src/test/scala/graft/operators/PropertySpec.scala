@@ -194,6 +194,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("skew-safe sessionize keeps null-key and null-ts rows, like the plain path") {
+    // the offsets equi-join must be NULL-SAFE: groupBy/windows treat a
+    // null key (and a null ts's null bucket) as its own group, but a
+    // plain join key would match nothing and silently drop the rows
+    val df = Seq(
+      (Some(7L), Some(Timestamp.valueOf("2024-06-01 10:00:00"))),
+      (Some(7L), Some(Timestamp.valueOf("2024-06-01 10:10:00"))),
+      (None, Some(Timestamp.valueOf("2024-06-01 11:00:00"))),
+      (None, Some(Timestamp.valueOf("2024-06-01 11:05:00"))),
+      (Some(8L), None)
+    ).toDF("user_id", "t")
+    val plain = Sessionize.assign(df, "user_id", "t", 1800L).count()
+    val safe = Sessionize.assignSkewSafe(df, "user_id", "t", 1800L, 3600L).count()
+    assert(plain == df.count(), "plain path must be row-preserving")
+    assert(safe == plain, s"skew-safe dropped rows: $safe != $plain")
+  }
+
   test("skew-safe sessionize == plain sessionize (skewed keys, boundary-spanning and empty buckets)") {
     // timestamps cluster so sessions regularly straddle bucket edges, one
     // key dominates (the skew case the two-phase path exists for), and the
