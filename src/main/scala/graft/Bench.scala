@@ -65,11 +65,19 @@ object Bench {
     val passes = 4
     def sweep(): Double = {
       val acc = new java.util.concurrent.atomic.AtomicLong()
-      val t0 = System.nanoTime()
+      // Time ONLY the streaming span: in a fresh JVM (the "before" probe)
+      // creating+starting 32 threads costs tens of ms of classloading/JIT
+      // while the measured stream itself is ~10 ms — quiet windows read
+      // 10-12 GB/s "before" vs ~110 "after" purely from that overhead,
+      // which broke the "< 50% of ref => contended" rule (round-9 verdict
+      // item 2). Threads are created and started first, park on a latch,
+      // and the clock starts when the latch drops.
+      val start = new java.util.concurrent.CountDownLatch(1)
       val ts = (0 until nThreads).map { t =>
         new Thread(() => {
           val lo = (n.toLong * t / nThreads).toInt
           val hi = (n.toLong * (t + 1) / nThreads).toInt
+          start.await()
           var s = 0L
           var p = 0
           while (p < passes) {
@@ -81,13 +89,19 @@ object Bench {
         })
       }
       ts.foreach(_.start())
+      val t0 = System.nanoTime()
+      start.countDown()
       ts.foreach(_.join())
       val secs = (System.nanoTime() - t0) / 1e9
       require(acc.get == 3L * n * passes) // defeat dead-code elimination
       (8.0 * n * passes / secs) / 1e9
     }
-    sweep() // untimed JIT/page warmup: the first sweep reads ~8x low
-    sweep()
+    // Two untimed warmup sweeps (the first faults pages / compiles the
+    // loop; one was measurably not enough cold), then best-of-3 timed:
+    // bandwidth is a CAPACITY probe, so the max is the honest reading —
+    // a transient co-tenant burst can only lower a sweep, never raise it.
+    sweep(); sweep()
+    (0 until 3).map(_ => sweep()).max
   }
 
   private def loadAvg(): Double =
@@ -236,12 +250,22 @@ object Bench {
       case _ => ""
     }
     // "bench_surface" versions what "total" measures (the r8 verify-gate
-    // split changed it): cross-surface totals must not be compared.
+    // split changed it): cross-surface totals must not be compared. The
+    // era label alone proved insufficient — the default surface grew
+    // 84 -> 93 queries across r8 -> r9 under the same tag — so the surface
+    // is now fingerprinted by its actual INVENTORY: query count + md5 of
+    // the sorted query names. Two totals are comparable iff (surface,
+    // surface_n, surface_fp) all match; a tool diffing totals can refuse
+    // mechanically instead of trusting the label.
     val surface =
       if (subset.nonEmpty) "subset"
-      else if (full) "full-r8"
-      else "default-r8"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"skipped_verify_gates":$skip,$spinJson$spinMtJson$memBwJson"cpu_total_sec":${num(cpuNanos.get / 1e9)},"task_time_total_sec":${num(runNanos.get / 1e9)},"load_avg_before":${num(loadBefore)},"load_avg_after":${num(loadAfter)},"bench_surface":"$surface","sf":"$sfDir"}"""
+      else if (full) "full"
+      else "default"
+    val surfaceNames = selected.keys.toSeq.sorted
+    val surfaceFp = java.security.MessageDigest.getInstance("MD5")
+      .digest(surfaceNames.mkString(",").getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"skipped_verify_gates":$skip,$spinJson$spinMtJson$memBwJson"cpu_total_sec":${num(cpuNanos.get / 1e9)},"task_time_total_sec":${num(runNanos.get / 1e9)},"load_avg_before":${num(loadBefore)},"load_avg_after":${num(loadAfter)},"bench_surface":"$surface","bench_surface_n":${surfaceNames.size},"bench_surface_fp":"$surfaceFp","sf":"$sfDir"}"""
     println(line)
     // Stdout is shared with Spark/log4j noise, so tail-parsing the process
     // output is fragile; always also drop the line into a file — an sbt-forked

@@ -68,14 +68,24 @@ object Monitoring {
     val t = s.trim
     require(t.startsWith("{") && t.endsWith("}"), "not a JSON object")
     val body = t.substring(1, t.length - 1).trim
-    require(!body.contains("{") && !body.contains("["),
-      "nested JSON — this parser is flat-only")
     if (body.isEmpty) return Map.empty
     // number: full JSON grammar incl. negative exponents — the old
     // [0-9.eE+]+ class stopped at the '-' of 1.5e-3 and truncated the
     // value, which a later merge-write would persist as invalid JSON
     val entry = ("\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*" +
       "(\"(?:[^\"\\\\]|\\\\.)*\"|-?[0-9]+(?:\\.[0-9]+)?(?:[eE][-+]?[0-9]+)?|null|true|false)").r
+    // Nested-input rejection, AFTER matching: a nested section's braces /
+    // brackets survive entry removal (its inner "k": v pairs match and
+    // vanish, the enclosing "outer": { } skeleton doesn't), so structural
+    // characters in the RESIDUE mean genuinely nested JSON — which must
+    // fail loudly (silently hoisting inner keys would rewrite the file
+    // flattened on merge-write). Checking the raw body instead (as r9
+    // did) wrongly rejected flat objects whose STRING values contain a
+    // brace or bracket character (ADVICE r9 #4) — those are consumed by
+    // the entry match and never reach the residue.
+    val residue = entry.replaceAllIn(body, "")
+    require(residue.forall(c => c == ',' || c.isWhitespace),
+      "nested or malformed JSON — this parser is flat-only")
     val found = entry.findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toMap
     require(found.nonEmpty, "no entries parsed")
     found

@@ -472,51 +472,30 @@ object Dedup {
   def corpusBloom(corpus: DataFrame, text: String = "text",
                   expectedItems: Long = 1L << 20, fpp: Double = 1e-8): Array[Byte] = {
     import org.apache.spark.sql.GraftBridge
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val numBits = math.ceil(-expectedItems * math.log(fpp)
       / (math.log(2) * math.log(2))).toLong
-    val agg = new BloomFilterAggregate(
+    // graft's own aggregate, not Spark's BloomFilterAggregate: Spark's
+    // silently clamps geometry to the runtime-JOIN-filter session confs
+    // (maxNumItems 4M / maxNumBits 67M defaults), so a 1e9-item build
+    // would come back saturated; round 9's conf-inflation workaround
+    // leaked the caps to concurrent queries and raced concurrent builds.
+    // BloomBuildAgg takes the geometry as constructor values — no session
+    // state is read or written anywhere in this build.
+    val agg = graft.functions.BloomBuildAgg(
       GraftBridge.toExpression(xxhash64(col(text))),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+      expectedItems, numBits).toAggregateExpression()
     // null texts are EXCLUDED from the sketch: xxhash64 hashes a null to
     // the bare seed, so a single null corpus row would otherwise insert
     // that sentinel hash and make every null-text probe read "duplicate" —
     // the opposite of the exact anti-join face, where a null key never
     // matches and the row is kept. With nulls excluded both faces agree:
-    // null-text rows always pass through.
-    // BloomFilterAggregate silently CLAMPS its geometry to the runtime-
-    // join-filter confs (maxNumItems default 4M, maxNumBits default 67M):
-    // a 1e9-item build would come back as a saturated 4M-item filter that
-    // marks a huge fraction of unique docs "drop", and it would refuse to
-    // merge with the unclamped empty-corpus fallback below. Raise the caps
-    // to cover the REQUESTED geometry for the duration of the build.
-    val sess = corpus.sparkSession
-    val kItems = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val kBits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val oldItems = sess.conf.get(kItems)
-    val oldBits = sess.conf.get(kBits)
-    val bytes =
-      try {
-        sess.conf.set(kItems, math.max(oldItems.toLong, expectedItems).toString)
-        sess.conf.set(kBits, math.max(oldBits.toLong, numBits).toString)
-        corpus.where(col(text).isNotNull)
-          .select(GraftBridge.toColumn(agg).as("bf"))
-          .head.getAs[Array[Byte]](0)
-      } finally {
-        sess.conf.set(kItems, oldItems)
-        sess.conf.set(kBits, oldBits)
-      }
-    if (bytes != null) bytes
-    else {
-      // the aggregate yields NULL over zero rows; an EMPTY corpus means an
-      // empty filter (nothing is a duplicate), not a null sketch
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.spark.util.sketch.BloomFilter
-        .create(expectedItems, numBits).writeTo(out)
-      out.toByteArray
-    }
+    // null-text rows always pass through. An EMPTY corpus yields an empty
+    // filter from the aggregate itself (its zero-row buffer serializes;
+    // nothing is a duplicate) — no null sketch, no fallback path.
+    corpus.where(col(text).isNotNull)
+      .select(GraftBridge.toColumn(agg).as("bf"))
+      .head.getAs[Array[Byte]](0)
   }
 
   /** OR-merge of two [[corpusBloom]] sketches — the corpus-APPEND path.

@@ -185,6 +185,13 @@ object Sampling {
     // silent wrap-and-drop hole the guard exists to close
     require(maxEpochs > 0 && maxEpochs <= Int.MaxValue,
       s"maxEpochs must be in (0, ${Int.MaxValue}], got $maxEpochs")
+    // the output appends `epoch` (and internally `__copies`,
+    // `__stratum_tokens`): an input that already carries one of those
+    // names would be silently shadowed by withColumn — fail loudly, like
+    // the n_tokens dedup in the output projection handles n_tokens
+    for (reserved <- Seq("epoch", "__copies", "__stratum_tokens"))
+      require(!df.columns.contains(reserved),
+        s"upsampleToBudget: input already has a '$reserved' column — rename it first")
     val totals = df.groupBy(col(strataCol))
       .agg(sum(tokens).as("__stratum_tokens"))
     val f = lit(budgetTokens) / col("__stratum_tokens")

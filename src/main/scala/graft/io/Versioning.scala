@@ -55,8 +55,13 @@ class Versioning(workspaceDir: String) {
   private def pointerPath(rel: String): Path = workspace.resolve(rel + ".ptr")
 
   private def writePointer(rel: String, p: Pointer): Unit = {
+    // "fmt" versions the HASH FORMAT, not the pointer syntax (see
+    // [[manifestLines]]): a verify/pull mismatch against a pointer whose
+    // fmt predates the current manifestFormat is then diagnosable as a
+    // format upgrade rather than data corruption. Readers ignore unknown
+    // keys, so fmt-less (pre-r10) pointers still parse.
     val json =
-      s"""{\n  "dir": ${p.isDir},\n  "md5": "${p.md5}",\n  "size": ${p.size}\n}"""
+      s"""{\n  "dir": ${p.isDir},\n  "fmt": $manifestFormat,\n  "md5": "${p.md5}",\n  "size": ${p.size}\n}"""
     Option(pointerPath(rel).getParent).foreach(Files.createDirectories(_))
     Files.writeString(pointerPath(rel), json)
   }
@@ -99,6 +104,20 @@ class Versioning(workspaceDir: String) {
       Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
     }
   }
+
+  /** Directory-manifest HASH FORMAT version, recorded in every pointer
+    * this build writes.
+    *   - fmt 1 (pre-r10, implicit — old pointers carry no fmt field):
+    *     excluded only files whose LEAF name was hidden/underscore.
+    *   - fmt 2: excludes files under ANY hidden/underscore path segment
+    *     (`_temporary/.../part-*.parquet` from a crashed Spark write).
+    * A fmt-1 DIR pointer whose artifact contained such files hashes
+    * differently under fmt 2 — `status` reports Modified and `push`/`pull`
+    * round-trips mismatch until the artifact is re-`add`ed (re-push is
+    * cheap: content addressing re-uploads nothing but the manifest).
+    * File pointers and dir artifacts without such files are unaffected.
+    */
+  private val manifestFormat = 2
 
   /** Sorted `md5 size relpath` manifest for a directory artifact. Hidden
     * files (Spark `_SUCCESS`, `.crc`) are data-irrelevant and excluded so

@@ -95,7 +95,45 @@ object CurateJob {
     * bucket/seq_id null unless kept).
     */
   def curate(batch: DataFrame, corpus: DataFrame,
-             p: CurateParams = CurateParams()): DataFrame = {
+             p: CurateParams = CurateParams()): DataFrame =
+    stages(batch, corpus, p)._1
+
+  /** Per-sequence training manifest over the packed keep-frame: one row
+    * per (bucket, seq_id) with its doc count, token mass, and the doc
+    * stream in pack order (hash order within the sequence — the same
+    * (pu, doc_id) key the packing window sorted by). One partial-agg'd
+    * groupBy over the (bounded) survivor set.
+    */
+  def manifests(packed: DataFrame, packSalt: String): DataFrame =
+    packed
+      .withColumn("__pu", Sampling.hashUnit(col("doc_id"), packSalt))
+      .groupBy("bucket", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("seq_tokens"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("__pu"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")), ",").as("doc_ids"))
+
+  /** Decisions AND per-sequence manifests from ONE stage chain — the shape
+    * a production run wants (it always emits both artifacts). The manifest
+    * side aggregates the packed keep-frame directly instead of filtering
+    * `action = 'keep'` back out of the 9-branch decision union, so a
+    * manifests-only consumer (x36) never evaluates the drop branches at
+    * all, and a both-artifacts consumer shares every checkpointed stage.
+    */
+  def curateWithManifests(batch: DataFrame, corpus: DataFrame,
+                          p: CurateParams = CurateParams()): (DataFrame, DataFrame) = {
+    val (decisions, packed) = stages(batch, corpus, p)
+    (decisions, manifests(packed, p.packSalt))
+  }
+
+  /** The shared stage chain: returns (decision frame, packed keep-frame).
+    * The packed frame is exactly the rows the decision frame tags `keep`
+    * (same lineage — the decision union's keep branch is built FROM it).
+    */
+  private def stages(batch: DataFrame, corpus: DataFrame,
+                     p: CurateParams): (DataFrame, DataFrame) = {
     // ---- stage 0: clean, then split the corpus into train vs eval -------
     // NULL text is representable in any real batch (parquet permits it)
     // and every downstream predicate is null-blind (NULL > x and
@@ -203,7 +241,7 @@ object CurateJob {
     val packed = Packing.packSequences(mixed, col("n_tokens"),
       p.maxSeqTokens, p.nBuckets, key = "doc_id", salt = p.packSalt)
 
-    branch(dropInvalid, lit("drop_invalid"))
+    val decisions = branch(dropInvalid, lit("drop_invalid"))
       .unionByName(branch(dropRep, lit("drop_repetition")))
       .unionByName(branch(dropQual, lit("drop_quality")))
       .unionByName(branch(dropBatchExact, lit("drop_batch_exact"),
@@ -217,6 +255,7 @@ object CurateJob {
       .unionByName(branch(dropBudget, lit("drop_budget")))
       .unionByName(branch(packed, lit("keep"),
         bucket = col("bucket"), seqId = col("seq_id")))
+    (decisions, packed)
   }
 
   /** Per-source curation report over a decision frame (x25 shape):

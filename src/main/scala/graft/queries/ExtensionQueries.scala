@@ -591,19 +591,16 @@ object ExtensionQueries {
     // (pu, doc_id) key the packing window sorted by). The ENTIRE chain —
     // curation decisions AND sequence assembly — replays in one DuckDB
     // query built from the shared x27 CTE prefix.
+    // Built through CurateJob.curateWithManifests: the manifest aggregates
+    // the packed keep-frame straight off the stage chain instead of
+    // filtering `action = 'keep'` back out of the 9-branch decision union,
+    // so this query never evaluates the drop branches at all (the r9
+    // verdict's one remaining constant-factor lever — x36 was replaying
+    // the full decision assembly just to throw the drops away).
     "x36_training_sequences" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val dec = CurateJob.curate(docs.where(col("doc_id") % 7 === 0),
-        docs.where(col("doc_id") % 7 =!= 0))
-      dec.where(col("action") === "keep")
-        .withColumn("__pu", Sampling.hashUnit(col("doc_id"), "curate-pack"))
-        .groupBy("bucket", "seq_id")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum("n_tokens").as("seq_tokens"),
-          array_join(
-            transform(sort_array(collect_list(struct(col("__pu"), col("doc_id")))),
-              x => x.getField("doc_id").cast("string")), ",").as("doc_ids"))
+      CurateJob.curateWithManifests(docs.where(col("doc_id") % 7 === 0),
+        docs.where(col("doc_id") % 7 =!= 0))._2
     }),
     "x27b_curate_report" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -1675,16 +1672,23 @@ object ExtensionQueries {
         |            ELSE step END AS BIGINT) AS n_bytes
         |FROM i""".stripMargin,
     // Decoded-plane checksums replayed as arithmetic: pixel(c) =
-    // (doc_id*31 + x*7 + y*13 + c*5) % 256 over width = doc_id%8+4,
-    // height = doc_id%5+3 (Multimodal.pixel/imageDims). A codec bug —
-    // wrong plane order, truncation, lossy write — breaks the hash.
+    // floorMod(doc_id*31 + x*7 + y*13 + c*5, 256) over width =
+    // floorMod(doc_id,8)+4, height = floorMod(doc_id,5)+3
+    // (Multimodal.pixel/imageDims). A codec bug — wrong plane order,
+    // truncation, lossy write — breaks the hash. DuckDB's % is C-style
+    // (sign of dividend) while the engine uses Math.floorMod, so every
+    // mod here is written ((e % m) + m) % m — identical for the
+    // non-negative ids in the fixtures AND correct for negative doc_ids,
+    // instead of silently diverging on them (ADVICE r9 #2).
     "x12_multimodal" ->
-      """WITH p AS (SELECT doc_id, doc_id % 8 + 4 AS w, doc_id % 5 + 3 AS h FROM documents)
+      """WITH p AS (SELECT doc_id,
+        |         ((doc_id % 8) + 8) % 8 + 4 AS w,
+        |         ((doc_id % 5) + 5) % 5 + 3 AS h FROM documents)
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS channels,
-        |  CAST(list_sum([(doc_id*31 + (k % w)*7 + (k // w)*13) % 256 for k in range(w*h)]) AS BIGINT) AS r_sum,
-        |  CAST(list_sum([(doc_id*31 + (k % w)*7 + (k // w)*13 + 5) % 256 for k in range(w*h)]) AS BIGINT) AS g_sum,
-        |  CAST(list_sum([(doc_id*31 + (k % w)*7 + (k // w)*13 + 10) % 256 for k in range(w*h)]) AS BIGINT) AS b_sum,
+        |  CAST(list_sum([(((doc_id*31 + (k % w)*7 + (k // w)*13) % 256) + 256) % 256 for k in range(w*h)]) AS BIGINT) AS r_sum,
+        |  CAST(list_sum([(((doc_id*31 + (k % w)*7 + (k // w)*13 + 5) % 256) + 256) % 256 for k in range(w*h)]) AS BIGINT) AS g_sum,
+        |  CAST(list_sum([(((doc_id*31 + (k % w)*7 + (k // w)*13 + 10) % 256) + 256) % 256 for k in range(w*h)]) AS BIGINT) AS b_sum,
         |  'png' AS format
         |FROM p""".stripMargin
   )

@@ -37,6 +37,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("constructing j6_band_sql leaves the shared session's optimizer env and views untouched") {
+    // j6 builds on spark.newSession(): the rule + events_v view live there,
+    // so bench plans can no longer depend on whether j6 ran earlier
+    val before = spark.experimental.extraOptimizations
+    val hadView = spark.catalog.tableExists("events_v")
+    graft.SparkEntry.queries("j6_band_sql")(spark, sf)
+    assert(spark.experimental.extraOptimizations == before,
+      "j6 mutated the shared session's extraOptimizations")
+    assert(spark.catalog.tableExists("events_v") == hadView,
+      "j6 leaked its temp view into the shared session")
+  }
+
   test("source classifier: no cartesian beyond bounded broadcasts, argmax uses group-limit") {
     // the xnSources blow-up must ride broadcast nested-loops of BOUNDED
     // dims (sources, 1-row totals) — never a real CartesianProduct — and
