@@ -1,0 +1,89 @@
+#!/usr/bin/env bash
+# One-command repro harness for the judge: runs the full verification loop —
+#   1. sbt test            (ScalaTest suite)
+#   2. graft.Verify + DuckDB oracle compare at sf0.001 / sf0.01 / sf0.1
+#   3. the official quiet bench (graft.Bench, bare JVM, full probes)
+# — and emits ONE JSON verdict line on stdout (also written to
+# JUDGE_LAST.json). Exit 0 iff every gate passed AND the bench window
+# self-certified quiet (contended-window benches report "bench_quiet":false
+# but do not fail the harness: re-run in a quieter window).
+#
+# Usage: scripts/judge.sh            (from anywhere; ~6 min total)
+#        SKIP_TESTS=1 scripts/judge.sh   (skip step 1 when iterating)
+set -u
+cd "$(dirname "$0")/.."
+
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+fail=0
+
+# ---- 1. sbt test ----------------------------------------------------------
+tests_passed=0; tests_failed=-1
+if [ "${SKIP_TESTS:-0}" != "1" ]; then
+  sbt -batch test > /tmp/judge_sbt_test.log 2>&1
+  line=$(grep -E "Tests: succeeded" /tmp/judge_sbt_test.log | tail -1)
+  tests_passed=$(echo "$line" | sed -n 's/.*succeeded \([0-9]*\).*/\1/p')
+  tests_failed=$(echo "$line" | sed -n 's/.*failed \([0-9]*\).*/\1/p')
+  tests_passed=${tests_passed:-0}; tests_failed=${tests_failed:--1}
+  [ "$tests_failed" = "0" ] || fail=1
+else
+  sbt -batch compile > /tmp/judge_sbt_test.log 2>&1 || fail=1
+  tests_failed=-1 # skipped
+fi
+
+# ---- 2. Verify + oracle at all three SFs ---------------------------------
+declare -A oracle_result
+for sf in 0.001 0.01 0.1; do
+  out="/tmp/judge_verify_sf$sf"
+  rm -rf "$out"
+  SPARK_GRAFT_CPUS=32 java -cp "$CP" -Xmx16g graft.Verify \
+    "/root/testdata/sf$sf" "$out" > "/tmp/judge_verify_sf$sf.log" 2>&1
+  if [ $? -ne 0 ]; then oracle_result[$sf]="verify-failed"; fail=1; continue; fi
+  res=$(python3 scripts/check_oracle.py "/root/testdata/sf$sf" "$out" 2>&1 | tail -1)
+  # "== N/M oracle-checked queries pass"
+  n=$(echo "$res" | sed -n 's/.*== \([0-9]*\)\/\([0-9]*\).*/\1/p')
+  m=$(echo "$res" | sed -n 's/.*== \([0-9]*\)\/\([0-9]*\).*/\2/p')
+  oracle_result[$sf]="${n:-0}/${m:-0}"
+  [ -n "$n" ] && [ "$n" = "$m" ] || fail=1
+done
+
+# ---- 3. official quiet bench ---------------------------------------------
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_BENCH_OUT=/tmp/judge_bench.json \
+  java -cp "$CP" -Xmx16g graft.Bench > /tmp/judge_bench.log 2>&1
+bench_rc=$?
+bench_json=$(cat /tmp/judge_bench.json 2>/dev/null || echo '{}')
+[ $bench_rc -eq 0 ] || fail=1
+
+# Probe checks per BASELINE.md: both spins < 2x ref on both sides, mem_bw
+# >= 50% of ref on both sides. Done in python (jq is not guaranteed).
+read -r bench_total bench_quiet <<< "$(python3 - <<'EOF'
+import json
+try:
+    d = json.load(open('/tmp/judge_bench.json'))
+except Exception:
+    print('null false'); raise SystemExit
+quiet = True
+for k, ref in [('spin', 'spin_ref_sec'), ('spin_mt', 'spin_mt_ref_sec')]:
+    r = d.get(ref)
+    for side in ('before', 'after'):
+        v = d.get(f'{k}_{side}_sec')
+        if r is None or v is None or v >= 2 * r:
+            quiet = False
+r = d.get('mem_bw_ref_gbps')
+for side in ('before', 'after'):
+    v = d.get(f'mem_bw_gbps_{side}')
+    if r is None or v is None or v < 0.5 * r:
+        quiet = False
+if d.get('errors'):
+    quiet = False
+print(d.get('value', 'null'), str(quiet).lower())
+EOF
+)"
+
+# ---- verdict --------------------------------------------------------------
+verdict=$(printf '{"tests_passed":%s,"tests_failed":%s,"oracle_sf0.001":"%s","oracle_sf0.01":"%s","oracle_sf0.1":"%s","bench_total_sec":%s,"bench_rc":%s,"bench_quiet":%s,"gates_green":%s}' \
+  "$tests_passed" "$tests_failed" \
+  "${oracle_result[0.001]}" "${oracle_result[0.01]}" "${oracle_result[0.1]}" \
+  "$bench_total" "$bench_rc" "$bench_quiet" "$([ $fail -eq 0 ] && echo true || echo false)")
+echo "$verdict" | tee JUDGE_LAST.json
+exit $fail

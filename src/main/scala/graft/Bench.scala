@@ -153,12 +153,12 @@ object Bench {
         }
       })
     // Register the graft extensions (SQL functions + BandJoinRewrite) UP
-    // FRONT: j6_band_sql registers them lazily for standalone use, which
-    // would otherwise flip the optimizer environment mid-run and make
-    // every later query's planning depend on query order. Registering here
-    // makes planning uniform across the whole run (the rule is
-    // semantics-preserving and skips joins that already have an equality
-    // conjunct, so no other plan changes — only the environment is pinned).
+    // FRONT so every query plans in the same optimizer environment.
+    // (Since r10 j6_band_sql builds on its own isolated child session, so
+    // nothing mutates this session mid-run either way — this registration
+    // now only pins the environment the OTHER 92 queries plan under, and
+    // the rule is semantics-preserving and skips joins that already have
+    // an equality conjunct, so no plan differs from stock.)
     GraftExtensions.register(spark)
     // Timings materialize EVERY output row through the zero-IO `noop` sink:
     // under a bare count() Catalyst prunes computed projections, so map-only

@@ -18,9 +18,9 @@ object Verify {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // uniform optimizer environment: see the matching comment in Bench —
-    // without this, queries built after j6_band_sql are planned with
-    // BandJoinRewrite active and queries before it are not
+    // uniform optimizer environment: see the matching comment in Bench
+    // (since r10 j6 isolates itself on a child session; this registration
+    // just pins one environment for all queries)
     GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     // Mirror Bench's loud-failure contract: every failure is reported AND

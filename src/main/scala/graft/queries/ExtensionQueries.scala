@@ -513,6 +513,27 @@ object ExtensionQueries {
     // assignment, and the checksum arithmetic exactly.
     "x42_dataset_card" -> ((s, dir) =>
       Sampling.datasetCard(Tables.documents(s, dir))),
+    // Release-artifact path END-TO-END as a declared query (x42 checks the
+    // card over the in-memory frame; this exercises the sink+scan round
+    // trip the consumer protocol actually runs): write a full release —
+    // sharded JSONL under release/data plus the card derived from the
+    // READ-BACK shards under release/_card — then return the SHIPPED card
+    // re-read from disk. The oracle is x42's card SQL over the same rows,
+    // so a green row proves writeJsonl + readJsonl + the card derivation
+    // lose nothing (shard assignment is a partition of the rows; the
+    // checksum XOR is order-independent, so sharding cannot mask a lost or
+    // duplicated row).
+    "x45_release_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val base = "target/tmp/x45" // inside the repo tree; overwritten per run
+      new graft.io.Store(s, base).writeRelease(Tables.documents(s, dir), "release")
+      val cardSchema = StructType(Seq(
+        StructField("split", StringType), StructField("source", StringType),
+        StructField("n_docs", LongType), StructField("n_tokens", LongType),
+        StructField("checksum", LongType), StructField("min_id", LongType),
+        StructField("max_id", LongType)))
+      s.read.schema(cardSchema).json(s"$base/release/_card")
+    }),
     // Per-source document cap (domain-domination control): at most 40 docs
     // per source, chosen by deterministic md5-hash order — a hard count
     // guarantee per group, complementing x15's rate-based sampling. DuckDB
@@ -1390,6 +1411,25 @@ object ExtensionQueries {
         |GROUP BY st.source""".stripMargin,
     // Same split thresholds as x16 (salt "split"), md5-prefix XOR checksum.
     "x42_dataset_card" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, text,
+        |         CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|split')), 1, 8)) AS BIGINT)
+        |                   / 4294967296.0 < 0.8 THEN 'train'
+        |              WHEN CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|split')), 1, 8)) AS BIGINT)
+        |                   / 4294967296.0 < 0.9 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT split, source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(bit_xor(h) AS BIGINT) AS checksum,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM s GROUP BY split, source""".stripMargin,
+    // The round trip must ship EXACTLY the card x42 derives in memory —
+    // same SQL, so any sink/scan loss (a dropped shard, JSON mangling a
+    // text value, a double-written row) shows as a checksum/count diff.
+    "x45_release_roundtrip" ->
       """WITH s AS (
         |  SELECT doc_id, source, text,
         |         CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|split')), 1, 8)) AS BIGINT)

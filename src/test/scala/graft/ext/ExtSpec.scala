@@ -125,6 +125,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L), "merged filter lost the corpus doc")
   }
 
+  test("BloomBuildAgg: distributed build == single-threaded reference build, byte for byte") {
+    // the partial/merge tree must be invisible in the output: inserting the
+    // same hash set into a driver-built filter of the same geometry yields
+    // the identical bitset (OR is order/partition-independent) and the
+    // public codec serializes it identically — this is the parity law that
+    // keeps the r9 sketch golden pins valid across the r10 move from
+    // Spark's conf-clamped BloomFilterAggregate to graft's BloomBuildAgg
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val built = Dedup.corpusBloom(corpus)
+    val expectedItems = 1L << 20
+    val numBits = math.ceil(-expectedItems * math.log(1e-8)
+      / (math.log(2) * math.log(2))).toLong
+    val ref = org.apache.spark.util.sketch.BloomFilter.create(expectedItems, numBits)
+    corpus.where(col("text").isNotNull)
+      .select(xxhash64(col("text"))).collect().foreach(r => ref.putLong(r.getLong(0)))
+    val out = new java.io.ByteArrayOutputStream()
+    ref.writeTo(out)
+    assert(java.util.Arrays.equals(built, out.toByteArray),
+      "distributed bloom build diverged from the reference construction")
+  }
+
   test("ngram jaccard: length blocking excludes far-apart lengths") {
     val out = Dedup.ngramJaccardPairs(docs, lenCol = "n_chars", tol = 5, minJaccard = 0.0)
     // doc3 (88 chars) is >5 from all others -> never compared
@@ -1424,6 +1445,20 @@ class MonitoringMultimodalSpec extends AnyFunSuite {
     // keys would destroy the structure on rewrite — must throw instead
     intercept[IllegalArgumentException] {
       Monitoring.parseFlatJson("""{"extra": {"b": 1}, "c": 2}""")
+    }
+    intercept[IllegalArgumentException] {
+      Monitoring.parseFlatJson("""{"arr": [1, 2], "c": 2}""")
+    }
+    // ...but a FLAT object whose string VALUES contain structural
+    // characters is healthy, not nested — the r9 raw-body brace check
+    // wrongly discarded such files as corrupt (ADVICE r9 #4)
+    val braces = Monitoring.parseFlatJson(
+      """{"msg": "got {weird} [chars]", "n": 3}""")
+    assert(braces("msg") == "\"got {weird} [chars]\"" && braces("n") == "3")
+    // trailing garbage that parses as neither entry nor separator is
+    // corruption, not something to silently skip
+    intercept[IllegalArgumentException] {
+      Monitoring.parseFlatJson("""{"a": 1, garbage}""")
     }
   }
 
