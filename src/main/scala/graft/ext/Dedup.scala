@@ -230,12 +230,16 @@ object Dedup {
     */
   def resolveComponents(docs: DataFrame, pairs: DataFrame,
                         id: String = "doc_id", maxRounds: Int = 25): DataFrame = {
-    // canonical parent-pointer edges (u, v) with u > v, self-loops dropped
+    // canonical parent-pointer edges (u, v) with u > v, self-loops dropped.
+    // NO distinct here: duplicate pairs cannot change a min-aggregate, and
+    // both star steps end in their own distinct, so deduping the raw pair
+    // stream would only add an exchange to this eager materialization (the
+    // checkpoint exists to cut the expensive pair-join lineage, which both
+    // consumers inside smallStar would otherwise recompute).
     val edges0 = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
       .localCheckpoint(true)
     // Fast path: ONE small-star round (a keyed min + a keyed join) already
     // resolves any pair graph whose components are cliques or near-cliques

@@ -107,9 +107,12 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("corpusBloom: requested geometry survives past the runtime-filter clamps") {
-    // BloomFilterAggregate clamps to the runtime-join-filter confs (4M
-    // items / 67M bits by default); a build above that silently saturated
-    // AND refused to merge with the unclamped empty-corpus fallback
+    // Spark's BloomFilterAggregate clamps to the runtime-join-filter confs
+    // (4M items / 67M bits by default); graft's BloomBuildAgg takes its
+    // geometry as constructor values, so a build above those caps must
+    // come back full-size and merge with a same-geometry empty build —
+    // with NO session confs touched (r9 inflated them around the build;
+    // r10 removed that)
     val items = 5000000L // > the 4M default clamp
     val corpus = Seq((1L, "seen doc")).toDF("doc_id", "text")
     val built = Dedup.corpusBloom(corpus, expectedItems = items, fpp = 0.01)
