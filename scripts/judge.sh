@@ -55,13 +55,16 @@ bench_json=$(cat /tmp/judge_bench.json 2>/dev/null || echo '{}')
 [ $bench_rc -eq 0 ] || fail=1
 
 # Probe checks per BASELINE.md: both spins < 2x ref on both sides, mem_bw
-# >= 50% of ref on both sides. Done in python (jq is not guaranteed).
-read -r bench_total bench_quiet <<< "$(python3 - <<'EOF'
+# >= 50% of ref on both sides. Also flag (not fail) when the fresh run's
+# surface fingerprint differs from the committed BENCH_LAST.json — a total
+# comparison against the committed snapshot is then invalid by definition.
+# Done in python (jq is not guaranteed).
+read -r bench_total bench_quiet surface_matches <<< "$(python3 - <<'EOF'
 import json
 try:
     d = json.load(open('/tmp/judge_bench.json'))
 except Exception:
-    print('null false'); raise SystemExit
+    print('null false false'); raise SystemExit
 quiet = True
 for k, ref in [('spin', 'spin_ref_sec'), ('spin_mt', 'spin_mt_ref_sec')]:
     r = d.get(ref)
@@ -76,14 +79,21 @@ for side in ('before', 'after'):
         quiet = False
 if d.get('errors'):
     quiet = False
-print(d.get('value', 'null'), str(quiet).lower())
+try:
+    c = json.load(open('BENCH_LAST.json'))
+    match = all(d.get(k) == c.get(k)
+                for k in ('bench_surface', 'bench_surface_n', 'bench_surface_fp'))
+except Exception:
+    match = False
+print(d.get('value', 'null'), str(quiet).lower(), str(match).lower())
 EOF
 )"
 
 # ---- verdict --------------------------------------------------------------
-verdict=$(printf '{"tests_passed":%s,"tests_failed":%s,"oracle_sf0.001":"%s","oracle_sf0.01":"%s","oracle_sf0.1":"%s","bench_total_sec":%s,"bench_rc":%s,"bench_quiet":%s,"gates_green":%s}' \
+verdict=$(printf '{"tests_passed":%s,"tests_failed":%s,"oracle_sf0.001":"%s","oracle_sf0.01":"%s","oracle_sf0.1":"%s","bench_total_sec":%s,"bench_rc":%s,"bench_quiet":%s,"bench_surface_matches_committed":%s,"gates_green":%s}' \
   "$tests_passed" "$tests_failed" \
   "${oracle_result[0.001]}" "${oracle_result[0.01]}" "${oracle_result[0.1]}" \
-  "$bench_total" "$bench_rc" "$bench_quiet" "$([ $fail -eq 0 ] && echo true || echo false)")
+  "$bench_total" "$bench_rc" "$bench_quiet" "$surface_matches" \
+  "$([ $fail -eq 0 ] && echo true || echo false)")
 echo "$verdict" | tee JUDGE_LAST.json
 exit $fail
