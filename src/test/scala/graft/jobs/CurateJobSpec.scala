@@ -77,6 +77,26 @@ class CurateJobSpec extends AnyFunSuite {
     assert(out(1009L) == (("drop_batch_neardup", Some(1006L), true, true)))
   }
 
+  test("curateWithManifests: manifest rows == decision-frame keep rows re-aggregated") {
+    // the x36 invariance law: aggregating the packed keep-frame straight
+    // off the stage chain must yield byte-identical manifests to filtering
+    // action = 'keep' out of the decision union and re-deriving them — the
+    // r10 fast path cannot change a single manifest cell
+    val p = CurateParams(budgetTokens = 1e9)
+    val (decisions, manifests) = CurateJob.curateWithManifests(batch, corpus, p)
+    val fromDecisions = decisions.where(col("action") === "keep")
+      .withColumn("__pu", Sampling.hashUnit(col("doc_id"), p.packSalt))
+      .groupBy("bucket", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("__pu"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")), ",").as("doc_ids"))
+    val a = manifests.collect().map(_.toSeq).toSet
+    val b = fromDecisions.collect().map(_.toSeq).toSet
+    assert(a == b, s"manifest mismatch:\n  chain: $a\n  union: $b")
+    assert(a.nonEmpty, "fixture produced no kept sequences — law checked nothing")
+  }
+
   test("curate: a null-text doc gets a drop_invalid decision, never vanishes") {
     // every downstream predicate is null-blind, so before the explicit
     // branch this doc fell out of EVERY stage and the decision frame lost
