@@ -43,7 +43,10 @@ for sf in 0.001 0.01 0.1; do
   n=$(echo "$res" | sed -n 's/.*== \([0-9]*\)\/\([0-9]*\).*/\1/p')
   m=$(echo "$res" | sed -n 's/.*== \([0-9]*\)\/\([0-9]*\).*/\2/p')
   oracle_result[$sf]="${n:-0}/${m:-0}"
-  [ -n "$n" ] && [ "$n" = "$m" ] || fail=1
+  # m must be a known POSITIVE total: "== 0/0" parses, 0==0 holds, and the
+  # SF would count green with nothing checked (e.g. an output-format drift
+  # that still prints the "==" line over zero queries).
+  [ -n "$n" ] && [ "${m:-0}" -gt 0 ] && [ "$n" = "$m" ] || fail=1
 done
 
 # ---- 3. official quiet bench ---------------------------------------------
@@ -74,7 +77,10 @@ for k, ref in [('spin', 'spin_ref_sec'), ('spin_mt', 'spin_mt_ref_sec')]:
             quiet = False
 r = d.get('mem_bw_ref_gbps')
 for side in ('before', 'after'):
-    v = d.get(f'mem_bw_gbps_{side}')
+    # gate on the MIN of the timed sweeps (conservative: a majority-
+    # contended probe window must not self-certify quiet via one clean
+    # sweep); mem_bw_gbps_* stays the max = capacity reading
+    v = d.get(f'mem_bw_min_gbps_{side}', d.get(f'mem_bw_gbps_{side}'))
     if r is None or v is None or v < 0.5 * r:
         quiet = False
 if d.get('errors'):

@@ -58,7 +58,7 @@ object Bench {
     * slices of one 256 MiB long array; reported as GB/s touched. Quiet
     * reference is recorded next to the spin refs in BASELINE.md.
     */
-  private def memBw(nThreads: Int): Double = {
+  private def memBw(nThreads: Int): (Double, Double) = {
     val n = 32 * 1024 * 1024 // 32M longs = 256 MiB
     val a = new Array[Long](n)
     java.util.Arrays.fill(a, 3L)
@@ -97,11 +97,15 @@ object Bench {
       (8.0 * n * passes / secs) / 1e9
     }
     // Two untimed warmup sweeps (the first faults pages / compiles the
-    // loop; one was measurably not enough cold), then best-of-3 timed:
-    // bandwidth is a CAPACITY probe, so the max is the honest reading —
-    // a transient co-tenant burst can only lower a sweep, never raise it.
+    // loop; one was measurably not enough cold), then 3 timed sweeps
+    // reported as (max, min). The max is the CAPACITY reading (a co-tenant
+    // burst can only lower a sweep, never raise it); the min is the
+    // CONTENTION reading the quiet gate must use — gating on the max would
+    // let a window where 2 of 3 sweeps were contended self-certify quiet
+    // via the one clean sweep, a weaker claim than the gate's name.
     sweep(); sweep()
-    (0 until 3).map(_ => sweep()).max
+    val sweeps = (0 until 3).map(_ => sweep())
+    (sweeps.max, sweeps.min)
   }
 
   private def loadAvg(): Double =
@@ -212,17 +216,37 @@ object Bench {
     val skipped =
       if (subset.isEmpty && !full) verifyOnlyGates.toSeq.sorted else Nil
     val errors = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // Per-query ON-CPU attribution: wall timings inflate under mid-run
+    // co-tenant bursts the before/after probes cannot see, so the
+    // run-level cpu_total_sec became the decisive cross-window field —
+    // but per-query regressions still rode wall only. Snapshot the
+    // listener-fed CPU counter around each query; the bus delivers
+    // onTaskEnd asynchronously, so each query's tail events must be
+    // DRAINED before the after-snapshot or they'd be billed to the next
+    // query. Drains are bounded (5 s) and best-effort: a timeout smears
+    // attribution between two adjacent queries without stalling the run,
+    // and is counted loudly in queries_cpu_drain_timeouts (nonzero =>
+    // treat queries_cpu as approximate; cpu_total_sec is unaffected).
+    var drainTimeouts = 0
+    def drainBus(): Unit =
+      try org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext, 5000L)
+      catch { case _: java.util.concurrent.TimeoutException => drainTimeouts += 1 }
     val results = selected.map { case (name, fn) =>
+      val cpu0 = { drainBus(); cpuNanos.get }
       val t0 = System.nanoTime()
       try { run(fn(spark, sfDir)) }
       catch { case t: Throwable => errors += name -> esc(t.toString.take(200)) }
-      name -> (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      drainBus()
+      name -> (wall, (cpuNanos.get - cpu0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (w, _)) => s"\"" + k + "\":" + w }
+      .mkString("{", ",", "}")
+    val qsCpu = results.map { case (k, (_, c)) => s"\"" + k + "\":" + f"$c%.3f" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, m) => s"""{"query":"$k","error":"$m"}""" }
       .mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val skip = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     // stop the session BEFORE the closing spin so Spark's own shutdown
     // (executor threads, cleaner) can't pollute the after-window reading
@@ -245,8 +269,10 @@ object Bench {
       case _ => ""
     }
     val memBwJson = (memBwBefore, memBwAfter) match {
-      case (Some(bb), Some(ba)) =>
-        s""""mem_bw_gbps_before":${num(bb)},"mem_bw_gbps_after":${num(ba)},"mem_bw_ref_gbps":100.0,"""
+      case (Some((bbMax, bbMin)), Some((baMax, baMin))) =>
+        s""""mem_bw_gbps_before":${num(bbMax)},"mem_bw_gbps_after":${num(baMax)},""" +
+        s""""mem_bw_min_gbps_before":${num(bbMin)},"mem_bw_min_gbps_after":${num(baMin)},""" +
+        s""""mem_bw_ref_gbps":100.0,"""
       case _ => ""
     }
     // "bench_surface" versions what "total" measures (the r8 verify-gate
@@ -265,7 +291,7 @@ object Bench {
     val surfaceFp = java.security.MessageDigest.getInstance("MD5")
       .digest(surfaceNames.mkString(",").getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"skipped_verify_gates":$skip,$spinJson$spinMtJson$memBwJson"cpu_total_sec":${num(cpuNanos.get / 1e9)},"task_time_total_sec":${num(runNanos.get / 1e9)},"load_avg_before":${num(loadBefore)},"load_avg_after":${num(loadAfter)},"bench_surface":"$surface","bench_surface_n":${surfaceNames.size},"bench_surface_fp":"$surfaceFp","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"queries_cpu_drain_timeouts":$drainTimeouts,"errors":$errs,"skipped_verify_gates":$skip,$spinJson$spinMtJson$memBwJson"cpu_total_sec":${num(cpuNanos.get / 1e9)},"task_time_total_sec":${num(runNanos.get / 1e9)},"load_avg_before":${num(loadBefore)},"load_avg_after":${num(loadAfter)},"bench_surface":"$surface","bench_surface_n":${surfaceNames.size},"bench_surface_fp":"$surfaceFp","sf":"$sfDir"}"""
     println(line)
     // Stdout is shared with Spark/log4j noise, so tail-parsing the process
     // output is fragile; always also drop the line into a file — an sbt-forked

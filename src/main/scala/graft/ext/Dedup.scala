@@ -227,6 +227,17 @@ object Dedup {
     * many, which AQE skew-split handles. Per-round eager localCheckpoints
     * cut the exponentially-growing lineage that sinks naive iterative
     * DataFrame algorithms.
+    *
+    * INPUT CONTRACT: `pairs` producers must emit each pair (near-)once.
+    * The raw pair stream is materialized UNDEDUPED (duplicate pairs cannot
+    * change a min-aggregate, and both star steps end in their own
+    * distinct), so a producer that emitted a pair once per colliding LSH
+    * band would inflate the checkpoint AND fan smallStar's first join out
+    * quadratically in the duplication factor before its distinct. Every
+    * in-repo producer honors this — [[minhashPairs]]/[[simhashPairs]] end
+    * in distinct, the Jaccard family meets each pair in exactly one length
+    * bucket; route any new multi-emitting producer through its own
+    * distinct before resolving.
     */
   def resolveComponents(docs: DataFrame, pairs: DataFrame,
                         id: String = "doc_id", maxRounds: Int = 25): DataFrame = {

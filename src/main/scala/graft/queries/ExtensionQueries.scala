@@ -25,6 +25,19 @@ object ExtensionQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-PROCESS scratch root for queries whose semantics are a sink+scan
+    * round trip (x45 release, x46 partitioned scan). A fixed repo-relative
+    * path would let two concurrent harnesses (bench while tests run,
+    * overlapping judge.sh invocations) overwrite each other's artifact
+    * between the eager write and the lazy read-back — spurious oracle
+    * diffs — and would leave benched queries writing inside the repo tree.
+    * One temp dir per JVM: unique across processes, stable within one (the
+    * bench's warmup + timed run reuse it; every write below is
+    * mode=overwrite).
+    */
+  private lazy val scratchDir: String =
+    java.nio.file.Files.createTempDirectory("graft-scratch-").toString
+
   /** The x39 incoming batch: the fresh mod-7 slice plus id-shifted
     * (+100000) copies of every mod-5 doc, simulating a re-crawl whose
     * mod-5-not-mod-7 members byte-duplicate the existing corpus. Pure id
@@ -525,7 +538,7 @@ object ExtensionQueries {
     // duplicated row).
     "x45_release_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-      val base = "target/tmp/x45" // inside the repo tree; overwritten per run
+      val base = s"$scratchDir/x45" // process-unique; overwritten per run
       new graft.io.Store(s, base).writeRelease(Tables.documents(s, dir), "release")
       val cardSchema = StructType(Seq(
         StructField("split", StringType), StructField("source", StringType),
@@ -533,6 +546,29 @@ object ExtensionQueries {
         StructField("checksum", LongType), StructField("min_id", LongType),
         StructField("max_id", LongType)))
       s.read.schema(cardSchema).json(s"$base/release/_card")
+    }),
+    // Partition-PRUNING witness over the date-partitioned Parquet scale
+    // sink (Store.writePartitioned — SURVEY §4's datetime-derived layout):
+    // write events partitioned by dt=to_date(ts), then aggregate a 3-day
+    // window. The date predicate lands on the PARTITION column, so the
+    // scan enumerates 3 of the 30 dt= directories and never opens the
+    // rest — at 100 TB this is the difference between reading 3 days and
+    // reading 3 years; PlanSpec pins both the PartitionFilters plan node
+    // and (via input_file_name) the actual pruned file set. DuckDB replays
+    // the same window straight off the ts column, so a green row also
+    // proves the sink's dt derivation partitions the rows correctly
+    // (every row lands in exactly the dt the oracle derives from its ts).
+    "x46_partition_prune" -> ((s, dir) => {
+      val base = s"$scratchDir/x46"
+      new graft.io.Store(s, base)
+        .writePartitioned(Tables.events(s, dir), "events_by_day", tsCol = "ts")
+      s.read.parquet(s"$base/events_by_day")
+        .where(col("dt").between("2024-01-10", "2024-01-12"))
+        // dt ships as yyyy-MM-dd TEXT: parquet date32 vs DuckDB's date
+        // land as different pandas dtypes in the compare harness
+        .groupBy(date_format(col("dt").cast("date"), "yyyy-MM-dd").as("dt"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
     // Per-source document cap (domain-domination control): at most 40 docs
     // per source, chosen by deterministic md5-hash order — a hard count
@@ -1445,6 +1481,15 @@ object ExtensionQueries {
         |  CAST(bit_xor(h) AS BIGINT) AS checksum,
         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM s GROUP BY split, source""".stripMargin,
+    // The partitioned-sink round trip: DuckDB derives each row's day
+    // straight from ts, so a green row proves the dt= layout partitions
+    // and the pruned scan reads exactly the 3-day window's rows.
+    "x46_partition_prune" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt, event_type,
+        |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+        |GROUP BY 1, 2""".stripMargin,
     // Same md5-unit order and window as Sampling.capPerGroup (salt "cap").
     "x41_source_cap" ->
       """WITH u AS (

@@ -393,6 +393,31 @@ object ReferenceQueries {
         "l_user", "r_user", "l_ts", "r_ts", 1800L, 1800L)
         .select("l_id", "r_id", "r_value")
     }),
+    // The streaming SKETCH-probe face (EventStreams.dedupAgainstCorpusSketch
+    // — x39's bloom verdict as an unbounded-feed operator), batch-
+    // materialized like st1/st2: a re-crawl feed of the fresh mod-7 slice
+    // plus id-shifted copies of the mod-5-not-mod-7 docs probes a Bloom
+    // sketch of the corpus (mod-7 != 0); survivors are the mod-7 docs, the
+    // copies drop as corpus duplicates. The copy set deliberately EXCLUDES
+    // mod-35 docs (x39's within-batch duplicates): the stream face also
+    // dedups within the feed, where batch dropDuplicates keeps an
+    // arbitrary survivor — excluded, every feed text is unique, the
+    // within-stream tier is a value-no-op, and the row set is
+    // deterministic. At the 1e-8 fpp default the sketch verdict is
+    // value-identical to exact membership at oracle scale (x39b bounds the
+    // fp budget every round), so DuckDB replays the probe as exact NOT IN.
+    // StreamingSpec additionally pins row-identity to x39's keep decisions.
+    "st3_stream_bloom_probe" -> ((s, dir) => {
+      val docs = graft.Tables.documents(s, dir)
+      val incoming = docs.where(col("doc_id") % 7 === 0).select("doc_id", "text")
+        .unionByName(docs
+          .where(col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        .withColumn("ts", timestamp_seconds(col("doc_id")))
+      val bloom = graft.ext.Dedup.corpusBloom(docs.where(col("doc_id") % 7 =!= 0))
+      graft.streaming.EventStreams.dedupAgainstCorpusSketch(incoming, bloom)
+        .select("doc_id")
+    }),
 
     // ---- Exact percentiles (order statistics) ------------------------------
     // percentile_disc picks an actual data value (no interpolation
@@ -634,6 +659,17 @@ object ReferenceQueries {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         |       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // Exact-membership replay of the streaming sketch probe's batch face
+    // (same replay rule as x39: no false positive at oracle scale,
+    // verified by x39b's budget gate).
+    "st3_stream_bloom_probe" ->
+      """WITH incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0)
+        |SELECT doc_id FROM incoming
+        |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 7 <> 0)""".stripMargin,
     "st2_stream_interval_join" ->
       """WITH c AS (SELECT event_id AS l_id, user_id AS u, CAST(ts AS TIMESTAMP) AS lts
         |           FROM events WHERE event_type = 'click'),

@@ -95,6 +95,20 @@ object EventStreams {
     * matrix (only anti joins with the STREAM on the right are rejected),
     * so the delta is expressed directly.
     */
+  /** Within-feed first-arrival dedup with a BATCH face: streaming frames
+    * get `dropDuplicatesWithinWatermark` (watermark-bounded state);
+    * batch frames get plain `dropDuplicates` — Spark rejects the
+    * watermark variant outright on batch plans (unlike `withWatermark`,
+    * which is a silent no-op), so the operators below could otherwise
+    * never run batch-materialized the way st1/st2 do. Batch semantics:
+    * one arbitrary survivor per key, exactly what a whole-feed watermark
+    * horizon degenerates to — deterministic iff the feed is key-unique
+    * (the declared st3 feed is; its scaladoc explains why).
+    */
+  private def dropDupFeed(df: DataFrame, key: String): DataFrame =
+    if (df.isStreaming) df.dropDuplicatesWithinWatermark(key)
+    else df.dropDuplicates(key)
+
   def dedupAgainstCorpus(stream: DataFrame, corpus: DataFrame,
                          text: String = "text",
                          watermarkDelay: String = "2 hours"): DataFrame = {
@@ -105,11 +119,11 @@ object EventStreams {
     // the rest as "duplicates" of each other) — content dedup of
     // contentless rows is undefined; run the P6 guard / drop_invalid stage
     // upstream if such rows must be preserved elsewhere.
-    stream
-      .where(col(text).isNotNull)
-      .withColumn("__h", sha2(col(text), 256))
-      .withWatermark("ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark("__h")
+    dropDupFeed(
+      stream
+        .where(col(text).isNotNull)
+        .withColumn("__h", sha2(col(text), 256))
+        .withWatermark("ts", watermarkDelay), "__h")
       .join(corpusHash, Seq("__h"), "left_anti")
       .drop("__h")
   }
@@ -139,11 +153,11 @@ object EventStreams {
   def dedupAgainstCorpusSketch(stream: DataFrame, corpusBloom: Array[Byte],
                                text: String = "text",
                                watermarkDelay: String = "2 hours"): DataFrame =
-    stream
-      .where(col(text).isNotNull) // same null-text rule as dedupAgainstCorpus
-      .withColumn("__h", sha2(col(text), 256))
-      .withWatermark("ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark("__h")
+    dropDupFeed(
+      stream
+        .where(col(text).isNotNull) // same null-text rule as dedupAgainstCorpus
+        .withColumn("__h", sha2(col(text), 256))
+        .withWatermark("ts", watermarkDelay), "__h")
       .where(!graft.ext.Dedup.bloomMightContain(corpusBloom, col(text)))
       .drop("__h")
 

@@ -77,6 +77,28 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges(p) == 1, s"expected 1 shuffle:\n$p")
   }
 
+  test("partitioned-sink scan prunes to the filtered dt= directories") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    // plan-level: the date predicate lands in PartitionFilters (directory
+    // enumeration), not just PushedFilters (row-group stats) — at 100 TB
+    // this is what keeps a 3-day query from listing 3 years of files
+    val p = plan("x46_partition_prune")
+    val pf = "PartitionFilters: \\[[^\\]]+\\]".r.findFirstIn(p)
+    assert(pf.exists(_.contains("dt")), s"no partition filter on dt:\n$p")
+    // execution-level: the filtered scan touches ONLY the 3 selected dt=
+    // directories, out of the 30 the fixture writes
+    val base = java.nio.file.Files.createTempDirectory("graft-prune-").toString
+    new graft.io.Store(spark, base).writePartitioned(
+      graft.Tables.events(spark, sf), "events_by_day", tsCol = "ts")
+    val all = spark.read.parquet(s"$base/events_by_day")
+    assert(all.select("dt").distinct().count() == 30)
+    val files = all.where(col("dt").between("2024-01-10", "2024-01-12"))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    val want = Set("dt=2024-01-10", "dt=2024-01-11", "dt=2024-01-12")
+    assert(files.nonEmpty && files.forall(f => want.exists(f.contains)),
+      files.mkString("\n"))
+  }
+
   test("brute-force ANN keeps map-side top-k before the shuffle") {
     val p = plan("x6_ann_brute")
     assert(p.contains("WindowGroupLimit"), p)

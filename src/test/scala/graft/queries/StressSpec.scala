@@ -147,11 +147,114 @@ class StressSpec extends AnyFunSuite {
           f"$name: 100x data took ${t100 / t10}%.1fx the 10x time " +
             f"($t10%.2fs -> $t100%.2fs) — super-linear blowup (reproduced twice)")
       }
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      // the bus delivers onTaskEnd asynchronously — drain it BEFORE
+      // detaching, or in-flight events from the last job are dropped and
+      // the zero-retry/zero-spill assertions below pass vacuously on a run
+      // that actually retried or spilled
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(listener)
+    }
     info(timings.map { case (n, a, b) => f"$n: 10x=$a%.2fs 100x=$b%.2fs (${b / a}%.1fx)" }
       .mkString("; "))
     assert(retried.get == 0, s"${retried.get} task retries at 100x — partition sizing suspect")
     assert(spilled.get == 0, s"${spilled.get} bytes spilled at 100x — partitions exceed memory")
+  }
+
+  /** 8M-row event frame with zipf(s)-distributed user ids over `keys`
+    * ranks: u uniform from a row hash, rank = floor(u^(-1/(s-1))) — the
+    * inverse-CDF Pareto approximation of a zipfian frequency law —
+    * truncated to `keys` ranks (tail mass collapses onto the last rank,
+    * the standard truncated-zipf shape). At s = 1.2 / keys = 1000 the top
+    * rank holds ~13% of ALL rows and the truncation rank ~25% — exactly
+    * the key-concentration that motivated the skew-safe operators, which
+    * the uniform 100x tier never exercises. Deterministic (hash-derived
+    * u), so a failure reproduces.
+    */
+  private def zipfEvents(sess: org.apache.spark.sql.SparkSession,
+                         n: Long, keys: Int, s: Double): DataFrame = {
+    val u = (abs(xxhash64(col("id"))) % 1000000L + 1L) / lit(1000001.0)
+    sess.range(n).select(
+      (least(lit(keys.toLong - 1), floor(pow(u, lit(-1.0 / (s - 1.0)))))
+        + 1L).cast("long").as("user_id"),
+      timestamp_seconds(lit(1704067200L) + pmod(xxhash64(col("id"), lit(7)),
+        lit(2592000L))).as("ts"),
+      (col("id") % 100).cast("double").as("value"))
+      .repartition(32)
+      .localCheckpoint(true)
+  }
+
+  test("zipf(1.2) keys: skew-safe paths keep per-stage task skew bounded, zero retries, zero spills",
+      org.scalatest.tagobjects.Slow) {
+    // The named scale-killers under the skew that motivated them: the
+    // two-phase sessionizer (w2b), the salted aggregation (a5), and the
+    // per-group cap's map-side group limit (x41). Gate: within every
+    // non-trivial stage, the slowest task stays within a small factor of
+    // the stage median — a key-concentrated stage (a ~25%-of-rows key
+    // landing in one of 32 partitions is ~8x the uniform share) breaches;
+    // salting/bucketing/group-limit keep it low single digits. Plus the
+    // same zero-retry / zero-spill claims as the uniform 100x tier.
+    // Runs on an isolated child session at 32 shuffle partitions: the
+    // shared test session's width-4 shuffles leave a hot key
+    // indistinguishable from the uniform share (25% vs a 25% share), and
+    // mutating the shared session's conf would race other suites.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "32")
+    val df = zipfEvents(sess, 8000000L, 1000, 1.2)
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int,
+      java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+    val spilled = new java.util.concurrent.atomic.AtomicLong()
+    val retried = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (e.taskInfo != null) {
+          if (e.taskInfo.attemptNumber > 0) retried.incrementAndGet()
+          stageTasks
+            .computeIfAbsent(e.stageId,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+            .add(e.taskInfo.duration)
+        }
+        val m = e.taskMetrics
+        if (m != null) spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    val docs = df.select(col("user_id"),
+      concat(lit("s"), col("user_id")).as("source"),
+      monotonically_increasing_id().as("doc_id")).localCheckpoint(true)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.operators.Sessionize.sessionsSkewSafe(df, "user_id", "ts",
+        gapSeconds = 1800L, bucketSeconds = 21600L)
+        .write.format("noop").mode("overwrite").save()
+      graft.operators.Skew.saltedCount(df, Seq("user_id"))
+        .write.format("noop").mode("overwrite").save()
+      graft.ext.Sampling.capPerGroup(docs, "source", cap = 40, key = "doc_id")
+        .write.format("noop").mode("overwrite").save()
+    } finally {
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    import scala.jdk.CollectionConverters._
+    var checked = 0
+    info(stageTasks.asScala.toSeq.sortBy(_._1).map { case (sid, q) =>
+      val ds = q.asScala.toSeq.sorted
+      s"stage $sid: n=${ds.size} med=${ds(ds.size / 2)}ms max=${ds.last}ms"
+    }.mkString("; "))
+    stageTasks.asScala.foreach { case (stageId, q) =>
+      val durs = q.asScala.toSeq.sorted
+      val median = durs(durs.size / 2)
+      // only stages wide and slow enough for skew to be measurable:
+      // sub-50ms medians are scheduling noise, < 8 tasks aren't a fan-out
+      if (durs.size >= 8 && median >= 50L) {
+        checked += 1
+        assert(durs.last <= 4 * median + 1000L,
+          s"stage $stageId: max task ${durs.last}ms vs median ${median}ms " +
+            s"over ${durs.size} tasks — key concentration survived the skew-safe path")
+      }
+    }
+    assert(checked >= 1, "no stage was wide/slow enough to measure — grow the corpus")
+    assert(retried.get == 0, s"${retried.get} task retries under zipf skew")
+    assert(spilled.get == 0, s"${spilled.get} bytes spilled under zipf skew")
   }
 
   test("20x corpus: dedup runtime grows ~linearly, never pairwise",

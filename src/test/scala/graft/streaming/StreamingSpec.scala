@@ -349,4 +349,23 @@ class StreamingSpec extends AnyFunSuite {
         out(0).endTs == ts("2024-01-01 12:27:00"))
     } finally q.stop()
   }
+
+  test("st3 stream bloom probe keeps exactly x39's keep decisions on its feed") {
+    // st3's feed is x39's re-crawl batch MINUS the mod-35 copies (those
+    // duplicate batch-side docs, which the stream face dedups
+    // nondeterministically in batch — see the query's scaladoc). On the
+    // shared remainder the sketch probe must agree with x39's verdicts
+    // row-for-row: same sketch, same corpus, different operator face.
+    val sf = "/root/testdata/sf0.001"
+    val kept = graft.SparkEntry.queries("st3_stream_bloom_probe")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val x39Keep = graft.SparkEntry.queries("x39_dedup_bloom")(spark, sf)
+      .where(col("action") === "keep")
+      .collect().map(_.getLong(0)).toSet
+    val mod35Copies = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") % 35 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept == (x39Keep -- mod35Copies))
+  }
 }
