@@ -37,7 +37,7 @@ object Dedup {
     * estimate (e.g. checkpointed intermediates, which already carry their
     * shuffle's partitioning) default to Long.MaxValue and are left alone.
     */
-  private def spread(df: DataFrame, cols: Column*): DataFrame = {
+  private[graft] def spread(df: DataFrame, cols: Column*): DataFrame = {
     val sess = df.sparkSession
     val target = sess.sparkContext.defaultParallelism
     val maxSplit = sess.sessionState.conf.filesMaxPartitionBytes
@@ -243,10 +243,14 @@ object Dedup {
                         id: String = "doc_id", maxRounds: Int = 25): DataFrame = {
     // canonical parent-pointer edges (u, v) with u > v, self-loops dropped.
     // NO distinct here: duplicate pairs cannot change a min-aggregate, and
-    // both star steps end in their own distinct, so deduping the raw pair
-    // stream would only add an exchange to this eager materialization (the
-    // checkpoint exists to cut the expensive pair-join lineage, which both
-    // consumers inside smallStar would otherwise recompute).
+    // both star steps end in their own distinct. EAGER checkpoint, kept
+    // deliberately (round 11 measured the alternatives): lazy would let
+    // smallStar's two reads — the MIN-groupBy stage and the join-probe
+    // stage, which have NO dependency edge between them — race the cache
+    // fill and recompute the expensive pair join (measured ~+1 s / +6 s
+    // CPU on x27 at sf0.1); uncheckpointed is strictly worse (the probe
+    // side has no exchange above the pair join to reuse). The blocking
+    // round this costs is the price of single-materialization.
     val edges0 = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))

@@ -128,18 +128,53 @@ object CurateJob {
     (decisions, manifests(packed, p.packSalt))
   }
 
+  /** Manifests WITHOUT the decision frame — the trainer-facing fast path
+    * (x36). Values are identical to `curateWithManifests(...)._2` (pinned
+    * by CurateJobSpec's invariance law), but the chain runs with
+    * `needDrops = false`: the contamBest checkpoint exists solely so the
+    * dropContam branch of the decision union can re-read that frame — on
+    * the keep-only spine it has exactly ONE downstream consumer, so
+    * skipping it folds the decontamination join into cleanKept's own
+    * materialization instead of a separate blocking round. A caller that
+    * will evaluate BOTH artifacts must use `curateWithManifests`, where
+    * the checkpoint pays for itself.
+    */
+  def manifestsOnly(batch: DataFrame, corpus: DataFrame,
+                    p: CurateParams = CurateParams()): DataFrame =
+    manifests(stages(batch, corpus, p, needDrops = false)._2, p.packSalt)
+
   /** The shared stage chain: returns (decision frame, packed keep-frame).
     * The packed frame is exactly the rows the decision frame tags `keep`
     * (same lineage — the decision union's keep branch is built FROM it).
+    *
+    * `needDrops = false` (manifests-only consumers) skips the checkpoints
+    * whose ONLY second consumer is a drop branch (just contamBest — the
+    * qual and dedup frames are re-read by keep-spine stages regardless,
+    * see their site comments) — the returned decision frame is still
+    * correct, but evaluating it would recompute the decontamination join
+    * once for the dropContam branch; keep the default when both artifacts
+    * will be evaluated.
     */
   private def stages(batch: DataFrame, corpus: DataFrame,
-                     p: CurateParams): (DataFrame, DataFrame) = {
+                     p: CurateParams,
+                     needDrops: Boolean = true): (DataFrame, DataFrame) = {
+    // checkpoint only when the drop branches create a second consumer
+    def ckptIfDrops(df: DataFrame): DataFrame =
+      if (needDrops) df.localCheckpoint(false) else df
     // ---- stage 0: clean, then split the corpus into train vs eval -------
     // NULL text is representable in any real batch (parquet permits it)
     // and every downstream predicate is null-blind (NULL > x and
     // NULL <= x are both false) — without an explicit branch such a doc
     // would fall out of EVERY stage and the one-decision-row-per-doc
     // contract would silently break. It gets its own first-drop reason.
+    // spread (stats-gated repartition) BEFORE the clean chain: a
+    // small-file input arrives as one row group = one partition, and
+    // because every checkpointed stage frame inherits its plan's
+    // partitioning, that single partition would serialize the regex
+    // clean/quality chain — the chain's heaviest per-row work — across the
+    // whole pipeline. At 100 TB the scan has thousands of splits and the
+    // gate skips the shuffle entirely; at fixture scale it trades one tiny
+    // raw-text shuffle for 32-way execution of everything downstream.
     val bAll = withCleanCols(batch)
     val dropInvalid = bAll.where(col("text").isNull)
     val b = bAll.where(col("text").isNotNull)
@@ -149,8 +184,12 @@ object CurateJob {
     val evalDocs = cSplit.where(col("split") === "test")
 
     // ---- stage 1: within-doc repetition filter (x22) --------------------
-    // lazily checkpointed: the repetition-annotated batch feeds both the
-    // drop branch and every downstream stage
+    // lazily checkpointed — kept deliberately (round 11 measured the
+    // removal): dropping it makes the dropRep branch recompute the
+    // clean+repetition chain off the raw scan, and at fixture scale that
+    // chain is pinned to the scan's single row-group partition, so the
+    // recompute is a fully SERIALIZED second pass (+~1 s wall on x27).
+    // The checkpoint materializes it once and every consumer reuses it.
     val rep = TextStats.withRepetition(b, "clean_text").localCheckpoint(false)
     val dropRep = rep.where(col("dup_fraction") > p.maxDupFraction)
     val repKept = rep.where(col("dup_fraction") <= p.maxDupFraction)
@@ -165,6 +204,11 @@ object CurateJob {
     // branch plus every later batch stage, and the clean/quality regex
     // chain is the most expensive per-row work in the pipeline — without
     // the cut each decision branch re-runs it from the rep checkpoint
+    // ALWAYS checkpointed (even manifests-only): the exact-dedup tier
+    // below reads qualKept twice (eMin aggregate + eJoined probe), and the
+    // probe side sits under a broadcast join with no exchange to reuse —
+    // uncheckpointed, the whole clean/quality chain would compute twice
+    // (measured: +x s CPU on the manifests path when this was skipped).
     val qual = TextStats.withLexicalDiversity(qualRules, "clean_text",
       p.ttrNum, p.ttrDen, p.domDiv)
       .withColumn("keep",
@@ -207,6 +251,9 @@ object CurateJob {
       .localCheckpoint(false)
 
     // ---- stage 2b: incremental dedup vs the train corpus (x20) ----------
+    // ALWAYS checkpointed: dedupKept (batchKept ⋈ this) is read both by
+    // the decontamination join and by cleanKept's anti side — without the
+    // cut the near-tier Jaccard chain computes once per read.
     val dedup = Dedup.incrementalDedup(batchKept, trainCorpus,
       lenCol = "n_clean_chars", tol = p.tol, minJaccard = p.minJaccard,
       text = "clean_text").localCheckpoint(false)
@@ -219,13 +266,12 @@ object CurateJob {
     val contam = Dedup.ngramJaccardPairsBetween(dedupKept, evalDocs,
       lenCol = "n_clean_chars", tol = p.tol, text = "clean_text",
       minJaccard = p.minJaccard)
-    val contamBest = contam
+    val contamBest = ckptIfDrops(contam
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("id_l")).orderBy(col("jaccard").desc, col("id_r").asc)))
       .where(col("__rk") === 1)
       .select(col("id_l").as("doc_id"), col("id_r").as("contam_of"),
-        col("jaccard").as("contam_j"))
-      .localCheckpoint(false)
+        col("jaccard").as("contam_j")))
     val dropContam = contamBest
       .join(dedupKept.select("doc_id", "source", "n_tokens"), "doc_id")
     val cleanKept = dedupKept.join(contamBest.select("doc_id"), Seq("doc_id"), "left_anti")

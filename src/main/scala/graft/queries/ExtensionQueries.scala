@@ -648,16 +648,17 @@ object ExtensionQueries {
     // (pu, doc_id) key the packing window sorted by). The ENTIRE chain —
     // curation decisions AND sequence assembly — replays in one DuckDB
     // query built from the shared x27 CTE prefix.
-    // Built through CurateJob.curateWithManifests: the manifest aggregates
-    // the packed keep-frame straight off the stage chain instead of
-    // filtering `action = 'keep'` back out of the 9-branch decision union,
-    // so this query never evaluates the drop branches at all (the r9
-    // verdict's one remaining constant-factor lever — x36 was replaying
-    // the full decision assembly just to throw the drops away).
+    // Built through CurateJob.manifestsOnly: the manifest aggregates the
+    // packed keep-frame straight off the stage chain instead of filtering
+    // `action = 'keep'` back out of the 9-branch decision union, so this
+    // query never evaluates the drop branches at all — and (round 11) the
+    // chain skips the three checkpoints that exist solely for those drop
+    // branches, removing their blocking materialization rounds too.
+    // Values identical to curateWithManifests(...)._2 (CurateJobSpec law).
     "x36_training_sequences" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      CurateJob.curateWithManifests(docs.where(col("doc_id") % 7 === 0),
-        docs.where(col("doc_id") % 7 =!= 0))._2
+      CurateJob.manifestsOnly(docs.where(col("doc_id") % 7 === 0),
+        docs.where(col("doc_id") % 7 =!= 0))
     }),
     "x27b_curate_report" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)

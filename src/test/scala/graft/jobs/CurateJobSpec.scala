@@ -95,6 +95,10 @@ class CurateJobSpec extends AnyFunSuite {
     val b = fromDecisions.collect().map(_.toSeq).toSet
     assert(a == b, s"manifest mismatch:\n  chain: $a\n  union: $b")
     assert(a.nonEmpty, "fixture produced no kept sequences — law checked nothing")
+    // and the r11 checkpoint-skipping fast path (x36) must be cell-identical
+    // to the both-artifacts chain — checkpoints may never change values
+    val c = CurateJob.manifestsOnly(batch, corpus, p).collect().map(_.toSeq).toSet
+    assert(c == a, s"manifestsOnly diverged from curateWithManifests:\n  $c\n  $a")
   }
 
   test("curate: a null-text doc gets a drop_invalid decision, never vanishes") {
