@@ -244,8 +244,11 @@ class StressSpec extends AnyFunSuite {
       val durs = q.asScala.toSeq.sorted
       val median = durs(durs.size / 2)
       // only stages wide and slow enough for skew to be measurable:
-      // sub-50ms medians are scheduling noise, < 8 tasks aren't a fan-out
-      if (durs.size >= 8 && median >= 50L) {
+      // sub-50ms medians are scheduling noise; >= 4 tasks covers both the
+      // 32-way map stages and the AQE-coalesced (~5-task) shuffle stages —
+      // the latter carry the heaviest per-task work and are exactly where
+      // a surviving hot key would land
+      if (durs.size >= 4 && median >= 50L) {
         checked += 1
         assert(durs.last <= 4 * median + 1000L,
           s"stage $stageId: max task ${durs.last}ms vs median ${median}ms " +
