@@ -436,19 +436,17 @@ object ExtensionQueries {
     "x19_decontaminate" -> ((s, dir) => {
       val docs = Sampling.withSplit(Tables.documents(s, dir), "doc_id",
         trainFrac = 0.8, valFrac = 0.1)
-      val pairs = Dedup.ngramJaccardPairs(docs, lenCol = "n_chars", tol = 16,
-        minJaccard = 0.5)
-      val splits = docs.select(col("doc_id"), col("split"))
-      pairs
-        .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
-        .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
-        .where((col("split_a") === "train" && col("split_b") === "test") ||
-               (col("split_a") === "test" && col("split_b") === "train"))
-        .select(
-          when(col("split_a") === "test", col("id_a")).otherwise(col("id_b"))
-            .as("test_doc"),
-          when(col("split_a") === "test", col("id_b")).otherwise(col("id_a"))
-            .as("train_doc"),
+      // Filter-before-compute: the split predicate lands BEFORE the pair
+      // join, so only test x train candidates ever reach the shingle
+      // intersection (~0.16x of the all-pairs space at 80/10/10) and each
+      // side shingles only its own split. The small test split rides the
+      // exploded (3-bucket) side; the big train split contributes one row
+      // per doc to the shuffle — the shape that survives a 100-TB corpus.
+      Dedup.ngramJaccardPairsBetween(
+          docs.where(col("split") === "test"),
+          docs.where(col("split") === "train"),
+          lenCol = "n_chars", tol = 16, minJaccard = 0.5)
+        .select(col("id_l").as("test_doc"), col("id_r").as("train_doc"),
           col("jaccard"))
     }),
     "x18_tfidf_topk" -> ((s, dir) =>
