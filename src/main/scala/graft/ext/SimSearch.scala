@@ -84,6 +84,14 @@ object SimSearch {
   def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
     graft.functions.HyperplaneBucket(vec, planes)
 
+  /** All per-table bucket ids at once (see [[graft.functions.HyperplaneBuckets]]):
+    * value-identical to `array(<16 lshBucket nodes>)` but one generated
+    * hashing loop instead of 16 — the 16-node form's generated-class size
+    * made its COLD first execution ~50x the actual hashing work.
+    */
+  def lshBuckets(vec: Column, tables: Seq[Seq[Array[Double]]], nBits: Int): Column =
+    graft.functions.HyperplaneBuckets(vec, tables.flatten, nBits)
+
   /** Shared ANN epilogue: rank candidates per query by (score desc, id
     * asc) and emit the tier-uniform output schema. ONE definition — the
     * probe set or tie-break changing in one tier but not another is
@@ -106,7 +114,7 @@ object SimSearch {
                          tables: Seq[Seq[Array[Double]]], nBits: Int): DataFrame = {
     val flips = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
     df.select(col("*"),
-        posexplode(array(tables.map(t => lshBucket(col(vecCol), t)): _*))
+        posexplode(lshBuckets(col(vecCol), tables, nBits))
           .as(Seq("tbl", "bucket0")))
       .withColumn("bucket", explode(transform(flips, f => col("bucket0").bitwiseXOR(f))))
       .drop("bucket0")
@@ -161,7 +169,7 @@ object SimSearch {
     spread(corpus, col(cId))
       .withColumn("__cn", norm(col(cVec)))
       .select(col(cId), col(cVec), col("__cn"),
-        posexplode(array(tables.map(t => lshBucket(col(cVec), t)): _*))
+        posexplode(lshBuckets(col(cVec), tables, nBits))
           .as(Seq("tbl", "bucket")))
   }
 
@@ -231,44 +239,60 @@ object SimSearch {
     // quantizer defined by the data that can actually be assigned
     val clean = corpus.where(col(cVec).isNotNull &&
       !exists(col(cVec), e => e.isNull))
-    val sampled = clean.select(col(cId), col(cVec))
-      .orderBy(xxhash64(col(cId)).asc, col(cId).asc).limit(10000)
-      .collect()
-    require(sampled.nonEmpty,
-      "cannot train a quantizer: corpus has no non-null embedding vectors")
-    val step = math.max(sampled.length / nCells, 1)
-    var centroids = sampled.zipWithIndex.collect { case (r, i) if i % step == 0 => r }
-      .take(nCells)
-      .map { r =>
-        val v = r.getSeq[Float](1).map(_.toDouble).toArray
-        val n = math.sqrt(v.map(x => x * x).sum)
-        v.map(_ / math.max(n, 1e-12))
-      }
-    val spreadCorpus = spread(clean, col(cId))
-    for (_ <- 0 until lloydIters) {
-      val dim = centroids(0).length
-      val stats = spreadCorpus
-        .select(graft.functions.NearestCentroid(col(cVec), centroids).as("cell"),
-          posexplode(col(cVec)).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+    // PERSIST across the Lloyd rounds — the canonical iterate-over-cached
+    // -input shape: without it every round re-scans the source and re-runs
+    // the spread shuffle, which at 100 TB multiplies the full corpus read
+    // by lloydIters. MEMORY_AND_DISK so a corpus bigger than executor
+    // memory degrades to local disk re-reads, still far cheaper than
+    // re-scanning remote storage per round.
+    val spreadCorpus = spread(clean.select(col(cId), col(cVec)), col(cId))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sampled = spreadCorpus
+        .orderBy(xxhash64(col(cId)).asc, col(cId).asc).limit(10000)
         .collect()
-      val means = Array.fill(nCells)(new Array[Double](dim))
-      val seen = new Array[Boolean](nCells)
-      stats.foreach { r =>
-        val c = r.getInt(0)
-        means(c)(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
-        seen(c) = true
-      }
-      centroids = centroids.zipWithIndex.map { case (prev, c) =>
-        if (!seen(c)) prev
-        else {
-          val nrm = math.sqrt(means(c).map(x => x * x).sum)
-          means(c).map(_ / math.max(nrm, 1e-12))
+      require(sampled.nonEmpty,
+        "cannot train a quantizer: corpus has no non-null embedding vectors")
+      val step = math.max(sampled.length / nCells, 1)
+      var centroids = sampled.zipWithIndex.collect { case (r, i) if i % step == 0 => r }
+        .take(nCells)
+        .map { r =>
+          val v = r.getSeq[Float](1).map(_.toDouble).toArray
+          val n = math.sqrt(v.map(x => x * x).sum)
+          v.map(_ / math.max(n, 1e-12))
+        }
+      for (_ <- 0 until lloydIters) {
+        // one row per cell reaches the shuffle/driver: vectors aggregate
+        // WHOLE via graft_vector_sum (per-partition double[dim] partials,
+        // element-wise merges) instead of exploding into dim (cell, pos)
+        // rows first — O(nCells x dim) bytes moved either way, but no
+        // dim-x row inflation ahead of the shuffle and a far smaller
+        // generated aggregate
+        val stats = spreadCorpus
+          .select(graft.functions.NearestCentroid(col(cVec), centroids).as("cell"),
+            col(cVec))
+          .groupBy(col("cell"))
+          .agg(org.apache.spark.sql.GraftBridge.toColumn(
+            graft.functions.VectorSumAgg(
+              org.apache.spark.sql.GraftBridge.toExpression(col(cVec)))
+              .toAggregateExpression()).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+        val means = new Array[Array[Double]](nCells)
+        stats.foreach { r =>
+          val s = r.getSeq[Double](1)
+          means(r.getInt(0)) = s.map(_ / r.getLong(2)).toArray
+        }
+        centroids = centroids.zipWithIndex.map { case (prev, c) =>
+          if (means(c) == null) prev
+          else {
+            val nrm = math.sqrt(means(c).map(x => x * x).sum)
+            means(c).map(_ / math.max(nrm, 1e-12))
+          }
         }
       }
-    }
-    centroids
+      centroids
+    } finally spreadCorpus.unpersist(blocking = false)
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
@@ -387,7 +411,7 @@ object SimSearch {
     spread(quantizeInt8(corpus, cVec, "__code", "__cscale"), col(cId))
       .withColumn("__cn", norm(col(cVec)))
       .select(col(cId), col("__code"), col("__cscale"), col("__cn"),
-        posexplode(array(tables.map(t => lshBucket(col(cVec), t)): _*))
+        posexplode(lshBuckets(col(cVec), tables, nBits))
           .as(Seq("tbl", "bucket")))
   }
 

@@ -1065,6 +1065,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == 11.0 && viaCol == 11.0)
   }
 
+  test("HyperplaneBuckets: value-identical to the per-table HyperplaneBucket form") {
+    // the fused node exists for generated-code size; its VALUES must be
+    // bit-identical to the 16-separate-nodes form it replaced (same plane
+    // order, accumulation order, and null contract)
+    val rnd = new scala.util.Random(7)
+    val dim = 16; val nBits = 4; val nTables = 6
+    val planes = Seq.fill(nBits * nTables)(Array.fill(dim)(rnd.nextGaussian()))
+    val tables = planes.grouped(nBits).toSeq
+    val df = Seq.fill(40)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)).toDF("v")
+    val fused = df.select(
+      graft.functions.HyperplaneBuckets(col("v"), planes, nBits).as("b"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    val separate = df.select(
+      array(tables.map(t => graft.functions.HyperplaneBucket(col("v"), t)): _*).as("b"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(fused.toSeq == separate.toSeq)
+
+    // null contract: null element -> ALL nTables buckets null (posexplode
+    // row count preserved); null vector -> null result
+    val withNullElem = Seq(Tuple1(Seq[java.lang.Float](1.0f, null))).toDF("v")
+      .select(graft.functions.HyperplaneBuckets(
+        col("v"), Seq(Array(1.0, 1.0), Array(-1.0, 1.0)), 1).as("b"))
+      .head.getSeq[java.lang.Long](0)
+    assert(withNullElem.size == 2 && withNullElem.forall(_ == null))
+    val nullVec = Seq(Tuple1(null: Seq[java.lang.Float])).toDF("v")
+      .select(graft.functions.HyperplaneBuckets(
+        col("v"), Seq(Array(1.0, 1.0)), 1).as("b"))
+    assert(nullVec.head.isNullAt(0))
+  }
+
   test("matrix-carrying expressions canonicalize by value, not reference") {
     // Two separately-built (but equal) plane/centroid matrices must compare
     // semantically equal, or Catalyst can never dedupe/reuse the
@@ -1082,6 +1112,11 @@ class FunctionsSpec extends AnyFunSuite {
     val c1 = graft.functions.NearestCentroid(child, planes().toArray)
     val c2 = graft.functions.NearestCentroid(child, planes().toArray)
     assert(c1 == c2 && c1.hashCode == c2.hashCode && c1.semanticEquals(c2))
+
+    val m1 = graft.functions.HyperplaneBuckets(child, planes().toArray, 1)
+    val m2 = graft.functions.HyperplaneBuckets(child, planes().toArray, 1)
+    assert(m1 == m2 && m1.hashCode == m2.hashCode && m1.semanticEquals(m2))
+    assert(m1 != m1.copy(nBits = 2))
   }
 }
 
