@@ -60,15 +60,14 @@ object Dedup {
   /** All word k-shingle hashes WITH multiplicity (position order) — the
     * input to within-document repetition stats, where repeats are the
     * signal that [[shingleHashes]] deliberately discards.
+    *
+    * One codegen'd expression ([[graft.functions.WordShingleHashes]]) —
+    * value-identical to the builtin `split` -> `transform(xxhash64)` ->
+    * `zip_with(xxhash64)` fold it replaces (pinned in FunctionsSpec), but
+    * a tight byte loop instead of interpreted per-element lambdas.
     */
-  def shingleHashesAll(text: Column, k: Int = 3): Column = {
-    val ws = split(text, " ")
-    val wh = transform(ws, w => xxhash64(w))
-    val n = greatest(size(ws) - (k - 1), lit(0))
-    (1 until k).foldLeft(slice(wh, lit(1), n)) { (acc, j) =>
-      zip_with(acc, slice(wh, lit(j + 1), n), (a, b) => xxhash64(a, b))
-    }
-  }
+  def shingleHashesAll(text: Column, k: Int = 3): Column =
+    graft.functions.WordShingleHashes(text, k)
 
   /** Exact dedup: keep the smallest id per identical text; report copies.
     * Groups on a 256-bit content hash, not the text itself.

@@ -1065,6 +1065,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == 11.0 && viaCol == 11.0)
   }
 
+  test("WordShingleHashes: value-identical to the builtin split/transform/zip_with form") {
+    // the expression replaces the HOF formulation shingleHashesAll used to
+    // build inline — identical split semantics (single-space separators,
+    // empty tokens kept), per-word xxhash64, and two-arg xxhash64 fold
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b",                         // shorter than k -> empty
+      "x y z",                       // exactly k -> one shingle
+      "double  space   runs keep empty tokens",
+      " leading and trailing ",
+      "",                            // one empty token -> empty for k>1
+      "café résumé naïve multibyte 中文 words here")
+      .toDF("t")
+    for (k <- Seq(1, 2, 3, 8)) {
+      def builtin(text: Column): Column = {
+        val ws = split(text, " ")
+        val wh = transform(ws, w => xxhash64(w))
+        val n = greatest(size(ws) - (k - 1), lit(0))
+        (1 until k).foldLeft(slice(wh, lit(1), n)) { (acc, j) =>
+          zip_with(acc, slice(wh, lit(j + 1), n), (a, b) => xxhash64(a, b))
+        }
+      }
+      val got = docs.select(graft.functions.WordShingleHashes(col("t"), k).as("h"))
+        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+      val want = docs.select(builtin(col("t")).as("h"))
+        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+      assert(got == want, s"k=$k drifted from the builtin formulation")
+    }
+    // null document -> null
+    assert(Seq(Tuple1(null: String)).toDF("t")
+      .select(graft.functions.WordShingleHashes(col("t"), 3)).head.isNullAt(0))
+  }
+
   test("HyperplaneBuckets: value-identical to the per-table HyperplaneBucket form") {
     // the fused node exists for generated-code size; its VALUES must be
     // bit-identical to the 16-separate-nodes form it replaced (same plane
