@@ -62,12 +62,12 @@ bench_json=$(cat /tmp/judge_bench.json 2>/dev/null || echo '{}')
 # surface fingerprint differs from the committed BENCH_LAST.json — a total
 # comparison against the committed snapshot is then invalid by definition.
 # Done in python (jq is not guaranteed).
-read -r bench_total bench_quiet surface_matches <<< "$(python3 - <<'EOF'
+read -r bench_total bench_quiet surface_matches cpu_regressions <<< "$(python3 - <<'EOF'
 import json
 try:
     d = json.load(open('/tmp/judge_bench.json'))
 except Exception:
-    print('null false false'); raise SystemExit
+    print('null false false []'); raise SystemExit
 quiet = True
 for k, ref in [('spin', 'spin_ref_sec'), ('spin_mt', 'spin_mt_ref_sec')]:
     r = d.get(ref)
@@ -90,16 +90,34 @@ try:
     match = all(d.get(k) == c.get(k)
                 for k in ('bench_surface', 'bench_surface_n', 'bench_surface_fp'))
 except Exception:
-    match = False
-print(d.get('value', 'null'), str(quiet).lower(), str(match).lower())
+    c, match = {}, False
+# Per-query on-CPU regression gate (BASELINE.md: diff queries_cpu before
+# wall — on-CPU is the window-stable signal). Only meaningful against the
+# committed snapshot on an IDENTICAL surface; flags (never fails) any query
+# whose fresh on-CPU is >1.5x the committed value AND >0.3 s above it (the
+# absolute floor keeps sub-second queries from flagging on scheduler
+# jitter). Note cpu_total itself tracks host memory speed +-20%, so a
+# broad uniform drift across MANY queries is a window artifact — a real
+# plan regression shows as one or two isolated flags.
+regs = []
+if match:
+    fresh, base = d.get('queries_cpu') or {}, c.get('queries_cpu') or {}
+    for q in sorted(fresh):
+        f, b = fresh.get(q), base.get(q)
+        if f is not None and b is not None and f > 1.5 * b and f - b > 0.3:
+            regs.append('%s:%.2f->%.2f' % (q, b, f))
+# emitted space-free so the shell `read` keeps it one token
+regs_json = '[' + ','.join('"%s"' % r for r in regs) + ']'
+print(d.get('value', 'null'), str(quiet).lower(), str(match).lower(), regs_json)
 EOF
 )"
 
 # ---- verdict --------------------------------------------------------------
-verdict=$(printf '{"tests_passed":%s,"tests_failed":%s,"oracle_sf0.001":"%s","oracle_sf0.01":"%s","oracle_sf0.1":"%s","bench_total_sec":%s,"bench_rc":%s,"bench_quiet":%s,"bench_surface_matches_committed":%s,"gates_green":%s}' \
+verdict=$(printf '{"tests_passed":%s,"tests_failed":%s,"oracle_sf0.001":"%s","oracle_sf0.01":"%s","oracle_sf0.1":"%s","bench_total_sec":%s,"bench_rc":%s,"bench_quiet":%s,"bench_surface_matches_committed":%s,"cpu_regressions":%s,"gates_green":%s}' \
   "$tests_passed" "$tests_failed" \
   "${oracle_result[0.001]}" "${oracle_result[0.01]}" "${oracle_result[0.1]}" \
   "$bench_total" "$bench_rc" "$bench_quiet" "$surface_matches" \
+  "${cpu_regressions:-[]}" \
   "$([ $fail -eq 0 ] && echo true || echo false)")
 echo "$verdict" | tee JUDGE_LAST.json
 exit $fail

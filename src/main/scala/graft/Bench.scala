@@ -242,7 +242,12 @@ object Bench {
     }
     val qs = results.map { case (k, (w, _)) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
-    val qsCpu = results.map { case (k, (_, c)) => s"\"" + k + "\":" + f"$c%.3f" }
+    // Locale.ROOT everywhere a decimal is formatted: the default-locale
+    // f"" interpolator emits "1,234" under comma-decimal locales, which
+    // silently corrupts the JSON line judge.sh parses.
+    def dec(d: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
+    val qsCpu = results.map { case (k, (_, c)) => s"\"" + k + "\":" + dec(c, 3) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, m) => s"""{"query":"$k","error":"$m"}""" }
       .mkString("[", ",", "]")
@@ -255,7 +260,7 @@ object Bench {
     val spinMtAfter = if (doSpin) Some(spinMt(probeThreads)) else None
     val memBwAfter = if (doSpin) Some(memBw(probeThreads)) else None
     val loadAfter = loadAvg()
-    def num(d: Double): String = if (d.isNaN || d.isInfinite) "null" else f"$d%.2f"
+    def num(d: Double): String = if (d.isNaN || d.isInfinite) "null" else dec(d, 2)
     val spinJson = (spinBefore, spinAfter) match {
       case (Some((sb, accB)), Some((sa, accA))) =>
         s""""spin_before_sec":${num(sb)},"spin_after_sec":${num(sa)},""" +
@@ -296,10 +301,14 @@ object Bench {
     // Stdout is shared with Spark/log4j noise, so tail-parsing the process
     // output is fragile; always also drop the line into a file — an sbt-forked
     // driver run then still yields machine-readable JSON even if the stdout
-    // line is wrapped in log noise. Subset profiling runs don't overwrite
-    // the committed BENCH_LAST.json unless they name an output explicitly.
+    // line is wrapped in log noise. The default target is the UNCOMMITTED
+    // BENCH_RUN.json (gitignored): the committed BENCH_LAST.json is the
+    // curated best-of-N quiet snapshot and must only be touched when named
+    // explicitly via SPARK_GRAFT_BENCH_OUT — a casual full run used to
+    // overwrite it silently, shadowing the official artifact (r11 verdict).
+    // Subset profiling runs write nothing unless an output is named.
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .orElse(if (subset.isEmpty) Some("BENCH_LAST.json") else None)
+      .orElse(if (subset.isEmpty) Some("BENCH_RUN.json") else None)
     outPath.foreach { p =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
