@@ -253,6 +253,18 @@ object SimSearch {
         .collect()
       require(sampled.nonEmpty,
         "cannot train a quantizer: corpus has no non-null embedding vectors")
+      // Uniform-dimension contract. The Lloyd update divides the WHOLE-
+      // vector sum by the per-cell ROW count (VectorSumAgg), which is the
+      // per-position mean only when every vector has the same length — a
+      // ragged corpus would silently shift the means. Enforce it loudly on
+      // the init sample, and FILTER the per-round stats scan to the
+      // sampled dimension below (a per-row size() check fused into the
+      // codegen'd scan of the cached frame — a full-corpus min/max(size)
+      // assertion would cost an extra cached-corpus pass per train call).
+      val dim = sampled.head.getSeq[Float](1).length
+      val ragged = sampled.find(_.getSeq[Float](1).length != dim)
+      require(ragged.isEmpty, s"cannot train a quantizer on ragged vectors: " +
+        s"saw dims $dim and ${ragged.get.getSeq[Float](1).length} in the init sample")
       val step = math.max(sampled.length / nCells, 1)
       var centroids = sampled.zipWithIndex.collect { case (r, i) if i % step == 0 => r }
         .take(nCells)
@@ -269,6 +281,7 @@ object SimSearch {
         // dim-x row inflation ahead of the shuffle and a far smaller
         // generated aggregate
         val stats = spreadCorpus
+          .where(size(col(cVec)) === dim) // ragged rows: see dim contract above
           .select(graft.functions.NearestCentroid(col(cVec), centroids).as("cell"),
             col(cVec))
           .groupBy(col("cell"))

@@ -107,7 +107,24 @@ object EventStreams {
     */
   private def dropDupFeed(df: DataFrame, key: String): DataFrame =
     if (df.isStreaming) df.dropDuplicatesWithinWatermark(key)
-    else df.dropDuplicates(key)
+    else {
+      // Deterministic batch face. dropDuplicates keeps an ARBITRARY
+      // survivor (whichever row the scan happened to produce first), so a
+      // batch replay of the streaming dedup would be fixture-layout-
+      // dependent the moment two feed rows share a key — an oracle that
+      // compares full rows would then flap nondeterministically. Keep the
+      // EARLIEST row per key instead (event-time order, total-ordered by
+      // the remaining columns on ts ties): the batch analogue of the
+      // "first arrival wins" rule dropDuplicatesWithinWatermark applies in
+      // arrival order. Every caller watermarks on "ts" first, so the
+      // column is guaranteed here. Same key-shuffle as dropDuplicates;
+      // the rn<=1 filter is map-side-limited by WindowGroupLimit.
+      val rest = df.columns.filterNot(_ == key).map(col)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(key)).orderBy(col("ts").asc, struct(rest: _*).asc)
+      df.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+    }
 
   def dedupAgainstCorpus(stream: DataFrame, corpus: DataFrame,
                          text: String = "text",
