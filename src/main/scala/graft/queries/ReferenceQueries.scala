@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -400,10 +400,10 @@ object ReferenceQueries {
     // sketch of the corpus (mod-7 != 0); survivors are the mod-7 docs, the
     // copies drop as corpus duplicates. The copy set deliberately EXCLUDES
     // mod-35 docs (x39's within-batch duplicates): the stream face also
-    // dedups within the feed, where batch dropDuplicates keeps an
-    // arbitrary survivor — excluded, every feed text is unique, the
-    // within-stream tier is a value-no-op, and the row set is
-    // deterministic. At the 1e-8 fpp default the sketch verdict is
+    // dedups within the feed — since r12 the batch face keeps the
+    // EARLIEST row per key deterministically (dropDupFeed), so exclusion
+    // is no longer load-bearing for determinism; it keeps the oracle's
+    // NOT-IN replay free of a survivor-selection clause. At the 1e-8 fpp default the sketch verdict is
     // value-identical to exact membership at oracle scale (x39b bounds the
     // fp budget every round), so DuckDB replays the probe as exact NOT IN.
     // StreamingSpec additionally pins row-identity to x39's keep decisions.
@@ -417,6 +417,94 @@ object ReferenceQueries {
       val bloom = graft.ext.Dedup.corpusBloom(docs.where(col("doc_id") % 7 =!= 0))
       graft.streaming.EventStreams.dedupAgainstCorpusSketch(incoming, bloom)
         .select("doc_id")
+    }),
+
+    // ---- EP2 pipeline-composition parity -----------------------------------
+    // The full raw->engineered derivation chain of FeatureEngineeringJob
+    // .engineer — temporal (weekday Mon=0, data_engineering.py:34), cyclical
+    // encodings, interactions with the null-preserving clip, log1p
+    // transforms, and the sklearn-parity z-scale (stddev_pop, fillna(0),
+    // zero-var -> 1, data_engineering.py:81-97) — executed through the REAL
+    // job code path (engineer(), not a re-derivation) on a synthetic
+    // raw-schema frame both engines build identically from `events`: one row
+    // per distinct hour, every value column a deterministic function of the
+    // hour key, with NULL slices (h%17/h%19/h%23) exercising the clip-null
+    // and fillna branches. f1-f4/a4 pin the stage operators individually;
+    // this pins their COMPOSITION (column threading, fit scope, projection
+    // order) — the last spec-only pipeline face, now oracle-checked.
+    // Output aliases sanitize the reference's %/£ names for the comparator.
+    "ep2_engineered_parity" -> ((s, dir) => {
+      val hours = Tables.events(s, dir)
+        .select(date_trunc("hour", col("ts")).as("datetime")).distinct()
+      val h = hour(col("datetime")) + dayofmonth(col("datetime")) * 24 +
+        month(col("datetime")) * 700
+      def md(k: Int): Column = (h % k).cast("double")
+      val raw = hours
+        .withColumn("temperature_C",
+          when(h % 17 === 0, lit(null).cast("double")).otherwise(md(30) - 5.5))
+        .withColumn("humidity_%", lit(40.0) + md(55))
+        .withColumn("wind_speed_mps", md(13) * 0.7)
+        .withColumn("cloud_cover_%", md(101))
+        .withColumn("solar_radiation_Wm2", md(500))
+        .withColumn("pm10", md(80) * 0.5)
+        .withColumn("pm2_5", md(60) * 0.25)
+        .withColumn("co", md(300))
+        .withColumn("no2", md(90) * 0.5)
+        .withColumn("so2", md(40) * 0.25)
+        .withColumn("o3", md(120) * 0.5)
+        .withColumn("aqi_us", md(200))
+        .withColumn("carbon_intensity_actual",
+          when(h % 19 === 0, lit(null).cast("double")).otherwise(md(250)))
+        .withColumn("carbon_intensity_forecast", md(240))
+        .withColumn("carbon_index",
+          when(h % 3 === 0, "low").when(h % 3 === 1, "moderate").otherwise("high"))
+        .withColumn("uk_gen_biomass_%", md(10))
+        .withColumn("uk_gen_imports_%", md(15))
+        .withColumn("uk_gen_gas_%", md(45))
+        .withColumn("uk_gen_nuclear_%", md(20))
+        .withColumn("uk_gen_solar_%", md(25))
+        .withColumn("uk_gen_wind_%", md(50))
+        .withColumn("retail_price_£_per_kWh",
+          when(h % 23 === 0, lit(null).cast("double")).otherwise(md(35) * 0.01))
+      val eng = graft.jobs.FeatureEngineeringJob.engineer(raw)
+      eng.select(
+        col("datetime"),
+        col("hour").cast("long").as("hour"),
+        col("day_of_week").cast("long").as("day_of_week"),
+        col("month").cast("long").as("month"),
+        col("day_of_month").cast("long").as("day_of_month"),
+        col("week_of_year").cast("long").as("week_of_year"),
+        col("is_weekend").cast("long").as("is_weekend"),
+        col("is_peak_hour").cast("long").as("is_peak_hour"),
+        col("is_night").cast("long").as("is_night"),
+        (round(col("hour_sin"), 6) + lit(0.0)).as("hour_sin"),
+        (round(col("hour_cos"), 6) + lit(0.0)).as("hour_cos"),
+        (round(col("month_sin"), 6) + lit(0.0)).as("month_sin"),
+        (round(col("month_cos"), 6) + lit(0.0)).as("month_cos"),
+        round(col("renewable_pct"), 2).as("renewable_pct"),
+        round(col("fossil_pct"), 2).as("fossil_pct"),
+        round(col("heating_demand"), 4).as("heating_demand"),
+        round(col("cooling_demand"), 4).as("cooling_demand"),
+        round(col("wind_solar_combined"), 2).as("wind_solar_combined"),
+        round(col("carbon_per_price"), 4).as("carbon_per_price"),
+        col("carbon_index"),
+        round(col("log_so2"), 6).as("log_so2"),
+        round(col("log_pm2_5"), 6).as("log_pm2_5"),
+        round(col("log_co"), 6).as("log_co"),
+        round(col("log_no2"), 6).as("log_no2"),
+        round(col("log_pm10"), 6).as("log_pm10"),
+        round(col("log_solar_radiation_Wm2"), 6).as("log_solar"),
+        round(col("`log_uk_gen_solar_%`"), 6).as("log_gen_solar"),
+        round(col("log_aqi_us"), 6).as("log_aqi"),
+        // +0.0 on every z column: (x-mean)/std can round to zero from
+        // below, where Spark's BigDecimal round yields 0.0 but DuckDB
+        // keeps IEEE -0.0 (same rule as the cyclical encodings above)
+        (round(col("scaled_temperature_C"), 6) + lit(0.0)).as("z_temperature"),
+        (round(col("scaled_wind_speed_mps"), 6) + lit(0.0)).as("z_wind_speed"),
+        (round(col("`scaled_humidity_%`"), 6) + lit(0.0)).as("z_humidity"),
+        (round(col("scaled_carbon_intensity_actual"), 6) + lit(0.0)).as("z_carbon"),
+        (round(col("`scaled_uk_gen_wind_%`"), 6) + lit(0.0)).as("z_gen_wind"),
+        (round(col("`scaled_uk_gen_gas_%`"), 6) + lit(0.0)).as("z_gen_gas"))
     }),
 
     // ---- Exact percentiles (order statistics) ------------------------------
@@ -670,6 +758,89 @@ object ReferenceQueries {
         |  WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0)
         |SELECT doc_id FROM incoming
         |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 7 <> 0)""".stripMargin,
+    // DuckDB replay of the ep2 composition: same synthetic raw CTE (keyed
+    // off the hour formula), then every derived column re-expressed with
+    // the proven cross-engine forms — isodow-1 for weekday Mon=0, LN(1+x)
+    // for log1p, AVG/STDDEV_POP OVER () with COALESCE(x,0) fit-and-
+    // transform for the sklearn z-scale, +0.0 after rounds that can hit
+    // IEEE -0.0.
+    "ep2_engineered_parity" ->
+      """WITH hours AS (
+        |  SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS datetime FROM events
+        |), keyed AS (
+        |  SELECT datetime,
+        |         hour(datetime) + day(datetime) * 24 + month(datetime) * 700 AS h
+        |  FROM hours
+        |), raw AS (
+        |  SELECT datetime, h,
+        |    CASE WHEN h % 17 = 0 THEN NULL ELSE (h % 30) - 5.5 END AS temperature,
+        |    40.0 + (h % 55) AS humidity,
+        |    (h % 13) * 0.7 AS wind_speed,
+        |    (h % 500) * 1.0 AS solar_rad,
+        |    (h % 80) * 0.5 AS pm10,
+        |    (h % 60) * 0.25 AS pm2_5,
+        |    (h % 300) * 1.0 AS co,
+        |    (h % 90) * 0.5 AS no2,
+        |    (h % 40) * 0.25 AS so2,
+        |    (h % 200) * 1.0 AS aqi_us,
+        |    CASE WHEN h % 19 = 0 THEN NULL ELSE (h % 250) * 1.0 END AS carbon_actual,
+        |    (h % 45) * 1.0 AS gen_gas,
+        |    (h % 25) * 1.0 AS gen_solar,
+        |    (h % 50) * 1.0 AS gen_wind,
+        |    CASE WHEN h % 23 = 0 THEN NULL ELSE (h % 35) * 0.01 END AS price
+        |  FROM keyed
+        |)
+        |SELECT datetime,
+        |  hour(datetime) AS hour,
+        |  isodow(datetime) - 1 AS day_of_week,
+        |  month(datetime) AS month,
+        |  day(datetime) AS day_of_month,
+        |  weekofyear(datetime) AS week_of_year,
+        |  CASE WHEN isodow(datetime) - 1 >= 5 THEN 1 ELSE 0 END AS is_weekend,
+        |  CASE WHEN hour(datetime) BETWEEN 17 AND 21 THEN 1 ELSE 0 END AS is_peak_hour,
+        |  CASE WHEN hour(datetime) = 23 OR hour(datetime) BETWEEN 0 AND 6
+        |       THEN 1 ELSE 0 END AS is_night,
+        |  ROUND(SIN(2*PI()*hour(datetime)/24.0),6) + 0.0 AS hour_sin,
+        |  ROUND(COS(2*PI()*hour(datetime)/24.0),6) + 0.0 AS hour_cos,
+        |  ROUND(SIN(2*PI()*month(datetime)/12.0),6) + 0.0 AS month_sin,
+        |  ROUND(COS(2*PI()*month(datetime)/12.0),6) + 0.0 AS month_cos,
+        |  ROUND(gen_wind + gen_solar, 2) AS renewable_pct,
+        |  ROUND(gen_gas, 2) AS fossil_pct,
+        |  ROUND(CASE WHEN temperature IS NULL THEN NULL
+        |             ELSE GREATEST(0.0, 18.0 - temperature) END, 4) AS heating_demand,
+        |  ROUND(CASE WHEN temperature IS NULL THEN NULL
+        |             ELSE GREATEST(0.0, temperature - 22.0) END, 4) AS cooling_demand,
+        |  ROUND(gen_wind * solar_rad, 2) AS wind_solar_combined,
+        |  ROUND(carbon_actual / (price + 1e-6), 4) AS carbon_per_price,
+        |  CASE WHEN h % 3 = 0 THEN 'low' WHEN h % 3 = 1 THEN 'moderate'
+        |       ELSE 'high' END AS carbon_index,
+        |  ROUND(LN(1 + COALESCE(so2, 0)), 6) AS log_so2,
+        |  ROUND(LN(1 + COALESCE(pm2_5, 0)), 6) AS log_pm2_5,
+        |  ROUND(LN(1 + COALESCE(co, 0)), 6) AS log_co,
+        |  ROUND(LN(1 + COALESCE(no2, 0)), 6) AS log_no2,
+        |  ROUND(LN(1 + COALESCE(pm10, 0)), 6) AS log_pm10,
+        |  ROUND(LN(1 + COALESCE(solar_rad, 0)), 6) AS log_solar,
+        |  ROUND(LN(1 + COALESCE(gen_solar, 0)), 6) AS log_gen_solar,
+        |  ROUND(LN(1 + COALESCE(aqi_us, 0)), 6) AS log_aqi,
+        |  ROUND((COALESCE(temperature,0) - AVG(COALESCE(temperature,0)) OVER ()) /
+        |    (CASE WHEN STDDEV_POP(COALESCE(temperature,0)) OVER () = 0 THEN 1.0
+        |          ELSE STDDEV_POP(COALESCE(temperature,0)) OVER () END), 6) + 0.0 AS z_temperature,
+        |  ROUND((COALESCE(wind_speed,0) - AVG(COALESCE(wind_speed,0)) OVER ()) /
+        |    (CASE WHEN STDDEV_POP(COALESCE(wind_speed,0)) OVER () = 0 THEN 1.0
+        |          ELSE STDDEV_POP(COALESCE(wind_speed,0)) OVER () END), 6) + 0.0 AS z_wind_speed,
+        |  ROUND((COALESCE(humidity,0) - AVG(COALESCE(humidity,0)) OVER ()) /
+        |    (CASE WHEN STDDEV_POP(COALESCE(humidity,0)) OVER () = 0 THEN 1.0
+        |          ELSE STDDEV_POP(COALESCE(humidity,0)) OVER () END), 6) + 0.0 AS z_humidity,
+        |  ROUND((COALESCE(carbon_actual,0) - AVG(COALESCE(carbon_actual,0)) OVER ()) /
+        |    (CASE WHEN STDDEV_POP(COALESCE(carbon_actual,0)) OVER () = 0 THEN 1.0
+        |          ELSE STDDEV_POP(COALESCE(carbon_actual,0)) OVER () END), 6) + 0.0 AS z_carbon,
+        |  ROUND((COALESCE(gen_wind,0) - AVG(COALESCE(gen_wind,0)) OVER ()) /
+        |    (CASE WHEN STDDEV_POP(COALESCE(gen_wind,0)) OVER () = 0 THEN 1.0
+        |          ELSE STDDEV_POP(COALESCE(gen_wind,0)) OVER () END), 6) + 0.0 AS z_gen_wind,
+        |  ROUND((COALESCE(gen_gas,0) - AVG(COALESCE(gen_gas,0)) OVER ()) /
+        |    (CASE WHEN STDDEV_POP(COALESCE(gen_gas,0)) OVER () = 0 THEN 1.0
+        |          ELSE STDDEV_POP(COALESCE(gen_gas,0)) OVER () END), 6) + 0.0 AS z_gen_gas
+        |FROM raw""".stripMargin,
     "st2_stream_interval_join" ->
       """WITH c AS (SELECT event_id AS l_id, user_id AS u, CAST(ts AS TIMESTAMP) AS lts
         |           FROM events WHERE event_type = 'click'),
