@@ -231,6 +231,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"epoch fan-out should be an explode:\n$p")
   }
 
+  test("ep2 composition: pruned 1-column scan, 1-row broadcast stats, no extra shuffles") {
+    // The whole raw->engineered chain must stay shallow: the distinct-
+    // hours build (one shuffle), and on the z-scale fit side the SAME
+    // distinct subtree plus the one-row stats partial->final pair (two
+    // more) — the fit-side distinct is a canonical duplicate of the data
+    // side's, which AQE's ReuseExchange collapses at runtime, so three
+    // static exchanges is the contract. The stats row must attach by
+    // BROADCAST (never a re-shuffle of the data side), and the scan must
+    // read only `ts` (at 100 TB the feature chain touches one column of
+    // the source, not the table).
+    val p = plan("ep2_engineered_parity")
+    assert(exchanges(p) <= 3, s"expected <=3 non-broadcast shuffles:\n$p")
+    assert(p.contains("BroadcastExchange"), s"stats row should broadcast:\n$p")
+    assert(!p.contains("Window"), s"fit must be an agg, not a global window:\n$p")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(_.contains("struct<ts:")),
+      s"scan should be pruned to ts only:\n${reads.mkString("\n")}")
+  }
+
   test("bloom dedup probe is map-only: no join, no shuffle, constant sketch") {
     // the corpus bloom is built by a separate (partial-agg'd) job inside
     // bloomDedup; the PROBE frame the query returns must then plan as
