@@ -94,9 +94,12 @@ except Exception:
 # Per-query on-CPU regression gate (BASELINE.md: diff queries_cpu before
 # wall — on-CPU is the window-stable signal). Only meaningful against the
 # committed snapshot on an IDENTICAL surface; flags (never fails) any query
-# whose fresh on-CPU is >1.5x the committed value AND >0.3 s above it (the
-# absolute floor keeps sub-second queries from flagging on scheduler
-# jitter). Note cpu_total itself tracks host memory speed +-20%, so a
+# whose fresh on-CPU is >2x the committed value AND >1.0 s above it.
+# Thresholds are calibrated against measured SAME-BINARY spread, not
+# wishful tightness: across five certified-quiet runs of one binary
+# x5_embed_neardup's on-CPU spanned 9.75-15.32 s (1.57x; wall stable at
+# 0.54-0.69 s — parallel speculative CPU, not work), so a 1.5x gate flags
+# pure jitter. Note cpu_total itself tracks host memory speed +-20%, so a
 # broad uniform drift across MANY queries is a window artifact — a real
 # plan regression shows as one or two isolated flags.
 regs = []
@@ -104,7 +107,7 @@ if match:
     fresh, base = d.get('queries_cpu') or {}, c.get('queries_cpu') or {}
     for q in sorted(fresh):
         f, b = fresh.get(q), base.get(q)
-        if f is not None and b is not None and f > 1.5 * b and f - b > 0.3:
+        if f is not None and b is not None and f > 2.0 * b and f - b > 1.0:
             regs.append('%s:%.2f->%.2f' % (q, b, f))
 # emitted space-free so the shell `read` keeps it one token
 regs_json = '[' + ','.join('"%s"' % r for r in regs) + ']'
