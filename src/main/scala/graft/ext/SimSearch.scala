@@ -501,6 +501,149 @@ object SimSearch {
     topKSelect(rr, k, qId, cId)
   }
 
+  /** Product-quantization codebooks (Jégou et al., TPAMI 2011): `m`
+    * per-subspace codebooks of `ksub` centroids over unit-normalized
+    * vectors, trained by Lloyd iterations on a BOUNDED deterministic
+    * sample. Sample-based codebook training is the published practice at
+    * any corpus size (codebook quality saturates at a few hundred samples
+    * per centroid — the same regime FAISS trains in), so the driver-side
+    * Lloyd here is O(sampleN·dim·ksub·iters) ≈ 100 M flops at the
+    * defaults and INDEPENDENT of corpus size; the corpus-sized work
+    * (encode, ADC scan) stays fully distributed. The sample is
+    * xxhash-ordered (one distributed TakeOrdered job, bounded driver
+    * payload — same discipline as [[trainCentroids]]'s init), so the
+    * codebooks — and every code derived from them — are identical across
+    * partition layouts and cluster sizes.
+    *
+    * Subspace centroids are NOT re-normalized (unlike the IVF centroids):
+    * PQ reconstructs subvectors, and a subvector of a unit vector is not
+    * itself unit. Ties in assignment break toward the lower index; empty
+    * cells keep their previous centroid — both deterministic.
+    */
+  def pqTrain(corpus: DataFrame, m: Int = 16, ksub: Int = 64,
+              lloydIters: Int = 5, sampleN: Int = 10000,
+              cId: String = "vec_id", cVec: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(m > 0 && ksub > 0 && ksub <= 256, s"pqTrain needs m>0 and 1<=ksub<=256, got m=$m ksub=$ksub")
+    val clean = corpus.where(col(cVec).isNotNull && !exists(col(cVec), e => e.isNull))
+    val sampled = clean.select(col(cId), col(cVec))
+      .orderBy(xxhash64(col(cId)).asc, col(cId).asc).limit(sampleN)
+      .collect()
+    require(sampled.nonEmpty, "cannot train PQ codebooks: corpus has no non-null embedding vectors")
+    val dim = sampled.head.getSeq[Float](1).length
+    val ragged = sampled.find(_.getSeq[Float](1).length != dim)
+    require(ragged.isEmpty, s"cannot train PQ codebooks on ragged vectors: " +
+      s"saw dims $dim and ${ragged.get.getSeq[Float](1).length} in the sample")
+    require(dim % m == 0, s"pqTrain needs dim divisible by m, got dim=$dim m=$m")
+    val dsub = dim / m
+    // unit-normalize once on the driver; all subspace math sees the same
+    // vectors PqEncode/PqLut will normalize at scan time
+    val xs: Array[Array[Double]] = sampled.map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val n = math.max(math.sqrt(v.map(x => x * x).sum), 1e-12)
+      v.map(_ / n)
+    }
+    val k = math.min(ksub, xs.length)
+    val step = math.max(xs.length / k, 1)
+    Array.tabulate(m) { j =>
+      // init by striding the hash-ordered sample — same scheme as the IVF
+      // init, per subspace
+      var cents: Array[Array[Double]] =
+        xs.indices.collect { case i if i % step == 0 => xs(i).slice(j * dsub, (j + 1) * dsub) }
+          .take(k).toArray
+      for (_ <- 0 until lloydIters) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Long](k)
+        xs.foreach { x =>
+          var best = 0
+          var bestDist = Double.PositiveInfinity
+          var c = 0
+          while (c < cents.length) {
+            var acc = 0.0
+            var t = 0
+            while (t < dsub) {
+              val d = x(j * dsub + t) - cents(c)(t)
+              acc += d * d
+              t += 1
+            }
+            if (acc < bestDist) { bestDist = acc; best = c }
+            c += 1
+          }
+          var t = 0
+          while (t < dsub) { sums(best)(t) += x(j * dsub + t); t += 1 }
+          counts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (prev, c) =>
+          if (counts(c) == 0) prev else sums(c).map(_ / counts(c))
+        }
+      }
+      cents
+    }
+  }
+
+  /** Map-only PQ index build: each corpus vector compresses to `m` bytes
+    * (`pq_code` binary) via [[graft.functions.PqEncode]]. No shuffle, no
+    * driver traffic — the 100-TB index build is a single scan+write.
+    * Rows whose vector is null/ragged/null-element encode to null and are
+    * dropped (they can never be served).
+    */
+  def pqEncode(df: DataFrame, codebooks: Array[Array[Array[Double]]],
+               cId: String = "vec_id", cVec: String = "embedding"): DataFrame =
+    df.select(col(cId), graft.functions.PqEncode(col(cVec), codebooks).as("pq_code"))
+      .where(col("pq_code").isNotNull)
+
+  /** PQ ANN serving over a PREBUILT code index (the IVFADC family's
+    * exhaustive-compressed-scan member): per query, one
+    * [[graft.functions.PqLut]] lookup table (O(dim·ksub), once), then an
+    * ADC scan of the codes — `m` table reads per candidate, never the
+    * float vectors — keeps the best `k·oversample` candidates, and an
+    * exact float re-rank of that bounded survivor set emits the final
+    * top-k in the tier-uniform schema.
+    *
+    * Scale shape: the scan side is the code index (m bytes + id per
+    * vector — 16x less scan traffic than float vectors at the
+    * defaults: 16 one-byte codes vs 64 floats); the query side broadcasts (LUTs are m·ksub doubles per
+    * query); the per-query top-N runs as a map-side WindowGroupLimit;
+    * the re-rank fetches float vectors for survivors only via a
+    * broadcast-keyed join against the primary store. Nothing all-pairs
+    * on floats, nothing driver-side.
+    */
+  def pqTopKFromIndex(queries: DataFrame, codes: DataFrame, corpus: DataFrame,
+                      codebooks: Array[Array[Array[Double]]], k: Int,
+                      oversample: Int = 16,
+                      qId: String = "q_id", qVec: String = "q_vec",
+                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId),
+      graft.functions.PqLut(col(qVec), codebooks).as("__lut"))
+    val scored = codes.join(broadcast(q), col(qId) =!= col(cId))
+      .withColumn("adist", graft.functions.PqAdcScore(col("__lut"), col("pq_code")))
+    // ascending: ADC is a squared distance on unit vectors (2 − 2cos), so
+    // smallest ≈ highest cosine
+    val wa = Window.partitionBy(col(qId)).orderBy(col("adist").asc, col(cId).asc)
+    val survivors = scored.withColumn("__ar", row_number().over(wa))
+      .where(col("__ar") <= k * oversample)
+      .select(col(qId), col(cId))
+    val cf = corpus.select(col(cId), col(cVec)).withColumn("__cn", norm(col(cVec)))
+    val qf = queries.select(col(qId), col(qVec)).withColumn("__qn", norm(col(qVec)))
+    val rr = cf.join(broadcast(survivors), Seq(cId))
+      .join(broadcast(qf), Seq(qId))
+      .withColumn("cos", dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")))
+    topKSelect(rr, k, qId, cId)
+  }
+
+  /** Train + encode + serve in one call (the self-contained query face;
+    * deployments build the code index once with [[pqTrain]]+[[pqEncode]]
+    * and serve via [[pqTopKFromIndex]]).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 16, ksub: Int = 64, lloydIters: Int = 5,
+             sampleN: Int = 10000, oversample: Int = 16,
+             qId: String = "q_id", qVec: String = "q_vec",
+             cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val codebooks = pqTrain(corpus, m, ksub, lloydIters, sampleN, cId, cVec)
+    pqTopKFromIndex(queries, pqEncode(corpus, codebooks, cId, cVec), corpus,
+      codebooks, k, oversample, qId, qVec, cId, cVec)
+  }
+
   /** Embedding near-duplicate pairs within a blocking column (e.g. label,
     * or a precomputed partition): cosine >= minCos. For the
     * no-natural-block case, [[nearDupPairsByCell]] derives the blocking

@@ -398,6 +398,43 @@ object ExtensionQueries {
               .cast("long")).as("recall_ok"))
     }),
 
+    // Product-quantization index build (Jégou et al., TPAMI 2011): each
+    // embedding compresses to m=16 BYTES of subspace centroid ids — 16x
+    // less serving-scan traffic than the float vector, the lever that
+    // makes an EXHAUSTIVE compressed ANN scan affordable at 100 TB (vs
+    // int8's 4x in x24). Codebooks come from a float Lloyd on a bounded
+    // deterministic sample, so code VALUES have no SQL oracle — rows-only
+    // here, with the standard two-sided net: SketchGoldenSpec pins the
+    // full sf0.001 code output, and x47b gates end-to-end serving recall
+    // against exact brute-force truth.
+    "x47_pq_codes" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val codebooks = SimSearch.pqTrain(e)
+      SimSearch.pqEncode(e, codebooks)
+        .select(col("vec_id"), hex(col("pq_code")).as("pq_hex"))
+    }),
+    // The PQ serving path composed end-to-end (train → encode → ADC scan
+    // → exact re-rank), recall-gated against brute-force truth exactly
+    // like x7c/x24b. A codebook, encode, or ADC regression (bad LUT
+    // layout, wrong tie-break, survivor set too small) drops recall and
+    // reds this row.
+    "x47b_pq_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      // lazy checkpoint: no job at DataFrame-construction time (x7c note)
+      val truth = SimSearch.bruteTopK(q, e, k = 5).select("q_id", "neighbor_id")
+        .localCheckpoint(false)
+      val found = SimSearch.pqTopK(q, e, k = 5).select("q_id", "neighbor_id")
+      found.join(truth, Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(col("n_truth").cast("long").as("n_truth"),
+          when(col("n_truth") === 0, lit(1L))
+            .otherwise((col("n_hits").cast("double") / col("n_truth") >= ANN_RECALL_MIN)
+              .cast("long")).as("recall_ok"))
+    }),
+
     // ---- text analysis ----------------------------------------------------
     "x8_text_lang" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -1249,6 +1286,17 @@ object ExtensionQueries {
     // Serving-path gate: DuckDB recomputes the exact brute-force truth
     // count (same CTE as x7c, one row); recall_ok is Spark-computed.
     "x24b_quantized_recall" ->
+      s"""WITH q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings),
+         |s AS (SELECT q_id, vec_id AS neighbor_id, ${duckCos("qv", "cv")} AS cos
+         |      FROM q CROSS JOIN c WHERE q_id <> vec_id),
+         |r AS (SELECT q_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, CAST(1 AS BIGINT) AS recall_ok
+         |FROM r WHERE rank <= 5""".stripMargin,
+    // PQ serving gate: DuckDB recomputes the exact brute-force truth count
+    // (same CTE as x7c/x24b); recall_ok is Spark-computed end-to-end over
+    // the trained-codebook ADC path.
+    "x47b_pq_recall" ->
       s"""WITH q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings),
          |s AS (SELECT q_id, vec_id AS neighbor_id, ${duckCos("qv", "cv")} AS cos

@@ -667,6 +667,87 @@ class SimSearchSpec extends AnyFunSuite {
       assert(math.abs(cos - 1.0) < 1e-6)
     }
   }
+
+  test("pq: codes deterministic and partition-independent; null/ragged rows drop") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = SimSearch.pqTrain(e, m = 8, ksub = 16)
+    assert(cb.length == 8 && cb.forall(_.nonEmpty) && cb.forall(_.forall(_.length == 8)))
+    def codesOf(df: org.apache.spark.sql.DataFrame) =
+      SimSearch.pqEncode(df, cb).collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val once = codesOf(e)
+    assert(once.size == e.count())
+    // layout independence: same codes from a 7-way repartition
+    assert(codesOf(e.repartition(7)) == once)
+    // every code addresses a real centroid
+    assert(once.values.forall(c => c.length == 8 && c.forall(b => (b & 0xFF) < 16)))
+    // a null element poisons its row's code to null (row drops), a ragged
+    // (wrong-dim) vector likewise — neither can be served, neither NPEs
+    val bad = Seq(
+      (90001L, Array[java.lang.Float](1.0f, null)),
+      (90002L, Array[java.lang.Float](1.0f, 2.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    assert(SimSearch.pqEncode(bad, cb).isEmpty)
+  }
+
+  test("pq: ADC score == driver-recomputed LUT lookups (the asymmetric-distance law)") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = SimSearch.pqTrain(e, m = 8, ksub = 16)
+    val ksub = cb(0).length
+    val q = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val luts = q.select(col("q_id"), graft.functions.PqLut(col("q_vec"), cb).as("lut"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // LUT entries are the squared L2 distances between the unit query
+    // subvector and each centroid — recompute entry (j=0, c) on the driver
+    val qv = q.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    luts.foreach { case (id, lut) =>
+      assert(lut.length == cb.length * ksub)
+      val v = qv(id)
+      val n = math.max(math.sqrt(v.map(x => x * x).sum), 1e-12)
+      val dsub = v.length / cb.length
+      (0 until ksub).foreach { c =>
+        val want = (0 until dsub).map { t =>
+          val d = v(t) / n - cb(0)(c)(t); d * d
+        }.sum
+        assert(math.abs(lut(c) - want) < 1e-12, s"lut($id)(0,$c)")
+      }
+    }
+    // the scored join's ADC value is exactly sum_j lut[j*ksub + code_j]
+    val codes = SimSearch.pqEncode(e, cb)
+    val scored = codes.crossJoin(
+        q.select(col("q_id"), graft.functions.PqLut(col("q_vec"), cb).as("lut")))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.PqAdcScore(col("lut"), col("pq_code")).as("adist"),
+        col("pq_code"))
+      .collect()
+    scored.foreach { r =>
+      val lut = luts(r.getLong(0))
+      val code = r.getAs[Array[Byte]](3)
+      val want = code.indices.map(j => lut(j * ksub + (code(j) & 0xFF))).sum
+      assert(math.abs(r.getDouble(2) - want) < 1e-12)
+    }
+  }
+
+  test("pq serving: recall clears the gate; the float re-rank is exact") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val truth = SimSearch.bruteTopK(q, e, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = SimSearch.pqTopK(q, e, k = 5).collect()
+    val found = served.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth intersect found).size.toDouble / truth.size
+    assert(recall >= 0.6, s"pq serving recall $recall below gate")
+    // final scores never come from the compressed codes (x24b discipline)
+    val brute = SimSearch.bruteTopK(q, e, k = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    served.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(math.abs(r.getDouble(3) - brute(key)) < 1e-9,
+        s"pair $key: served cos ${r.getDouble(3)} != exact ${brute(key)}")
+    }
+  }
 }
 
 class SamplingSpec extends AnyFunSuite {

@@ -105,6 +105,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Partial"), p) // the map-side (partial) group-limit pass
   }
 
+  test("pq index build is map-only: one scan, zero exchanges") {
+    // the 100-TB claim for x47 is literally "a single scan+write": any
+    // Exchange appearing here means the encode stopped being map-side
+    val p = plan("x47_pq_codes")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("pq ADC serving keeps map-side top-k; floats only touch the bounded re-rank") {
+    val p = plan("x47b_pq_recall")
+    assert(p.contains("WindowGroupLimit"), p) // ADC survivor cut before any shuffle
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("lsh ANN never scans the corpus twice") {
     val p = plan("x7_ann_lsh")
     // one corpus scan + one (broadcast) query scan of the same file

@@ -47,7 +47,10 @@ class SketchGoldenSpec extends AnyFunSuite {
     // x13 re-pinned 2026-08-14: the last frame now absorbs the payload
     // tail (complete coverage) — a deliberate semantics fix, oracle x13b
     // updated in the same commit
-    "x13_multimodal_frames" -> "3797147b6d1be3c264c6dfc4c82cf5314c9e92d90f33dae742da48aabedbc831")
+    "x13_multimodal_frames" -> "3797147b6d1be3c264c6dfc4c82cf5314c9e92d90f33dae742da48aabedbc831",
+    // PQ codes: float-Lloyd codebooks are not SQL-replayable (x47b gates
+    // serving recall; this pin catches silent codebook/encode drift)
+    "x47_pq_codes" -> "19a6be9a5e42576b9ebbff919f83e88b5ae249a3c5c4752e52d9411b1b4cadc1")
 
   pinned.toSeq.sortBy(_._1).foreach { case (name, want) =>
     test(s"$name: sf0.001 sketch output matches the committed pin") {
