@@ -84,6 +84,19 @@ class Store(spark: SparkSession, baseDir: String) {
   def readPartitioned(rel: String): DataFrame =
     spark.read.parquet(s"$baseDir/$rel").drop("dt")
 
+  /** Columnar ORC sink/scan — the second interchange format beside
+    * parquet (some warehouse stacks are ORC-native). Spark's built-in ORC
+    * datasource keeps the same scale machinery the parquet paths rely on:
+    * column pruning, predicate pushdown into stripe/row-group skipping
+    * (StoreSpec pins `PushedFilters` on a filtered read-back), split-able
+    * files, vectorized reads. Same overwrite discipline as every other
+    * sink here.
+    */
+  def writeOrc(df: DataFrame, rel: String): Unit =
+    df.write.mode("overwrite").orc(s"$baseDir/$rel")
+
+  def readOrc(rel: String): DataFrame = spark.read.orc(s"$baseDir/$rel")
+
   /** Bucketed managed table: pre-shuffles ONCE at write time so every later
     * equi-join/aggregation on `bucketCols` is co-located — Catalyst plans a
     * SortMergeJoin with NO Exchange on either side. This is the 100 TB

@@ -605,6 +605,43 @@ object ExtensionQueries {
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
+    // ORC round trip: the documents corpus through the second columnar
+    // interchange format (Store.writeOrc/readOrc) and back, audited by the
+    // same text-sensitive per-(source, lang) aggregate the release card
+    // uses — n_docs/sum_chars/min/max plus an order-independent bit-XOR
+    // md5 checksum over the TEXT, so a green row proves the ORC
+    // encode/decode loses or mangles nothing (not even one character of
+    // one document). DuckDB replays the aggregate straight off parquet.
+    "x48_orc_roundtrip" -> ((s, dir) => {
+      val base = s"$scratchDir/x48"
+      val store = new graft.io.Store(s, base)
+      store.writeOrc(Tables.documents(s, dir), "docs_orc")
+      store.readOrc("docs_orc")
+        .withColumn("__h", conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          expr("bit_xor(__h)").as("checksum"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+    }),
+    // CDC-style snapshot diff (incremental-recompute driver): one row per
+    // changed key between a synthetic "previous" snapshot (missing the
+    // mod-11 slice -> inserts; n_chars bumped on the mod-7 slice ->
+    // updates; extra offset rows -> deletes) and the current corpus.
+    // Emitting ONLY the changed slice is what lets a 100-TB pipeline
+    // re-clean/re-embed/re-index a nightly delta instead of the world;
+    // DuckDB replays the full-outer join and the null-safe row compare.
+    "x49_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prev = docs.where(col("doc_id") % 11 =!= 3)
+        .withColumn("n_chars",
+          when(col("doc_id") % 7 === 2, col("n_chars") + 1).otherwise(col("n_chars")))
+        .unionByName(docs.where(col("doc_id") % 13 === 5)
+          .withColumn("doc_id", col("doc_id") + 500000))
+      graft.operators.SnapshotDiff.diff(prev, docs, "doc_id",
+        Seq("text", "lang", "source", "n_chars"))
+    }),
     // Per-source document cap (domain-domination control): at most 40 docs
     // per source, chosen by deterministic md5-hash order — a hard count
     // guarantee per group, complementing x15's rate-based sampling. DuckDB
@@ -1537,6 +1574,36 @@ object ExtensionQueries {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
         |GROUP BY 1, 2""".stripMargin,
+    // The ORC round trip must preserve every row and every text byte: the
+    // oracle aggregates the ORIGINAL parquet rows, so any sink/scan loss
+    // shows as a count or checksum diff.
+    "x48_orc_roundtrip" ->
+      """SELECT source, lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(bit_xor(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    // Same prev-snapshot derivation, full-outer join, and null-safe
+    // column compare as SnapshotDiff.diff.
+    "x49_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id, text, lang, source,
+        |         CASE WHEN doc_id % 7 = 2 THEN n_chars + 1 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 11 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 13 = 5),
+        |nxt AS (SELECT doc_id, text, lang, source, n_chars FROM documents)
+        |SELECT COALESCE(n.doc_id, p.doc_id) AS doc_id,
+        |  CASE WHEN p.doc_id IS NULL THEN 'insert'
+        |       WHEN n.doc_id IS NULL THEN 'delete'
+        |       WHEN (p.text IS DISTINCT FROM n.text)
+        |         OR (p.lang IS DISTINCT FROM n.lang)
+        |         OR (p.source IS DISTINCT FROM n.source)
+        |         OR (p.n_chars IS DISTINCT FROM n.n_chars) THEN 'update' END AS change
+        |FROM prev p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id
+        |WHERE change IS NOT NULL""".stripMargin,
     // Same md5-unit order and window as Sampling.capPerGroup (salt "cap").
     "x41_source_cap" ->
       """WITH u AS (

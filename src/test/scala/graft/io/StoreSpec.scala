@@ -113,6 +113,21 @@ class StoreSpec extends AnyFunSuite {
     assert(shipped.nonEmpty && rederived == shipped)
   }
 
+  test("orc sink/scan: lossless round trip; filters push into the orc scan") {
+    val store = new Store(spark, Files.createTempDirectory("graft_orc").toString)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    store.writeOrc(docs, "docs_orc")
+    // row-for-row, byte-for-byte identity (text included)
+    val want = docs.collect().map(_.toString).sorted
+    val got = store.readOrc("docs_orc").collect().map(_.toString).sorted
+    assert(got.toSeq == want.toSeq)
+    // the scale contract: a predicate on the read-back reaches the ORC
+    // scan as a pushed filter (stripe/row-group skipping at 100 TB)
+    val p = store.readOrc("docs_orc").where(col("doc_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("IsNotNull(doc_id)"), p)
+  }
+
   test("bucketed tables: equi-join on the bucket key plans without a shuffle") {
     val store = new Store(spark, Files.createTempDirectory("graft_bucket").toString)
     val sf = "/root/testdata/sf0.001"

@@ -170,6 +170,41 @@ class UpsertSpec extends AnyFunSuite {
   }
 }
 
+class SnapshotDiffSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("insert/delete/update classified; unchanged rows emit nothing") {
+    val prev = Seq((1L, "a", 10L), (2L, "b", 20L), (4L, "gone", 40L))
+      .toDF("k", "v", "n")
+    val next = Seq((1L, "a", 10L), (2L, "B", 20L), (3L, "new", 30L))
+      .toDF("k", "v", "n")
+    val out = SnapshotDiff.diff(prev, next, "k", Seq("v", "n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "update", 3L -> "insert", 4L -> "delete"))
+  }
+
+  test("null payloads compare null-safely: null==null is unchanged, null->value is update") {
+    val prev = Seq((1L, Option.empty[String]), (2L, Option.empty[String]), (3L, Option("x")))
+      .toDF("k", "v")
+    val next = Seq((1L, Option.empty[String]), (2L, Option("now")), (3L, Option.empty[String]))
+      .toDF("k", "v")
+    val out = SnapshotDiff.diff(prev, next, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // key 1: null <=> null — NOT a change; keys 2 and 3: null vs value
+    assert(out == Map(2L -> "update", 3L -> "update"))
+  }
+
+  test("diff of a snapshot against itself is empty; full replacement is all three kinds") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    assert(SnapshotDiff.diff(a, a, "k", Seq("v")).isEmpty)
+    val b = Seq((2L, "z"), (3L, "w")).toDF("k", "v")
+    val out = SnapshotDiff.diff(a, b, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "delete", 2L -> "update", 3L -> "insert"))
+  }
+}
+
 class FeaturesScalingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._

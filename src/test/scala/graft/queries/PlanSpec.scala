@@ -105,6 +105,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Partial"), p) // the map-side (partial) group-limit pass
   }
 
+  test("snapshot diff is one keyed full-outer join, never all-pairs") {
+    val p = plan("x49_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("pq index build is map-only: one scan, zero exchanges") {
     // the 100-TB claim for x47 is literally "a single scan+write": any
     // Exchange appearing here means the encode stopped being map-side
