@@ -204,7 +204,7 @@ object Bench {
       "x2b_minhash_recall", "x4b_simhash_recall", "x5b_neardup_cell_recall",
       "x7c_ann_recall", "x20b_incremental_probe", "x24b_quantized_recall",
       "x11b_fingerprint_inv", "x27b_curate_report", "x38b_ann_filtered_recall",
-      "x39b_bloom_audit", "x47b_pq_recall")
+      "x39b_bloom_audit", "x47b_pq_recall", "x50_ivfpq_recall")
     val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
     // optional positional args = run only these queries (local profiling;
     // the driver passes none and gets the full surface)

@@ -616,8 +616,20 @@ object SimSearch {
       graft.functions.PqLut(col(qVec), codebooks).as("__lut"))
     val scored = codes.join(broadcast(q), col(qId) =!= col(cId))
       .withColumn("adist", graft.functions.PqAdcScore(col("__lut"), col("pq_code")))
-    // ascending: ADC is a squared distance on unit vectors (2 − 2cos), so
-    // smallest ≈ highest cosine
+    adcSurvivorsRerank(scored, queries, corpus, k, oversample, qId, qVec, cId, cVec)
+  }
+
+  /** Shared ADC epilogue: cut the ADC-scored candidates to the best
+    * `k·oversample` per query (ascending — ADC is a squared distance on
+    * unit vectors, 2 − 2cosθ, so smallest ≈ highest cosine; map-side
+    * WindowGroupLimit), then re-rank that bounded survivor set on exact
+    * float cosine fetched from the primary store via broadcast-keyed
+    * joins. Final scores never come from compressed codes.
+    */
+  private def adcSurvivorsRerank(scored: DataFrame, queries: DataFrame,
+                                 corpus: DataFrame, k: Int, oversample: Int,
+                                 qId: String, qVec: String,
+                                 cId: String, cVec: String): DataFrame = {
     val wa = Window.partitionBy(col(qId)).orderBy(col("adist").asc, col(cId).asc)
     val survivors = scored.withColumn("__ar", row_number().over(wa))
       .where(col("__ar") <= k * oversample)
@@ -628,6 +640,63 @@ object SimSearch {
       .join(broadcast(qf), Seq(qId))
       .withColumn("cos", dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")))
     topKSelect(rr, k, qId, cId)
+  }
+
+  /** IVF+PQ — the IVFADC family (Jégou et al., TPAMI 2011 §IV), both scale
+    * levers composed: the IVF coarse quantizer prunes WHICH rows are
+    * scanned (~nProbe/nCells of the corpus, via the cell equi-join), and
+    * the PQ codes shrink WHAT is read per scanned row (m bytes + m table
+    * lookups instead of a dim-float dot). This is the canonical
+    * billion-vector serving layout: index bytes ≈ corpus·(m + id), probe
+    * cost ≈ (nProbe/nCells)·corpus·m lookups, floats touched only for the
+    * bounded re-rank set. Codebooks encode raw (unit-normalized) vectors
+    * rather than per-cell residuals — the residual refinement buys
+    * ADC-ranking precision that the exact float re-rank already restores
+    * at these k, without m·nCells codebook state.
+    *
+    * Index rows are (cell, id, pq_code); persisted bucketed by `cell`
+    * (Store.writeBucketed) the probe reads only its cells' buckets.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nCells: Int = 16, nProbe: Int = 8, lloydIters: Int = 2,
+                m: Int = 16, ksub: Int = 64, pqIters: Int = 5,
+                sampleN: Int = 10000, oversample: Int = 16,
+                qId: String = "q_id", qVec: String = "q_vec",
+                cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = trainCentroids(corpus, nCells, lloydIters, cId, cVec)
+    val codebooks = pqTrain(corpus, m, ksub, pqIters, sampleN, cId, cVec)
+    // the compressed cell index: one map-only pass over the corpus
+    val codes = spread(corpus, col(cId))
+      .select(graft.functions.NearestCentroid(col(cVec), centroids).as("cell"),
+        col(cId), graft.functions.PqEncode(col(cVec), codebooks).as("pq_code"))
+      .where(col("pq_code").isNotNull && col("cell").isNotNull)
+    val centroidDF = spark.createDataFrame(
+      java.util.Arrays.asList(centroids.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i, c.map(_.toFloat).toSeq)
+      }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("c_vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    // rank the broadcast centroid table per query, keep the nProbe nearest
+    // cells (same probe shape as ivfTopKFromIndex), and carry the one
+    // per-query LUT into the cell join
+    val probes = queries.crossJoin(broadcast(centroidDF))
+      .withColumn("c_dot", dot(col(qVec), col("c_vec")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col(qId)).orderBy(col("c_dot").desc, col("cell").asc)))
+      .where(col("__pr") <= nProbe)
+      .select(col(qId), col("cell"))
+    val qlut = queries.select(col(qId),
+      graft.functions.PqLut(col(qVec), codebooks).as("__lut"))
+    val probeSide = probes.join(qlut, Seq(qId))
+    val scored = codes.join(broadcast(probeSide), Seq("cell"))
+      .where(col(qId) =!= col(cId))
+      .withColumn("adist", graft.functions.PqAdcScore(col("__lut"), col("pq_code")))
+    adcSurvivorsRerank(scored, queries, corpus, k, oversample, qId, qVec, cId, cVec)
   }
 
   /** Train + encode + serve in one call (the self-contained query face;

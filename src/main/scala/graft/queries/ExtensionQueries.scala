@@ -435,6 +435,27 @@ object ExtensionQueries {
               .cast("long")).as("recall_ok"))
     }),
 
+    // IVF+PQ composed (the IVFADC billion-scale layout): cell probing
+    // prunes which rows are scanned, PQ codes shrink what is read per
+    // row, exact float re-rank restores precision — recall-gated against
+    // brute-force truth like x7c/x24b/x47b.
+    "x50_ivfpq_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      // lazy checkpoint: no job at DataFrame-construction time (x7c note)
+      val truth = SimSearch.bruteTopK(q, e, k = 5).select("q_id", "neighbor_id")
+        .localCheckpoint(false)
+      val found = SimSearch.ivfPqTopK(q, e, k = 5).select("q_id", "neighbor_id")
+      found.join(truth, Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(col("n_truth").cast("long").as("n_truth"),
+          when(col("n_truth") === 0, lit(1L))
+            .otherwise((col("n_hits").cast("double") / col("n_truth") >= ANN_RECALL_MIN)
+              .cast("long")).as("recall_ok"))
+    }),
+
     // ---- text analysis ----------------------------------------------------
     "x8_text_lang" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -1323,6 +1344,16 @@ object ExtensionQueries {
     // Serving-path gate: DuckDB recomputes the exact brute-force truth
     // count (same CTE as x7c, one row); recall_ok is Spark-computed.
     "x24b_quantized_recall" ->
+      s"""WITH q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings),
+         |s AS (SELECT q_id, vec_id AS neighbor_id, ${duckCos("qv", "cv")} AS cos
+         |      FROM q CROSS JOIN c WHERE q_id <> vec_id),
+         |r AS (SELECT q_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, CAST(1 AS BIGINT) AS recall_ok
+         |FROM r WHERE rank <= 5""".stripMargin,
+    // IVF+PQ gate: same exact-truth replay; recall_ok is Spark-computed
+    // over the composed cell-probe + ADC + re-rank path.
+    "x50_ivfpq_recall" ->
       s"""WITH q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings),
          |s AS (SELECT q_id, vec_id AS neighbor_id, ${duckCos("qv", "cv")} AS cos

@@ -729,6 +729,27 @@ class SimSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf+pq: composed cell-probe + ADC recall clears the gate; re-rank exact") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val truth = SimSearch.bruteTopK(q, e, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = SimSearch.ivfPqTopK(q, e, k = 5).collect()
+    val found = served.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth intersect found).size.toDouble / truth.size
+    assert(recall >= 0.6, s"ivf+pq recall $recall below gate")
+    info(s"ivf+pq recall@5: $recall")
+    // exhaustive probe degenerates to the PQ-only path's candidate set:
+    // with nProbe = nCells every row is ADC-scored, so the top-k must
+    // equal pqTopK's (same codebooks, same re-rank)
+    val allCells = SimSearch.ivfPqTopK(q, e, k = 5, nCells = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pqOnly = SimSearch.pqTopK(q, e, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(allCells == pqOnly, "nProbe=nCells IVF+PQ must equal the exhaustive PQ scan")
+  }
+
   test("pq serving: recall clears the gate; the float re-rank is exact") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.where(col("vec_id") < 10)
