@@ -305,4 +305,39 @@ object EventStreams {
           }
       }
   }
+
+  /** Streaming keep-newest upsert sink — the reference's daily D1 upsert
+    * (`raw_data.py:257-261`) run continuously: each micro-batch merges
+    * into the stored parquet table via [[graft.operators.Upsert.keepNewest]],
+    * so incoming rows replace stored rows on key collision. State lives
+    * in the TABLE, not in streaming state — no watermark, unbounded key
+    * space — and a checkpoint-recovery REPLAY of a micro-batch is
+    * harmless because the merge is idempotent (UpsertSpec law: upserting
+    * the same batch twice changes nothing).
+    *
+    * Scale shape: this face rewrites the whole (fixture-sized) table per
+    * batch behind an eager local checkpoint (the merge reads the very
+    * files the overwrite deletes — materialize first); at 100 TB the
+    * store is the date-partitioned layout
+    * ([[graft.io.Store.writePartitioned]], dynamic partition overwrite),
+    * where a micro-batch rewrites only the partitions its keys land in.
+    */
+  def upsertSink(stream: DataFrame, tableDir: String, keys: Seq[String],
+                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val target = new org.apache.hadoop.fs.Path(tableDir)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val existing =
+          if (fs.exists(target)) spark.read.parquet(tableDir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        graft.operators.Upsert.keepNewest(existing, batch.toDF(), keys)
+          .localCheckpoint(true)
+          .write.mode("overwrite").parquet(tableDir)
+        ()
+      }
+      .start()
 }

@@ -729,6 +729,23 @@ class SimSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("pq: codes persisted to parquet serve identically to the direct path") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = SimSearch.pqTrain(e)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = asSet(SimSearch.pqTopK(q, e, k = 3))
+    // the deployment path: the code index is built once and persisted;
+    // binary codes round-trip parquet byte-exactly, and the serving scan
+    // reads only (vec_id, pq_code) — never the float vectors
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    SimSearch.pqEncode(e, cb).write.mode("overwrite").parquet(path)
+    assert(asSet(SimSearch.pqTopKFromIndex(q,
+      spark.read.parquet(path), e, cb, k = 3)) == direct)
+  }
+
   test("ivf+pq: composed cell-probe + ADC recall clears the gate; re-rank exact") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.where(col("vec_id") < 10)

@@ -67,6 +67,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming upsert sink: newest replaces on key collision across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_upsert_sink").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.upsertSink(input.toDF().toDF("k", "v"),
+      s"$dir/table", Seq("k"), s"$dir/ckpt")
+    try {
+      input.addData((1L, "a1"), (2L, "b1"))
+      q.processAllAvailable()
+      // batch 2 collides on key 2 and inserts key 3
+      input.addData((2L, "b2"), (3L, "c1"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/table").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out == Map(1L -> "a1", 2L -> "b2", 3L -> "c1"))
+      // the merge is a table-state operation: re-upserting the same rows
+      // (a checkpoint-recovery replay) must change nothing
+      input.addData((2L, "b2"), (3L, "c1"))
+      q.processAllAvailable()
+      val again = spark.read.parquet(s"$dir/table").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(again == out)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: in-window pairs emit, out-of-window don't, batch agrees") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
