@@ -97,6 +97,57 @@ class Store(spark: SparkSession, baseDir: String) {
 
   def readOrc(rel: String): DataFrame = spark.read.orc(s"$baseDir/$rel")
 
+  /** Cluster-sorted parquet layout for data skipping on a CONTINUOUS key —
+    * the file-level sibling of [[writePartitioned]]'s directory pruning
+    * (x46): `repartitionByRange` gives each output file a narrow,
+    * non-overlapping slice of the cluster key and the within-partition
+    * sort tightens every row group's min/max, so a range or equality
+    * predicate matches rows in only the few files/row groups whose stats
+    * overlap it — the scan's pushed filter skips the rest without a
+    * partition column. Use when the key is too high-cardinality to be a
+    * directory (user ids, timestamps at second grain, content hashes):
+    * at 100 TB, `files` scales to corpus_bytes / target_file_size and the
+    * range exchange is the one-time layout cost every later scan
+    * amortizes. x51 proves the effect end-to-end: a 10-of-150 key-range
+    * scan touches 1 of 8 files (PlanSpec pins the touched-file count).
+    */
+  def writeClustered(df: DataFrame, rel: String, clusterCols: Seq[String],
+                     files: Int = 8): Unit =
+    df.repartitionByRange(files, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite").parquet(s"$baseDir/$rel")
+
+  /** Small-file compaction — the operational complement of continuous
+    * sinks (a streaming upsert/append sink accretes one-file-per-batch
+    * until scans drown in per-file open/footer overhead): rewrite `rel`
+    * into ~`targetBytes` files, byte-identical rows, swapped in with the
+    * same park-aside/rename discipline as [[writeCsv]] so readers never
+    * observe a half-compacted table and a failed swap rolls back.
+    */
+  def compact(rel: String, targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val target = new Path(s"$baseDir/$rel")
+    val totalBytes = fs.getContentSummary(target).getLength
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(target.getParent, s".tmp_${target.getName}")
+    val old = new Path(target.getParent, s".old_${target.getName}")
+    // the read is lazy but executes fully during the tmp write, while the
+    // target is still intact; only after tmp is complete does the swap run
+    spark.read.parquet(target.toString)
+      .repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    val targetExisted = fs.exists(target)
+    val hadTarget = targetExisted && fs.rename(target, old)
+    if (targetExisted && !hadTarget && fs.exists(target))
+      throw new IllegalStateException(
+        s"could not park $target aside as $old; aborting compaction with data intact")
+    if (!fs.rename(tmp, target)) {
+      if (hadTarget) fs.rename(old, target)
+      throw new IllegalStateException(s"rename $tmp -> $target failed")
+    }
+    fs.delete(old, true)
+  }
+
   /** Bucketed managed table: pre-shuffles ONCE at write time so every later
     * equi-join/aggregation on `bucketCols` is co-located — Catalyst plans a
     * SortMergeJoin with NO Exchange on either side. This is the 100 TB

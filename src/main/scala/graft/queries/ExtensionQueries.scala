@@ -646,6 +646,24 @@ object ExtensionQueries {
           min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
     }),
+    // File-level data skipping on a continuous key (Store.writeClustered —
+    // x46's directory-pruning sibling for keys too high-cardinality to be
+    // directories): events range-clustered by user_id into 8 files, then a
+    // 10-of-150 user-range aggregate off the read-back. The range layout
+    // concentrates the matching rows in ONE file's key slice (PlanSpec
+    // pins the touched-file count via input_file_name); DuckDB replays the
+    // same aggregate straight off the raw events, so a green row also
+    // proves the cluster-sort write loses/duplicates nothing in the range.
+    "x51_clustered_prune" -> ((s, dir) => {
+      val base = s"$scratchDir/x51"
+      new graft.io.Store(s, base)
+        .writeClustered(Tables.events(s, dir), "events_by_user", Seq("user_id"))
+      s.read.parquet(s"$base/events_by_user")
+        .where(col("user_id").between(40, 49))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     // CDC-style snapshot diff (incremental-recompute driver): one row per
     // changed key between a synthetic "previous" snapshot (missing the
     // mod-11 slice -> inserts; n_chars bumped on the mod-7 slice ->
@@ -1615,6 +1633,15 @@ object ExtensionQueries {
         |  CAST(bit_xor(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum,
         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // The clustered layout must preserve the range's rows exactly: the
+    // oracle aggregates the RAW events, so any loss/duplication in the
+    // cluster-sort write diffs a count or sum.
+    "x51_clustered_prune" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE user_id BETWEEN 40 AND 49
+        |GROUP BY 1""".stripMargin,
     // Same prev-snapshot derivation, full-outer join, and null-safe
     // column compare as SnapshotDiff.diff.
     "x49_snapshot_diff" ->

@@ -113,6 +113,27 @@ class StoreSpec extends AnyFunSuite {
     assert(shipped.nonEmpty && rederived == shipped)
   }
 
+  test("compact: many small files collapse to few, rows byte-identical, swap is atomic") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_compact").toString
+    val store = new Store(spark, base)
+    // simulate a continuous sink's accretion: 16 one-row-ish files
+    (1L to 16L).map(i => Seq((i, s"v$i")).toDF("k", "v"))
+      .foreach(_.write.mode("append").parquet(s"$base/tbl"))
+    val before = spark.read.parquet(s"$base/tbl")
+    val want = before.collect().map(_.toString).sorted.toSeq
+    val filesBefore = before.select(input_file_name()).distinct().count()
+    assert(filesBefore >= 16)
+    store.compact("tbl", targetBytes = Long.MaxValue) // everything fits one file
+    val after = spark.read.parquet(s"$base/tbl")
+    assert(after.select(input_file_name()).distinct().count() == 1)
+    assert(after.collect().map(_.toString).sorted.toSeq == want)
+    // no tmp/old debris left beside the table
+    val leftovers = Files.list(java.nio.file.Paths.get(base))
+      .map(_.getFileName.toString).filter(n => n.startsWith(".tmp_") || n.startsWith(".old_"))
+    assert(leftovers.count() == 0)
+  }
+
   test("orc sink/scan: lossless round trip; filters push into the orc scan") {
     val store = new Store(spark, Files.createTempDirectory("graft_orc").toString)
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

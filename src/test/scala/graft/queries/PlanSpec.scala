@@ -105,6 +105,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Partial"), p) // the map-side (partial) group-limit pass
   }
 
+  test("clustered layout concentrates a key range into few files") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    // the x51 witness: range-clustering by user_id gives each of the 8
+    // files a non-overlapping key slice, so the 10-of-150 user range must
+    // come back from at most 2 files (a range boundary can split one
+    // slice) — on an unclustered layout every file would contribute rows.
+    // The predicate also reaches the scan (row-group stats skipping).
+    val base = java.nio.file.Files.createTempDirectory("graft-cluster-").toString
+    new graft.io.Store(spark, base).writeClustered(
+      graft.Tables.events(spark, sf), "events_by_user", Seq("user_id"))
+    val filtered = spark.read.parquet(s"$base/events_by_user")
+      .where(col("user_id").between(40, 49))
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(user_id,40)"), p)
+    val touched = filtered.select(input_file_name()).distinct().count()
+    val total = spark.read.parquet(s"$base/events_by_user")
+      .select(input_file_name()).distinct().count()
+    assert(total == 8, s"expected 8 clustered files, got $total")
+    assert(touched <= 2, s"range touched $touched of $total files — layout not clustered")
+  }
+
   test("snapshot diff is one keyed full-outer join, never all-pairs") {
     val p = plan("x49_snapshot_diff")
     assert(p.contains("FullOuter"), p)
