@@ -681,6 +681,22 @@ object ExtensionQueries {
       graft.operators.SnapshotDiff.diff(prev, docs, "doc_id",
         Seq("text", "lang", "source", "n_chars"))
     }),
+    // SCD2 history build (x49's longitudinal twin): collapse each user's
+    // event_type observations into validity intervals — one row per value
+    // RUN with [valid_from, valid_to) bounds and an is_current flag, the
+    // point-in-time-join shape for dimension history. DuckDB replays the
+    // change-point lag and the interval-closing lead verbatim.
+    "x52_scd2_history" -> ((s, dir) =>
+      graft.operators.Scd2.history(Tables.events(s, dir), "user_id",
+        Seq("ts", "event_id"), Seq("event_type"))),
+    // Trailing-window rate features ("events / value in the last hour",
+    // "sum of the last 5 readings") — fraud-velocity / rate-limit /
+    // trend-feature shape. RANGE frame over whole epoch seconds (equal
+    // ticks are peers, so intra-tick order can't change the result), ROWS
+    // frame tie-broken by event_id; DuckDB replays both frames.
+    "x53_rolling_features" -> ((s, dir) =>
+      graft.operators.Rolling.trailing(Tables.events(s, dir), "user_id",
+        "ts", "event_id", "value", windowSeconds = 3600L, lastN = 5)),
     // Per-source document cap (domain-domination control): at most 40 docs
     // per source, chosen by deterministic md5-hash order — a hard count
     // guarantee per group, complementing x15's rate-based sampling. DuckDB
@@ -1662,6 +1678,38 @@ object ExtensionQueries {
         |         OR (p.n_chars IS DISTINCT FROM n.n_chars) THEN 'update' END AS change
         |FROM prev p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id
         |WHERE change IS NOT NULL""".stripMargin,
+    // Same change-point detection (null-safe lag compare, (ts, event_id)
+    // total order) and interval-closing lead as Scd2.history. The
+    // row_number()=1 guard matches Spark's null<=>struct=false opener even
+    // if a fixture regen ever ships a null first event_type.
+    "x52_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |m AS (SELECT user_id, event_id, ts, event_type,
+        |        CASE WHEN row_number() OVER w0 = 1
+        |              OR lag(event_type) OVER w0 IS DISTINCT FROM event_type
+        |             THEN 1 ELSE 0 END AS chg
+        |      FROM e WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT user_id, event_type, ts AS valid_from, event_id FROM m WHERE chg = 1)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER w AS valid_to,
+        |  CAST(lead(valid_from) OVER w IS NULL AS BIGINT) AS is_current
+        |FROM p WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)""".stripMargin,
+    // Same two frames as Rolling.trailing: RANGE over whole epoch seconds
+    // (epoch_us // 1e6 = Spark's cast-to-long truncation), ROWS over
+    // (ts, event_id). SUM inputs are 2-decimal, so ROUND(...,2) is exact.
+    "x53_rolling_features" ->
+      """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec
+        |           FROM events)
+        |SELECT event_id, user_id, ts,
+        |  CAST(COUNT(*) OVER wt AS BIGINT) AS n_window,
+        |  ROUND(SUM(value) OVER wt, 2) AS sum_window,
+        |  ROUND(SUM(value) OVER wr, 2) AS sum_lastn
+        |FROM e
+        |WINDOW wt AS (PARTITION BY user_id ORDER BY tsec
+        |              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+        |       wr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
     // Same md5-unit order and window as Sampling.capPerGroup (salt "cap").
     "x41_source_cap" ->
       """WITH u AS (

@@ -254,3 +254,83 @@ class FeaturesScalingSpec extends AnyFunSuite {
     assert(math.abs(z.sum) < 1e-12) // mean of (2,0)=1, std=1 -> z = (+1,-1)
   }
 }
+
+class Scd2Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("consecutive equal runs collapse; valid_to chains; last run is current") {
+    val obs = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), (1L, 30L, 3L, "b"),
+      (1L, 40L, 4L, "b"), (1L, 50L, 5L, "a")).toDF("k", "t", "id", "v")
+    val out = Scd2.history(obs, "k", Seq("t", "id"), Seq("v"))
+      .orderBy("valid_from").collect()
+      .map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("a", 10L, 30L, 0L), ("b", 30L, 50L, 0L), ("a", 50L, -1L, 1L)))
+  }
+
+  test("null tracked values merge into runs null-safely; null->value opens an interval") {
+    val obs = Seq((1L, 1L, 1L, Option.empty[String]), (1L, 2L, 2L, Option.empty[String]),
+      (1L, 3L, 3L, Option("x"))).toDF("k", "t", "id", "v")
+    val out = Scd2.history(obs, "k", Seq("t", "id"), Seq("v"))
+      .orderBy("valid_from").collect()
+    assert(out.length == 2)
+    assert(out(0).isNullAt(1) && out(0).getLong(2) == 1L && out(0).getLong(3) == 3L)
+    assert(out(1).getString(1) == "x" && out(1).getLong(4) == 1L)
+  }
+
+  test("point-in-time reconstruction law: every observation falls in exactly one " +
+    "interval of its key carrying its own tracked value") {
+    val rnd = new scala.util.Random(7)
+    val obs = (1 to 400).map { i =>
+      (rnd.nextInt(5).toLong, i.toLong, i.toLong, ("s" + rnd.nextInt(3)))
+    }.toDF("k", "t", "id", "v")
+    val hist = Scd2.history(obs, "k", Seq("t", "id"), Seq("v"))
+    val joined = obs.as("o").join(hist.as("h"),
+      col("o.k") === col("h.k") && col("o.t") >= col("h.valid_from") &&
+        (col("h.valid_to").isNull || col("o.t") < col("h.valid_to")))
+    assert(joined.count() == 400)
+    assert(joined.where(col("o.v") =!= col("h.v")).count() == 0)
+    // exactly one current interval per key
+    val cur = hist.where(col("is_current") === 1L).groupBy("k").count().collect()
+    assert(cur.forall(_.getLong(1) == 1L))
+  }
+}
+
+class RollingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def events(rows: Seq[(Long, Long, Long, Double)]) =
+    rows.toDF("event_id", "user_id", "tsec", "value")
+      .withColumn("ts", expr("timestamp_seconds(tsec)")).drop("tsec")
+
+  test("RANGE frame is a trailing inclusive hour; ROWS frame is the last N by (ts, id)") {
+    val df = events(Seq((1L, 1L, 0L, 1.0), (2L, 1L, 1800L, 2.0), (3L, 1L, 3599L, 3.0),
+      (4L, 1L, 3600L, 4.0), (5L, 1L, 7201L, 5.0)))
+    val out = Rolling.trailing(df, "user_id", "ts", "event_id", "value",
+      windowSeconds = 3600L, lastN = 2).orderBy("event_id").collect()
+    // at t=3600 the frame [0, 3600] holds all four earlier-or-equal events
+    assert(out(3).getLong(3) == 4L && out(3).getDouble(4) == 10.0)
+    // at t=7201 the frame [3601, 7201] holds only itself
+    assert(out(4).getLong(3) == 1L && out(4).getDouble(4) == 5.0)
+    // ROWS last-2 at event 4 = values 3+4
+    assert(out(3).getDouble(5) == 7.0)
+  }
+
+  test("equal timestamps are RANGE peers: both rows see both, so intra-tick order is moot") {
+    val df = events(Seq((1L, 1L, 100L, 1.0), (2L, 1L, 100L, 2.0)))
+    val out = Rolling.trailing(df, "user_id", "ts", "event_id", "value", 3600L, 5)
+      .orderBy("event_id").collect()
+    assert(out.forall(r => r.getLong(3) == 2L && r.getDouble(4) == 3.0))
+    // ROWS frame tie-breaks by id: event 1 sees itself, event 2 sees both
+    assert(out(0).getDouble(5) == 1.0 && out(1).getDouble(5) == 3.0)
+  }
+
+  test("keys never mix") {
+    val df = events(Seq((1L, 1L, 0L, 1.0), (2L, 2L, 1L, 100.0)))
+    val out = Rolling.trailing(df, "user_id", "ts", "event_id", "value", 3600L, 5)
+      .orderBy("event_id").collect()
+    assert(out(0).getDouble(4) == 1.0 && out(1).getDouble(4) == 100.0)
+  }
+}

@@ -132,6 +132,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("scd2 history is one exchange: change-point lag and interval lead share the key sort") {
+    // the filter between the two windows keeps distribution AND order, so
+    // a second Exchange (or a second Sort) here means the planner stopped
+    // reusing the (key, ts, id) sort — the operator's whole scale claim
+    val p = plan("x52_scd2_history")
+    assert(exchanges(p) == 1, p)
+    assert(p.linesIterator.count(_.trim.startsWith("+- Sort")) <= 1, p)
+  }
+
+  test("rolling features shuffle once; the two frames differ only in sort") {
+    val p = plan("x53_rolling_features")
+    assert(exchanges(p) == 1, p)
+  }
+
   test("pq index build is map-only: one scan, zero exchanges") {
     // the 100-TB claim for x47 is literally "a single scan+write": any
     // Exchange appearing here means the encode stopped being map-side
