@@ -3,13 +3,18 @@
 #   1. sbt test            (ScalaTest suite)
 #   2. graft.Verify + DuckDB oracle compare at sf0.001 / sf0.01 / sf0.1
 #   3. the official quiet bench (graft.Bench, bare JVM, full probes)
-# — and emits ONE JSON verdict line on stdout (also written to
-# JUDGE_LAST.json). Exit 0 iff every gate passed AND the bench window
-# self-certified quiet (contended-window benches report "bench_quiet":false
-# but do not fail the harness: re-run in a quieter window).
+# — and emits ONE JSON verdict line on stdout (also written to a file:
+# the gitignored JUDGE_RUN.json by default, so casual verification runs
+# leave `git status` clean — the committed JUDGE_LAST.json is the official
+# end-of-round certification and is only touched when named explicitly,
+# the same explicit-only discipline as Bench's SPARK_GRAFT_BENCH_OUT).
+# Exit 0 iff every gate passed AND the bench window self-certified quiet
+# (contended-window benches report "bench_quiet":false but do not fail the
+# harness: re-run in a quieter window).
 #
 # Usage: scripts/judge.sh            (from anywhere; ~6 min total)
 #        SKIP_TESTS=1 scripts/judge.sh   (skip step 1 when iterating)
+#        JUDGE_OUT=JUDGE_LAST.json scripts/judge.sh   (official certification)
 set -u
 cd "$(dirname "$0")/.."
 
@@ -122,5 +127,5 @@ verdict=$(printf '{"tests_passed":%s,"tests_failed":%s,"oracle_sf0.001":"%s","or
   "$bench_total" "$bench_rc" "$bench_quiet" "$surface_matches" \
   "${cpu_regressions:-[]}" \
   "$([ $fail -eq 0 ] && echo true || echo false)")
-echo "$verdict" | tee JUDGE_LAST.json
+echo "$verdict" | tee "${JUDGE_OUT:-JUDGE_RUN.json}"
 exit $fail

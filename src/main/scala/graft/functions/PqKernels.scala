@@ -300,7 +300,11 @@ case class PqAdcScore(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, false), BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, true), BinaryType) => TypeCheckResult.TypeCheckFailure(
+        "pq_adc_score needs a lut with non-nullable elements ([[PqLut]] output is " +
+          "containsNull=false); the eval loop reads cells unguarded, so a null element " +
+          "would silently score as 0.0 instead of nulling the distance")
       case _ => TypeCheckResult.TypeCheckFailure(
         s"pq_adc_score needs (array<double> lut, binary codes), got ${left.dataType} / ${right.dataType}")
     }

@@ -121,8 +121,17 @@ class Store(spark: SparkSession, baseDir: String) {
     * sinks (a streaming upsert/append sink accretes one-file-per-batch
     * until scans drown in per-file open/footer overhead): rewrite `rel`
     * into ~`targetBytes` files, byte-identical rows, swapped in with the
-    * same park-aside/rename discipline as [[writeCsv]] so readers never
-    * observe a half-compacted table and a failed swap rolls back.
+    * park-aside/rename discipline of [[writeCsv]] so a failed swap rolls
+    * back with the data intact.
+    *
+    * Concurrency contract: single writer, no concurrent readers DURING the
+    * swap. Each rename is atomic but the pair is not — between
+    * rename(target, old) and rename(tmp, target) the table path briefly
+    * does not exist, so a reader racing the swap can fail with
+    * path-not-found (it never sees PARTIAL data; retry-on-missing is
+    * enough). A table that must stay readable under concurrent scans at
+    * all instants needs a catalog/manifest indirection (swap a pointer,
+    * not the directory) — out of scope for this path-addressed store.
     */
   def compact(rel: String, targetBytes: Long = 128L * 1024 * 1024): Unit = {
     val target = new Path(s"$baseDir/$rel")

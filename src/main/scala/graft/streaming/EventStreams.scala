@@ -105,7 +105,7 @@ object EventStreams {
     * horizon degenerates to — deterministic iff the feed is key-unique
     * (the declared st3 feed is; its scaladoc explains why).
     */
-  private def dropDupFeed(df: DataFrame, key: String): DataFrame =
+  private def dropDupFeed(df: DataFrame, key: String, tsCol: String = "ts"): DataFrame =
     if (df.isStreaming) df.dropDuplicatesWithinWatermark(key)
     else {
       // Deterministic batch face. dropDuplicates keeps an ARBITRARY
@@ -114,14 +114,24 @@ object EventStreams {
       // dependent the moment two feed rows share a key — an oracle that
       // compares full rows would then flap nondeterministically. Keep the
       // EARLIEST row per key instead (event-time order, total-ordered by
-      // the remaining columns on ts ties): the batch analogue of the
-      // "first arrival wins" rule dropDuplicatesWithinWatermark applies in
-      // arrival order. Every caller watermarks on "ts" first, so the
-      // column is guaranteed here. Same key-shuffle as dropDuplicates;
-      // the rn<=1 filter is map-side-limited by WindowGroupLimit.
-      val rest = df.columns.filterNot(_ == key).map(col)
+      // the remaining ORDERABLE columns on ts ties): the batch analogue of
+      // the "first arrival wins" rule dropDuplicatesWithinWatermark applies
+      // in arrival order. The event-time column is an explicit parameter
+      // (every caller watermarks on it first) and its absence fails loudly
+      // here instead of as an unresolved-column analysis error; unorderable
+      // columns (maps) are excluded from the tie-break struct — they would
+      // fail analysis outright, and dropping them only widens the (already
+      // arbitrary-among-identical-ts) tie window, never changes which key
+      // survives. Same key-shuffle as dropDuplicates; the rn<=1 filter is
+      // map-side-limited by WindowGroupLimit.
+      require(df.columns.contains(tsCol),
+        s"dropDupFeed needs event-time column '$tsCol' on the batch face; feed has ${df.columns.mkString(", ")}")
+      val rest = df.schema.fields
+        .filter(f => f.name != key && f.name != tsCol)
+        .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+        .map(f => col(f.name))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(key)).orderBy(col("ts").asc, struct(rest: _*).asc)
+        .partitionBy(col(key)).orderBy(col(tsCol).asc, struct(rest.toIndexedSeq: _*).asc)
       df.withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1).drop("__rn")
     }

@@ -729,6 +729,18 @@ class SimSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("pq: ADC rejects a nullable-element lut at analysis (null cells must not score as 0)") {
+    // PqLut output is containsNull=false, so production paths never hit
+    // this; a HAND-built lut with nullable elements used to read null cells
+    // as 0.0 (a silently wrong distance) — now it fails analysis loudly.
+    val df = Seq((1L, Array[Byte](0))).toDF("id", "code")
+      .withColumn("lut", array(lit(1.0), when(col("id") < 0L, 2.0))) // containsNull=true
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.PqAdcScore(col("lut"), col("code"))).collect()
+    }
+    assert(err.getMessage.contains("non-nullable"), err.getMessage)
+  }
+
   test("pq: codes persisted to parquet serve identically to the direct path") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cb = SimSearch.pqTrain(e)
