@@ -435,6 +435,24 @@ object ExtensionQueries {
               .cast("long")).as("recall_ok"))
     }),
 
+    // PQ SERVING as a default-surface query — the hot path the PQ tier
+    // exists for (x47 benches only the encode; x47b/x50 run verify-only):
+    // codes built once map-only, one PqLut per query broadcast to an ADC
+    // scan of the codes, map-side WindowGroupLimit survivor cut, exact
+    // float re-rank of the bounded survivors. Candidate choice depends on
+    // codebook values, so like x7/x7b this is rows-only for DuckDB; the
+    // recall gate x47b checks the same serving path against brute-force
+    // truth every round, and PlanSpec pins the plan shape — together with
+    // the bench's cpu_regressions gate this makes a serving-plan
+    // regression loud instead of invisible (r12 verdict item 1).
+    "x47c_pq_serve" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val cb = SimSearch.pqTrain(e)
+      SimSearch.pqTopKFromIndex(q, SimSearch.pqEncode(e, cb), e, cb, k = 5)
+    }),
+
     // IVF+PQ composed (the IVFADC billion-scale layout): cell probing
     // prunes which rows are scanned, PQ codes shrink what is read per
     // row, exact float re-rank restores precision — recall-gated against
@@ -689,6 +707,31 @@ object ExtensionQueries {
     "x52_scd2_history" -> ((s, dir) =>
       graft.operators.Scd2.history(Tables.events(s, dir), "user_id",
         Seq("ts", "event_id"), Seq("event_type"))),
+    // Point-in-time join over the x52 history — the query shape SCD2
+    // exists for ("which status did this user have when the fact
+    // happened?"): each fact row picks up the dimension value whose
+    // half-open interval covers its timestamp (null valid_to = current).
+    // The equality conjunct on user_id keys the join — a SortMergeJoin
+    // with the interval bounds as residual conditions, never a cartesian
+    // (PlanSpec pins it; this is also the band-join family BandJoinRewrite
+    // guards on the SQL surface, where the equi-key makes the rewrite
+    // unnecessary). Intervals partition each key's timeline, so every
+    // fact matches exactly one history row; DuckDB replays history build
+    // and join verbatim.
+    "x52b_point_in_time" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+      val h = graft.operators.Scd2.history(events, "user_id",
+          Seq("ts", "event_id"), Seq("event_type"))
+        .select(col("user_id").as("h_user"), col("event_type").as("status_at_ts"),
+          col("valid_from"), col("valid_to"))
+      events.where(col("event_id") % 3 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .join(h, col("user_id") === col("h_user") &&
+          col("valid_from") <= col("ts") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("status_at_ts"), col("valid_from"))
+    }),
     // Trailing-window rate features ("events / value in the last hour",
     // "sum of the last 5 readings") — fraud-velocity / rate-limit /
     // trend-feature shape. RANGE frame over whole epoch seconds (equal
@@ -1694,6 +1737,24 @@ object ExtensionQueries {
         |  lead(valid_from) OVER w AS valid_to,
         |  CAST(lead(valid_from) OVER w IS NULL AS BIGINT) AS is_current
         |FROM p WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)""".stripMargin,
+    // x52's history CTE composed with the interval join: same change-point
+    // and lead arithmetic, then each mod-3 fact joins the one history row
+    // whose [valid_from, valid_to) covers its ts.
+    "x52b_point_in_time" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |m AS (SELECT user_id, event_id, ts, event_type,
+        |        CASE WHEN row_number() OVER w0 = 1
+        |              OR lag(event_type) OVER w0 IS DISTINCT FROM event_type
+        |             THEN 1 ELSE 0 END AS chg
+        |      FROM e WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT user_id, event_type, ts AS valid_from, event_id FROM m WHERE chg = 1),
+        |h AS (SELECT user_id, event_type, valid_from,
+        |        lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+        |      FROM p),
+        |f AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_id % 3 = 0)
+        |SELECT f.event_id, f.user_id, f.ts, h.event_type AS status_at_ts, h.valid_from
+        |FROM f JOIN h ON f.user_id = h.user_id
+        |  AND h.valid_from <= f.ts AND (h.valid_to IS NULL OR f.ts < h.valid_to)""".stripMargin,
     // Same two frames as Rolling.trailing: RANGE over whole epoch seconds
     // (epoch_us // 1e6 = Spark's cast-to-long truncation), ROWS over
     // (ts, event_id). SUM inputs are 2-decimal, so ROUND(...,2) is exact.

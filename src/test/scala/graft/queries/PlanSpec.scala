@@ -160,6 +160,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("pq serving query: broadcast-LUT ADC scan, map-side survivor cut, no cartesian") {
+    // x47c is the default-surface witness for the serving path: the code
+    // scan must meet the per-query LUTs through a BROADCAST (the LUT side
+    // is queries-sized, the codes side is the corpus — broadcasting the
+    // other way, or planning a CartesianProduct, is the 100-TB failure),
+    // candidates must score on the codegen'd ADC expression (never float
+    // vectors), and the survivor cut must run map-side (WindowGroupLimit)
+    val p = plan("x47c_pq_serve")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("pqadcscore"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("point-in-time join: keyed on user_id with interval residual, never a cartesian") {
+    // the interval predicate (valid_from <= ts < valid_to) must ride a
+    // keyed join as residual conditions — without the user_id equality
+    // conjunct this whole family degenerates to a nested-loop band join
+    val p = plan("x52b_point_in_time")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p)
+  }
+
   test("lsh ANN never scans the corpus twice") {
     val p = plan("x7_ann_lsh")
     // one corpus scan + one (broadcast) query scan of the same file
