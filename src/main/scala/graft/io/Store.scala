@@ -41,34 +41,15 @@ class Store(spark: SparkSession, baseDir: String) {
     */
   def writeCsv(df: DataFrame, rel: String, sortCol: String = "datetime"): Unit = {
     val target = new Path(s"$baseDir/$rel")
-    // tmp/old are SIBLINGS of the leaf (dot-prefix on the last path segment
+    // tmp is a SIBLING of the leaf (dot-prefix on the last path segment
     // only), so a nested rel like "a/b.csv" stays inside its parent dir
     // instead of creating a stray ".tmp_a/" tree.
     val tmp = new Path(target.getParent, s".tmp_${target.getName}")
-    val old = new Path(target.getParent, s".old_${target.getName}")
     df.orderBy(col(sortCol))
       .coalesce(1)
       .write.mode("overwrite").option("header", "true")
       .csv(tmp.toString)
-    // Swap with the old data parked aside, not deleted first: readers never
-    // observe a missing target for longer than one rename, and a failed
-    // rename can roll back instead of having already destroyed the target.
-    fs.delete(old, true)
-    val targetExisted = fs.exists(target)
-    val hadTarget = targetExisted && fs.rename(target, old)
-    // If parking the old data FAILED but the target still exists, the next
-    // rename would succeed by moving tmp INSIDE the existing directory
-    // (Hadoop rename-into-existing-dir semantics) — readers would keep the
-    // stale rows and the fresh export would be buried where nobody looks.
-    // Fail loudly instead; nothing has been destroyed at this point.
-    if (targetExisted && !hadTarget && fs.exists(target))
-      throw new IllegalStateException(
-        s"could not park $target aside as $old; aborting swap with data intact")
-    if (!fs.rename(tmp, target)) {
-      if (hadTarget) fs.rename(old, target) // roll back
-      throw new IllegalStateException(s"rename $tmp -> $target failed")
-    }
-    fs.delete(old, true)
+    Store.swapInto(fs, tmp, target)
   }
 
   /** Scale sink: Parquet partitioned by day. With dynamic partition
@@ -138,23 +119,12 @@ class Store(spark: SparkSession, baseDir: String) {
     val totalBytes = fs.getContentSummary(target).getLength
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new Path(target.getParent, s".tmp_${target.getName}")
-    val old = new Path(target.getParent, s".old_${target.getName}")
     // the read is lazy but executes fully during the tmp write, while the
     // target is still intact; only after tmp is complete does the swap run
     spark.read.parquet(target.toString)
       .repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(old, true)
-    val targetExisted = fs.exists(target)
-    val hadTarget = targetExisted && fs.rename(target, old)
-    if (targetExisted && !hadTarget && fs.exists(target))
-      throw new IllegalStateException(
-        s"could not park $target aside as $old; aborting compaction with data intact")
-    if (!fs.rename(tmp, target)) {
-      if (hadTarget) fs.rename(old, target)
-      throw new IllegalStateException(s"rename $tmp -> $target failed")
-    }
-    fs.delete(old, true)
+    Store.swapInto(fs, tmp, target)
   }
 
   /** Bucketed managed table: pre-shuffles ONCE at write time so every later
@@ -240,5 +210,39 @@ class Store(spark: SparkSession, baseDir: String) {
     graft.ext.Sampling.datasetCard(readJsonl(s"$rel/data", df.schema),
         key, text, source)
       .coalesce(1).write.mode("overwrite").json(s"$baseDir/$rel/_card")
+  }
+}
+
+object Store {
+
+  /** Park-aside/rename swap of a fully-written `tmp` directory into
+    * `target` — the shared durability discipline of [[Store.writeCsv]],
+    * [[Store.compact]], and the streaming upsert sinks: the old data is
+    * parked aside (never deleted first), so a failed swap rolls back with
+    * the target intact, and nothing reads and overwrites the same files
+    * in one plan. The park path is dot-prefixed, so Spark scans ignore a
+    * crash's leftovers. Single writer; a reader racing the swap can see a
+    * briefly missing target (one rename wide), never partial data — see
+    * [[Store.compact]]'s concurrency note.
+    */
+  private[graft] def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+                              tmp: Path, target: Path): Unit = {
+    val old = new Path(target.getParent, s".old_${target.getName}")
+    fs.delete(old, true)
+    val targetExisted = fs.exists(target)
+    val hadTarget = targetExisted && fs.rename(target, old)
+    // If parking the old data FAILED but the target still exists, the next
+    // rename would succeed by moving tmp INSIDE the existing directory
+    // (Hadoop rename-into-existing-dir semantics) — readers would keep the
+    // stale rows and the fresh data would be buried where nobody looks.
+    // Fail loudly instead; nothing has been destroyed at this point.
+    if (targetExisted && !hadTarget && fs.exists(target))
+      throw new IllegalStateException(
+        s"could not park $target aside as $old; aborting swap with data intact")
+    if (!fs.rename(tmp, target)) {
+      if (hadTarget) fs.rename(old, target) // roll back
+      throw new IllegalStateException(s"rename $tmp -> $target failed")
+    }
+    fs.delete(old, true)
   }
 }

@@ -325,12 +325,20 @@ object EventStreams {
     * harmless because the merge is idempotent (UpsertSpec law: upserting
     * the same batch twice changes nothing).
     *
+    * Durability: the merged table is fully written to a `.tmp_` sibling
+    * (while the stored files are still intact — the merge plan reads
+    * them during that write) and then swapped in with
+    * [[graft.io.Store.swapInto]]'s park-aside/rename discipline. An
+    * executor loss or crash mid-merge leaves the stored table untouched;
+    * a crash mid-swap rolls back or is repaired by the micro-batch
+    * replay. (The previous face overwrote in place behind an eager
+    * localCheckpoint — checkpoint blocks are not fault-tolerant, so a
+    * failure after the delete started could destroy the table.)
+    *
     * Scale shape: this face rewrites the whole (fixture-sized) table per
-    * batch behind an eager local checkpoint (the merge reads the very
-    * files the overwrite deletes — materialize first); at 100 TB the
-    * store is the date-partitioned layout
-    * ([[graft.io.Store.writePartitioned]], dynamic partition overwrite),
-    * where a micro-batch rewrites only the partitions its keys land in.
+    * batch; [[upsertSinkPartitioned]] is the 100-TB face — same merge,
+    * date-partitioned store, only the partitions the batch's keys land
+    * in are read, merged, and swapped.
     */
   def upsertSink(stream: DataFrame, tableDir: String, keys: Seq[String],
                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -344,10 +352,87 @@ object EventStreams {
           if (fs.exists(target)) spark.read.parquet(tableDir)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        val tmp = new org.apache.hadoop.fs.Path(target.getParent, s".tmp_${target.getName}")
         graft.operators.Upsert.keepNewest(existing, batch.toDF(), keys)
-          .localCheckpoint(true)
-          .write.mode("overwrite").parquet(tableDir)
+          .write.mode("overwrite").parquet(tmp.toString)
+        graft.io.Store.swapInto(fs, tmp, target)
         ()
       }
       .start()
+
+  /** Partition-scoped streaming keep-newest upsert — [[upsertSink]]'s
+    * 100-TB face: the store is the date-partitioned parquet layout
+    * ([[graft.io.Store.writePartitioned]]'s `dt=` scheme), and each
+    * micro-batch reads, merges, and swaps ONLY the `dt=` partitions its
+    * keys land in. An untouched partition's files are never opened,
+    * rewritten, or moved (StreamingSpec pins byte-level file identity
+    * across a batch), so per-batch cost is O(touched days), not O(table).
+    *
+    * Correctness requires `dt = to_date(tsCol)` to be a FUNCTION of the
+    * merge key — i.e. `tsCol` must be one of `keys` (the reference's D1
+    * call site keys on the datetime itself, so this holds there). If a
+    * key could move between partitions, a partition-scoped merge would
+    * leave its stale twin behind in a day the batch never read; the
+    * require fails loudly instead.
+    */
+  def upsertSinkPartitioned(stream: DataFrame, tableDir: String, keys: Seq[String],
+                            tsCol: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        upsertPartitions(batch.toDF(), tableDir, keys, tsCol)
+      }
+      .start()
+
+  /** The batch-side merge of [[upsertSinkPartitioned]] (public: it is the
+    * law StreamingSpec pins, and a batch backfill wants exactly this
+    * operation). Semantics: the stored table after the call equals
+    * [[graft.operators.Upsert.keepNewest]](stored, batch, keys) — proven
+    * as a spec law — but only the batch's own `dt=` partitions are read
+    * (partition-pruned `isin` scan) and swapped (per-partition
+    * park-aside/rename, so a crash mid-swap never leaves partial data; a
+    * replay repairs any partially-applied batch because the merge is
+    * idempotent).
+    */
+  def upsertPartitions(batch: DataFrame, tableDir: String, keys: Seq[String],
+                       tsCol: String): Unit = {
+    require(keys.contains(tsCol),
+      s"partition-scoped upsert needs dt=to_date($tsCol) to be a function of the merge key " +
+        s"(got keys=${keys.mkString(",")}) — otherwise a colliding key in another day's " +
+        "partition would survive as a stale twin")
+    val spark = batch.sparkSession
+    val target = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the touched-partition list is bounded by the batch's DISTINCT DAYS —
+    // a handful of rows on the driver, never the batch itself
+    val days = batch.select(to_date(col(tsCol)).as("dt")).distinct()
+      .collect().map(_.getDate(0))
+    if (days.isEmpty) return
+    require(!days.contains(null),
+      s"upsertPartitions: null $tsCol cannot be partition-assigned — drop or key such rows upstream")
+    val existing =
+      if (fs.exists(target))
+        // dt is a partition column, so the isin prunes at FILE LISTING
+        // time: only the touched days' directories are ever enumerated
+        spark.read.parquet(tableDir)
+          .where(col("dt").isin(days.toIndexedSeq: _*)).drop("dt")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    val merged = graft.operators.Upsert.keepNewest(existing, batch, keys)
+      .withColumn("dt", to_date(col(tsCol)))
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent, s".tmp_${target.getName}")
+    fs.delete(tmp, true)
+    // full merged write lands in tmp first (stored files still intact and
+    // readable by the merge plan during this job), then each touched day
+    // swaps independently — untouched days are never listed, read, or moved
+    merged.write.mode("overwrite").partitionBy("dt").parquet(tmp.toString)
+    fs.mkdirs(target)
+    days.foreach { d =>
+      graft.io.Store.swapInto(fs,
+        new org.apache.hadoop.fs.Path(tmp, s"dt=$d"),
+        new org.apache.hadoop.fs.Path(target, s"dt=$d"))
+    }
+    fs.delete(tmp, true)
+  }
 }

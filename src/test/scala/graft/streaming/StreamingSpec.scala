@@ -93,6 +93,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("partition-scoped upsert sink: merges like full-table keep-newest, never touches other days' files") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_upsert_part").toString
+    val table = s"$dir/table"
+    def fileAudit(day: String): Set[(String, Long, Long)] = {
+      val d = new java.io.File(s"$table/dt=$day")
+      d.listFiles().filter(_.isFile).filterNot(_.getName.startsWith("."))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    }
+    val input = MemoryStream[(Timestamp, String)]
+    val q = EventStreams.upsertSinkPartitioned(input.toDF().toDF("ts", "v"),
+      table, keys = Seq("ts"), tsCol = "ts", checkpointDir = s"$dir/ckpt")
+    try {
+      val b1 = Seq((ts("2024-01-01 10:00:00"), "a1"), (ts("2024-01-02 11:00:00"), "b1"))
+      val b2 = Seq((ts("2024-01-02 11:00:00"), "b2"), (ts("2024-01-02 12:00:00"), "c1"))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      val day1Before = fileAudit("2024-01-01")
+      assert(day1Before.nonEmpty)
+      // batch 2 lands entirely in dt=2024-01-02: collides on 11:00, inserts 12:00
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // LAW 1 (the point of the face): the untouched partition's files are
+      // byte-identical — same names, sizes, and mtimes; nothing rewrote them
+      assert(fileAudit("2024-01-01") == day1Before,
+        s"untouched dt=2024-01-01 was rewritten:\nbefore=$day1Before\nafter=${fileAudit("2024-01-01")}")
+      // LAW 2: table content equals the full-table keep-newest over the
+      // same batch sequence
+      val expected = graft.operators.Upsert.keepNewest(
+          b1.toDF("ts", "v"), b2.toDF("ts", "v"), Seq("ts"))
+        .collect().map(r => r.getTimestamp(0) -> r.getString(1)).toMap
+      def tableNow() = spark.read.parquet(table).drop("dt").collect()
+        .map(r => r.getTimestamp(0) -> r.getString(1)).toMap
+      assert(tableNow() == expected)
+      assert(expected(ts("2024-01-02 11:00:00")) == "b2") // newest won
+      // LAW 3: a checkpoint-recovery replay of batch 2 changes nothing —
+      // including, again, the untouched partition's files
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(tableNow() == expected)
+      assert(fileAudit("2024-01-01") == day1Before)
+    } finally q.stop()
+  }
+
+  test("partition-scoped upsert refuses a key set the partition is not a function of") {
+    import spark.implicits._
+    val err = intercept[IllegalArgumentException] {
+      EventStreams.upsertPartitions(
+        Seq((ts("2024-01-01 10:00:00"), 1L, "a")).toDF("ts", "k", "v"),
+        "/tmp/unused", keys = Seq("k"), tsCol = "ts")
+    }
+    assert(err.getMessage.contains("function of the merge key"))
+  }
+
   test("stream-stream interval join: in-window pairs emit, out-of-window don't, batch agrees") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
