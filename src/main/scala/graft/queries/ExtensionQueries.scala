@@ -740,6 +740,16 @@ object ExtensionQueries {
     "x53_rolling_features" -> ((s, dir) =>
       graft.operators.Rolling.trailing(Tables.events(s, dir), "user_id",
         "ts", "event_id", "value", windowSeconds = 3600L, lastN = 5)),
+    // The bucketed skew-safe face of x53 (hot keys pay rows x frame_size
+    // in ONE task on the plain path — Spark recomputes sliding frames per
+    // row; measured 5x the stage median under zipf(1.2), see PLANS.md
+    // round 13): windows run per (key, 6h bucket) with exact carry rows
+    // across boundaries. Output-identical to trailing (RollingSpec law),
+    // so it shares x53's DuckDB oracle verbatim — a full hash-match on
+    // the fixture, the same declaration pattern as w2b vs w2.
+    "x53b_rolling_skewsafe" -> ((s, dir) =>
+      graft.operators.Rolling.trailingSkewSafe(Tables.events(s, dir), "user_id",
+        "ts", "event_id", "value", windowSeconds = 3600L, lastN = 5)),
     // Per-source document cap (domain-domination control): at most 40 docs
     // per source, chosen by deterministic md5-hash order — a hard count
     // guarantee per group, complementing x15's rate-based sampling. DuckDB
@@ -1759,6 +1769,22 @@ object ExtensionQueries {
     // (epoch_us // 1e6 = Spark's cast-to-long truncation), ROWS over
     // (ts, event_id). SUM inputs are 2-decimal, so ROUND(...,2) is exact.
     "x53_rolling_features" ->
+      """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec
+        |           FROM events)
+        |SELECT event_id, user_id, ts,
+        |  CAST(COUNT(*) OVER wt AS BIGINT) AS n_window,
+        |  ROUND(SUM(value) OVER wt, 2) AS sum_window,
+        |  ROUND(SUM(value) OVER wr, 2) AS sum_lastn
+        |FROM e
+        |WINDOW wt AS (PARTITION BY user_id ORDER BY tsec
+        |              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+        |       wr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // The skew-safe face is output-identical to x53 (RollingSpec law), so
+    // the oracle is x53's query verbatim — the hash-match proves the
+    // bucketed carry reconstruction, not just the law's random fixtures.
+    "x53b_rolling_skewsafe" ->
       """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec
         |           FROM events)

@@ -333,4 +333,38 @@ class RollingSpec extends AnyFunSuite {
       .orderBy("event_id").collect()
     assert(out(0).getDouble(4) == 1.0 && out(1).getDouble(4) == 100.0)
   }
+
+  test("skew-safe trailing == plain trailing: dense keys, sparse keys across empty " +
+    "buckets, exact boundary rows, intra-tick ties, lastN over/under bucket size") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 600).map { i =>
+      (i.toLong, rnd.nextInt(3) + 1L, rnd.nextInt(40000).toLong,
+        rnd.nextInt(500) / 100.0)
+    } ++ Seq(
+      (1001L, 4L, 0L, 1.0), (1002L, 4L, 50000L, 2.0),    // sparse: 6 buckets apart
+      (1003L, 4L, 50000L, 3.0),                          // intra-tick tie
+      (1004L, 5L, 7200L, 4.0), (1005L, 5L, 7199L, 5.0),  // rows AT a bucket boundary
+      (1006L, 5L, 10799L, 6.0), (1007L, 5L, 10800L, 7.0))
+    val df = events(rows)
+    def asMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // buckets (7200s) only 2x the range frame, so cross-boundary carry is hot
+    assert(asMap(Rolling.trailingSkewSafe(df, "user_id", "ts", "event_id", "value",
+        3600L, 5, bucketSeconds = 7200L))
+      == asMap(Rolling.trailing(df, "user_id", "ts", "event_id", "value", 3600L, 5)))
+    // lastN = 1: no count carry at all, range carry still exact
+    assert(asMap(Rolling.trailingSkewSafe(df, "user_id", "ts", "event_id", "value",
+        3600L, 1, bucketSeconds = 3600L))
+      == asMap(Rolling.trailing(df, "user_id", "ts", "event_id", "value", 3600L, 1)))
+    // lastN far larger than most buckets' row counts: the ROWS frame must
+    // reassemble across MANY earlier buckets via the summary carry
+    assert(asMap(Rolling.trailingSkewSafe(df, "user_id", "ts", "event_id", "value",
+        600L, 50, bucketSeconds = 3600L))
+      == asMap(Rolling.trailing(df, "user_id", "ts", "event_id", "value", 600L, 50)))
+    // the range-coverage precondition is enforced, not silently wrong
+    intercept[IllegalArgumentException] {
+      Rolling.trailingSkewSafe(df, "user_id", "ts", "event_id", "value",
+        3600L, 5, bucketSeconds = 1800L)
+    }
+  }
 }

@@ -260,6 +260,79 @@ class StressSpec extends AnyFunSuite {
     assert(spilled.get == 0, s"${spilled.get} bytes spilled under zipf skew")
   }
 
+  test("zipf(1.2) keys: scd2 history and rolling features keep task skew bounded",
+      org.scalatest.tagobjects.Slow) {
+    // The round-12 additions' skew exposure: Scd2.history and
+    // Rolling.trailing sort EVERY observation of a key in one task, so the
+    // zipf head key (~13% of all rows vs a ~3% uniform share at 32
+    // partitions) is exactly their failure shape. Same gate as the w2b/a5/
+    // x41 tier: within every wide+slow stage, max task <= 4x median.
+    // Measured split (recorded in PLANS.md round 13): plain Scd2.history
+    // PASSES — its per-row work (lag compare, filter, lead) is linear, so
+    // AQE's byte-balancing absorbs the hot key (max 4.8s vs median 4.2s
+    // here) — and stays on the plain path; plain Rolling.trailing FAILED
+    // 5x (61.7s vs 12.3s median: Spark recomputes sliding-frame aggregates
+    // per row, so the hot key pays rows x frame_size in one task), so the
+    // gate runs its bucketed skew-safe face (output-identity pinned in
+    // RollingSpec).
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "32")
+    val df = zipfEvents(sess, 8000000L, 1000, 1.2)
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("event_type",
+        (abs(xxhash64(col("ts"), col("user_id"))) % 4).cast("string"))
+      .localCheckpoint(true)
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int,
+      java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+    val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val retried = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null) {
+          if (e.taskInfo.attemptNumber > 0) retried.incrementAndGet()
+          stageTasks
+            .computeIfAbsent(e.stageId,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+            .add(e.taskInfo.duration)
+        }
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stageNames.put(e.stageInfo.stageId, e.stageInfo.name.takeWhile(_ != '\n').take(60))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.operators.Scd2.history(df, "user_id", Seq("ts", "event_id"),
+          Seq("event_type"))
+        .write.format("noop").mode("overwrite").save()
+      graft.operators.Rolling.trailingSkewSafe(df, "user_id", "ts", "event_id",
+          "value", windowSeconds = 3600L, lastN = 5)
+        .write.format("noop").mode("overwrite").save()
+    } finally {
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    import scala.jdk.CollectionConverters._
+    var checked = 0
+    info(stageTasks.asScala.toSeq.sortBy(_._1).map { case (sid, q) =>
+      val ds = q.asScala.toSeq.sorted
+      s"stage $sid [${stageNames.getOrDefault(sid, "?")}]: " +
+        s"n=${ds.size} med=${ds(ds.size / 2)}ms max=${ds.last}ms"
+    }.mkString("; "))
+    stageTasks.asScala.foreach { case (stageId, q) =>
+      val durs = q.asScala.toSeq.sorted
+      val median = durs(durs.size / 2)
+      if (durs.size >= 4 && median >= 50L) {
+        checked += 1
+        assert(durs.last <= 4 * median + 1000L,
+          s"stage $stageId [${stageNames.getOrDefault(stageId, "?")}]: " +
+            s"max task ${durs.last}ms vs median ${median}ms " +
+            s"over ${durs.size} tasks — the hot key serialized into one window task")
+      }
+    }
+    assert(checked >= 1, "no stage was wide/slow enough to measure — grow the corpus")
+    assert(retried.get == 0, s"${retried.get} task retries under zipf skew")
+  }
+
   test("20x corpus: dedup runtime grows ~linearly, never pairwise",
       org.scalatest.tagobjects.Slow) {
     val small = corpus(1)
