@@ -77,6 +77,42 @@ object Sampling {
       .drop("__u", "__rk")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006):
+    * exactly `n` survivors, selection distribution identical to drawing
+    * rows one at a time with probability proportional to remaining
+    * weight — the quality-weighted subsample every curation recipe wants
+    * ("keep 1M docs, prefer high-score ones") that per-row rate sampling
+    * ([[sampleStratified]]) can only approximate in expectation and a
+    * hard cap ([[capPerGroup]]) ignores weights for.
+    *
+    * A row's priority is u^(1/w) with u the deterministic [[hashUnit]]
+    * uniform; the n largest priorities win (the E-S one-pass theorem).
+    * Implemented as the monotone-equivalent `ln(u)/w` so tiny weights
+    * cannot underflow the power. Deterministic, partition-layout
+    * independent, and cross-engine replayable like every hashUnit
+    * decision (the oracle replays md5 -> ln -> divide verbatim; ln is
+    * sub-ulp across engines and the md5 uniforms make a boundary tie
+    * astronomically unlikely). Rows with weight <= 0 or null carry no
+    * mass and are excluded up front; a u of exactly 0 (one md5 prefix in
+    * 2^32) yields priority -Inf — "never selected", identically in both
+    * engines.
+    *
+    * Scale shape: `orderBy(priority).limit(n)` is TakeOrderedAndProject
+    * (PlanSpec pins it) — each task keeps its local top-n and one n-row
+    * reduction finishes the job; NO global sort, no window, no shuffle
+    * of the corpus. The 100-TB cost is one scan plus n rows of driver
+    * traffic.
+    */
+  def sampleWeighted(df: DataFrame, n: Int, weight: Column, key: String,
+                     salt: String = "es"): DataFrame = {
+    require(n > 0, s"sampleWeighted needs n > 0, got $n")
+    df.where(weight.isNotNull && weight > 0)
+      .withColumn("__pri", log(hashUnit(col(key), salt)) / weight)
+      .orderBy(col("__pri").desc, col(key).asc)
+      .limit(n)
+      .drop("__pri")
+  }
+
   /** Proportional token-budget corpus mixing: downsample every stratum
     * (source) to an EXPECTED `budgetTokens` tokens by keeping each row
     * with probability `min(budgetTokens / stratumTokens, 1.0)` — data

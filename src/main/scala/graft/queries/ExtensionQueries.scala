@@ -757,6 +757,29 @@ object ExtensionQueries {
     "x41_source_cap" -> ((s, dir) =>
       Sampling.capPerGroup(Tables.documents(s, dir), "source", cap = 40,
         key = "doc_id").select("doc_id", "source", "n_chars")),
+    // Weighted sampling WITHOUT replacement (Efraimidis-Spirakis): exactly
+    // 100 docs, selection proportional to document size — the
+    // quality-weighted subsample shape rate sampling (x15) only gets in
+    // expectation and the hard cap (x41) ignores weights for. DuckDB
+    // replays md5 -> ln -> divide -> top-n verbatim; the plan is
+    // TakeOrderedAndProject (PlanSpec) — per-task top-n, no global sort.
+    "x54_weighted_sample" -> ((s, dir) =>
+      Sampling.sampleWeighted(Tables.documents(s, dir), n = 100,
+        weight = col("n_chars"), key = "doc_id")
+        .select("doc_id", "source", "n_chars")),
+    // Single-pass approximate per-group quantiles, AUDITED: the sketch
+    // values are engine-specific (GK vs DuckDB's reservoir), so the
+    // declared query is the exact rank-error check — per event_type, the
+    // p50/p95 sketch answers' empirical ranks must sit within the
+    // published GK bound n/accuracy (+1 discretization slack). The flags
+    // hash-match the constant-1 oracle (the bound is a theorem; red =
+    // sketch regression), same gate discipline as x2b/x7c/x47b. This is
+    // a6's scale face: percentile_disc sorts each group somewhere;
+    // percentile_approx folds bounded mergeable sketches task-side and
+    // runs unchanged inside a streaming aggregation.
+    "x55_quantile_audit" -> ((s, dir) =>
+      graft.operators.Quantiles.withRankAudit(Tables.events(s, dir),
+        "event_type", col("value"), probs = Seq(0.5, 0.95), accuracy = 1000)),
     // Corpus-frequent span mining (boilerplate detection): all word
     // trigrams occurring >= 5 times anywhere, found via a count-min-sketch
     // prefilter + exact confirm on the survivors. The composition is EXACT
@@ -1797,6 +1820,27 @@ object ExtensionQueries {
         |              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
         |       wr AS (PARTITION BY user_id ORDER BY ts, event_id
         |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // E-S priority replayed verbatim: same md5-unit stream (salt "es"),
+    // ln(u)/w descending, doc_id tie-break, LIMIT n. Only the selected
+    // SET is compared (the harness sorts), so the ORDER BY exists purely
+    // to pick the same 100 rows.
+    "x54_weighted_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|es')), 1, 8)) AS BIGINT)
+        |           / 4294967296.0 AS unit
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, source, n_chars FROM u
+        |ORDER BY ln(unit) / n_chars DESC, doc_id ASC
+        |LIMIT 100""".stripMargin,
+    // The audit flags are 1 by the GK theorem; n replays exactly. A red
+    // flag is a sketch regression (accuracy arg dropped, wrong percentile
+    // column wiring), not a data property.
+    "x55_quantile_audit" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p95_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     // Same md5-unit order and window as Sampling.capPerGroup (salt "cap").
     "x41_source_cap" ->
       """WITH u AS (

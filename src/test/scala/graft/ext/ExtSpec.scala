@@ -872,6 +872,42 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleWeighted: exact n, layout-independent, E-S reference match, " +
+    "weight dominance, degenerate inputs") {
+    val sel = Sampling.sampleWeighted(docs, 100, col("n_chars"), "doc_id")
+    val a = sel.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.size == 100)
+    // identical selection regardless of partition layout
+    val b = Sampling.sampleWeighted(docs.repartition(7), 100, col("n_chars"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // matches a driver-side reference implementation of E-S top-n exactly
+    val ref = docs.select("doc_id", "n_chars")
+      .withColumn("__u", Sampling.hashUnit(col("doc_id"), "es"))
+      .collect()
+      .filter(r => !r.isNullAt(1) && r.getLong(1) > 0)
+      .map(r => (math.log(r.getDouble(2)) / r.getLong(1), r.getLong(0)))
+      .sortBy { case (pri, id) => (-pri, id) }.take(100).map(_._2).toSet
+    assert(a == ref)
+    // n >= eligible rows keeps every eligible row
+    assert(Sampling.sampleWeighted(docs, 100000, col("n_chars"), "doc_id").count()
+      == docs.where(col("n_chars").isNotNull && col("n_chars") > 0).count())
+    // null / non-positive weights carry no mass
+    val dead = docs.withColumn("w",
+      when(col("doc_id") % 2 === 0, lit(null).cast("int")).otherwise(lit(-3)))
+    assert(Sampling.sampleWeighted(dead, 10, col("w"), "doc_id").count() == 0)
+    // 10000x heavier rows crowd out light ones (u^(1/w) -> 1 as w grows):
+    // 250 heavy docs vs 250 light, take 100 -> expect essentially all heavy
+    val skewed = docs.withColumn("w",
+      when(col("doc_id") < 250, lit(10000)).otherwise(lit(1)))
+    val heavyKept = Sampling.sampleWeighted(skewed, 100, col("w"), "doc_id")
+      .where(col("doc_id") < 250).count()
+    assert(heavyKept >= 95, s"only $heavyKept of 100 survivors were heavy-weight")
+    intercept[IllegalArgumentException] {
+      Sampling.sampleWeighted(docs, 0, col("n_chars"), "doc_id")
+    }
+  }
+
   test("stratified rates: rate-1.0 stratum complete, rate-0 stratum empty") {
     val out = Sampling.sampleStratified(docs, "source",
       rates = Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5, key = "doc_id")

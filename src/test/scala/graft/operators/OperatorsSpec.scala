@@ -368,3 +368,58 @@ class RollingSpec extends AnyFunSuite {
     }
   }
 }
+
+class QuantilesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def frame() = {
+    val rnd = new scala.util.Random(7)
+    val rows =
+      (1 to 20000).map(i => ("uniform", i.toDouble)) ++
+      (1 to 20000).map(_ => ("lognorm", math.exp(rnd.nextGaussian() * 2))) ++
+      (1 to 1000).map(_ => ("constant", 5.0)) ++
+      Seq(("tiny", 1.0), ("tiny", 2.0), ("tiny", 3.0))
+    rows.toDF("g", "v")
+  }
+
+  test("rank audit holds at accuracy 1000 on uniform, heavy-tailed, constant, tiny groups") {
+    val out = Quantiles.withRankAudit(frame(), "g", col("v"), Seq(0.5, 0.95), 1000)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set("uniform", "lognorm", "constant", "tiny"))
+    assert(out("uniform")._1 == 20000L && out("tiny")._1 == 3L)
+    out.foreach { case (g, (_, p50ok, p95ok)) =>
+      assert(p50ok == 1L && p95ok == 1L, s"group $g out of rank bound")
+    }
+  }
+
+  test("sketch answers are actual elements with exact rank inside n/accuracy") {
+    val sk = Quantiles.approxByGroup(frame(), "g", col("v"), Seq(0.5), 1000)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // uniform group holds integers 1..20000: p50 must be an element within
+    // the bound of rank 10000 (n/accuracy = 20 ranks)
+    val u = sk("uniform")
+    assert(u == math.rint(u) && math.abs(u - 10000.0) <= 21.0, s"p50=$u")
+    assert(sk("constant") == 5.0)
+  }
+
+  test("the gate is falsifiable: a low-accuracy sketch fails the tight audit") {
+    val df = frame().where(col("g") === "lognorm")
+    // sketch at accuracy 20 (rank error up to n/20 = 1000), audited at the
+    // production bound n/1000 + 1 = 21 ranks -> must red on continuous data
+    val loose = Quantiles.approxByGroup(df, "g", col("v"), Seq(0.5, 0.95), 20)
+    val flags = Quantiles.rankAudit(df, "g", col("v"), loose, Seq(0.5, 0.95), 1000)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    assert(flags._1 == 0L || flags._2 == 0L,
+      s"accuracy-20 sketch passed the accuracy-1000 audit: $flags")
+  }
+
+  test("invalid probabilities and accuracy are rejected") {
+    intercept[IllegalArgumentException] {
+      Quantiles.approxByGroup(frame(), "g", col("v"), Seq(1.5), 1000)
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.approxByGroup(frame(), "g", col("v"), Seq(0.5), 0)
+    }
+  }
+}

@@ -183,6 +183,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p)
   }
 
+  test("weighted sample is a per-task top-n, never a global sort") {
+    // E-S selection must plan as TakeOrderedAndProject: each task keeps
+    // its local top-n and one n-row reduction finishes — a global Sort
+    // before the limit would shuffle the whole corpus to rank 100 rows
+    val p = plan("x54_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("Sort ")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quantile audit: mergeable sketch partial-aggs; sketch broadcasts back") {
+    // percentile_approx must fold task-side (partial_percentile_approx
+    // before the exchange — the sketch, not the values, rides the
+    // shuffle), and the one-row-per-group sketch frame must meet the
+    // data through a broadcast, never a shuffled join
+    val p = plan("x55_quantile_audit")
+    assert(p.contains("partial_percentile_approx"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("lsh ANN never scans the corpus twice") {
     val p = plan("x7_ann_lsh")
     // one corpus scan + one (broadcast) query scan of the same file
