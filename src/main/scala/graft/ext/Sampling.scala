@@ -113,6 +113,30 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** Per-group [[sampleWeighted]]: at most `n` rows per group, selection
+    * within each group weighted E-S — [[capPerGroup]]'s
+    * domain-domination guarantee, but which rows survive the cap favors
+    * weight (quality score, token count) instead of being uniform. Same
+    * priority stream as [[sampleWeighted]], so composing the two (global
+    * budget after per-source cap) reuses one decision per row.
+    *
+    * Scale shape: identical to [[capPerGroup]] — the `rk <= n` predicate
+    * lets Spark insert a MAP-SIDE WindowGroupLimit before the exchange
+    * (PlanSpec pins it), so the shuffle carries at most n rows per group
+    * per input task; a dominant domain never concentrates anywhere.
+    */
+  def sampleWeightedPerGroup(df: DataFrame, group: String, n: Int,
+                             weight: Column, key: String,
+                             salt: String = "es"): DataFrame = {
+    require(n > 0, s"sampleWeightedPerGroup needs n > 0, got $n")
+    df.where(weight.isNotNull && weight > 0)
+      .withColumn("__pri", log(hashUnit(col(key), salt)) / weight)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(group)).orderBy(col("__pri").desc, col(key).asc)))
+      .where(col("__rk") <= n)
+      .drop("__pri", "__rk")
+  }
+
   /** Proportional token-budget corpus mixing: downsample every stratum
     * (source) to an EXPECTED `budgetTokens` tokens by keeping each row
     * with probability `min(budgetTokens / stratumTokens, 1.0)` — data

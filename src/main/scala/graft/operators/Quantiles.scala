@@ -31,7 +31,20 @@ object Quantiles {
     * exact rank check well-defined.
     */
   def approxByGroup(df: DataFrame, group: String, value: Column,
-                    probs: Seq[Double], accuracy: Int = 1000): DataFrame = {
+                    probs: Seq[Double], accuracy: Int = 1000): DataFrame =
+    approxByGroups(df, Seq(col(group)), value, probs, accuracy)
+
+  /** General grouping-expression form — the streaming face: pass
+    * `window(col(ts), "1 hour")` plus keys on a watermarked frame and the
+    * SAME aggregate runs as a streaming windowed quantile (sketches are
+    * mergeable, so late rows fold into window state like any agg;
+    * StreamingSpec proves closed windows within the rank bound). The
+    * exact a6 surface cannot do this: `percentile_disc` needs the
+    * window's full value multiset sorted at emit time.
+    */
+  def approxByGroups(df: DataFrame, groups: Seq[Column], value: Column,
+                     probs: Seq[Double], accuracy: Int = 1000): DataFrame = {
+    require(groups.nonEmpty, "approxByGroups needs at least one grouping column")
     require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
       s"probabilities must be in [0,1], got $probs")
     require(accuracy > 0, s"accuracy must be positive, got $accuracy")
@@ -39,7 +52,7 @@ object Quantiles {
       percentile_approx(value, lit(p), lit(accuracy))
         .as(f"p${math.round(p * 100)}%02d_approx")
     }
-    df.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
+    df.groupBy(groups: _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** The sketch's accuracy contract, checked exactly: for each group and

@@ -767,6 +767,14 @@ object ExtensionQueries {
       Sampling.sampleWeighted(Tables.documents(s, dir), n = 100,
         weight = col("n_chars"), key = "doc_id")
         .select("doc_id", "source", "n_chars")),
+    // Per-source weighted cap: x41's hard per-group guarantee, but the
+    // survivors within each source favor weight (E-S within group) —
+    // "at most 20 docs per domain, prefer the big ones". Same map-side
+    // WindowGroupLimit shape as x41 (PlanSpec pins it).
+    "x54b_weighted_cap" -> ((s, dir) =>
+      Sampling.sampleWeightedPerGroup(Tables.documents(s, dir), "source",
+        n = 20, weight = col("n_chars"), key = "doc_id")
+        .select("doc_id", "source", "n_chars")),
     // Single-pass approximate per-group quantiles, AUDITED: the sketch
     // values are engine-specific (GK vs DuckDB's reservoir), so the
     // declared query is the exact rank-error check — per event_type, the
@@ -1834,6 +1842,20 @@ object ExtensionQueries {
         |SELECT doc_id, source, n_chars FROM u
         |ORDER BY ln(unit) / n_chars DESC, doc_id ASC
         |LIMIT 100""".stripMargin,
+    // Same priority stream as x54, ranked within source.
+    "x54b_weighted_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|es')), 1, 8)) AS BIGINT)
+        |           / 4294967296.0 AS unit
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY ln(unit) / n_chars DESC, doc_id ASC) AS rk
+        |  FROM u)
+        |WHERE rk <= 20""".stripMargin,
     // The audit flags are 1 by the GK theorem; n replays exactly. A red
     // flag is a sketch regression (accuracy arg dropped, wrong percentile
     // column wiring), not a data property.

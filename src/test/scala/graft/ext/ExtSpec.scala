@@ -908,6 +908,36 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleWeightedPerGroup: per-group cap exact, weighted prefix per group, " +
+    "layout-independent") {
+    val capped = Sampling.sampleWeightedPerGroup(docs, "source", 20,
+      col("n_chars"), "doc_id")
+    val sizes = docs.where(col("n_chars") > 0).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = capped.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (s, n) =>
+      assert(kept.getOrElse(s, 0L) == math.min(n, 20L), s"source $s")
+    }
+    // survivors are each group's top-n by the SAME E-S priority as the
+    // global sampler (one decision stream, two compositions)
+    val ref = docs.select("doc_id", "source", "n_chars")
+      .withColumn("__u", Sampling.hashUnit(col("doc_id"), "es"))
+      .collect()
+      .filter(r => !r.isNullAt(2) && r.getLong(2) > 0)
+      .map(r => (r.getString(1), math.log(r.getDouble(3)) / r.getLong(2), r.getLong(0)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy { case (_, pri, id) => (-pri, id) }.take(20).map(_._3).toSet)
+      .toMap
+    val got = capped.select("doc_id", "source").collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(got == ref)
+    val again = Sampling.sampleWeightedPerGroup(docs.repartition(7), "source",
+      20, col("n_chars"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got.values.flatten.toSet)
+  }
+
   test("stratified rates: rate-1.0 stratum complete, rate-0 stratum empty") {
     val out = Sampling.sampleStratified(docs, "source",
       rates = Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5, key = "doc_id")

@@ -193,6 +193,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("weighted per-group cap: rank filter runs as a map-side group limit") {
+    // same contract as the uniform source cap (x41): rk <= n must plan a
+    // WindowGroupLimit before the exchange so a dominant domain ships at
+    // most n rows per input task, never its full row set
+    val p = plan("x54b_weighted_cap")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("quantile audit: mergeable sketch partial-aggs; sketch broadcasts back") {
     // percentile_approx must fold task-side (partial_percentile_approx
     // before the exchange — the sketch, not the values, rides the

@@ -49,6 +49,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed quantile sketch: closed windows hold the rank bound") {
+    // Quantiles.approxByGroups' scaladoc claims the sketch aggregate runs
+    // unchanged inside a watermarked streaming window (mergeable state —
+    // the exact percentile_disc surface cannot). Prove it: stream values
+    // 1..100 into one hour window, close it, and require the emitted p50
+    // to satisfy the GK rank bound vs the exact multiset (rank 50 +-
+    // n/accuracy + 1 ~= +-1.1 -> an element in [49, 51]). The bound — not
+    // value equality vs a batch run — is the right assertion: GK answers
+    // may legally differ with merge order, the guarantee is what's stable.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val df = input.toDF().toDF("ts", "v").withWatermark("ts", "30 minutes")
+    val agg = graft.operators.Quantiles.approxByGroups(df,
+        Seq(window(col("ts"), "1 hour").as("w")), col("v"), Seq(0.5), 1000)
+      .select(col("w.start").as("hour"), col("p50_approx"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("quantile_out").start()
+    try {
+      input.addData((1 to 60).map(i => (ts("2024-01-01 10:05:00"), i.toDouble)): _*)
+      q.processAllAvailable()
+      input.addData((61 to 100).map(i => (ts("2024-01-01 10:40:00"), i.toDouble)): _*)
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 14:00:00"), 0.0)) // push the watermark
+      q.processAllAvailable()
+      val out = spark.table("quantile_out").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getDouble(1)).toMap
+      val p50 = out("2024-01-01 10:00:00.0")
+      assert(p50 == math.rint(p50) && p50 >= 49.0 && p50 <= 51.0,
+        s"streamed p50=$p50 violates the rank bound on 1..100")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival per key within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
