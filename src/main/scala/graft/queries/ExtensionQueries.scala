@@ -788,6 +788,15 @@ object ExtensionQueries {
     "x55_quantile_audit" -> ((s, dir) =>
       graft.operators.Quantiles.withRankAudit(Tables.events(s, dir),
         "event_type", col("value"), probs = Seq(0.5, 0.95), accuracy = 1000)),
+    // Resample + forward-fill onto a 6-hour grid: one row per (user,
+    // tick) between the user's first and last observation — latest
+    // reading carried forward, raw observation count per tick. The grid
+    // is exact integer arithmetic, the fill copies parquet doubles
+    // bit-for-bit, so DuckDB replays tick derivation, struct-max last
+    // reading, generate_series spine, and IGNORE NULLS fill verbatim.
+    "x56_resample_ffill" -> ((s, dir) =>
+      graft.operators.Resample.toGrid(Tables.events(s, dir), "user_id",
+        "ts", "event_id", "value", stepSeconds = 21600L)),
     // Corpus-frequent span mining (boilerplate detection): all word
     // trigrams occurring >= 5 times anywhere, found via a count-min-sketch
     // prefilter + exact confirm on the survivors. The composition is EXACT
@@ -1863,6 +1872,30 @@ object ExtensionQueries {
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p95_ok
         |FROM events GROUP BY event_type""".stripMargin,
+    // The "last reading per tick" replays as QUALIFY rk=1 (the engine
+    // uses a partial-agg'd struct max — same total order (tsec, id)).
+    "x56_resample_ffill" ->
+      """WITH o AS (
+        |  SELECT user_id, value, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, tsec - tsec % 21600 AS tick, value,
+        |         row_number() OVER (PARTITION BY user_id, tsec - tsec % 21600
+        |                            ORDER BY tsec DESC, event_id DESC) AS rk,
+        |         COUNT(*) OVER (PARTITION BY user_id, tsec - tsec % 21600) AS n_obs
+        |  FROM o),
+        |lastobs AS (SELECT user_id, tick, n_obs, value FROM t WHERE rk = 1),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(MIN(tick), MAX(tick), 21600)) AS tick
+        |  FROM lastobs GROUP BY user_id)
+        |SELECT s.user_id, s.tick,
+        |       COALESCE(l.n_obs, 0) AS n_obs,
+        |       last_value(l.value IGNORE NULLS)
+        |         OVER (PARTITION BY s.user_id ORDER BY s.tick
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |FROM spine s LEFT JOIN lastobs l
+        |  ON s.user_id = l.user_id AND s.tick = l.tick""".stripMargin,
     // Same md5-unit order and window as Sampling.capPerGroup (salt "cap").
     "x41_source_cap" ->
       """WITH u AS (

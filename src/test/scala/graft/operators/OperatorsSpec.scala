@@ -423,3 +423,46 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 }
+
+class ResampleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def events(rows: Seq[(Long, Long, Long, Double)]) =
+    rows.toDF("event_id", "user_id", "tsec", "value")
+      .withColumn("ts", expr("timestamp_seconds(tsec)")).drop("tsec")
+
+  test("grid spans first..last tick; gaps fill forward with n_obs=0; " +
+    "latest-in-tick wins with id tie-break; keys independent") {
+    val df = events(Seq(
+      (1L, 1L, 50L, 1.0),              // tick 0
+      (2L, 1L, 150L, 2.0),             // tick 100: two obs...
+      (3L, 1L, 199L, 3.0),             // ...latest tsec wins
+      (4L, 1L, 199L, 4.0),             // same tsec: higher id wins
+      (5L, 1L, 500L, 5.0),             // tick 500 after a 3-tick gap
+      (6L, 2L, 120L, 9.0)))            // other key: single obs, single row
+    val out = graft.operators.Resample
+      .toGrid(df, "user_id", "ts", "event_id", "value", stepSeconds = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out == Map(
+      (1L, 0L)   -> (1L, 1.0),
+      (1L, 100L) -> (3L, 4.0),  // 3 obs; tsec 199 tie broken by event_id 4
+      (1L, 200L) -> (0L, 4.0),  // gap: carried forward
+      (1L, 300L) -> (0L, 4.0),
+      (1L, 400L) -> (0L, 4.0),
+      (1L, 500L) -> (1L, 5.0),
+      (2L, 100L) -> (1L, 9.0)))
+  }
+
+  test("an observation exactly on a tick boundary lands in that tick") {
+    val df = events(Seq((1L, 1L, 0L, 1.0), (2L, 1L, 100L, 2.0)))
+    val out = graft.operators.Resample
+      .toGrid(df, "user_id", "ts", "event_id", "value", 100L)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(0L -> (1L, 1.0), 100L -> (1L, 2.0)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Resample.toGrid(df, "user_id", "ts", "event_id", "value", 0L)
+    }
+  }
+}

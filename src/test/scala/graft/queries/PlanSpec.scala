@@ -202,6 +202,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("resample: tick reduction partial-aggs map-side; spine is generated, not stored") {
+    // the raw events must collapse to one row per (key, tick) BEFORE the
+    // exchange (partial struct-max + count — map-side combine), and the
+    // grid must come from an exploded sequence over the one-row-per-key
+    // bounds frame, not a materialized calendar join
+    val p = plan("x56_resample_ffill")
+    assert(p.contains("partial_max") && p.contains("partial_count"), p)
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("quantile audit: mergeable sketch partial-aggs; sketch broadcasts back") {
     // percentile_approx must fold task-side (partial_percentile_approx
     // before the exchange — the sketch, not the values, rides the

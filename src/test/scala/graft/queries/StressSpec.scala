@@ -260,8 +260,8 @@ class StressSpec extends AnyFunSuite {
     assert(spilled.get == 0, s"${spilled.get} bytes spilled under zipf skew")
   }
 
-  test("zipf(1.2) keys: scd2 history and rolling features keep task skew bounded",
-      org.scalatest.tagobjects.Slow) {
+  test("zipf(1.2) keys: scd2 history, rolling features, and resample fill keep " +
+    "task skew bounded", org.scalatest.tagobjects.Slow) {
     // The round-12 additions' skew exposure: Scd2.history and
     // Rolling.trailing sort EVERY observation of a key in one task, so the
     // zipf head key (~13% of all rows vs a ~3% uniform share at 32
@@ -306,6 +306,12 @@ class StressSpec extends AnyFunSuite {
         .write.format("noop").mode("overwrite").save()
       graft.operators.Rolling.trailingSkewSafe(df, "user_id", "ts", "event_id",
           "value", windowSeconds = 3600L, lastN = 5)
+        .write.format("noop").mode("overwrite").save()
+      // resample's running last(ignoreNulls) is the incremental frame —
+      // linear per row like scd2's lag/lead, so the hot key must stay
+      // AQE-absorbable on the plain path (unlike the sliding frames above)
+      graft.operators.Resample.toGrid(df, "user_id", "ts", "event_id",
+          "value", stepSeconds = 21600L)
         .write.format("noop").mode("overwrite").save()
     } finally {
       org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
