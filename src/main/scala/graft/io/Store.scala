@@ -65,6 +65,22 @@ class Store(spark: SparkSession, baseDir: String) {
   def readPartitioned(rel: String): DataFrame =
     spark.read.parquet(s"$baseDir/$rel").drop("dt")
 
+  /** Schema-evolution read: scan a parquet table whose OLDER files
+    * predate newly added columns, by declaring the current superset
+    * schema explicitly — absent columns read as null from old files,
+    * present ones read normally, and pushdown/pruning still work
+    * (StoreSpec pins both). This is the 100-TB discipline for additive
+    * drift: `mergeSchema=true` would reconcile the union by reading a
+    * footer from EVERY file — a full listing+footer pass over the table
+    * per query — when the reader already knows the current schema. The
+    * schema comes from the catalog/code, not from the data. Column
+    * REMOVALS or type changes are not tolerated silently: reading an old
+    * column under a new type fails analysis/scan loudly, which is the
+    * correct behavior for a lakehouse table without a rewrite.
+    */
+  def readEvolved(rel: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(s"$baseDir/$rel")
+
   /** Columnar ORC sink/scan — the second interchange format beside
     * parquet (some warehouse stacks are ORC-native). Spark's built-in ORC
     * datasource keeps the same scale machinery the parquet paths rely on:

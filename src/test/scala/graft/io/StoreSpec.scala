@@ -149,6 +149,36 @@ class StoreSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("IsNotNull(doc_id)"), p)
   }
 
+  test("readEvolved: old files read nulls for added columns; pushdown survives drift") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    val store = new Store(spark, dir)
+    // generation 1: (id, v) — written before the schema grew
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+      .write.parquet(s"$dir/evolved/gen=1")
+    // generation 2: (id, v, lang) — the column added later
+    Seq((3L, 3.0, "en"), (4L, 4.0, "fr")).toDF("id", "v", "lang")
+      .write.parquet(s"$dir/evolved/gen=2")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType), StructField("lang", StringType)))
+    val out = store.readEvolved("evolved", schema).drop("gen")
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(rows == Map(1L -> (1.0, null), 2L -> (2.0, null),
+      3L -> (3.0, "en"), 4L -> (4.0, "fr")))
+    // the scale contracts drift must not break: predicate pushdown on an
+    // original column, and pruning the ADDED column still cuts ReadSchema
+    val p = store.readEvolved("evolved", schema).where(col("id") === 3L)
+      .select("id", "v").queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("IsNotNull(id)"), p)
+    assert(!p.replaceAll("(?s).*ReadSchema", "").contains("lang"), p)
+    // filtering ON the added column is correct across generations: null
+    // never matches, so gen-1 rows drop without error
+    assert(store.readEvolved("evolved", schema).where(col("lang") === "en")
+      .count() == 1L)
+  }
+
   test("bucketed tables: equi-join on the bucket key plans without a shuffle") {
     val store = new Store(spark, Files.createTempDirectory("graft_bucket").toString)
     val sf = "/root/testdata/sf0.001"

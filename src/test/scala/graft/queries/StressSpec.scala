@@ -339,6 +339,71 @@ class StressSpec extends AnyFunSuite {
     assert(retried.get == 0, s"${retried.get} task retries under zipf skew")
   }
 
+  test("zipf(1.2) keys: a non-broadcastable dim join stays balanced via AQE skew split",
+      org.scalatest.tagobjects.Slow) {
+    // The join-family skew witness the window gates don't cover: at
+    // 100 TB a fact-dim join whose dim EXCEEDS the broadcast threshold
+    // shuffles both sides on the key, and the zipf head key (~13% of the
+    // fact side) concentrates into one sort-merge partition. The engine's
+    // answer here is NOT salting (that's for aggregates — a5): AQE's
+    // OptimizeSkewedJoin splits the oversized partition and replicates
+    // the matching dim rows. Fixture bytes sit far below the production
+    // 256 MB default threshold, so the session scales the knobs to the
+    // fixture (factor 2, threshold/advisory 4 MB) — the gate pins the
+    // MECHANISM (split fires, tasks stay bounded), not the constant.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "32")
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    sess.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+    sess.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    val fact = zipfEvents(sess, 8000000L, 1000, 1.2)
+    val dim = sess.range(1, 1001).select(col("id").as("user_id"),
+      (col("id") % 7).cast("string").as("tier"))
+    val joined = fact.join(dim, "user_id")
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int,
+      java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+    val retried = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null) {
+          if (e.taskInfo.attemptNumber > 0) retried.incrementAndGet()
+          stageTasks
+            .computeIfAbsent(e.stageId,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+            .add(e.taskInfo.duration)
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // hold ONE QueryExecution and execute through it (a sink write — or
+    // even Dataset.foreach, which rides a separate deserializing QE —
+    // would leave this one's adaptive plan un-finalized)
+    val qe = joined.queryExecution
+    try {
+      qe.toRdd.foreach(_ => ())
+    } finally {
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // the split actually fired: the final adaptive plan marks the SMJ
+    val finalPlan = qe.executedPlan.toString
+    assert(finalPlan.contains("skew=true"), finalPlan.take(2000))
+    import scala.jdk.CollectionConverters._
+    var checked = 0
+    stageTasks.asScala.foreach { case (stageId, q) =>
+      val durs = q.asScala.toSeq.sorted
+      val median = durs(durs.size / 2)
+      if (durs.size >= 4 && median >= 50L) {
+        checked += 1
+        assert(durs.last <= 4 * median + 1000L,
+          s"stage $stageId: max task ${durs.last}ms vs median ${median}ms " +
+            s"over ${durs.size} tasks — the hot key's partition was not split")
+      }
+    }
+    assert(checked >= 1, "no stage was wide/slow enough to measure — grow the corpus")
+    assert(retried.get == 0, s"${retried.get} task retries under zipf skew")
+  }
+
   test("20x corpus: dedup runtime grows ~linearly, never pairwise",
       org.scalatest.tagobjects.Slow) {
     val small = corpus(1)
