@@ -132,6 +132,9 @@ class Store(spark: SparkSession, baseDir: String) {
     */
   def compact(rel: String, targetBytes: Long = 128L * 1024 * 1024): Unit = {
     val target = new Path(s"$baseDir/$rel")
+    // a compact interrupted mid-swap parks the table; restore before the
+    // size probe and read, or the rewrite would compact a phantom
+    Store.recoverSwap(fs, target)
     val totalBytes = fs.getContentSummary(target).getLength
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new Path(target.getParent, s".tmp_${target.getName}")
@@ -240,6 +243,18 @@ object Store {
     * crash's leftovers. Single writer; a reader racing the swap can see a
     * briefly missing target (one rename wide), never partial data — see
     * [[Store.compact]]'s concurrency note.
+    *
+    * Crash window: a HARD crash between rename(target, old) and
+    * rename(tmp, target) leaves the table parked under the dot-prefixed
+    * park path with the target missing — in-process rollback only runs
+    * when the process survives to see the second rename fail. Every
+    * caller that READS the target before merging (compact, the upsert
+    * sinks) must call [[recoverSwap]] first, so a replay merges against
+    * the real stored table instead of a phantom empty one and never
+    * reaches this method's `fs.delete(old)` with the parked copy as the
+    * only surviving data. Full-overwrite callers (writeCsv) need no
+    * recovery: their tmp is a complete replacement by construction, so
+    * deleting a parked crash leftover is the intended outcome.
     */
   private[graft] def swapInto(fs: org.apache.hadoop.fs.FileSystem,
                               tmp: Path, target: Path): Unit = {
@@ -260,5 +275,50 @@ object Store {
       throw new IllegalStateException(s"rename $tmp -> $target failed")
     }
     fs.delete(old, true)
+  }
+
+  /** Repair [[swapInto]]'s crash window before reading `target`: the
+    * signature of a crash between the two renames is "park path exists
+    * and target missing" — the previous contents are intact but parked.
+    * Restore them so the caller's read-merge-swap replay sees the real
+    * stored rows (the merge is idempotent, so re-applying the interrupted
+    * batch on top of the restored table is correct). A target that EXISTS
+    * alongside a park path means the crash happened after the swap
+    * completed but before the park cleanup — the park copy is stale and
+    * swapInto's entry delete disposes of it. Returns whether a restore
+    * happened (callers log/assert on it in specs).
+    */
+  private[graft] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                 target: Path): Boolean = {
+    val old = new Path(target.getParent, s".old_${target.getName}")
+    if (fs.exists(old) && !fs.exists(target)) {
+      if (!fs.rename(old, target))
+        throw new IllegalStateException(
+          s"crash recovery: could not restore parked $old -> $target")
+      true
+    } else false
+  }
+
+  /** [[recoverSwap]] over every partition directory of a partitioned
+    * table root: one listing of the root finds crash leftovers
+    * (`.old_<part>` children), restores each whose partition directory is
+    * missing, and disposes of stale parks whose swap DID complete. Called
+    * by the partition-scoped upsert sink before its pruned read — it
+    * repairs ALL days, not just the replaying batch's, because the
+    * interrupted batch may have touched days the replay does not.
+    */
+  private[graft] def recoverPartitionSwaps(fs: org.apache.hadoop.fs.FileSystem,
+                                           root: Path): Int = {
+    if (!fs.exists(root)) return 0
+    var restored = 0
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(".old_")) {
+        val part = new Path(root, name.stripPrefix(".old_"))
+        if (recoverSwap(fs, part)) restored += 1
+        else fs.delete(st.getPath, true) // swap completed; park is stale
+      }
+    }
+    restored
   }
 }

@@ -48,9 +48,16 @@ object Quantiles {
     require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
       s"probabilities must be in [0,1], got $probs")
     require(accuracy > 0, s"accuracy must be positive, got $accuracy")
-    val aggs = probs.map { p =>
-      percentile_approx(value, lit(p), lit(accuracy))
-        .as(f"p${math.round(p * 100)}%02d_approx")
+    // Labels round to whole percent; two probs that round the same (0.949
+    // and 0.954) would emit DUPLICATE columns and the audit's col(...)
+    // lookup would die later with an ambiguous-reference error — fail
+    // with the real cause at call time instead.
+    val labels = probs.map(p => f"p${math.round(p * 100)}%02d_approx")
+    require(labels.distinct.size == labels.size,
+      s"probabilities $probs round to duplicate column labels ${labels.mkString(", ")} — " +
+        "use probabilities that differ by at least a whole percent")
+    val aggs = probs.zip(labels).map { case (p, label) =>
+      percentile_approx(value, lit(p), lit(accuracy)).as(label)
     }
     df.groupBy(groups: _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -81,6 +88,9 @@ object Quantiles {
   def rankAudit(df: DataFrame, group: String, value: Column,
                 sketch: DataFrame, probs: Seq[Double],
                 accuracy: Int): DataFrame = {
+    val names = probs.map(p => f"p${math.round(p * 100)}%02d")
+    require(names.distinct.size == names.size,
+      s"probabilities $probs round to duplicate audit labels ${names.mkString(", ")}")
     val flags = probs.map { p =>
       val c = f"p${math.round(p * 100)}%02d"
       val slack = count(lit(1)).cast("double") / accuracy + 1.0

@@ -348,6 +348,11 @@ object EventStreams {
         val spark = batch.sparkSession
         val target = new org.apache.hadoop.fs.Path(tableDir)
         val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // a hard crash between swapInto's two renames leaves the table
+        // parked and the target missing; restore FIRST, or this replay
+        // would merge against a phantom empty table and the next swap's
+        // park cleanup would destroy the only surviving copy
+        graft.io.Store.recoverSwap(fs, target)
         val existing =
           if (fs.exists(target)) spark.read.parquet(tableDir)
           else spark.createDataFrame(
@@ -368,8 +373,9 @@ object EventStreams {
     * rewritten, or moved (StreamingSpec pins byte-level file identity
     * across a batch), so per-batch cost is O(touched days), not O(table).
     *
-    * Correctness requires `dt = to_date(tsCol)` to be a FUNCTION of the
-    * merge key — i.e. `tsCol` must be one of `keys` (the reference's D1
+    * Correctness requires `dt` (the UTC day of `tsCol` — see [[dtOf]]) to
+    * be a FUNCTION of the merge key — i.e. `tsCol` must be one of `keys`
+    * (the reference's D1
     * call site keys on the datetime itself, so this holds there). If a
     * key could move between partitions, a partition-scoped merge would
     * leave its stale twin behind in a day the batch never read; the
@@ -395,24 +401,51 @@ object EventStreams {
     * replay repairs any partially-applied batch because the merge is
     * idempotent).
     */
+  /** Partition-day assignment, pinned to the UTC calendar: whole days of
+    * the raw epoch instant (`cast(ts as long)` is timezone-independent),
+    * never `to_date`, whose result follows `spark.sql.session.timeZone`.
+    * A session-zoned dt would let a driver restart under a different TZ
+    * map a near-midnight key to a DIFFERENT day than it was stored under
+    * — the partition-scoped merge would then never read the old day and
+    * leave a stale twin, the exact hazard the keys-contains-tsCol require
+    * exists to prevent, invisible to that guard because the key itself
+    * never changed.
+    */
+  private def dtOf(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    date_add(to_date(lit("1970-01-01")),
+      floor(ts.cast("long").cast("double") / 86400d).cast("int"))
+
   def upsertPartitions(batch: DataFrame, tableDir: String, keys: Seq[String],
                        tsCol: String): Unit = {
     require(keys.contains(tsCol),
-      s"partition-scoped upsert needs dt=to_date($tsCol) to be a function of the merge key " +
+      s"partition-scoped upsert needs dt=utc_day($tsCol) to be a function of the merge key " +
         s"(got keys=${keys.mkString(",")}) — otherwise a colliding key in another day's " +
         "partition would survive as a stale twin")
     val spark = batch.sparkSession
     val target = new org.apache.hadoop.fs.Path(tableDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crash between a day's two swap renames leaves that day parked and
+    // its dt= directory missing — restore every such day FIRST (one root
+    // listing), or the replay's pruned read would see the day as empty and
+    // the re-swap's park cleanup would destroy the only surviving copy
+    graft.io.Store.recoverPartitionSwaps(fs, target)
     // the touched-partition list is bounded by the batch's DISTINCT DAYS —
     // a handful of rows on the driver, never the batch itself
-    val days = batch.select(to_date(col(tsCol)).as("dt")).distinct()
+    val days = batch.select(dtOf(col(tsCol)).as("dt")).distinct()
       .collect().map(_.getDate(0))
     if (days.isEmpty) return
     require(!days.contains(null),
       s"upsertPartitions: null $tsCol cannot be partition-assigned — drop or key such rows upstream")
+    // mkdirs below runs before the first-ever swap, so a crash in that
+    // window leaves target existing but EMPTY — reading it would fail
+    // parquet schema inference on every replay. Any visible child means
+    // real data; none means treat as first write.
+    val hasData = fs.exists(target) && fs.listStatus(target).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith(".") && !n.startsWith("_")
+    }
     val existing =
-      if (fs.exists(target))
+      if (hasData)
         // dt is a partition column, so the isin prunes at FILE LISTING
         // time: only the touched days' directories are ever enumerated
         spark.read.parquet(tableDir)
@@ -420,7 +453,7 @@ object EventStreams {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
     val merged = graft.operators.Upsert.keepNewest(existing, batch, keys)
-      .withColumn("dt", to_date(col(tsCol)))
+      .withColumn("dt", dtOf(col(tsCol)))
     val tmp = new org.apache.hadoop.fs.Path(target.getParent, s".tmp_${target.getName}")
     fs.delete(tmp, true)
     // full merged write lands in tmp first (stored files still intact and

@@ -134,6 +134,23 @@ class StoreSpec extends AnyFunSuite {
     assert(leftovers.count() == 0)
   }
 
+  test("compact after a crash mid-swap restores the parked table before rewriting") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_compact_crash").toString
+    val store = new Store(spark, base)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(s"$base/tbl")
+    val want = spark.read.parquet(s"$base/tbl").collect().map(_.toString).sorted.toSeq
+    // crash signature: table parked under .old_, target missing
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$base/tbl"),
+      new org.apache.hadoop.fs.Path(s"$base/.old_tbl")))
+    store.compact("tbl", targetBytes = Long.MaxValue)
+    val after = spark.read.parquet(s"$base/tbl")
+    assert(after.collect().map(_.toString).sorted.toSeq == want)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/.old_tbl")))
+  }
+
   test("orc sink/scan: lossless round trip; filters push into the orc scan") {
     val store = new Store(spark, Files.createTempDirectory("graft_orc").toString)
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

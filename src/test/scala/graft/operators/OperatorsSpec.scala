@@ -422,6 +422,18 @@ class QuantilesSpec extends AnyFunSuite {
       Quantiles.approxByGroup(frame(), "g", col("v"), Seq(0.5), 0)
     }
   }
+
+  test("probabilities that round to the same percent label fail at call time, not as an ambiguous column") {
+    val err = intercept[IllegalArgumentException] {
+      Quantiles.approxByGroup(frame(), "g", col("v"), Seq(0.949, 0.954), 1000)
+    }
+    assert(err.getMessage.contains("duplicate column labels"))
+    intercept[IllegalArgumentException] {
+      Quantiles.rankAudit(frame(), "g", col("v"),
+        Quantiles.approxByGroup(frame(), "g", col("v"), Seq(0.95), 1000),
+        Seq(0.949, 0.954), 1000)
+    }
+  }
 }
 
 class ResampleSpec extends AnyFunSuite {

@@ -482,4 +482,72 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept.nonEmpty && kept == (x39Keep -- mod35Copies))
   }
+
+  test("upsert replay after a crash mid-swap restores the parked table instead of losing it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_upsert_crash").toString
+    val table = s"$dir/table"
+    val b1 = Seq((ts("2024-01-01 10:00:00"), "a1"), (ts("2024-01-01 11:00:00"), "b1"),
+      (ts("2024-01-02 09:00:00"), "c1")).toDF("ts", "v")
+    EventStreams.upsertPartitions(b1, table, keys = Seq("ts"), tsCol = "ts")
+    // simulate a hard crash between swapInto's two renames on day 1: the
+    // day is parked under the dot prefix and its dt= directory is missing
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val day1 = new org.apache.hadoop.fs.Path(table, "dt=2024-01-01")
+    val parked = new org.apache.hadoop.fs.Path(table, ".old_dt=2024-01-01")
+    assert(fs.rename(day1, parked) && !fs.exists(day1))
+    // the replaying batch touches day 1 with ONE of its two keys: before
+    // the recovery fix this merge read the missing day as empty and the
+    // swap's park cleanup destroyed 11:00's row for good
+    val b2 = Seq((ts("2024-01-01 10:00:00"), "a2")).toDF("ts", "v")
+    EventStreams.upsertPartitions(b2, table, keys = Seq("ts"), tsCol = "ts")
+    val out = spark.read.parquet(table).drop("dt").collect()
+      .map(r => r.getTimestamp(0) -> r.getString(1)).toMap
+    assert(out == Map(ts("2024-01-01 10:00:00") -> "a2",
+      ts("2024-01-01 11:00:00") -> "b1", ts("2024-01-02 09:00:00") -> "c1"),
+      s"rows lost across crash replay: $out")
+    assert(!fs.exists(parked))
+  }
+
+  test("upsert against an existing-but-empty table dir (crash before first swap) proceeds as first write") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_upsert_emptydir").toString
+    val table = s"$dir/table"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(table)) // the mkdirs-then-crash leftover
+    val b = Seq((ts("2024-01-01 10:00:00"), "a1")).toDF("ts", "v")
+    EventStreams.upsertPartitions(b, table, keys = Seq("ts"), tsCol = "ts")
+    val out = spark.read.parquet(table).drop("dt").collect()
+      .map(r => r.getTimestamp(0) -> r.getString(1)).toMap
+    assert(out == Map(ts("2024-01-01 10:00:00") -> "a1"))
+  }
+
+  test("partition-day assignment is pinned to the UTC calendar, not the session timezone") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_upsert_tz").toString
+    val table = s"$dir/table"
+    // 2024-01-01T23:30Z — a near-midnight instant whose LOCAL date under a
+    // +14 session zone is already 2024-01-02
+    val nearMidnight = Timestamp.from(java.time.Instant.parse("2024-01-01T23:30:00Z"))
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+      EventStreams.upsertPartitions(Seq((nearMidnight, "a1")).toDF("ts", "v"),
+        table, keys = Seq("ts"), tsCol = "ts")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(table, "dt=2024-01-01")),
+      "key stored under its session-local day — a TZ-drifted replay would leave a stale twin")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(table, "dt=2024-01-02")))
+    // a replay under a DIFFERENT session zone maps the same key to the
+    // same partition — the run-invariance the merge depends on
+    EventStreams.upsertPartitions(Seq((nearMidnight, "a2")).toDF("ts", "v"),
+      table, keys = Seq("ts"), tsCol = "ts")
+    val out = spark.read.parquet(table).drop("dt").collect()
+      .map(r => r.getTimestamp(0) -> r.getString(1)).toMap
+    assert(out == Map(nearMidnight -> "a2"), s"stale twin survived: $out")
+  }
 }
