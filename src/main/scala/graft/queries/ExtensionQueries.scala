@@ -732,6 +732,22 @@ object ExtensionQueries {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("status_at_ts"), col("valid_from"))
     }),
+    // Incremental SCD2 maintenance (x52's O(delta) face): the history
+    // built from the first half of the log, with the second half applied
+    // as a batch — untouched keys anti-join through, touched keys rebuild
+    // from (open run ∪ batch) only. The DECLARED law: the result hashes
+    // identically to x52's full-log rebuild (same oracle SQL verbatim),
+    // which is exactly the incremental==full contract the operator
+    // promises. At 100 TB this is the difference between re-sorting an
+    // append-only event log per batch and touching O(batch) state.
+    "x52c_scd2_incremental" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val initial = graft.operators.Scd2.history(events.where(col("ts") < cut),
+        "user_id", Seq("ts", "event_id"), Seq("event_type"))
+      graft.operators.Scd2.applyBatch(initial, events.where(col("ts") >= cut),
+        "user_id", Seq("ts", "event_id"), Seq("event_type"))
+    }),
     // Trailing-window rate features ("events / value in the last hour",
     // "sum of the last 5 readings") — fraud-velocity / rate-limit /
     // trend-feature shape. RANGE frame over whole epoch seconds (equal
@@ -1776,6 +1792,21 @@ object ExtensionQueries {
     // row_number()=1 guard matches Spark's null<=>struct=false opener even
     // if a fixture regen ever ships a null first event_type.
     "x52_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |m AS (SELECT user_id, event_id, ts, event_type,
+        |        CASE WHEN row_number() OVER w0 = 1
+        |              OR lag(event_type) OVER w0 IS DISTINCT FROM event_type
+        |             THEN 1 ELSE 0 END AS chg
+        |      FROM e WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT user_id, event_type, ts AS valid_from, event_id FROM m WHERE chg = 1)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER w AS valid_to,
+        |  CAST(lead(valid_from) OVER w IS NULL AS BIGINT) AS is_current
+        |FROM p WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)""".stripMargin,
+    // The incremental face must equal the full rebuild — the oracle IS
+    // x52's full-log SQL, unchanged; the split/merge happens only on the
+    // Spark side.
+    "x52c_scd2_incremental" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
         |m AS (SELECT user_id, event_id, ts, event_type,
         |        CASE WHEN row_number() OVER w0 = 1

@@ -295,6 +295,91 @@ class Scd2Spec extends AnyFunSuite {
     val cur = hist.where(col("is_current") === 1L).groupBy("k").count().collect()
     assert(cur.forall(_.getLong(1) == 1L))
   }
+
+  private def histSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))).toSet
+
+  test("incremental law: applyBatch(history(older), newer) == history(older ∪ newer) " +
+    "for every in-order split") {
+    val rnd = new scala.util.Random(11)
+    val obs = (1 to 400).map { i =>
+      (rnd.nextInt(5).toLong, i.toLong, i.toLong, ("s" + rnd.nextInt(3)))
+    }.toDF("k", "t", "id", "v")
+    val full = histSet(Scd2.history(obs, "k", Seq("t", "id"), Seq("v")))
+    for (cut <- Seq(1L, 57L, 200L, 399L, 400L)) {
+      val older = obs.where(col("t") <= cut)
+      val newer = obs.where(col("t") > cut)
+      val inc = Scd2.applyBatch(Scd2.history(older, "k", Seq("t", "id"), Seq("v")),
+        newer, "k", Seq("t", "id"), Seq("v"))
+      assert(histSet(inc) == full, s"incremental != full rebuild at cut=$cut")
+    }
+  }
+
+  test("incremental semantics: value continuation folds into the open run, " +
+    "change closes it, batch-only keys build from scratch") {
+    val older = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"),
+      (2L, 10L, 3L, "x")).toDF("k", "t", "id", "v")
+    val hist = Scd2.history(older, "k", Seq("t", "id"), Seq("v"))
+    val batch = Seq((1L, 30L, 4L, "b"),   // continues k=1's open run 'b'
+      (2L, 30L, 5L, "y"),                 // changes k=2's open run
+      (3L, 30L, 6L, "z")).toDF("k", "t", "id", "v") // brand-new key
+    val out = histSet(Scd2.applyBatch(hist, batch, "k", Seq("t", "id"), Seq("v")))
+    assert(out == Set(
+      (1L, "a", 10L, 20L, 0L), (1L, "b", 20L, -1L, 1L), // b kept valid_from=20
+      (2L, "x", 10L, 30L, 0L), (2L, "y", 30L, -1L, 1L),
+      (3L, "z", 30L, -1L, 1L)), out.toString)
+  }
+
+  test("incremental: untouched keys pass through without a window over their rows") {
+    val older = Seq((1L, 10L, 1L, "a"), (2L, 10L, 2L, "x")).toDF("k", "t", "id", "v")
+    val hist = Scd2.history(older, "k", Seq("t", "id"), Seq("v"))
+    val batch = Seq((1L, 20L, 3L, "c")).toDF("k", "t", "id", "v")
+    val out = Scd2.applyBatch(hist, batch, "k", Seq("t", "id"), Seq("v"))
+    assert(histSet(out)((2L, "x", 10L, -1L, 1L)))
+    // k=2 contributes via the anti-join branch only: no change-window rows
+    val rebuiltRows = out.where(col("k") === 2L).count()
+    assert(rebuiltRows == 1L)
+  }
+
+  test("incremental: a batch row ordering before its key's open run fails loudly") {
+    val older = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b")).toDF("k", "t", "id", "v")
+    val hist = Scd2.history(older, "k", Seq("t", "id"), Seq("v"))
+    val batch = Seq((1L, 15L, 3L, "c")).toDF("k", "t", "id", "v") // inside run 'a'
+    val err = intercept[Exception] {
+      Scd2.applyBatch(hist, batch, "k", Seq("t", "id"), Seq("v")).collect()
+    }
+    assert(err.getMessage != null && err.getMessage.contains("out-of-order"),
+      s"wrong failure: $err")
+  }
+
+  test("incremental store: only touched kb= buckets are rewritten; read-back equals full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_store").toString
+    val table = s"$dir/hist"
+    val all = (1 to 200).map { i =>
+      ((i % 10).toLong, i.toLong, i.toLong, "s" + (i % 3))
+    }
+    val older = all.filter(_._2 <= 150).toDF("k", "t", "id", "v")
+    val batch = all.filter(_._2 > 150).filter(_._1 == 3L).toDF("k", "t", "id", "v")
+    Scd2.applyBatchToStore(older, table, "k", Seq("t", "id"), Seq("v"), buckets = 16)
+    def bucketFiles(): Map[String, Set[(String, Long, Long)]] =
+      new java.io.File(table).listFiles().filter(_.isDirectory)
+        .filterNot(_.getName.startsWith("."))
+        .map(d => d.getName -> d.listFiles().filter(_.isFile)
+          .filterNot(_.getName.startsWith("."))
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet).toMap
+    val before = bucketFiles()
+    Scd2.applyBatchToStore(batch, table, "k", Seq("t", "id"), Seq("v"), buckets = 16)
+    val after = bucketFiles()
+    // byte-identity law: every bucket k=3 does NOT hash into is untouched
+    val touchedDirs = after.keySet.filterNot(b => before.get(b).contains(after(b)))
+    assert(touchedDirs.size == 1, s"expected exactly 1 rewritten bucket, got $touchedDirs")
+    // content law: the store equals a full rebuild of the combined log
+    val expect = histSet(Scd2.history(
+      older.unionByName(batch), "k", Seq("t", "id"), Seq("v")))
+    assert(histSet(Scd2.readStore(spark, table)
+      .select("k", "v", "valid_from", "valid_to", "is_current")) == expect)
+  }
 }
 
 class RollingSpec extends AnyFunSuite {

@@ -126,6 +126,37 @@ class PlanSpec extends AnyFunSuite {
     assert(touched <= 2, s"range touched $touched of $total files — layout not clustered")
   }
 
+  test("incremental scd2 store: the history scan is bucket-pruned at file listing") {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, pmod, xxhash64}
+    // the x52c storage face reads the existing history through
+    // kb isin (touched buckets); that predicate must land in
+    // PartitionFilters (directory enumeration), so untouched buckets of a
+    // 100 TB history are never listed — the read-side half of the
+    // O(touched) contract (the write side is byte-identity, pinned in
+    // Scd2Spec).
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2-prune-").toString
+    val obs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    graft.operators.Scd2.applyBatchToStore(obs, s"$dir/hist",
+      "user_id", Seq("ts", "event_id"), Seq("event_type"), buckets = 16)
+    val touched = Seq(3, 7)
+    val pruned = spark.read.parquet(s"$dir/hist")
+      .where(col("kb").isin(touched: _*))
+    val p = pruned.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]+\\]".r.findFirstIn(p)
+    assert(pf.exists(_.contains("kb")), s"no partition filter on kb:\n$p")
+    val files = pruned.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(f => touched.exists(b => f.contains(s"kb=$b"))),
+      files.mkString("\n"))
+    // and the bucket assignment the face prunes BY matches the stored one
+    val mismatch = graft.operators.Scd2.readStore(spark, s"$dir/hist")
+      .withColumn("kb2", pmod(xxhash64(col("user_id")), lit(16L)).cast("int"))
+      .join(spark.read.parquet(s"$dir/hist").select(col("user_id"),
+        col("kb")).distinct(), Seq("user_id"))
+      .where(col("kb") =!= col("kb2")).count()
+    assert(mismatch == 0L)
+  }
+
   test("snapshot diff is one keyed full-outer join, never all-pairs") {
     val p = plan("x49_snapshot_diff")
     assert(p.contains("FullOuter"), p)
