@@ -114,6 +114,61 @@ class Store(spark: SparkSession, baseDir: String) {
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode("overwrite").parquet(s"$baseDir/$rel")
 
+  /** Multi-key clustered parquet layout — [[writeClustered]]'s answer when
+    * queries filter on TWO (or more) high-cardinality columns from one
+    * copy of the data. A linear sort clusters only its leading key: the
+    * second column's values scatter across every file, so its predicates
+    * skip nothing. Z-ordering interleaves the bits of each column's
+    * QUANTILE-BUCKET rank (equal-mass buckets from a bounded
+    * `approxQuantile` sketch, so a skewed column still spreads across the
+    * curve) and range-partitions + sorts on the interleaved value: the
+    * space-filling curve gives every file a small hyper-rectangle of the
+    * key space, so each file's parquet min/max stats are tight on EVERY
+    * z-column at once and a single-column predicate on ANY of them prunes
+    * at file/row-group level (PlanSpec pins both single-column file
+    * subsets on one layout). The z value is layout metadata only — it is
+    * dropped before the write; scans prune through the ordinary pushed
+    * filters on the data columns.
+    *
+    * Scale shape: one range exchange at write time (same one-time layout
+    * cost as [[writeClustered]]); the boundary sketch is
+    * O(bits * columns) driver state. Columns must be castable to double
+    * (numerics, timestamps); nulls sort into the first bucket.
+    */
+  def writeZordered(df: DataFrame, rel: String, zCols: Seq[String],
+                    files: Int = 8, bits: Int = 6): Unit = {
+    require(zCols.size >= 2,
+      "z-order needs at least two cluster columns — one column is writeClustered")
+    require(bits >= 1 && bits * zCols.size <= 62,
+      s"bits * columns must fit a long, got $bits * ${zCols.size}")
+    val n = 1 << bits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val bounds = zCols.map { c =>
+      c -> df.select(col(c).cast("double").as(c)).stat.approxQuantile(c, probs, 0.01)
+    }.toMap
+    // rank of v among the n equal-mass buckets: a linear boundary scan,
+    // write-time-only and codegen'd (n-1 compares per row per column)
+    def bucketOf(c: String): org.apache.spark.sql.Column = {
+      val v = col(c).cast("double")
+      bounds(c).distinct.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(v > lit(b), 1).otherwise(0)
+      }
+    }
+    val withB = zCols.foldLeft(df)((d, c) =>
+      d.withColumn(s"__zb_$c", bucketOf(c).cast("long")))
+    val zval = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      zCols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a + shiftleft(shiftright(col(s"__zb_$c"), i).bitwiseAND(lit(1L)),
+          i * zCols.size + j)
+      }
+    }
+    withB.withColumn("__z", zval)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop(zCols.map(c => s"__zb_$c") :+ "__z": _*)
+      .write.mode("overwrite").parquet(s"$baseDir/$rel")
+  }
+
   /** Small-file compaction — the operational complement of continuous
     * sinks (a streaming upsert/append sink accretes one-file-per-batch
     * until scans drown in per-file open/footer overhead): rewrite `rel`

@@ -682,6 +682,27 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
     }),
+    // Multi-key clustered layout (x51's two-predicate face): ONE z-ordered
+    // copy — bits of the quantile-bucket ranks of user_id and ts
+    // interleaved into a space-filling curve — serves file-level skipping
+    // to predicates on EITHER column alone (PlanSpec pins both touched
+    // subsets at <= half the files, and that the linear layout gives the
+    // second column nothing). The declared aggregate reads the store back
+    // through both predicates at once; the result is layout-independent,
+    // so DuckDB replays it straight off the raw table.
+    "x51b_zorder_prune" -> ((s, dir) => {
+      val base = s"$scratchDir/x51b"
+      new graft.io.Store(s, base)
+        .writeZordered(Tables.events(s, dir), "events_z", Seq("user_id", "ts"),
+          files = 16)
+      s.read.parquet(s"$base/events_z")
+        .where(col("user_id").between(40, 49) &&
+          col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     // CDC-style snapshot diff (incremental-recompute driver): one row per
     // changed key between a synthetic "previous" snapshot (missing the
     // mod-11 slice -> inserts; n_chars bumped on the mod-7 slice ->
@@ -1766,6 +1787,17 @@ object ExtensionQueries {
         |  ROUND(SUM(value), 2) AS sum_value,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events WHERE user_id BETWEEN 40 AND 49
+        |GROUP BY 1""".stripMargin,
+    // Layout-independent replay of the z-store read-back: both predicates
+    // straight off the raw table.
+    "x51b_zorder_prune" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE user_id BETWEEN 40 AND 49
+        |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-13 00:00:00'
         |GROUP BY 1""".stripMargin,
     // Same prev-snapshot derivation, full-outer join, and null-safe
     // column compare as SnapshotDiff.diff.

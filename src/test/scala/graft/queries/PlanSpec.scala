@@ -126,6 +126,37 @@ class PlanSpec extends AnyFunSuite {
     assert(touched <= 2, s"range touched $touched of $total files — layout not clustered")
   }
 
+  test("z-ordered layout bounds the touched-file subset for BOTH single-column predicates") {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit}
+    // the x51b witness: ONE copy of the data, clustered on the
+    // interleaved (user_id, ts) curve, must give file-level skipping to a
+    // predicate on EITHER column alone — the thing no linear sort can do
+    // (x51's user_id-sorted layout scatters ts across every file). Gates
+    // at half the filecount leave straddle slack (a range crossing a
+    // curve split doubles its subset) while still proving real skipping.
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder-").toString
+    val store = new graft.io.Store(spark, base)
+    val events = graft.Tables.events(spark, sf)
+    store.writeZordered(events, "events_z", Seq("user_id", "ts"), files = 16)
+    val all = spark.read.parquet(s"$base/events_z")
+    val total = all.select(input_file_name()).distinct().count()
+    assert(total == 16, s"expected 16 z-ordered files, got $total")
+    def touched(df: org.apache.spark.sql.DataFrame) =
+      df.select(input_file_name()).distinct().count()
+    val userTouched = touched(all.where(col("user_id").between(40, 49)))
+    val tsTouched = touched(all.where(
+      col("ts") >= lit("2024-01-10").cast("timestamp") &&
+        col("ts") < lit("2024-01-13").cast("timestamp")))
+    assert(userTouched <= 8, s"user_id predicate touched $userTouched of $total z-files")
+    assert(tsTouched <= 8, s"ts predicate touched $tsTouched of $total z-files")
+    // contrast: the linear user_id layout gives the ts predicate nothing
+    store.writeClustered(events, "events_lin", Seq("user_id"), files = 16)
+    val linTs = touched(spark.read.parquet(s"$base/events_lin").where(
+      col("ts") >= lit("2024-01-10").cast("timestamp") &&
+        col("ts") < lit("2024-01-13").cast("timestamp")))
+    assert(linTs >= 14, s"linear layout unexpectedly skipped ts files: $linTs of 16")
+  }
+
   test("incremental scd2 store: the history scan is bucket-pruned at file listing") {
     import org.apache.spark.sql.functions.{col, input_file_name, lit, pmod, xxhash64}
     // the x52c storage face reads the existing history through
