@@ -418,6 +418,23 @@ object ReferenceQueries {
       graft.streaming.EventStreams.dedupAgainstCorpusSketch(incoming, bloom)
         .select("doc_id")
     }),
+    // The streaming as-of enrichment (EventStreams.asofEnrich — J2's
+    // merge_asof as a watermarked stream-static join + min-struct pick,
+    // because row_number windows don't exist on streams) on its batch
+    // face: same feed and rate series as j2_asof, same oracle SQL —
+    // StreamingSpec pins closed-window identity with AsofJoin.nearest on
+    // a real stream.
+    "st4_stream_asof" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val rates = e.where(col("event_type") === "purchase")
+        .groupBy(window(col("ts"), "30 minutes").getField("start").as("t"))
+        .agg(round(sum("value"), 2).as("rate"))
+      val left = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("ts").as("t"))
+      graft.streaming.EventStreams.asofEnrich(left, rates, "t", 900L,
+          Seq("event_id", "t"))
+        .select("event_id", "rate")
+    }),
 
     // ---- EP2 pipeline-composition parity -----------------------------------
     // The full raw->engineered derivation chain of FeatureEngineeringJob
@@ -758,6 +775,21 @@ object ReferenceQueries {
         |  WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0)
         |SELECT doc_id FROM incoming
         |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 7 <> 0)""".stripMargin,
+    // j2_asof's oracle verbatim: the stream face must equal the batch
+    // as-of join row-for-row.
+    "st4_stream_asof" ->
+      """WITH rates AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS t, ROUND(SUM(value),2) AS rate
+        |  FROM events WHERE event_type='purchase' GROUP BY 1),
+        |lefts AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_type='click'),
+        |cand AS (
+        |  SELECT l.event_id, r.rate,
+        |         ROW_NUMBER() OVER (PARTITION BY l.event_id
+        |           ORDER BY ABS(epoch_us(l.t) - epoch_us(r.t)) ASC, r.t ASC) AS rn
+        |  FROM lefts l JOIN rates r ON ABS(epoch_us(l.t) - epoch_us(r.t)) <= 900000000)
+        |SELECT l.event_id, c.rate
+        |FROM lefts l LEFT JOIN (SELECT event_id, rate FROM cand WHERE rn=1) c USING(event_id)""".stripMargin,
     // DuckDB replay of the ep2 composition: same synthetic raw CTE (keyed
     // off the hour formula), then every derived column re-expressed with
     // the proven cross-engine forms — isodow-1 for weekday Mon=0, LN(1+x)

@@ -84,6 +84,77 @@ object EventStreams {
       "inner")
   }
 
+  /** Streaming as-of enrichment — the streaming face of J2's
+    * `merge_asof` ([[graft.operators.AsofJoin.nearest]], the reference's
+    * `raw_data.py:223-229` semantics): each event on an unbounded feed
+    * picks up the nearest STATIC reference row within an inclusive
+    * ±tolerance, equidistant tie broken toward the earlier reference row.
+    * Unmatched events survive with null reference columns
+    * (left-preserving, like `merge_asof`).
+    *
+    * Mechanics: the static side explodes each row into its
+    * `floor(ts/tol)` bucket ±1 — AsofJoin's overlap-bucket expansion — so
+    * every in-tolerance pair shares an equi-join key and the stream-static
+    * join stays a hash join (never a nested loop, which streaming forbids
+    * anyway). The per-event best match is then a watermarked streaming
+    * aggregation: `min` over a `(distance, ref_ts, payload)` struct —
+    * lexicographic struct ordering IS the pandas tie-break — because
+    * `row_number` windows do not exist on streams. Out-of-tolerance and
+    * unmatched candidates contribute NULL to the min, so a group with no
+    * match emits its event with a null payload once its watermark closes.
+    *
+    * Contract: `keyCols` uniquely identify an event and MUST contain `on`
+    * — append-mode streaming aggregation requires the watermark column in
+    * the grouping key (and an as-of key that includes its own timestamp
+    * is also what makes D1-style replays idempotent). Non-key event
+    * columns ride along via `first` (every candidate row of a group
+    * carries the same event payload). Static/stream column names must be
+    * disjoint apart from `on`.
+    *
+    * Scale shape: state is one row per in-flight event group, evicted by
+    * the watermark; the static side is 3x its row count in exploded
+    * bucket copies (broadcast at dimension size, shuffled hash join
+    * beyond). The SAME plan runs on a batch frame (watermark is a no-op)
+    * — the st4 declared query oracle-checks that face, StreamingSpec pins
+    * closed-window identity with the batch [[graft.operators.AsofJoin]].
+    */
+  def asofEnrich(stream: DataFrame, static: DataFrame, on: String,
+                 toleranceSeconds: Long, keyCols: Seq[String],
+                 watermarkDelay: String = "2 hours"): DataFrame = {
+    require(toleranceSeconds > 0, "tolerance must be positive")
+    require(keyCols.contains(on),
+      s"keyCols must include the as-of column $on — append-mode aggregation " +
+        "groups on the watermarked column")
+    val collisions = static.columns.toSet.intersect(stream.columns.toSet) - on
+    require(collisions.isEmpty,
+      s"static columns collide with stream: ${collisions.mkString(", ")} — rename before joining")
+    val tolMicros = toleranceSeconds * 1000000L
+    val rCols = static.columns.filter(_ != on).toSeq
+    val rExp = static
+      .withColumn("__r_ts", unix_micros(col(on)))
+      .drop(on)
+      .withColumn("__rb", floor(col("__r_ts") / tolMicros))
+      .withColumn("__bucket", explode(array(col("__rb") - 1, col("__rb"), col("__rb") + 1)))
+      .drop("__rb")
+    val cand = stream
+      .withWatermark(on, watermarkDelay)
+      .withColumn("__l_ts", unix_micros(col(on)))
+      .withColumn("__bucket", floor(col("__l_ts") / tolMicros))
+      .join(rExp, Seq("__bucket"), "left")
+    val dist = abs(col("__l_ts") - col("__r_ts"))
+    // NULL outside tolerance (and for unmatched rows): min() skips nulls,
+    // so only real candidates compete and a matchless group yields null
+    val best = when(col("__r_ts").isNotNull && dist <= tolMicros,
+      struct(dist.as("d"), col("__r_ts").as("rt"),
+        struct(rCols.map(col): _*).as("payload")))
+    val carried = stream.columns.filterNot(keyCols.contains).toSeq
+    val aggs = min(best).as("__best") +: carried.map(c => first(col(c)).as(c))
+    cand.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(keyCols.map(col) ++ carried.map(col) ++
+        rCols.map(c => col(s"__best.payload.$c").as(c)): _*)
+  }
+
   /** Streaming incremental exact dedup: the streaming face of
     * [[graft.ext.Dedup.incrementalDedup]]'s exact tier — documents
     * arriving on a stream are dropped when their content hash (a) already

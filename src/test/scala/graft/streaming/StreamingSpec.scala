@@ -483,6 +483,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.nonEmpty && kept == (x39Keep -- mod35Copies))
   }
 
+  test("streaming as-of enrichment: closed groups equal the batch AsofJoin.nearest, " +
+    "ties break earlier, unmatched events survive with nulls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val static = Seq((ts("2024-01-01 10:00:00"), 1.0), (ts("2024-01-01 10:30:00"), 2.0),
+      (ts("2024-01-01 11:00:00"), 3.0)).toDF("t", "rate")
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = Seq(
+      (1L, ts("2024-01-01 10:05:00")), // nearest 10:00 -> 1.0
+      (2L, ts("2024-01-01 10:15:00")), // equidistant 10:00/10:30 -> earlier -> 1.0
+      (3L, ts("2024-01-01 10:50:00")), // nearest 11:00 -> 3.0
+      (4L, ts("2024-01-01 12:30:00"))) // no reference within 15 min -> null
+    val q = EventStreams.asofEnrich(input.toDF().toDF("event_id", "t"), static,
+        "t", 900L, Seq("event_id", "t"), "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("asof_out").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData((99L, ts("2024-01-01 20:00:00"))) // advance the watermark
+      q.processAllAvailable()
+      val got = spark.table("asof_out").collect().filter(_.getLong(0) != 99L)
+        .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toMap
+      assert(got == Map(1L -> 1.0, 2L -> 1.0, 3L -> 3.0, 4L -> -1.0), got.toString)
+      // law: identical to the batch as-of join on the same frames
+      val batch = graft.operators.AsofJoin.nearest(
+          events.toDF("event_id", "t"), static, "t", 900L, Seq("event_id"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toMap
+      assert(batch == got, s"stream face diverged from batch: $batch vs $got")
+    } finally q.stop()
+  }
+
   test("upsert replay after a crash mid-swap restores the parked table instead of losing it") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_upsert_crash").toString
