@@ -378,4 +378,67 @@ object Sampling {
         expr("bit_xor(__h)").as("checksum"),
         min(col(key)).as("min_id"),
         max(col(key)).as("max_id"))
+
+  /** Mergeable per-batch corpus statistics — [[datasetCard]]'s
+    * incremental face. The card above rescans the corpus per refresh;
+    * at 100 TB the stats must be a STORED column that new batches append
+    * to and reads merge: counts/token mass are sums, and distinct-key
+    * cardinality rides a Datasketches HLL sketch (`hll_sketch_agg`),
+    * whose bytes are parquet-persistable and union-mergeable
+    * (`hll_union_agg`) without touching the documents again — the same
+    * mergeable-state discipline as the x39 bloom and x55 GK sketches.
+    * One row per (split, source) per batch; a batch's row costs one scan
+    * of THAT batch only.
+    */
+  def sketchStats(df: DataFrame, key: String = "doc_id",
+                  text: String = "text", source: String = "source",
+                  trainFrac: Double = 0.8, valFrac: Double = 0.1,
+                  lgK: Int = 12): DataFrame =
+    withSplit(df, key, trainFrac, valFrac)
+      .groupBy(col("split"), col(source))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col(text), " "))).cast("long").as("n_tokens"),
+        hll_sketch_agg(col(key), lit(lgK)).as("key_sketch"))
+
+  /** Merge accumulated [[sketchStats]] rows into the current card: exact
+    * sums for the additive stats, union-merged HLL estimate for distinct
+    * keys. Reads ONLY the stats table — never the corpus.
+    */
+  def sketchCard(stats: DataFrame, source: String = "source"): DataFrame =
+    stats.groupBy(col("split"), col(source))
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("n_tokens").cast("long").as("n_tokens"),
+        hll_sketch_estimate(hll_union_agg(col("key_sketch"))).as("distinct_est"))
+
+  /** The x55-style exactness audit of [[sketchCard]]: recompute the
+    * distinct counts and token mass exactly from the corpus and emit
+    * 0/1 flags — `distinct_ok` checks the HLL estimate against the
+    * published Datasketches bound (relative standard error
+    * 1.04/sqrt(2^lgK); the gate allows 3 RSE plus one row of slack, a
+    * >99.7% interval, and the estimate is EXACT below the sparse-mode
+    * threshold anyway). A red flag means the sketch pipeline (params,
+    * serialization, merge) broke — the bound is a theorem, like the GK
+    * rank audit. The additive stats must match exactly (`count_ok`,
+    * `tokens_ok`): they are sums, not sketches.
+    */
+  def sketchCardAudit(stats: DataFrame, corpus: DataFrame,
+                      key: String = "doc_id", text: String = "text",
+                      source: String = "source", trainFrac: Double = 0.8,
+                      valFrac: Double = 0.1, lgK: Int = 12): DataFrame = {
+    val card = sketchCard(stats, source)
+    val exact = withSplit(corpus, key, trainFrac, valFrac)
+      .groupBy(col("split"), col(source))
+      .agg(countDistinct(col(key)).as("__exact_distinct"),
+        count(lit(1)).as("__exact_n"),
+        sum(size(split(col(text), " "))).cast("long").as("__exact_tokens"))
+    val rse = 1.04 / math.sqrt(math.pow(2.0, lgK))
+    card.join(exact, Seq("split", source))
+      .select(col("split"), col(source), col("n_docs"), col("n_tokens"),
+        (col("n_docs") === col("__exact_n")).cast("long").as("count_ok"),
+        (col("n_tokens") === col("__exact_tokens")).cast("long").as("tokens_ok"),
+        (abs(col("distinct_est").cast("double") - col("__exact_distinct").cast("double"))
+          <= lit(3.0 * rse) * col("__exact_distinct").cast("double") + lit(1.0))
+          .cast("long").as("distinct_ok"))
+  }
 }

@@ -834,6 +834,25 @@ object ExtensionQueries {
     "x56_resample_ffill" -> ((s, dir) =>
       graft.operators.Resample.toGrid(Tables.events(s, dir), "user_id",
         "ts", "event_id", "value", stepSeconds = 21600L)),
+    // Mergeable persisted corpus card (x45's card without the rescan):
+    // two batches each contribute one (split, source) stats row carrying
+    // an HLL sketch column; the card MERGES stored rows (sums + sketch
+    // union) and never rereads the corpus (mod-3 batches: the fixture's
+    // source is a function of doc_id parity, so mod 3 puts every
+    // (split, source) cell in BOTH batches — a genuine sketch union).
+    // Declared through the x55-style
+    // audit: the additive stats replay exactly in DuckDB (count_ok/
+    // tokens_ok are sums), and distinct_ok pins the union-merged HLL
+    // estimate inside the published Datasketches 3-RSE bound against an
+    // exactly recomputed truth — a theorem unless the sketch bytes or the
+    // merge broke (SketchCardSpec proves the red path with withheld rows).
+    "x57_sketch_card" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stats = graft.ext.Sampling.sketchStats(docs.where(col("doc_id") % 3 === 0))
+        .unionByName(
+          graft.ext.Sampling.sketchStats(docs.where(col("doc_id") % 3 =!= 0)))
+      graft.ext.Sampling.sketchCardAudit(stats, docs)
+    }),
     // Corpus-frequent span mining (boilerplate detection): all word
     // trigrams occurring >= 5 times anywhere, found via a count-min-sketch
     // prefilter + exact confirm on the survivors. The composition is EXACT
@@ -1959,6 +1978,23 @@ object ExtensionQueries {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         |FROM spine s LEFT JOIN lastobs l
         |  ON s.user_id = l.user_id AND s.tick = l.tick""".stripMargin,
+    // The additive card stats replay exactly; the audit flags replay as
+    // constant 1 (the HLL 3-RSE bound and the sum identities are theorems
+    // on a correct pipeline — the falsifiable red path lives in
+    // SketchCardSpec).
+    "x57_sketch_card" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, text,
+        |         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|split')), 1, 8)) AS BIGINT)
+        |           / 4294967296.0 AS unit
+        |  FROM documents)
+        |SELECT CASE WHEN unit < 0.8 THEN 'train'
+        |            WHEN unit < 0.9 THEN 'val' ELSE 'test' END AS split,
+        |       source, COUNT(*) AS n_docs,
+        |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |       CAST(1 AS BIGINT) AS count_ok, CAST(1 AS BIGINT) AS tokens_ok,
+        |       CAST(1 AS BIGINT) AS distinct_ok
+        |FROM u GROUP BY 1, 2""".stripMargin,
     // Same md5-unit order and window as Sampling.capPerGroup (salt "cap").
     "x41_source_cap" ->
       """WITH u AS (
