@@ -134,6 +134,45 @@ class StoreSpec extends AnyFunSuite {
     assert(leftovers.count() == 0)
   }
 
+  test("clustered layout also skips parquet PAGES inside a file: a selective " +
+    "predicate decodes a bounded row subset where the unclustered file decodes everything") {
+    import spark.implicits._
+    // x51 pins FILE-level pruning; at 100 TB the next granularity is the
+    // parquet column index (page stats, ~20k rows/page by writer default):
+    // a clustered file's pages carry tight min/max, so the pushed
+    // predicate skips whole pages before decode. Witness: ONE file each
+    // (so file/row-group skipping cannot contribute), 2M rows, 1001-row
+    // range predicate — the SCAN node's numOutputRows counts rows decoded
+    // from surviving pages (record-level filtering is off by default, so
+    // without page skipping it equals the file's row count).
+    val base = Files.createTempDirectory("graft_pageskip").toString
+    val store = new Store(spark, base)
+    val n = 2000000L
+    val df = spark.range(n).select(col("id").as("k"), (col("id") % 97).as("v"))
+    store.writeClustered(df, "clu", Seq("k"), files = 1)
+    df.orderBy(xxhash64(col("k"))).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/unc")
+    def rowsDecoded(path: String): Long = {
+      val q = spark.read.parquet(path).where(col("k").between(100000, 101000))
+      assert(q.count() == 1001)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no FileSourceScanExec leaf in " +
+        q.queryExecution.executedPlan.toString))
+      scan.metrics("numOutputRows").value
+    }
+    val clu = rowsDecoded(s"$base/clu")
+    val unc = rowsDecoded(s"$base/unc")
+    info(s"decoded rows: clustered=$clu unclustered=$unc of $n")
+    // clustered: the 1001 matching rows live in ~1-2 of ~100 pages; give
+    // 10x slack over the two-page worst case. unclustered: every page
+    // spans the full key range, nothing skips.
+    assert(clu <= 400000L, s"page skipping ineffective on the clustered file: $clu rows decoded")
+    assert(unc >= n, s"expected the unclustered file to decode everything, got $unc")
+    assert(clu * 4 <= unc, s"clustered=$clu vs unclustered=$unc — no page-level advantage")
+  }
+
   test("compact after a crash mid-swap restores the parked table before rewriting") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_compact_crash").toString
