@@ -73,13 +73,20 @@ object Scd2 {
     * Contract: per-key IN-ORDER arrival — every batch observation of a
     * key orders at-or-after everything already folded into that key's
     * history (the watermark guarantee of a streaming feed; equivalently
-    * `max(stored orderCols) <= min(batch orderCols)` per key). A
-    * violation cannot be detected from interval endpoints alone for rows
-    * landing inside a collapsed run, but the detectable signature — a
-    * batch row ordering BEFORE its key's open run opened — fails loudly
-    * via `raise_error` instead of silently rewriting the past. The spec
-    * law: `applyBatch(history(older), newer) == history(older ∪ newer)`
-    * for every in-order split.
+    * `max(stored orderCols) <= min(batch orderCols)` per key). Rows
+    * ordering BEFORE the open run are tolerated exactly when they are
+    * REPLAYS: a row falling inside a recorded interval with the same
+    * tracked values is a no-op (so re-applying an already-applied batch —
+    * the foreachBatch recovery path — is idempotent even across change
+    * points), while a row that CONTRADICTS recorded history fails loudly
+    * via `raise_error` instead of silently rewriting the past. (A
+    * contradiction inside a collapsed run — a row between two retained
+    * change points carrying a third value — is indistinguishable from a
+    * replay only if it matches the covering interval's value, in which
+    * case folding it is also correct.) The spec laws:
+    * `applyBatch(history(older), newer) == history(older ∪ newer)` for
+    * every in-order split, and `applyBatch(applyBatch(h, b), b) ==
+    * applyBatch(h, b)`.
     *
     * Scale shape: one hash shuffle of (seed ∪ batch) for the window, one
     * (broadcast at small batch, else shuffled) semi/anti join pair on the
@@ -110,19 +117,43 @@ object Scd2 {
         trackCols.map(col)): _*)
       .withColumn("__seed", lit(1))
     val byKey = Window.partitionBy(key)
-    val merged = batchSlim.withColumn("__seed", lit(0)).unionByName(seed)
-      // detectable out-of-order signature: a batch row before its key's
-      // open run opened. Same hash partitioning as the change window, so
-      // this guard rides the rebuild's own Exchange.
-      .withColumn("__seed_from",
-        max(when(col("__seed") === 1, col(orderCols.head))).over(byKey))
-      .withColumn(orderCols.head,
-        when(col("__seed") === 0 && col(orderCols.head) < col("__seed_from"),
-          raise_error(concat(lit("scd2 applyBatch: out-of-order batch row for key "),
-            col(key).cast("string"),
-            lit(" — orders before the open run; rebuild this key from the log"))))
-          .otherwise(col(orderCols.head)))
-      .drop("__seed", "__seed_from")
+    val staged = batchSlim.withColumn("__seed", lit(0)).unionByName(seed)
+      // out-of-order signature: a batch row before its key's open run
+      // opened. Same hash partitioning as the change window, so this
+      // marker rides the rebuild's own Exchange.
+      // coalesce: a key with NO seed (batch-only) has a null window max —
+      // null < comparisons must read "not late", not "drop the row"
+      .withColumn("__late",
+        coalesce(col("__seed") === 0 &&
+          col(orderCols.head) <
+            max(when(col("__seed") === 1, col(orderCols.head))).over(byKey),
+          lit(false)))
+    // Late rows are either replays (inside a recorded interval with the
+    // SAME tracked values — drop: already folded) or contradictions
+    // (raise). The join input is EMPTY on an in-order feed, so this
+    // branch costs a filter that matches nothing; intervals partition
+    // each key's timeline, so a late row matches at most one.
+    val tracked2 = struct(trackCols.map(col): _*)
+    val hv = touchedHist.select(col(key).as("__hk"),
+      struct(trackCols.map(col): _*).as("__hval"),
+      col("valid_from").as("__vf"), col("valid_to").as("__vt"))
+    val lateBad = staged.where(col("__late"))
+      .join(hv, col(key) === col("__hk") && col("__vf") <= col(orderCols.head) &&
+        (col("__vt").isNull || col(orderCols.head) < col("__vt")), "left")
+      .where(col("__vf").isNull || !(tracked2 <=> col("__hval")))
+      // 0 rows on replays; any survivor poisons the rebuild loudly
+      .select((Seq(col(key),
+        when(lit(true), raise_error(concat(
+          lit("scd2 applyBatch: out-of-order batch row for key "),
+          col(key).cast("string"),
+          lit(" contradicts recorded history — rebuild this key from the log"))))
+          .otherwise(col(orderCols.head)).as(orderCols.head)) ++
+        orderCols.tail.map(col) ++ trackCols.map(col) ++ Seq(col("__seed"))): _*)
+    val merged = staged.where(!col("__late"))
+      .select((Seq(col(key)) ++ orderCols.map(col) ++ trackCols.map(col) ++
+        Seq(col("__seed"))): _*)
+      .unionByName(lateBad)
+      .drop("__seed")
     untouched.unionByName(closed)
       .unionByName(Scd2.history(merged, key, orderCols, trackCols))
   }

@@ -462,6 +462,31 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming SCD2 maintenance: each micro-batch of keyed observations
+    * folds into the bucket-partitioned dimension-history store via
+    * [[graft.operators.Scd2.applyBatchToStore]] — the streaming face of
+    * x52c. Per batch: O(touched kb= buckets) read + rebuild + atomic
+    * swap; untouched buckets' files never move. State lives in the TABLE
+    * (like [[upsertSink]]), so keys are unbounded and no watermark is
+    * needed; a checkpoint-recovery replay is idempotent because
+    * `applyBatch` treats rows already inside recorded intervals as
+    * no-ops and the per-bucket swap recovers its own crash window.
+    * In-order arrival per key is the contract (the stream IS the
+    * observation order); a contradicting out-of-order row fails the
+    * batch loudly rather than rewriting history.
+    */
+  def scd2Sink(stream: DataFrame, tableDir: String, key: String,
+               orderCols: Seq[String], trackCols: Seq[String],
+               checkpointDir: String, buckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Scd2.applyBatchToStore(batch.toDF(), tableDir, key,
+          orderCols, trackCols, buckets)
+      }
+      .start()
+
   /** The batch-side merge of [[upsertSinkPartitioned]] (public: it is the
     * law StreamingSpec pins, and a batch backfill wants exactly this
     * operation). Semantics: the stored table after the call equals

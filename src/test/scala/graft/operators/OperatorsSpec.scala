@@ -342,15 +342,40 @@ class Scd2Spec extends AnyFunSuite {
     assert(rebuiltRows == 1L)
   }
 
-  test("incremental: a batch row ordering before its key's open run fails loudly") {
+  test("incremental: a contradicting out-of-order batch row fails loudly") {
     val older = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b")).toDF("k", "t", "id", "v")
     val hist = Scd2.history(older, "k", Seq("t", "id"), Seq("v"))
-    val batch = Seq((1L, 15L, 3L, "c")).toDF("k", "t", "id", "v") // inside run 'a'
+    val batch = Seq((1L, 15L, 3L, "c")).toDF("k", "t", "id", "v") // 'c' inside run 'a'
     val err = intercept[Exception] {
       Scd2.applyBatch(hist, batch, "k", Seq("t", "id"), Seq("v")).collect()
     }
     assert(err.getMessage != null && err.getMessage.contains("out-of-order"),
       s"wrong failure: $err")
+    // a row before the key's FIRST interval was never folded — also loud
+    val tooEarly = Seq((1L, 5L, 4L, "a")).toDF("k", "t", "id", "v")
+    intercept[Exception] {
+      Scd2.applyBatch(hist, tooEarly, "k", Seq("t", "id"), Seq("v")).collect()
+    }
+  }
+
+  test("incremental replay is idempotent, including across change points") {
+    val older = Seq((1L, 1L, 1L, "v1"), (1L, 2L, 2L, "v1")).toDF("k", "t", "id", "v")
+    val batch = Seq((1L, 3L, 3L, "v2"), (1L, 4L, 4L, "v3")).toDF("k", "t", "id", "v")
+    val once = Scd2.applyBatch(Scd2.history(older, "k", Seq("t", "id"), Seq("v")),
+      batch, "k", Seq("t", "id"), Seq("v")).localCheckpoint(true)
+    // the foreachBatch recovery path: the SAME batch applies again — its
+    // v2@3 row now lands INSIDE the recorded closed run [3, 4) and must
+    // fold as a no-op, not trip the out-of-order guard
+    val twice = Scd2.applyBatch(once, batch, "k", Seq("t", "id"), Seq("v"))
+    assert(histSet(twice) == histSet(once))
+    assert(histSet(once) == histSet(Scd2.history(
+      older.unionByName(batch), "k", Seq("t", "id"), Seq("v"))))
+    // a consistent row inside a collapsed run (never literally seen, but
+    // matching the covering interval's value) folds silently — recorded
+    // history cannot distinguish it from a replay, and folding is correct
+    val consistent = Seq((1L, 1L, 9L, "v1")).toDF("k", "t", "id", "v")
+    val h3 = Scd2.applyBatch(once, consistent, "k", Seq("t", "id"), Seq("v"))
+    assert(histSet(h3) == histSet(once))
   }
 
   test("incremental store: only touched kb= buckets are rewritten; read-back equals full rebuild") {

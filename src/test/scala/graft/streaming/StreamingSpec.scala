@@ -556,6 +556,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Map(ts("2024-01-01 10:00:00") -> "a1"))
   }
 
+  test("streaming scd2 sink: micro-batches fold into the history store like a full " +
+    "rebuild; replay is a no-op; untouched buckets never move") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_scd2_sink").toString
+    val table = s"$dir/hist"
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val q = EventStreams.scd2Sink(input.toDF().toDF("k", "t", "id", "v"),
+      table, "k", Seq("t", "id"), Seq("v"), s"$dir/ckpt", buckets = 16)
+    def bucketFiles(): Map[String, Set[(String, Long, Long)]] =
+      new java.io.File(table).listFiles().filter(_.isDirectory)
+        .filterNot(_.getName.startsWith("."))
+        .map(d => d.getName -> d.listFiles().filter(_.isFile)
+          .filterNot(_.getName.startsWith("."))
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet).toMap
+    try {
+      val b1 = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (2L, 10L, 3L, "x"))
+      val b2 = Seq((1L, 30L, 4L, "b"), (3L, 30L, 5L, "z")) // k=2 untouched
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      val before = bucketFiles()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val after = bucketFiles()
+      // k=2's bucket is untouched by batch 2 — byte-identical files
+      // (k=2 must hash apart from 1 and 3 at 16 buckets: asserted, not assumed)
+      def kb(k: Long) = Seq(k).toDF("k")
+        .select(pmod(xxhash64(col("k")), lit(16L)).cast("int")).head.getInt(0)
+      assert(kb(2L) != kb(1L) && kb(2L) != kb(3L), "fixture keys collide; pick others")
+      val touched = after.keySet.filterNot(b => before.get(b).contains(after(b)))
+      assert(!touched.contains(s"kb=${kb(2L)}"),
+        s"untouched key's bucket was rewritten: $touched")
+      val expect = graft.operators.Scd2.history(
+        (b1 ++ b2).toDF("k", "t", "id", "v"), "k", Seq("t", "id"), Seq("v"))
+        .collect().map(_.toString).sorted.toSeq
+      def stored() = graft.operators.Scd2.readStore(spark, table)
+        .select("k", "v", "valid_from", "valid_to", "is_current")
+        .collect().map(_.toString).sorted.toSeq
+      assert(stored() == expect)
+      // replay: the same micro-batch again (checkpoint recovery) — history
+      // unchanged even though b2 spans k=1's change point
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(stored() == expect)
+    } finally q.stop()
+  }
+
   test("partition-day assignment is pinned to the UTC calendar, not the session timezone") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_upsert_tz").toString
