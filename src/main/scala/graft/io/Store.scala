@@ -143,9 +143,11 @@ class Store(spark: SparkSession, baseDir: String) {
       s"bits * columns must fit a long, got $bits * ${zCols.size}")
     val n = 1 << bits
     val probs = (1 until n).map(_.toDouble / n).toArray
-    val bounds = zCols.map { c =>
-      c -> df.select(col(c).cast("double").as(c)).stat.approxQuantile(c, probs, 0.01)
-    }.toMap
+    // multi-column approxQuantile: ONE corpus scan sketches every z
+    // column (the per-column form would pay zCols.size scans)
+    val allBounds = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
+      .stat.approxQuantile(zCols.toArray, probs, 0.01)
+    val bounds = zCols.zip(allBounds).toMap
     // rank of v among the n equal-mass buckets: a linear boundary scan,
     // write-time-only and codegen'd (n-1 compares per row per column)
     def bucketOf(c: String): org.apache.spark.sql.Column = {
