@@ -134,6 +134,30 @@ class StoreSpec extends AnyFunSuite {
     assert(leftovers.count() == 0)
   }
 
+  test("z-order handles degenerate columns: constants, nulls, and 3+ keys round-trip losslessly") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_zorder_edge").toString
+    val store = new Store(spark, base)
+    // constant column -> all quantile boundaries equal (distinct collapses
+    // them to one); nulls -> bucket 0; neither may drop or duplicate rows
+    val df = spark.range(1000).select(col("id").as("k"),
+      lit(7).as("const"),
+      when(col("id") % 10 === 0, lit(null).cast("long")).otherwise(col("id")).as("v"))
+    store.writeZordered(df, "edge", Seq("k", "const", "v"), files = 4, bits = 4)
+    val back = spark.read.parquet(s"$base/edge")
+    assert(back.count() == 1000)
+    assert(back.columns.sorted.toSeq == Seq("const", "k", "v")) // no __z leak
+    assert(back.agg(sum("k")).head.getLong(0) == (0L until 1000L).sum)
+    assert(back.where(col("v").isNull).count() == 100)
+    // one column is writeClustered's job; z-order refuses it loudly
+    intercept[IllegalArgumentException] {
+      store.writeZordered(df, "one", Seq("k"), files = 4)
+    }
+    intercept[IllegalArgumentException] { // bits * cols must fit a long
+      store.writeZordered(df, "wide", Seq("k", "const", "v"), files = 4, bits = 21)
+    }
+  }
+
   test("clustered layout also skips parquet PAGES inside a file: a selective " +
     "predicate decodes a bounded row subset where the unclustered file decodes everything") {
     import spark.implicits._

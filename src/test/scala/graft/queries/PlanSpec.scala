@@ -157,6 +157,44 @@ class PlanSpec extends AnyFunSuite {
     assert(linTs >= 14, s"linear layout unexpectedly skipped ts files: $linTs of 16")
   }
 
+  test("point-in-time join against the scd2 STORE prunes history buckets dynamically") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    // the serving-side counterpart of the x52c write path: facts carry
+    // their key's kb (a pure function of the key), and joining them to the
+    // kb-partitioned history store triggers Spark's dynamic partition
+    // pruning — the history scan's PartitionFilters gains a runtime
+    // dynamicpruning IN-subquery over the batch's buckets, so a small fact
+    // batch reads a small fraction of a 100 TB dimension history with no
+    // manual isin plumbing. Pinned: the dpp expression in the scan AND
+    // output identity with the in-memory x52b-style interval join.
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2-dpp-").toString
+    val obs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    graft.operators.Scd2.applyBatchToStore(obs, s"$dir/hist",
+      "user_id", Seq("ts", "event_id"), Seq("event_type"), buckets = 16)
+    val hist = spark.read.parquet(s"$dir/hist")
+    val facts = graft.Tables.events(spark, sf)
+      .where(col("event_id") % 50 === 0)
+      .select(col("event_id"), col("user_id").as("f_user"), col("ts").as("f_ts"))
+      .withColumn("kb", pmod(xxhash64(col("f_user")), lit(16L)).cast("int"))
+    val pit = hist.join(facts, Seq("kb"))
+      .where(col("user_id") === col("f_user") && col("valid_from") <= col("f_ts") &&
+        (col("valid_to").isNull || col("f_ts") < col("valid_to")))
+      .select(col("event_id"), col("f_user"), col("event_type"))
+    val got = pit.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val p = pit.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), s"no dynamic partition pruning on the history scan:\n$p")
+    // semantics unchanged by the storage layout: equals the in-memory join
+    val mem = graft.operators.Scd2.history(obs, "user_id", Seq("ts", "event_id"),
+        Seq("event_type"))
+      .join(facts.drop("kb"), col("user_id") === col("f_user") &&
+        col("valid_from") <= col("f_ts") &&
+        (col("valid_to").isNull || col("f_ts") < col("valid_to")))
+      .select(col("event_id"), col("f_user"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got.nonEmpty && got == mem)
+  }
+
   test("incremental scd2 store: the history scan is bucket-pruned at file listing") {
     import org.apache.spark.sql.functions.{col, input_file_name, lit, pmod, xxhash64}
     // the x52c storage face reads the existing history through
