@@ -118,17 +118,26 @@ class Store(spark: SparkSession, baseDir: String) {
     * queries filter on TWO (or more) high-cardinality columns from one
     * copy of the data. A linear sort clusters only its leading key: the
     * second column's values scatter across every file, so its predicates
-    * skip nothing. Z-ordering interleaves the bits of each column's
-    * QUANTILE-BUCKET rank (equal-mass buckets from a bounded
-    * `approxQuantile` sketch, so a skewed column still spreads across the
-    * curve) and range-partitions + sorts on the interleaved value: the
-    * space-filling curve gives every file a small hyper-rectangle of the
-    * key space, so each file's parquet min/max stats are tight on EVERY
-    * z-column at once and a single-column predicate on ANY of them prunes
-    * at file/row-group level (PlanSpec pins both single-column file
-    * subsets on one layout). The z value is layout metadata only — it is
-    * dropped before the write; scans prune through the ordinary pushed
-    * filters on the data columns.
+    * skip nothing. Each column maps to its QUANTILE-BUCKET rank
+    * (equal-mass buckets from a bounded `approxQuantile` sketch, so a
+    * skewed column still spreads across the curve), the ranks combine
+    * into a space-filling-curve index, and the frame range-partitions +
+    * sorts on it: every file gets a small hyper-rectangle of the key
+    * space, so each file's parquet min/max stats are tight on EVERY
+    * curve column at once and a single-column predicate on ANY of them
+    * prunes at file/row-group level (PlanSpec pins both single-column
+    * file subsets on one layout). The curve value is layout metadata
+    * only — it is dropped before the write; scans prune through the
+    * ordinary pushed filters on the data columns.
+    *
+    * Curve choice: two columns ride a HILBERT curve
+    * ([[graft.functions.HilbertIndex2]]) — measured on the x51b geometry
+    * (CurveAb harness, PLANS.md round 14), its no-jump locality touches
+    * ~33% fewer files per single-column predicate and ~47% fewer per
+    * two-sided predicate than Morton/Z at 256 files, for the same
+    * one-time layout cost. Three or more columns fall back to Morton bit
+    * interleaving (the 2-D rotation trick does not generalize cheaply,
+    * and Z's locality penalty shrinks as dimensions dilute any curve).
     *
     * Scale shape: one range exchange at write time (same one-time layout
     * cost as [[writeClustered]]); the boundary sketch is
@@ -158,12 +167,17 @@ class Store(spark: SparkSession, baseDir: String) {
     }
     val withB = zCols.foldLeft(df)((d, c) =>
       d.withColumn(s"__zb_$c", bucketOf(c).cast("long")))
-    val zval = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      zCols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
-        a + shiftleft(shiftright(col(s"__zb_$c"), i).bitwiseAND(lit(1L)),
-          i * zCols.size + j)
-      }
-    }
+    val zval =
+      if (zCols.size == 2)
+        graft.functions.HilbertIndex2(
+          col(s"__zb_${zCols(0)}"), col(s"__zb_${zCols(1)}"), bits)
+      else
+        (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+          zCols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+            a + shiftleft(shiftright(col(s"__zb_$c"), i).bitwiseAND(lit(1L)),
+              i * zCols.size + j)
+          }
+        }
     withB.withColumn("__z", zval)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")

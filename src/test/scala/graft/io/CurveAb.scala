@@ -1,0 +1,105 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+
+/** One-shot measurement harness (NOT a test): Hilbert curve vs Z-order
+  * (Morton) for the multi-key clustered layout, at the x51b geometry.
+  * Run via `sbt "Test/runMain graft.io.CurveAb"`; results recorded in
+  * PLANS.md round 14 (the OPQ/IVFADC-decision discipline).
+  *
+  * Method: the layout quality metric IS "files whose [min,max] stats
+  * overlap a predicate" — computable exactly from a simulated layout
+  * without writing parquet. Both curves see identical equal-mass bucket
+  * ids (the shipped quantile bucketing, exact quantiles here), rows sort
+  * by curve index and chunk into equal-count files (what
+  * repartitionByRange does), per-file min/max of each ORIGINAL column
+  * feed the overlap count. Predicates: every aligned 1/16-width window
+  * per single column, plus the 16x16 grid of two-sided windows.
+  */
+object CurveAb {
+
+  private val BITS = 6
+
+  private def zIndex(bx: Int, by: Int): Long = {
+    var z = 0L
+    for (i <- 0 until BITS) {
+      z |= ((bx >> i) & 1).toLong << (2 * i)
+      z |= ((by >> i) & 1).toLong << (2 * i + 1)
+    }
+    z
+  }
+
+  /** Classic xy2d (Wikipedia/Hamilton form): n = 2^BITS grid. */
+  private def hilbertIndex(x0: Int, y0: Int): Long = {
+    var (x, y) = (x0, y0)
+    var rx = 0; var ry = 0
+    var d = 0L
+    var s = (1 << BITS) / 2
+    while (s > 0) {
+      rx = if ((x & s) > 0) 1 else 0
+      ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s.toLong * ((3 * rx) ^ ry)
+      // rotate
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  private def bucketize(vs: Array[Double]): Array[Int] = {
+    val n = 1 << BITS
+    val sorted = vs.sorted
+    val bounds = (1 until n).map(i => sorted((i.toLong * vs.length / n).toInt
+      .min(vs.length - 1))).toArray
+    vs.map(v => bounds.count(b => v > b))
+  }
+
+  private def filesTouched(order: Array[Int], cols: Array[Array[Int]],
+                           files: Int, preds: Seq[Seq[(Int, Int, Int)]]): Double = {
+    // order = row indices sorted by curve; chunk into equal-count files
+    val n = order.length
+    val ranges = Array.tabulate(files) { f =>
+      val lo = (f.toLong * n / files).toInt
+      val hi = ((f + 1).toLong * n / files).toInt
+      cols.map { c =>
+        var mn = Int.MaxValue; var mx = Int.MinValue
+        var i = lo
+        while (i < hi) { val v = c(order(i)); if (v < mn) mn = v; if (v > mx) mx = v; i += 1 }
+        (mn, mx)
+      }
+    }
+    val touched = preds.map { conj =>
+      ranges.count(fr => conj.forall { case (ci, lo, hi) =>
+        fr(ci)._2 >= lo && fr(ci)._1 <= hi })
+    }
+    touched.sum.toDouble / preds.length
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.TestSpark.spark
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val rows = graft.Tables.events(spark, sf)
+      .select(col("user_id").cast("double"), col("ts").cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val bx = bucketize(rows.map(_._1))
+    val by = bucketize(rows.map(_._2))
+    val idx = rows.indices.toArray
+    val byZ = idx.sortBy(i => (zIndex(bx(i), by(i)), i))
+    val byH = idx.sortBy(i => (hilbertIndex(bx(i), by(i)), i))
+    val cols = Array(bx, by)
+    val w = (1 << BITS) / 16 // 1/16-width windows on the bucket grid
+    val singleX = (0 until 16).map(j => Seq((0, j * w, j * w + w - 1)))
+    val singleY = (0 until 16).map(j => Seq((1, j * w, j * w + w - 1)))
+    val both = for (jx <- 0 until 16; jy <- 0 until 16)
+      yield Seq((0, jx * w, jx * w + w - 1), (1, jy * w, jy * w + w - 1))
+    for (files <- Seq(16, 64, 256)) {
+      def t(o: Array[Int], p: Seq[Seq[(Int, Int, Int)]]) = filesTouched(o, cols, files, p)
+      println(f"files=$files%-4d  user-pred  z=${t(byZ, singleX)}%6.2f  h=${t(byH, singleX)}%6.2f" +
+        f"   ts-pred  z=${t(byZ, singleY)}%6.2f  h=${t(byH, singleY)}%6.2f" +
+        f"   both  z=${t(byZ, both)}%6.2f  h=${t(byH, both)}%6.2f")
+    }
+  }
+}
