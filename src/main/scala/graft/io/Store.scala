@@ -145,7 +145,15 @@ class Store(spark: SparkSession, baseDir: String) {
     * (numerics, timestamps); nulls sort into the first bucket.
     */
   def writeZordered(df: DataFrame, rel: String, zCols: Seq[String],
-                    files: Int = 8, bits: Int = 6): Unit = {
+                    files: Int = 8, bits: Int = 6): Unit =
+    zorderStage(df, zCols, files, bits).write.mode("overwrite").parquet(s"$baseDir/$rel")
+
+  /** The curve layout as a frame: bucket ranks -> curve index ->
+    * range-partition + sort, helper columns dropped. Shared by
+    * [[writeZordered]] (overwrite) and [[appendZordered]].
+    */
+  private def zorderStage(df: DataFrame, zCols: Seq[String],
+                          files: Int, bits: Int): DataFrame = {
     require(zCols.size >= 2,
       "z-order needs at least two cluster columns — one column is writeClustered")
     require(bits >= 1 && bits * zCols.size <= 62,
@@ -182,7 +190,43 @@ class Store(spark: SparkSession, baseDir: String) {
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop(zCols.map(c => s"__zb_$c") :+ "__z": _*)
-      .write.mode("overwrite").parquet(s"$baseDir/$rel")
+  }
+
+  /** Append a batch to a clustered/z-ordered table WITHOUT re-laying it
+    * out: the batch lands as new files (range-partitioned and sorted
+    * within itself on the same keys/curve, so the batch's own files carry
+    * tight stats), existing files never move. Appends erode cross-file
+    * disjointness — old and new files overlap in key space — degrading
+    * skipping from "few files" toward "few files per batch"; run
+    * [[recluster]] when the batch count grows. This is the standard
+    * lakehouse write/maintain split (append cheap, OPTIMIZE amortized).
+    */
+  def appendZordered(df: DataFrame, rel: String, zCols: Seq[String],
+                     files: Int = 8, bits: Int = 6): Unit =
+    zorderStage(df, zCols, files, bits).write.mode("append").parquet(s"$baseDir/$rel")
+
+  /** Restore a clustered/z-ordered table's layout after appends: one full
+    * re-sort into `files` fresh files, swapped in atomically with the
+    * park-aside/rename discipline (crash-recovered like [[compact]]).
+    * At 100 TB this is the amortized OPTIMIZE pass — its range exchange
+    * costs one table rewrite and every later scan's skipping pays it
+    * back; schedule it by appended-bytes fraction, not per batch.
+    */
+  def recluster(rel: String, zCols: Seq[String], files: Int = 8,
+                bits: Int = 6): Unit = {
+    val target = new Path(s"$baseDir/$rel")
+    Store.recoverSwap(fs, target)
+    val tmpRel = s".tmp_${target.getName}"
+    val tmp = new Path(target.getParent, tmpRel)
+    fs.delete(tmp, true)
+    if (zCols.size >= 2) writeZordered(spark.read.parquet(target.toString), tmpRel, zCols, files, bits)
+    else {
+      spark.read.parquet(target.toString)
+        .repartitionByRange(files, zCols.map(col): _*)
+        .sortWithinPartitions(zCols.map(col): _*)
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
+    Store.swapInto(fs, tmp, target)
   }
 
   /** Small-file compaction — the operational complement of continuous
