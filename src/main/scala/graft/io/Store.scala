@@ -216,16 +216,20 @@ class Store(spark: SparkSession, baseDir: String) {
                 bits: Int = 6): Unit = {
     val target = new Path(s"$baseDir/$rel")
     Store.recoverSwap(fs, target)
-    val tmpRel = s".tmp_${target.getName}"
-    val tmp = new Path(target.getParent, tmpRel)
+    // tmp is a SIBLING of the leaf (writeCsv's discipline), so a nested
+    // rel stays inside its parent directory
+    val tmp = new Path(target.getParent, s".tmp_${target.getName}")
     fs.delete(tmp, true)
-    if (zCols.size >= 2) writeZordered(spark.read.parquet(target.toString), tmpRel, zCols, files, bits)
-    else {
-      spark.read.parquet(target.toString)
-        .repartitionByRange(files, zCols.map(col): _*)
-        .sortWithinPartitions(zCols.map(col): _*)
-        .write.mode("overwrite").parquet(tmp.toString)
-    }
+    val staged =
+      if (zCols.size >= 2)
+        zorderStage(spark.read.parquet(target.toString), zCols, files, bits)
+      else
+        spark.read.parquet(target.toString)
+          .repartitionByRange(files, zCols.map(col): _*)
+          .sortWithinPartitions(zCols.map(col): _*)
+    // the read is lazy but executes fully during the tmp write, while the
+    // target is still intact; only after tmp is complete does the swap run
+    staged.write.mode("overwrite").parquet(tmp.toString)
     Store.swapInto(fs, tmp, target)
   }
 

@@ -145,22 +145,25 @@ class StoreSpec extends AnyFunSuite {
     val df = spark.range(40000).select(col("id").as("k"),
       pmod(col("id") * 37, lit(40000)).as("v"))
     val parts = (0 until 4).map(i => df.where(pmod(col("k"), lit(4)) === i))
-    store.writeZordered(parts(0), "tbl", Seq("k", "v"), files = 4)
-    parts.tail.foreach(p => store.appendZordered(p, "tbl", Seq("k", "v"), files = 4))
-    val want = spark.read.parquet(s"$base/tbl").collect().map(_.toString).sorted.toSeq
-    def touched(): Long = spark.read.parquet(s"$base/tbl")
+    // nested rel: the swap tmp must stay a sibling of the LEAF
+    store.writeZordered(parts(0), "lake/tbl", Seq("k", "v"), files = 4)
+    parts.tail.foreach(p => store.appendZordered(p, "lake/tbl", Seq("k", "v"), files = 4))
+    val want = spark.read.parquet(s"$base/lake/tbl").collect().map(_.toString).sorted.toSeq
+    def touched(): Long = spark.read.parquet(s"$base/lake/tbl")
       .where(col("k") < 600)
       .select(input_file_name()).distinct().count()
     val eroded = touched()
     assert(eroded >= 4, s"expected per-batch erosion (>= 1 file per batch), got $eroded")
-    store.recluster("tbl", Seq("k", "v"), files = 16)
-    assert(spark.read.parquet(s"$base/tbl").collect().map(_.toString).sorted.toSeq == want)
+    store.recluster("lake/tbl", Seq("k", "v"), files = 16)
+    assert(spark.read.parquet(s"$base/lake/tbl").collect().map(_.toString).sorted.toSeq == want)
     val restored = touched()
     assert(restored <= 3, s"recluster failed to restore skipping: $restored files for a 1/64 key window")
-    // no swap debris
-    val leftovers = Files.list(java.nio.file.Paths.get(base))
-      .map(_.getFileName.toString).filter(n => n.startsWith(".tmp_") || n.startsWith(".old_"))
-    assert(leftovers.count() == 0)
+    // no swap debris anywhere under the base (incl. beside the nested leaf)
+    import scala.jdk.CollectionConverters._
+    val leftovers = java.nio.file.Files.walk(java.nio.file.Paths.get(base))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith(".tmp_") || n.startsWith(".old_")).toSeq
+    assert(leftovers.isEmpty, leftovers.toString)
   }
 
   test("z-order handles degenerate columns: constants, nulls, and 3+ keys round-trip losslessly") {

@@ -489,28 +489,33 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val static = Seq((ts("2024-01-01 10:00:00"), 1.0), (ts("2024-01-01 10:30:00"), 2.0),
       (ts("2024-01-01 11:00:00"), 3.0)).toDF("t", "rate")
-    val input = MemoryStream[(Long, Timestamp)]
-    val events = Seq(
-      (1L, ts("2024-01-01 10:05:00")), // nearest 10:00 -> 1.0
-      (2L, ts("2024-01-01 10:15:00")), // equidistant 10:00/10:30 -> earlier -> 1.0
-      (3L, ts("2024-01-01 10:50:00")), // nearest 11:00 -> 3.0
-      (4L, ts("2024-01-01 12:30:00"))) // no reference within 15 min -> null
-    val q = EventStreams.asofEnrich(input.toDF().toDF("event_id", "t"), static,
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = Seq( // third column = non-key payload carried via first()
+      (1L, ts("2024-01-01 10:05:00"), "p1"), // nearest 10:00 -> 1.0
+      (2L, ts("2024-01-01 10:15:00"), "p2"), // equidistant 10:00/10:30 -> earlier -> 1.0
+      (3L, ts("2024-01-01 10:50:00"), "p3"), // nearest 11:00 -> 3.0
+      (4L, ts("2024-01-01 12:30:00"), "p4")) // no reference within 15 min -> null
+    val q = EventStreams.asofEnrich(input.toDF().toDF("event_id", "t", "payload"), static,
         "t", 900L, Seq("event_id", "t"), "1 hour")
       .writeStream.outputMode("append").format("memory").queryName("asof_out").start()
     try {
       input.addData(events: _*)
       q.processAllAvailable()
-      input.addData((99L, ts("2024-01-01 20:00:00"))) // advance the watermark
+      input.addData((99L, ts("2024-01-01 20:00:00"), "p99")) // advance the watermark
       q.processAllAvailable()
-      val got = spark.table("asof_out").collect().filter(_.getLong(0) != 99L)
-        .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toMap
+      // output order: keyCols (event_id, t), carried (payload), then rate
+      val rows = spark.table("asof_out").collect().filter(_.getLong(0) != 99L)
+      val got = rows
+        .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
       assert(got == Map(1L -> 1.0, 2L -> 1.0, 3L -> 3.0, 4L -> -1.0), got.toString)
+      // the event's own payload rides through the streaming aggregation
+      assert(rows.map(r => r.getLong(0) -> r.getString(2)).toMap ==
+        Map(1L -> "p1", 2L -> "p2", 3L -> "p3", 4L -> "p4"))
       // law: identical to the batch as-of join on the same frames
       val batch = graft.operators.AsofJoin.nearest(
-          events.toDF("event_id", "t"), static, "t", 900L, Seq("event_id"))
+          events.toDF("event_id", "t", "payload"), static, "t", 900L, Seq("event_id"))
         .collect()
-        .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toMap
+        .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
       assert(batch == got, s"stream face diverged from batch: $batch vs $got")
     } finally q.stop()
   }
