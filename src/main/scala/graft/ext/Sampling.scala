@@ -433,12 +433,19 @@ object Sampling {
         count(lit(1)).as("__exact_n"),
         sum(size(split(col(text), " "))).cast("long").as("__exact_tokens"))
     val rse = 1.04 / math.sqrt(math.pow(2.0, lgK))
-    card.join(exact, Seq("split", source))
+    // FULL OUTER on the cell key: an inner join would silently DROP a
+    // (split, source) cell wholly absent from the stats table — the one
+    // failure mode (an entire batch never recorded) an audit exists to
+    // catch. A one-sided cell now surfaces as a row with every flag 0
+    // (null comparisons flag red, never vacuously green).
+    def ok(c: org.apache.spark.sql.Column) =
+      coalesce(c.cast("long"), lit(0L))
+    card.join(exact, Seq("split", source), "full_outer")
       .select(col("split"), col(source), col("n_docs"), col("n_tokens"),
-        (col("n_docs") === col("__exact_n")).cast("long").as("count_ok"),
-        (col("n_tokens") === col("__exact_tokens")).cast("long").as("tokens_ok"),
-        (abs(col("distinct_est").cast("double") - col("__exact_distinct").cast("double"))
+        ok(col("n_docs") === col("__exact_n")).as("count_ok"),
+        ok(col("n_tokens") === col("__exact_tokens")).as("tokens_ok"),
+        ok(abs(col("distinct_est").cast("double") - col("__exact_distinct").cast("double"))
           <= lit(3.0 * rse) * col("__exact_distinct").cast("double") + lit(1.0))
-          .cast("long").as("distinct_ok"))
+          .as("distinct_ok"))
   }
 }

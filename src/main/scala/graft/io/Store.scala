@@ -202,8 +202,15 @@ class Store(spark: SparkSession, baseDir: String) {
     * lakehouse write/maintain split (append cheap, OPTIMIZE amortized).
     */
   def appendZordered(df: DataFrame, rel: String, zCols: Seq[String],
-                     files: Int = 8, bits: Int = 6): Unit =
+                     files: Int = 8, bits: Int = 6): Unit = {
+    // A recluster interrupted between swapInto's two renames parks the
+    // table with the target missing. Appending into that hole would
+    // recreate the target, making later recovery read the parked pre-crash
+    // table as a STALE leftover and delete it — silent loss of everything
+    // but this batch. Restore first; append on top of the real table.
+    Store.recoverSwap(fs, new Path(s"$baseDir/$rel"))
     zorderStage(df, zCols, files, bits).write.mode("append").parquet(s"$baseDir/$rel")
+  }
 
   /** Restore a clustered/z-ordered table's layout after appends: one full
     * re-sort into `files` fresh files, swapped in atomically with the

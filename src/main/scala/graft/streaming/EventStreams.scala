@@ -130,13 +130,17 @@ object EventStreams {
       s"static columns collide with stream: ${collisions.mkString(", ")} — rename before joining")
     val tolMicros = toleranceSeconds * 1000000L
     val rCols = static.columns.filter(_ != on).toSeq
-    val rExp = static
+    // NTZ inputs normalize through the shared TimeCols.ltz exactly as the
+    // batch AsofJoin.asof does — otherwise a TIMESTAMP_NTZ `on` column
+    // fails `unix_micros` analysis here while the batch face it claims
+    // row-for-row identity with accepts it.
+    val rExp = graft.operators.TimeCols.ltz(static, on)
       .withColumn("__r_ts", unix_micros(col(on)))
       .drop(on)
       .withColumn("__rb", floor(col("__r_ts") / tolMicros))
       .withColumn("__bucket", explode(array(col("__rb") - 1, col("__rb"), col("__rb") + 1)))
       .drop("__rb")
-    val cand = stream
+    val cand = graft.operators.TimeCols.ltz(stream, on)
       .withWatermark(on, watermarkDelay)
       .withColumn("__l_ts", unix_micros(col(on)))
       .withColumn("__bucket", floor(col("__l_ts") / tolMicros))

@@ -1209,6 +1209,29 @@ class SketchCardSpec extends AnyFunSuite {
     assert(audit.exists(_.getLong(4) == 0L), "count_ok failed to red on missing rows")
     assert(audit.exists(_.getLong(6) == 0L), "distinct_ok failed to red on missing rows")
   }
+
+  test("a wholly-dropped (split, source) cell surfaces as an all-red row, not a vanished one") {
+    // the inner-join blind spot: stats missing an ENTIRE cell used to
+    // drop that cell from the audit output — the one batch-never-recorded
+    // failure an audit exists to catch. The full-outer audit must emit
+    // the cell with every flag 0.
+    val full = Sampling.sketchCardAudit(Sampling.sketchStats(docs), docs)
+    val cells = full.select("split", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(cells.length >= 2, "fixture too small to drop a cell")
+    val (dropSplit, dropSource) = cells.head
+    val stats = Sampling.sketchStats(docs).where(
+      !(col("split") === dropSplit && col("source") === dropSource))
+    val audit = Sampling.sketchCardAudit(stats, docs)
+    assert(audit.count() == cells.length, "dropped cell vanished from the audit")
+    val red = audit.where(col("split") === dropSplit && col("source") === dropSource).collect()
+    assert(red.length == 1)
+    assert(red(0).getLong(4) == 0L && red(0).getLong(5) == 0L && red(0).getLong(6) == 0L,
+      s"missing cell not flagged red: ${red(0)}")
+    // every other cell stays green
+    assert(audit.where(!(col("split") === dropSplit && col("source") === dropSource))
+      .collect().forall(r => r.getLong(4) == 1L && r.getLong(5) == 1L && r.getLong(6) == 1L))
+  }
 }
 
 class FunctionsSpec extends AnyFunSuite {

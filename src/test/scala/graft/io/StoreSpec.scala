@@ -246,6 +246,33 @@ class StoreSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/.old_tbl")))
   }
 
+  test("appendZordered after a crash mid-recluster restores the parked table before appending") {
+    import spark.implicits._
+    // the loss scenario this guards: recluster crashes between its two
+    // renames (table parked, target missing); an append then recreates the
+    // target, so a LATER recovery would read the park as stale and delete
+    // it — everything but the appended batch gone. The append must restore
+    // first.
+    val base = Files.createTempDirectory("graft_appendz_crash").toString
+    val store = new Store(spark, base)
+    val df = spark.range(200).select(col("id").as("k"), (col("id") * 3).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 2, bits = 4)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$base/tbl"),
+      new org.apache.hadoop.fs.Path(s"$base/.old_tbl")))
+    val batch = spark.range(200, 220).select(col("id").as("k"), (col("id") * 3).as("v"))
+    store.appendZordered(batch, "tbl", Seq("k", "v"), files = 2, bits = 4)
+    val after = spark.read.parquet(s"$base/tbl")
+    assert(after.count() == 220, "parked pre-crash rows lost by the append")
+    assert(after.agg(sum("k")).head.getLong(0) == (0L until 220L).sum)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/.old_tbl")))
+    // and a subsequent recluster (whose recoverSwap would otherwise have
+    // deleted the park as stale) keeps everything
+    store.recluster("tbl", Seq("k", "v"), files = 2)
+    assert(spark.read.parquet(s"$base/tbl").count() == 220)
+  }
+
   test("orc sink/scan: lossless round trip; filters push into the orc scan") {
     val store = new Store(spark, Files.createTempDirectory("graft_orc").toString)
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -520,6 +520,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofEnrich accepts TIMESTAMP_NTZ inputs and matches the batch as-of, like AsofJoin does") {
+    import spark.implicits._
+    // the driver's testdata flipped events.ts between physical timestamp
+    // flavors once (round 7); the batch AsofJoin normalizes NTZ through
+    // TimeCols.ltz, so the stream face claiming row-for-row identity must
+    // accept the same inputs — before the fix this failed analysis at
+    // unix_micros
+    val ntz = org.apache.spark.sql.types.TimestampNTZType
+    val static = Seq((ts("2024-01-01 10:00:00"), 1.0), (ts("2024-01-01 10:30:00"), 2.0))
+      .toDF("t", "rate").withColumn("t", col("t").cast(ntz))
+    val events = Seq((1L, ts("2024-01-01 10:05:00")), (2L, ts("2024-01-01 10:40:00")),
+        (3L, ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "t").withColumn("t", col("t").cast(ntz))
+    val got = EventStreams.asofEnrich(events, static, "t", 900L, Seq("event_id", "t"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 2.0, 3L -> -1.0), got.toString)
+    val batch = graft.operators.AsofJoin.nearest(events, static, "t", 900L, Seq("event_id"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toMap
+    assert(batch == got, s"NTZ stream face diverged from batch: $batch vs $got")
+  }
+
   test("upsert replay after a crash mid-swap restores the parked table instead of losing it") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_upsert_crash").toString
