@@ -1,0 +1,249 @@
+package graft.io
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Layout metadata for curve-clustered parquet tables — the bookkeeping
+  * that makes a SCOPED recluster possible (rewrite only what appends
+  * eroded, leave well-clustered files byte-identical).
+  *
+  * Why a manifest at all: erosion cannot be detected from file geometry
+  * alone. A pristine Hilbert layout's per-COLUMN min/max rectangles
+  * overlap across files by construction (a curve slice's projection onto
+  * each axis is wide) — indistinguishable, geometrically, from overlap
+  * caused by an append. What IS sound: files written by the last full
+  * layout pass are pristine *by construction*, so only base-vs-append
+  * intersection needs testing. The manifest records exactly that
+  * provenance split plus the layout parameters, in a `_graft_layout`
+  * file inside the table directory (underscore prefix — invisible to
+  * Spark's scan listing, travels with the table on rename/swap).
+  *
+  * Format: line-oriented `key=value` (file names cannot contain the tab
+  * separator), written atomically via tmp+rename. Deliberately not JSON:
+  * no parser dependency, and partial writes are impossible to half-read.
+  */
+private[graft] case class LayoutManifest(
+    zCols: Seq[String], bits: Int, files: Int, epoch: Long,
+    base: Seq[String], appends: Seq[Seq[String]],
+    touched: Option[Double] = None) {
+
+  def allFiles: Seq[String] = base ++ appends.flatten
+
+  def lines: Seq[String] =
+    Seq(s"zcols=${zCols.mkString("\t")}", s"bits=$bits", s"files=$files",
+      s"epoch=$epoch", s"base=${base.mkString("\t")}") ++
+      appends.map(a => s"append=${a.mkString("\t")}") ++
+      touched.map(t => s"stat_touched=$t").toSeq
+}
+
+private[graft] object LayoutManifest {
+
+  val FileName = "_graft_layout"
+
+  def path(dir: Path) = new Path(dir, FileName)
+
+  def write(fs: FileSystem, dir: Path, m: LayoutManifest): Unit =
+    writeLinesAtomic(fs, path(dir), m.lines)
+
+  /** Atomic small-file write: create under a dot-prefixed tmp name, then
+    * rename over the destination — readers never see a torn manifest.
+    */
+  def writeLinesAtomic(fs: FileSystem, dest: Path, lines: Seq[String]): Unit = {
+    val tmp = new Path(dest.getParent, s".w_${dest.getName}")
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"manifest write: rename $tmp -> $dest failed")
+  }
+
+  def readLines(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  def read(fs: FileSystem, dir: Path): Option[LayoutManifest] = {
+    val p = path(dir)
+    if (!fs.exists(p)) return None
+    Some(fromLines(readLines(fs, p)))
+  }
+
+  def fromLines(lines: Seq[String]): LayoutManifest = {
+    def split(v: String): Seq[String] =
+      if (v.isEmpty) Nil else v.split("\t", -1).toSeq
+    val kv = lines.filter(_.contains("=")).map { l =>
+      val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+    }
+    val m = kv.toMap
+    LayoutManifest(
+      zCols = split(m("zcols")),
+      bits = m("bits").toInt,
+      files = m("files").toInt,
+      epoch = m("epoch").toLong,
+      base = split(m("base")),
+      appends = kv.collect { case ("append", v) => split(v) },
+      touched = m.get("stat_touched").map(_.toDouble))
+  }
+}
+
+/** Per-file bounding rectangle over the layout columns, read from parquet
+  * FOOTER statistics — the same min/max the scan planner skips with, at
+  * footer-only I/O cost (no data pages touched). `None` bounds mean the
+  * file carries no usable stats for that column (all-null chunk, missing
+  * stats, non-numeric physical type) and must be treated as
+  * overlaps-everything.
+  */
+private[graft] case class FileRect(name: String, bytes: Long,
+                                   lo: Array[Option[Double]], hi: Array[Option[Double]]) {
+
+  /** Closed-interval intersection in EVERY layout dimension — the
+    * condition under which two files compete for the same probes. Missing
+    * stats intersect everything (conservative: erodes, never misses).
+    */
+  def intersects(o: FileRect): Boolean =
+    lo.indices.forall { i =>
+      (lo(i), hi(i), o.lo(i), o.hi(i)) match {
+        case (Some(a), Some(b), Some(c), Some(d)) => a <= d && c <= b
+        case _ => true
+      }
+    }
+}
+
+private[graft] object FileRect {
+
+  /** Footer-read the rectangles for `names` under `dir`, in parallel on
+    * the EXECUTORS: at 100 TB a table is ~1M files and footer reads are
+    * independent metadata I/O — a driver loop would serialize exactly the
+    * listing-scale work Spark distributes everywhere else. The hadoop conf
+    * rides along as its key-value pairs (Configuration itself is not
+    * serializable).
+    */
+  def readAll(spark: SparkSession, dir: String, names: Seq[String],
+              zCols: Seq[String]): Map[String, FileRect] = {
+    if (names.isEmpty) return Map.empty
+    val confKv = spark.sparkContext.hadoopConfiguration.asScala
+      .map(e => (e.getKey, e.getValue)).toSeq
+    val slices = math.min(names.size, spark.sparkContext.defaultParallelism)
+    spark.sparkContext.parallelize(names, slices).map { name =>
+      val conf = new Configuration(false)
+      confKv.foreach { case (k, v) => conf.set(k, v) }
+      readOne(conf, new Path(dir, name), zCols)
+    }.collect().map(r => r.name -> r).toMap
+  }
+
+  /** One file's rectangle: per z-column min-of-mins / max-of-maxs across
+    * row-group column chunks. Physical parquet orderings for every type
+    * the z contract admits (int32/int64/float/double, timestamps as int64
+    * micros, dates as int32 days) are monotone in the numeric value, so
+    * comparing as double preserves intersection truth.
+    */
+  def readOne(conf: Configuration, file: Path, zCols: Seq[String]): FileRect = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val fs = file.getFileSystem(conf)
+    val bytes = fs.getFileStatus(file).getLen
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val lo = Array.fill[Option[Double]](zCols.size)(None)
+      val hi = Array.fill[Option[Double]](zCols.size)(None)
+      val ok = Array.fill(zCols.size)(true)
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val i = zCols.indexOf(c.getPath.toDotString)
+        if (i >= 0) {
+          val st = c.getStatistics
+          val mm = for {
+            s <- Option(st) if s.hasNonNullValue
+            mn <- num(s.genericGetMin.asInstanceOf[AnyRef])
+            mx <- num(s.genericGetMax.asInstanceOf[AnyRef])
+          } yield (mn, mx)
+          mm match {
+            case Some((mn, mx)) if ok(i) =>
+              lo(i) = Some(lo(i).fold(mn)(math.min(_, mn)))
+              hi(i) = Some(hi(i).fold(mx)(math.max(_, mx)))
+            case _ => // one statless chunk poisons the whole column's bound
+              ok(i) = false; lo(i) = None; hi(i) = None
+          }
+        }
+      }
+      FileRect(file.getName, bytes, lo, hi)
+    } finally reader.close()
+  }
+
+  private def num(v: AnyRef): Option[Double] = v match {
+    case n: java.lang.Number => Some(n.doubleValue)
+    case _ => None
+  }
+}
+
+/** The scoped-commit journal: [[graft.io.Store.scopedRecluster]] cannot
+  * promote several files and delete several others in one atomic rename,
+  * so it writes this marker FIRST (atomically, after the rewritten data
+  * is fully staged under a hidden tmp dir) and then replays it — every
+  * step idempotent — until the marker is removed. A crash anywhere after
+  * the marker re-drives to completion on the next entry; a crash before
+  * it leaves only hidden tmp garbage and an intact table.
+  *
+  * Marker lines: `rename=<tmpName>\t<dstName>`, `delete=<name>`, and the
+  * replacement manifest embedded as `m:<manifest line>`.
+  */
+private[graft] object ScopedCommit {
+
+  val MarkerName = ".graft_scoped_commit"
+  val TmpDirName = ".tmp_scoped"
+
+  def marker(dir: Path) = new Path(dir, MarkerName)
+  def tmpDir(dir: Path) = new Path(dir, TmpDirName)
+
+  def write(fs: FileSystem, dir: Path, renames: Seq[(String, String)],
+            deletes: Seq[String], manifest: LayoutManifest): Unit = {
+    val lines = renames.map { case (s, d) => s"rename=$s\t$d" } ++
+      deletes.map(d => s"delete=$d") ++
+      manifest.lines.map(l => s"m:$l")
+    LayoutManifest.writeLinesAtomic(fs, marker(dir), lines)
+  }
+
+  /** Replay (or clean up) any interrupted scoped commit under `dir`.
+    * Returns true when a journaled commit was driven to completion.
+    * Called on entry by every layout mutator (append/recluster/scoped) —
+    * the same discipline as [[Store.recoverSwap]] for whole-dir swaps.
+    */
+  def recover(fs: FileSystem, dir: Path): Boolean = {
+    val m = marker(dir)
+    val tmp = tmpDir(dir)
+    if (!fs.exists(m)) {
+      // no journal: any tmp dir is pre-commit garbage from a crash before
+      // the marker — the table is intact, discard the stage
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      return false
+    }
+    val lines = LayoutManifest.readLines(fs, m)
+    replay(fs, dir, lines)
+    true
+  }
+
+  def replay(fs: FileSystem, dir: Path, lines: Seq[String]): Unit = {
+    val tmp = tmpDir(dir)
+    lines.foreach {
+      case l if l.startsWith("rename=") =>
+        val Array(src, dst) = l.stripPrefix("rename=").split("\t", 2)
+        val s = new Path(tmp, src); val d = new Path(dir, dst)
+        // idempotent: a rename that already ran leaves src missing
+        if (fs.exists(s) && !fs.rename(s, d))
+          throw new IllegalStateException(s"scoped commit: rename $s -> $d failed")
+      case l if l.startsWith("delete=") =>
+        fs.delete(new Path(dir, l.stripPrefix("delete=")), false)
+      case _ => ()
+    }
+    val mLines = lines.filter(_.startsWith("m:")).map(_.stripPrefix("m:"))
+    LayoutManifest.writeLinesAtomic(fs, LayoutManifest.path(dir),
+      LayoutManifest.fromLines(mLines).lines)
+    fs.delete(tmp, true)
+    fs.delete(marker(dir), false)
+  }
+}

@@ -145,8 +145,22 @@ class Store(spark: SparkSession, baseDir: String) {
     * (numerics, timestamps); nulls sort into the first bucket.
     */
   def writeZordered(df: DataFrame, rel: String, zCols: Seq[String],
-                    files: Int = 8, bits: Int = 6): Unit =
+                    files: Int = 8, bits: Int = 6): Unit = {
     zorderStage(df, zCols, files, bits).write.mode("overwrite").parquet(s"$baseDir/$rel")
+    val dir = new Path(s"$baseDir/$rel")
+    LayoutManifest.write(fs, dir,
+      LayoutManifest(zCols, bits, files, epoch = 0L,
+        base = listDataFiles(dir), appends = Nil))
+  }
+
+  /** Non-hidden data files of a table directory (what a Spark scan lists). */
+  private def listDataFiles(dir: Path): Seq[String] =
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith(".") && !n.startsWith("_")
+      })
+      .map(_.getPath.getName).sorted
 
   /** The curve layout as a frame: bucket ranks -> curve index ->
     * range-partition + sort, helper columns dropped. Shared by
@@ -208,8 +222,30 @@ class Store(spark: SparkSession, baseDir: String) {
     // recreate the target, making later recovery read the parked pre-crash
     // table as a STALE leftover and delete it — silent loss of everything
     // but this batch. Restore first; append on top of the real table.
-    Store.recoverSwap(fs, new Path(s"$baseDir/$rel"))
+    val dir = new Path(s"$baseDir/$rel")
+    Store.recoverSwap(fs, dir)
+    // likewise finish any interrupted scoped commit before listing
+    if (fs.exists(dir)) ScopedCommit.recover(fs, dir)
+    val before = if (fs.exists(dir)) listDataFiles(dir).toSet else Set.empty[String]
     zorderStage(df, zCols, files, bits).write.mode("append").parquet(s"$baseDir/$rel")
+    // manifest bookkeeping: this batch's files form one append layer. A
+    // manifest-less table (foreign/pre-manifest) adopts its existing files
+    // as "base" — if they were NOT actually curve-clustered, their wide
+    // footer rectangles intersect any append and the next scoped pass
+    // rewrites them anyway (the geometry test is self-correcting; trusting
+    // provenance only ever SAVES work on genuinely pristine files).
+    val batch = (listDataFiles(dir).toSet -- before).toSeq.sorted
+    val m = LayoutManifest.read(fs, dir) match {
+      case Some(mf) =>
+        require(mf.zCols == zCols && mf.bits == bits,
+          s"append layout (${zCols.mkString(",")}/bits=$bits) does not match " +
+            s"the table manifest (${mf.zCols.mkString(",")}/bits=${mf.bits})")
+        mf.copy(appends = mf.appends :+ batch)
+      case None =>
+        LayoutManifest(zCols, bits, files, epoch = 0L,
+          base = before.toSeq.sorted, appends = Seq(batch))
+    }
+    LayoutManifest.write(fs, dir, m)
   }
 
   /** Restore a clustered/z-ordered table's layout after appends: one full
@@ -223,6 +259,7 @@ class Store(spark: SparkSession, baseDir: String) {
                 bits: Int = 6): Unit = {
     val target = new Path(s"$baseDir/$rel")
     Store.recoverSwap(fs, target)
+    ScopedCommit.recover(fs, target) // finish an interrupted scoped pass first
     // tmp is a SIBLING of the leaf (writeCsv's discipline), so a nested
     // rel stays inside its parent directory
     val tmp = new Path(target.getParent, s".tmp_${target.getName}")
@@ -238,6 +275,142 @@ class Store(spark: SparkSession, baseDir: String) {
     // target is still intact; only after tmp is complete does the swap run
     staged.write.mode("overwrite").parquet(tmp.toString)
     Store.swapInto(fs, tmp, target)
+    // the swap carried the OLD manifest along; every surviving file is
+    // freshly laid out, so reset provenance to all-base
+    if (zCols.size >= 2)
+      LayoutManifest.write(fs, target,
+        LayoutManifest(zCols, bits, files, epoch = 0L,
+          base = listDataFiles(target), appends = Nil))
+    else fs.delete(LayoutManifest.path(target), false)
+  }
+
+  /** Result of a [[scopedRecluster]] pass, for logging and specs. */
+  case class ScopedStats(keptFiles: Int, rewrittenFiles: Int, newFiles: Int,
+                         rewrittenBytes: Long, totalBytes: Long)
+
+  /** Scoped OPTIMIZE — [[recluster]] restricted to what appends actually
+    * eroded. [[recluster]] rewrites the WHOLE relation; on a 100 TB table
+    * where a nightly append touched one key region that is ~100 TB of
+    * shuffle+encode to fix a few files' worth of overlap. This pass
+    * rewrites only (a) every append-layer file and (b) the base files
+    * whose footer min/max rectangle intersects some append file in EVERY
+    * layout dimension (closed intervals; files without usable stats count
+    * as intersecting) — the exact condition under which a scan probe can
+    * be forced to read both files. Untouched base files are never opened:
+    * same name, same bytes, same mtime (StoreSpec pins all three).
+    *
+    * Provenance comes from the `_graft_layout` manifest
+    * ([[LayoutManifest]] explains why geometry alone cannot detect
+    * erosion); the rewrite region is re-staged through the same curve and
+    * promoted with a journaled multi-file commit ([[ScopedCommit]]): data
+    * staged under a hidden tmp dir, marker written atomically, then
+    * rename-in/delete-originals replayed idempotently — a crash anywhere
+    * re-drives to completion at the next layout operation, and no window
+    * ever shows a reader missing rows (mid-commit duplicates are possible
+    * under the single-writer contract, exactly like [[compact]]'s
+    * documented swap window).
+    *
+    * Output file count scales with the rewritten fraction
+    * (`files * rewrittenBytes/totalBytes`, min 1), so repeated scoped
+    * passes keep the table near its target file size instead of
+    * accreting fixed-size layers.
+    */
+  def scopedRecluster(rel: String): ScopedStats = {
+    val dir = new Path(s"$baseDir/$rel")
+    Store.recoverSwap(fs, dir)
+    ScopedCommit.recover(fs, dir)
+    val m = LayoutManifest.read(fs, dir).getOrElse(throw new IllegalStateException(
+      s"$rel has no layout manifest — scopedRecluster needs writeZordered/appendZordered " +
+        "provenance; use recluster(rel, zCols) for a full rewrite"))
+    val onDisk = listDataFiles(dir).toSet
+    val base = m.base.filter(onDisk)
+    val appended = m.appends.flatten.filter(onDisk)
+    val untracked = (onDisk -- base -- appended).toSeq.sorted
+    // files the manifest never saw (e.g. a foreign writer) are treated as
+    // an extra append layer — conservative, never silently kept
+    val appendAll = appended ++ untracked
+    val totalBytes = (base ++ appendAll)
+      .map(n => fs.getFileStatus(new Path(dir, n)).getLen).sum
+    if (appendAll.isEmpty)
+      return ScopedStats(base.size, 0, 0, 0L, totalBytes)
+    val rects = FileRect.readAll(spark, dir.toString, base ++ appendAll, m.zCols)
+    val aRects = appendAll.map(rects)
+    val erodedBase = base.filter(b => aRects.exists(rects(b).intersects))
+    val rewrite = (appendAll ++ erodedBase).sorted
+    val kept = base.filterNot(erodedBase.toSet)
+    val rewrittenBytes = rewrite.map(n => rects(n).bytes).sum
+    val nOut = math.max(1, math.round(
+      m.files.toDouble * rewrittenBytes / math.max(1L, totalBytes)).toInt)
+    // stage the rewrite region through the same curve, under a hidden dir
+    // INSIDE the table (invisible to scans; survives with the table on a
+    // rename). The read executes fully during the stage write — originals
+    // stay intact until the journaled commit below.
+    val tmp = ScopedCommit.tmpDir(dir)
+    fs.delete(tmp, true)
+    val region = spark.read.parquet(rewrite.map(n => s"$dir/$n"): _*)
+    zorderStage(region, m.zCols, nOut, m.bits)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val staged = listDataFiles(tmp)
+    val epoch = m.epoch + 1
+    // promoted names keep the part- prefix (scan-visible) and carry the
+    // epoch so they can never collide with kept files or later passes
+    val renames = staged.map(s => s -> s"part-s$epoch-${s.stripPrefix("part-")}")
+    val newManifest = LayoutManifest(m.zCols, m.bits, m.files, epoch,
+      base = (kept ++ renames.map(_._2)).sorted, appends = Nil)
+    ScopedCommit.write(fs, dir, renames, deletes = rewrite, manifest = newManifest)
+    ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
+    ScopedStats(kept.size, rewrite.size, staged.size, rewrittenBytes, totalBytes)
+  }
+
+  /** Measured clustering quality, for recluster-or-skip decisions. */
+  case class ErosionStats(baseFiles: Int, appendLayers: Int, appendFiles: Int,
+                          touchedPerProbe: Double)
+
+  /** Measure how eroded a curve-clustered table is WITHOUT rewriting
+    * anything: expected number of files a narrow single-column probe must
+    * open, estimated from the same footer min/max rectangles the scan
+    * planner skips with — for each layout dimension, a uniformly-placed
+    * point probe touches file f with probability width(f)/width(domain)
+    * (files without usable stats always count), and the statistic is the
+    * worst dimension's expectation. A fresh layout sits near its
+    * per-dimension floor; every append layer adds roughly one full cover
+    * of the key space, pushing the expectation up by ~1 per layer.
+    *
+    * The measured value is persisted into the table manifest
+    * (`stat_touched`), so a scheduler can read the last measurement as a
+    * table property without re-paying the footer pass.
+    */
+  def erosionStats(rel: String): ErosionStats = {
+    val dir = new Path(s"$baseDir/$rel")
+    Store.recoverSwap(fs, dir)
+    ScopedCommit.recover(fs, dir)
+    val m = LayoutManifest.read(fs, dir).getOrElse(throw new IllegalStateException(
+      s"$rel has no layout manifest — erosionStats needs layout provenance"))
+    val onDisk = listDataFiles(dir)
+    val rects = FileRect.readAll(spark, dir.toString, onDisk, m.zCols).values.toSeq
+    val perDim = m.zCols.indices.map { d =>
+      val bounds = rects.flatMap(r => for (a <- r.lo(d); b <- r.hi(d)) yield (a, b))
+      val statless = rects.size - bounds.size
+      if (bounds.isEmpty) rects.size.toDouble
+      else {
+        val w = bounds.map(_._2).max - bounds.map(_._1).min
+        if (w <= 0) rects.size.toDouble // degenerate domain: every file competes
+        else statless + bounds.map { case (a, b) => (b - a) / w }.sum
+      }
+    }
+    val touched = perDim.max
+    LayoutManifest.write(fs, dir, m.copy(touched = Some(touched)))
+    ErosionStats(m.base.size, m.appends.size, m.appends.map(_.size).sum, touched)
+  }
+
+  /** The maintenance decision a daily OPTIMIZE job runs: measure erosion,
+    * recluster the eroded scope only when the expected probe cost exceeds
+    * `maxTouchedPerProbe`, otherwise leave the table byte-identical.
+    * Returns the pass's stats when it ran.
+    */
+  def maintainZordered(rel: String, maxTouchedPerProbe: Double): Option[ScopedStats] = {
+    val e = erosionStats(rel)
+    if (e.touchedPerProbe > maxTouchedPerProbe) Some(scopedRecluster(rel)) else None
   }
 
   /** Small-file compaction — the operational complement of continuous

@@ -246,6 +246,143 @@ class StoreSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/.old_tbl")))
   }
 
+  test("scoped recluster rewrites only eroded+appended files: untouched files keep " +
+    "name/size/mtime, rows identical, skipping restored, second pass is a no-op") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_scoped").toString
+    val store = new Store(spark, base)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileTriples() = fs.listStatus(dir).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime)).toSet
+    // base layout: k 0..40000 over 8 files; appends LOCALIZED to the key
+    // tail (k 36000..42000) — the daily-ingest shape scoped OPTIMIZE exists
+    // for: only the tail base file competes with the appended region
+    val df = spark.range(40000).select(col("id").as("k"),
+      pmod(col("id") * 37, lit(40000)).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 8)
+    val baseTriples = fileTriples()
+    def touched(lo: Long, hi: Long): Long = spark.read.parquet(dir.toString)
+      .where(col("k") >= lo && col("k") < hi)
+      .select(input_file_name()).distinct().count()
+    val lowFresh = touched(100, 600) // pristine-layout cost of a low-k probe
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi).select(col("id").as("k"),
+      pmod(col("id") * 53, lit(40000)).as("v"))
+    store.appendZordered(batch(36000, 39000), "tbl", Seq("k", "v"), files = 4)
+    store.appendZordered(batch(39000, 42000), "tbl", Seq("k", "v"), files = 4)
+    val want = spark.read.parquet(dir.toString).collect().map(_.toString).sorted.toSeq
+    val pre = touched(36000, 38900) // probe inside the eroded region
+    assert(pre >= 4, s"expected erosion across tail base + append files, got $pre")
+    val stats = store.scopedRecluster("tbl")
+    // the appends were k-tail-local, so MOST base files never intersect
+    // them and are never opened — same name, same bytes, same mtime.
+    // (Hilbert file rects project ~half the k domain each, so a k-tail
+    // append erodes the k-upper files, not just one.)
+    assert(stats.keptFiles >= 4 && stats.keptFiles < 8, stats.toString)
+    val after = fileTriples()
+    val keptTriples = baseTriples.intersect(after)
+    assert(keptTriples.size == stats.keptFiles,
+      s"untouched base files not byte/mtime-identical: ${keptTriples.size} vs $stats")
+    assert(spark.read.parquet(dir.toString).collect().map(_.toString).sorted.toSeq == want)
+    val post = touched(36000, 38900)
+    assert(post <= 3 && post < pre,
+      s"skipping not restored in the rewritten region: $pre -> $post files")
+    // an untouched-region probe costs what the pristine layout cost
+    assert(touched(100, 600) <= lowFresh)
+    // no journal/stage debris; provenance reset to all-base
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".graft_scoped_commit")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".tmp_scoped")))
+    // a second pass finds nothing to do and moves no file
+    val again = store.scopedRecluster("tbl")
+    assert(again.rewrittenFiles == 0 && fileTriples() == after)
+  }
+
+  test("scoped recluster keeps every base file when appends land in fresh key space") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_scoped_disjoint").toString
+    val store = new Store(spark, base)
+    val df = spark.range(10000).select(col("id").as("k"), (col("id") % 97).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 4)
+    // append strictly beyond the base key range AND the base v range:
+    // no rectangle intersection in all dims -> zero base files rewritten
+    val b = spark.range(20000, 22000).select(col("id").as("k"), (col("id") % 97 + 200).as("v"))
+    store.appendZordered(b, "tbl", Seq("k", "v"), files = 2)
+    val stats = store.scopedRecluster("tbl")
+    assert(stats.keptFiles == 4 && stats.rewrittenFiles >= 1, stats.toString)
+    assert(spark.read.parquet(s"$base/tbl").count() == 12000)
+  }
+
+  test("an interrupted scoped commit replays to completion; replay is idempotent") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_scoped_crash").toString
+    val store = new Store(spark, base)
+    val df = spark.range(1000).select(col("id").as("k"), (col("id") * 7 % 1000).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 2)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = spark.read.parquet(dir.toString).collect().map(_.toString).sorted.toSeq
+    // fabricate the crash state mid-commit: one data file already staged
+    // under .tmp_scoped, the journal written, NOTHING promoted yet — the
+    // exact instant after ScopedCommit.write
+    val victim = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("part-")).sorted.head
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".tmp_scoped")
+    fs.mkdirs(tmp)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir, victim),
+      new org.apache.hadoop.fs.Path(tmp, victim)))
+    val m = LayoutManifest.read(fs, dir).get
+    val promoted = s"part-s9-${victim.stripPrefix("part-")}"
+    ScopedCommit.write(fs, dir, renames = Seq(victim -> promoted),
+      deletes = Seq(victim),
+      manifest = m.copy(epoch = 9L,
+        base = (m.base.filterNot(_ == victim) :+ promoted).sorted, appends = Nil))
+    // next layout operation drives the journal to completion
+    store.appendZordered(
+      spark.range(1000, 1010).select(col("id").as("k"), (col("id") * 7 % 1000).as("v")),
+      "tbl", Seq("k", "v"), files = 1)
+    val names = fs.listStatus(dir).map(_.getPath.getName).toSet
+    assert(names.contains(promoted) && !names.contains(victim))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".graft_scoped_commit")))
+    assert(!fs.exists(tmp))
+    val got = spark.read.parquet(dir.toString).where(col("k") < 1000)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want, "rows lost or duplicated across the interrupted commit")
+    // a crash BEFORE the journal leaves only stage garbage: cleaned, kept out of scans
+    fs.mkdirs(tmp)
+    val stats = store.scopedRecluster("tbl")
+    assert(!fs.exists(tmp) && stats.rewrittenFiles >= 1)
+    assert(spark.read.parquet(dir.toString).count() == 1010)
+  }
+
+  test("erosion statistic rises with append layers and gates maintainZordered") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_erosion").toString
+    val store = new Store(spark, base)
+    val df = spark.range(20000).select(col("id").as("k"),
+      pmod(col("id") * 37, lit(20000)).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 8)
+    val fresh = store.erosionStats("tbl").touchedPerProbe
+    // full-cover appends: each layer adds ~1 expected file per probe
+    (0 until 3).foreach { i =>
+      store.appendZordered(
+        df.where(pmod(col("k"), lit(3)) === i), "tbl", Seq("k", "v"), files = 4)
+    }
+    val eroded = store.erosionStats("tbl")
+    assert(eroded.appendLayers == 3)
+    assert(eroded.touchedPerProbe >= fresh + 2.0,
+      s"3 full-cover layers should add ~3 expected files: $fresh -> ${eroded.touchedPerProbe}")
+    // the measurement persists as a manifest property
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(LayoutManifest.read(fs, new org.apache.hadoop.fs.Path(s"$base/tbl"))
+      .get.touched.exists(_ >= fresh + 2.0))
+    // the maintenance decision: above threshold -> optimize; below -> skip
+    assert(store.maintainZordered("tbl", maxTouchedPerProbe = fresh + 1.0).nonEmpty)
+    assert(store.maintainZordered("tbl", maxTouchedPerProbe = fresh + 1.0).isEmpty,
+      "freshly optimized table should measure below the threshold")
+  }
+
   test("appendZordered after a crash mid-recluster restores the parked table before appending") {
     import spark.implicits._
     // the loss scenario this guards: recluster crashes between its two
