@@ -28,7 +28,8 @@ import org.apache.spark.sql.SparkSession
 private[graft] case class LayoutManifest(
     zCols: Seq[String], bits: Int, files: Int, epoch: Long,
     base: Seq[String], appends: Seq[Seq[String]],
-    touched: Option[Double] = None) {
+    touched: Option[Double] = None,
+    lastBatch: Option[Long] = None) {
 
   def allFiles: Seq[String] = base ++ appends.flatten
 
@@ -36,7 +37,8 @@ private[graft] case class LayoutManifest(
     Seq(s"zcols=${zCols.mkString("\t")}", s"bits=$bits", s"files=$files",
       s"epoch=$epoch", s"base=${base.mkString("\t")}") ++
       appends.map(a => s"append=${a.mkString("\t")}") ++
-      touched.map(t => s"stat_touched=$t").toSeq
+      touched.map(t => s"stat_touched=$t").toSeq ++
+      lastBatch.map(b => s"last_batch=$b").toSeq
 }
 
 private[graft] object LayoutManifest {
@@ -87,7 +89,8 @@ private[graft] object LayoutManifest {
       epoch = m("epoch").toLong,
       base = split(m("base")),
       appends = kv.collect { case ("append", v) => split(v) },
-      touched = m.get("stat_touched").map(_.toDouble))
+      touched = m.get("stat_touched").map(_.toDouble),
+      lastBatch = m.get("last_batch").map(_.toLong))
   }
 }
 

@@ -260,6 +260,9 @@ class Store(spark: SparkSession, baseDir: String) {
     val target = new Path(s"$baseDir/$rel")
     Store.recoverSwap(fs, target)
     ScopedCommit.recover(fs, target) // finish an interrupted scoped pass first
+    // the streaming batch watermark must survive the rewrite (the swap
+    // discards the old directory, manifest included)
+    val prevBatch = LayoutManifest.read(fs, target).flatMap(_.lastBatch)
     // tmp is a SIBLING of the leaf (writeCsv's discipline), so a nested
     // rel stays inside its parent directory
     val tmp = new Path(target.getParent, s".tmp_${target.getName}")
@@ -275,13 +278,53 @@ class Store(spark: SparkSession, baseDir: String) {
     // target is still intact; only after tmp is complete does the swap run
     staged.write.mode("overwrite").parquet(tmp.toString)
     Store.swapInto(fs, tmp, target)
-    // the swap carried the OLD manifest along; every surviving file is
-    // freshly laid out, so reset provenance to all-base
+    // every surviving file is freshly laid out, so reset provenance to
+    // all-base (keeping the streaming batch watermark read above)
     if (zCols.size >= 2)
       LayoutManifest.write(fs, target,
         LayoutManifest(zCols, bits, files, epoch = 0L,
-          base = listDataFiles(target), appends = Nil))
+          base = listDataFiles(target), appends = Nil, lastBatch = prevBatch))
     else fs.delete(LayoutManifest.path(target), false)
+  }
+
+  /** Exactly-once variant of [[appendZordered]] for replayable writers
+    * (the streaming sink): the batch is STAGED under the table's hidden
+    * commit dir, then promoted with the same journaled commit as
+    * [[scopedRecluster]] — the journal's manifest carries the batch id,
+    * so the batch's files and its "already committed" record become
+    * visible in one replayable unit. A crash anywhere re-drives or
+    * discards cleanly; re-delivering a committed batch id is a no-op
+    * (returns false). Ids must be monotone per table writer — exactly
+    * what a Structured Streaming checkpoint guarantees; one writer per
+    * table is the contract (as for every swap-based sink here).
+    */
+  def appendZorderedExactlyOnce(df: DataFrame, rel: String, zCols: Seq[String],
+                                batchId: Long, files: Int = 8, bits: Int = 6): Boolean = {
+    val dir = new Path(s"$baseDir/$rel")
+    Store.recoverSwap(fs, dir)
+    if (fs.exists(dir)) ScopedCommit.recover(fs, dir)
+    val m0 = LayoutManifest.read(fs, dir)
+    if (m0.exists(_.lastBatch.exists(batchId <= _))) return false // replayed
+    m0.foreach(mf => require(mf.zCols == zCols && mf.bits == bits,
+      s"append layout (${zCols.mkString(",")}/bits=$bits) does not match " +
+        s"the table manifest (${mf.zCols.mkString(",")}/bits=${mf.bits})"))
+    val m = m0.getOrElse(LayoutManifest(zCols, bits, files, epoch = 0L,
+      base = if (fs.exists(dir)) listDataFiles(dir) else Nil, appends = Nil))
+    val tmp = ScopedCommit.tmpDir(dir)
+    fs.delete(tmp, true)
+    zorderStage(df, zCols, files, bits).write.mode("overwrite").parquet(tmp.toString)
+    val staged = listDataFiles(tmp)
+    if (staged.isEmpty) { // empty batch: record the id, add no layer
+      LayoutManifest.write(fs, dir, m.copy(lastBatch = Some(batchId)))
+      fs.delete(tmp, true)
+      return true
+    }
+    val renames = staged.map(s => s -> s"part-b$batchId-${s.stripPrefix("part-")}")
+    val newM = m.copy(appends = m.appends :+ renames.map(_._2).sorted,
+      lastBatch = Some(batchId))
+    ScopedCommit.write(fs, dir, renames, deletes = Nil, manifest = newM)
+    ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
+    true
   }
 
   /** Result of a [[scopedRecluster]] pass, for logging and specs. */
@@ -355,8 +398,11 @@ class Store(spark: SparkSession, baseDir: String) {
     // promoted names keep the part- prefix (scan-visible) and carry the
     // epoch so they can never collide with kept files or later passes
     val renames = staged.map(s => s -> s"part-s$epoch-${s.stripPrefix("part-")}")
+    // carry last_batch through: dropping it would let a checkpoint replay
+    // re-append an already-committed streaming batch after an OPTIMIZE
     val newManifest = LayoutManifest(m.zCols, m.bits, m.files, epoch,
-      base = (kept ++ renames.map(_._2)).sorted, appends = Nil)
+      base = (kept ++ renames.map(_._2)).sorted, appends = Nil,
+      lastBatch = m.lastBatch)
     ScopedCommit.write(fs, dir, renames, deletes = rewrite, manifest = newManifest)
     ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
     ScopedStats(kept.size, rewrite.size, staged.size, rewrittenBytes, totalBytes)
@@ -473,6 +519,23 @@ class Store(spark: SparkSession, baseDir: String) {
       .saveAsTable(table)
 
   def readTable(table: String): DataFrame = spark.table(table)
+
+  /** Catalog face for the layout sinks: register a path-addressed
+    * clustered/z-ordered/partitioned store as an EXTERNAL parquet table
+    * in the session catalog, so pure-SQL consumers (`spark.table`,
+    * `FROM t`) reach the same files through the same FileSourceScan —
+    * file/row-group/page skipping included (PlanSpec pins the witness on
+    * a z-ordered store read via `spark.table`). The catalog entry is
+    * metadata indirection only: dropping it never deletes data (external
+    * semantics), re-registering points it at the current files, and the
+    * write path stays the journaled path-addressed machinery above —
+    * exactly the split a lakehouse metastore draws.
+    */
+  def registerCatalog(table: String, rel: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.catalog.createTable(table, s"$baseDir/$rel", "parquet")
+    ()
+  }
 
   /** Training-export sink: hash-sharded JSONL, the artifact shape LLM
     * trainers consume. Shard assignment is `Sampling.hashUnit` on the key

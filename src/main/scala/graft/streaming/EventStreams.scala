@@ -466,6 +466,42 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming append into a curve-clustered (z-ordered) layout — the
+    * continuous-ingest face of [[graft.io.Store.appendZordered]] plus its
+    * amortized OPTIMIZE: each micro-batch lands as one internally-curve-
+    * clustered append layer via the journaled exactly-once commit
+    * ([[graft.io.Store.appendZorderedExactlyOnce]] — the batch's files
+    * and its committed-batch-id record become visible in one replayable
+    * unit, so a checkpoint-recovery re-delivery is a no-op instead of a
+    * duplicate layer), and every `reclusterEvery` committed batches a
+    * SCOPED recluster folds the accreted layers back into the base
+    * layout — rewriting only eroded files, O(appended + eroded bytes),
+    * never the whole table. Crash windows are the commit journal's:
+    * every layout mutator replays an interrupted commit on entry.
+    *
+    * Scale shape: per batch one quantile sketch + range exchange over
+    * the BATCH only; maintenance cost is paid 1/reclusterEvery of the
+    * time and scoped to erosion. This is the standard lakehouse
+    * streaming-ingest discipline (append cheap + amortized OPTIMIZE)
+    * with the layout, journal, and idempotence in one place.
+    */
+  def zorderedAppendSink(stream: DataFrame, tableDir: String, zCols: Seq[String],
+                         checkpointDir: String, files: Int = 8, bits: Int = 6,
+                         reclusterEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val dir = new org.apache.hadoop.fs.Path(tableDir)
+        val store = new graft.io.Store(batch.sparkSession, dir.getParent.toString)
+        val appended = store.appendZorderedExactlyOnce(
+          batch.toDF(), dir.getName, zCols, batchId, files, bits)
+        if (appended && reclusterEvery > 0 && (batchId + 1) % reclusterEvery == 0)
+          store.scopedRecluster(dir.getName)
+        ()
+      }
+      .start()
+
   /** Streaming SCD2 maintenance: each micro-batch of keyed observations
     * folds into the bucket-partitioned dimension-history store via
     * [[graft.operators.Scd2.applyBatchToStore]] — the streaming face of

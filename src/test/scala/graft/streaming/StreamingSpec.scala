@@ -541,6 +541,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got, s"NTZ stream face diverged from batch: $batch vs $got")
   }
 
+  test("zordered append sink: stream content equals batch appends, replay is a no-op, " +
+    "periodic scoped recluster bounds the layer count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_zsink").toString
+    val table = s"$dir/table"
+    val input = MemoryStream[(Long, Long)]
+    val q = EventStreams.zorderedAppendSink(
+      input.toDF().toDF("k", "v"), table, Seq("k", "v"),
+      checkpointDir = s"$dir/ckpt", files = 2, bits = 4, reclusterEvery = 2)
+    try {
+      // 4 batches -> scoped recluster fires after batch ids 1 and 3
+      (0 until 4).foreach { i =>
+        input.addData((0L until 500L).map(j => (i * 500L + j, j % 97)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.read.parquet(table)
+    assert(got.count() == 2000)
+    assert(got.agg(sum("k")).head.getLong(0) == (0L until 2000L).sum,
+      "stream content diverged from the equivalent batch appends")
+    // after the batch-3 recluster no append layers remain: bounded files
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = graft.io.LayoutManifest.read(fs, new org.apache.hadoop.fs.Path(table)).get
+    assert(m.appends.isEmpty && m.lastBatch.contains(3L), m.toString)
+    // a checkpoint-recovery re-delivery of a committed batch is a no-op
+    val store = new graft.io.Store(spark, dir)
+    val dup = (0L until 500L).map(j => (j, j % 97)).toDF("k", "v")
+    assert(!store.appendZorderedExactlyOnce(dup, "table", Seq("k", "v"), batchId = 3L,
+      files = 2, bits = 4))
+    assert(spark.read.parquet(table).count() == 2000, "replayed batch duplicated rows")
+    // ...and the watermark survives a later full recluster too
+    store.recluster("table", Seq("k", "v"), files = 2, bits = 4)
+    assert(!store.appendZorderedExactlyOnce(dup, "table", Seq("k", "v"), batchId = 3L,
+      files = 2, bits = 4))
+    assert(spark.read.parquet(table).count() == 2000)
+    // but the NEXT batch id lands
+    assert(store.appendZorderedExactlyOnce(dup, "table", Seq("k", "v"), batchId = 4L,
+      files = 2, bits = 4))
+    assert(spark.read.parquet(table).count() == 2500)
+  }
+
   test("upsert replay after a crash mid-swap restores the parked table instead of losing it") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_upsert_crash").toString
