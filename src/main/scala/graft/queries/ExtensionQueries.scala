@@ -703,6 +703,27 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
     }),
+    // Catalog face of the layout sinks (x51b reached through PURE SQL):
+    // the z-ordered store is registered as an external parquet table and
+    // the aggregate runs via spark.sql/FROM — same files, same
+    // FileSourceScan, same skipping (PlanSpec pins the pruning witness on
+    // a spark.table read). The result is layout- and catalog-independent,
+    // so DuckDB replays it straight off the raw events.
+    "x58_catalog_zorder" -> ((s, dir) => {
+      val base = s"$scratchDir/x58"
+      val store = new graft.io.Store(s, base)
+      store.writeZordered(Tables.events(s, dir), "events_z", Seq("user_id", "ts"),
+        files = 16)
+      store.registerCatalog("graft_x58_events_z", "events_z")
+      s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              |  ROUND(SUM(value), 2) AS sum_value,
+              |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              |FROM graft_x58_events_z
+              |WHERE user_id BETWEEN 90 AND 99
+              |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+              |  AND ts < TIMESTAMP '2024-01-08 00:00:00'
+              |GROUP BY event_type""".stripMargin)
+    }),
     // CDC-style snapshot diff (incremental-recompute driver): one row per
     // changed key between a synthetic "previous" snapshot (missing the
     // mod-11 slice -> inserts; n_chars bumped on the mod-7 slice ->
@@ -1817,6 +1838,17 @@ object ExtensionQueries {
         |WHERE user_id BETWEEN 40 AND 49
         |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    // Catalog-independent replay of the SQL-face z-store read: both
+    // predicates straight off the raw table (x51b's discipline).
+    "x58_catalog_zorder" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE user_id BETWEEN 90 AND 99
+        |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00'
         |GROUP BY 1""".stripMargin,
     // Same prev-snapshot derivation, full-outer join, and null-safe
     // column compare as SnapshotDiff.diff.

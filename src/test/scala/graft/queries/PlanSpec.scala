@@ -157,6 +157,29 @@ class PlanSpec extends AnyFunSuite {
     assert(linTs >= 14, s"linear layout unexpectedly skipped ts files: $linTs of 16")
   }
 
+  test("catalog face: spark.table over the z-ordered store keeps the x51b pruning witness") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    // the x58 witness: registering the layout as an external table must
+    // not cost any skipping — the catalog is metadata indirection over
+    // the SAME FileSourceScan, so the single-column file subsets and the
+    // pushed filter hold exactly as on the path-addressed read.
+    val base = java.nio.file.Files.createTempDirectory("graft-cat-z-").toString
+    val store = new graft.io.Store(spark, base)
+    store.writeZordered(graft.Tables.events(spark, sf), "events_z",
+      Seq("user_id", "ts"), files = 16)
+    store.registerCatalog("graft_plan_cat_z", "events_z")
+    val all = spark.table("graft_plan_cat_z")
+    assert(all.select(input_file_name()).distinct().count() == 16)
+    val filtered = all.where(col("user_id").between(40, 49))
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(user_id,40)"), p)
+    val touched = filtered.select(input_file_name()).distinct().count()
+    assert(touched <= 8, s"catalog read touched $touched of 16 z-files — skipping lost")
+    spark.sql("DROP TABLE graft_plan_cat_z") // external: metadata only
+    assert(spark.read.parquet(s"$base/events_z").count() > 0,
+      "dropping the catalog entry must not delete data")
+  }
+
   test("point-in-time join against the scd2 STORE prunes history buckets dynamically") {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     // the serving-side counterpart of the x52c write path: facts carry
