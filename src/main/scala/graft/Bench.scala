@@ -206,12 +206,21 @@ object Bench {
       "x11b_fingerprint_inv", "x27b_curate_report", "x38b_ann_filtered_recall",
       "x39b_bloom_audit", "x47b_pq_recall", "x50_ivfpq_recall")
     val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
+    // SPARK_GRAFT_BENCH_CORE=1: the §2-parity tier only (every query not
+    // in the x-extension namespace) — a cheap, fingerprinted surface for
+    // per-round comparisons while the default surface keeps growing with
+    // engine-side operators. Certification still runs the default
+    // surface; totals remain comparable only within one (surface, n, fp)
+    // triple, so the tiers can never be cross-diffed by accident.
+    val core = sys.env.get("SPARK_GRAFT_BENCH_CORE").contains("1")
     // optional positional args = run only these queries (local profiling;
     // the driver passes none and gets the full surface)
     val subset = args.toSet
     val selected =
       if (subset.nonEmpty) SparkEntry.queries.filter { case (n, _) => subset(n) }
       else if (full) SparkEntry.queries
+      else if (core) SparkEntry.queries.filter { case (n, _) =>
+        !n.startsWith("x") && !verifyOnlyGates(n) }
       else SparkEntry.queries.filter { case (n, _) => !verifyOnlyGates(n) }
     val skipped =
       if (subset.isEmpty && !full) verifyOnlyGates.toSeq.sorted else Nil
@@ -291,6 +300,7 @@ object Bench {
     val surface =
       if (subset.nonEmpty) "subset"
       else if (full) "full"
+      else if (core) "core"
       else "default"
     val surfaceNames = selected.keys.toSeq.sorted
     val surfaceFp = java.security.MessageDigest.getInstance("MD5")
