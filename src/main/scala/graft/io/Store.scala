@@ -130,14 +130,16 @@ class Store(spark: SparkSession, baseDir: String) {
     * only — it is dropped before the write; scans prune through the
     * ordinary pushed filters on the data columns.
     *
-    * Curve choice: two columns ride a HILBERT curve
-    * ([[graft.functions.HilbertIndex2]]) — measured on the x51b geometry
-    * (CurveAb harness, PLANS.md round 14), its no-jump locality touches
-    * ~33% fewer files per single-column predicate and ~47% fewer per
-    * two-sided predicate than Morton/Z at 256 files, for the same
-    * one-time layout cost. Three or more columns fall back to Morton bit
-    * interleaving (the 2-D rotation trick does not generalize cheaply,
-    * and Z's locality penalty shrinks as dimensions dilute any curve).
+    * Curve choice: HILBERT everywhere, adopted over Morton/Z on measured
+    * skipping wins at the same one-time layout cost. Two columns ride the
+    * classic xy2d form ([[graft.functions.HilbertIndex2]] — CurveAb,
+    * PLANS.md round 14: ~33% fewer files per single-column predicate and
+    * ~47% fewer per two-sided at 256 files); three or more ride
+    * Skilling's n-D transform ([[graft.functions.HilbertIndexN]] —
+    * CurveAb 3-D tier, PLANS.md round 15: ~20% fewer per single-column
+    * and ~41% fewer per pair at 256 files on (user_id, ts, value);
+    * added dimensions dilute any curve's locality but the no-jump
+    * advantage stays decisive).
     *
     * Scale shape: one range exchange at write time (same one-time layout
     * cost as [[writeClustered]]); the boundary sketch is
@@ -189,17 +191,15 @@ class Store(spark: SparkSession, baseDir: String) {
     }
     val withB = zCols.foldLeft(df)((d, c) =>
       d.withColumn(s"__zb_$c", bucketOf(c).cast("long")))
+    // 2-D rides the classic xy2d form; 3+ dimensions ride Skilling's n-D
+    // Hilbert transform — both adopted over Morton on measured skipping
+    // wins (CurveAb, PLANS.md rounds 14/15)
     val zval =
       if (zCols.size == 2)
         graft.functions.HilbertIndex2(
           col(s"__zb_${zCols(0)}"), col(s"__zb_${zCols(1)}"), bits)
       else
-        (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-          zCols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
-            a + shiftleft(shiftright(col(s"__zb_$c"), i).bitwiseAND(lit(1L)),
-              i * zCols.size + j)
-          }
-        }
+        graft.functions.HilbertIndexN(zCols.map(c => col(s"__zb_$c")), bits)
     withB.withColumn("__z", zval)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")

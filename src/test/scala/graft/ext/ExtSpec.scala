@@ -1266,6 +1266,41 @@ class FunctionsSpec extends AnyFunSuite {
     assert(nrow.isNullAt(0))
   }
 
+  test("HilbertIndexN: bijective at n=3, unit-step adjacency, codegen == eval, matches 2-D laws") {
+    val bits = 4
+    val n = 1 << bits
+    // exhaustive over all 4096 cells of the 16^3 grid: bijection onto
+    // [0, n^3) and 6-neighbor adjacency of consecutive indices — the n-D
+    // generalization of the 2-D curve laws (Skilling's transform)
+    val cells = for (x <- 0 until n; y <- 0 until n; z <- 0 until n)
+      yield (x, y, z,
+        graft.functions.HilbertIndexN.compute(Array(x.toLong, y.toLong, z.toLong), bits))
+    assert(cells.map(_._4).sorted == (0L until n.toLong * n * n).toList)
+    cells.sortBy(_._4).sliding(2).foreach { case Seq((x1, y1, z1, _), (x2, y2, z2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) == 1,
+        s"jump between curve steps: ($x1,$y1,$z1) -> ($x2,$y2,$z2)")
+    }
+    // at n=2 the transform must satisfy the same laws HilbertIndex2 does
+    // (orientation may differ by a reflection; locality laws are identical)
+    val cells2 = for (x <- 0 until 64; y <- 0 until 64)
+      yield (x, y, graft.functions.HilbertIndexN.compute(Array(x.toLong, y.toLong), 6))
+    assert(cells2.map(_._3).sorted == (0L until 4096L).toList)
+    cells2.sortBy(_._3).sliding(2).foreach { case Seq((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+    }
+    // the codegen'd expression path agrees with the driver compute
+    val df = cells.take(500).map(c => (c._1.toLong, c._2.toLong, c._3.toLong, c._4)).toSeq
+      .toDF("x", "y", "z", "want")
+    val diff = df.withColumn("got",
+        graft.functions.HilbertIndexN(Seq(col("x"), col("y"), col("z")), bits))
+      .where(col("got") =!= col("want")).count()
+    assert(diff == 0L)
+    // null in any rank -> null index
+    val nrow = Seq((Some(1L), Option.empty[Long], Some(2L))).toDF("x", "y", "z")
+      .select(graft.functions.HilbertIndexN(Seq(col("x"), col("y"), col("z")), bits)).head
+    assert(nrow.isNullAt(0))
+  }
+
   test("SortedIntersectSize: column API and SQL registration agree with array_intersect") {
     val df = Seq(
       (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L)),

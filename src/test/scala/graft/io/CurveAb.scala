@@ -78,6 +78,58 @@ object CurveAb {
     touched.sum.toDouble / preds.length
   }
 
+  private def zIndex3(bx: Int, by: Int, bz: Int): Long = {
+    var z = 0L
+    for (i <- 0 until BITS) {
+      z |= ((bx >> i) & 1).toLong << (3 * i)
+      z |= ((by >> i) & 1).toLong << (3 * i + 1)
+      z |= ((bz >> i) & 1).toLong << (3 * i + 2)
+    }
+    z
+  }
+
+  /** n-dimensional Hilbert index via Skilling's transform (John Skilling,
+    * "Programming the Hilbert Curve", AIP Conf. Proc. 707, 2004 — public
+    * algorithm): axes -> transposed Hilbert form in place, then the index
+    * is the bit-interleave of the transposed words (X(0) most
+    * significant). Orientation may differ from the 2-D xy2d above by a
+    * reflection — irrelevant to locality, which is what the A/B measures.
+    */
+  private def hilbertIndexN(axes: Array[Int]): Long = {
+    val n = axes.length
+    val x = axes.clone()
+    val m = 1 << (BITS - 1)
+    // inverse undo excess work
+    var q = m
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    var i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0
+    q = m
+    while (q > 1) { if ((x(n - 1) & q) != 0) t ^= q - 1; q >>= 1 }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // transposed words -> single index, X(0)'s bit first at each level
+    var h = 0L
+    var b = BITS - 1
+    while (b >= 0) {
+      i = 0
+      while (i < n) { h = (h << 1) | ((x(i) >> b) & 1).toLong; i += 1 }
+      b -= 1
+    }
+    h
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.TestSpark.spark
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -100,6 +152,41 @@ object CurveAb {
       println(f"files=$files%-4d  user-pred  z=${t(byZ, singleX)}%6.2f  h=${t(byH, singleX)}%6.2f" +
         f"   ts-pred  z=${t(byZ, singleY)}%6.2f  h=${t(byH, singleY)}%6.2f" +
         f"   both  z=${t(byZ, both)}%6.2f  h=${t(byH, both)}%6.2f")
+    }
+
+    // sanity: Skilling's n-D transform at n=2 must be a bijection with
+    // unit-step adjacency (possibly reflected vs xy2d — locality-equal)
+    val nGrid = 1 << BITS
+    val all2 = for (a <- 0 until nGrid; b <- 0 until nGrid)
+      yield hilbertIndexN(Array(a, b)) -> (a, b)
+    require(all2.map(_._1).distinct.size == nGrid * nGrid, "hilbertIndexN not bijective at n=2")
+    val byIdx = all2.sortBy(_._1).map(_._2)
+    require(byIdx.sliding(2).forall { case Seq((ax, ay), (bx2, by2)) =>
+      (ax - bx2).abs + (ay - by2).abs == 1 }, "hilbertIndexN not unit-adjacent at n=2")
+
+    // ---- 3-key tier: (user_id, ts, value) ---------------------------------
+    println("--- 3-D: (user_id, ts, value), Morton vs Skilling-Hilbert ---")
+    val rows3 = graft.Tables.events(spark, sf)
+      .select(col("user_id").cast("double"), col("ts").cast("double"),
+        col("value").cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val b3 = Array(bucketize(rows3.map(_._1)), bucketize(rows3.map(_._2)),
+      bucketize(rows3.map(_._3)))
+    val idx3 = rows3.indices.toArray
+    val byZ3 = idx3.sortBy(i => (zIndex3(b3(0)(i), b3(1)(i), b3(2)(i)), i))
+    val byH3 = idx3.sortBy(i => (hilbertIndexN(Array(b3(0)(i), b3(1)(i), b3(2)(i))), i))
+    val singles3 = (0 until 3).map(ci =>
+      (0 until 16).map(j => Seq((ci, j * w, j * w + w - 1))))
+    val pairs3 = for (ci <- 0 until 3; cj <- ci + 1 until 3) yield
+      (for (jx <- 0 until 16; jy <- 0 until 16)
+        yield Seq((ci, jx * w, jx * w + w - 1), (cj, jy * w, jy * w + w - 1))).toSeq
+    for (files <- Seq(16, 64, 256)) {
+      def t(o: Array[Int], p: Seq[Seq[(Int, Int, Int)]]) = filesTouched(o, b3, files, p)
+      val s = singles3.zipWithIndex.map { case (p, ci) =>
+        f"dim$ci z=${t(byZ3, p)}%6.2f h=${t(byH3, p)}%6.2f" }.mkString("  ")
+      val pAvgZ = pairs3.map(t(byZ3, _)).sum / pairs3.size
+      val pAvgH = pairs3.map(t(byH3, _)).sum / pairs3.size
+      println(f"files=$files%-4d  $s   pair-avg z=$pAvgZ%6.2f h=$pAvgH%6.2f")
     }
   }
 }
