@@ -724,6 +724,30 @@ object ExtensionQueries {
               |  AND ts < TIMESTAMP '2024-01-08 00:00:00'
               |GROUP BY event_type""".stripMargin)
     }),
+    // The full lakehouse maintenance cycle as one declared operator:
+    // curve-clustered base layout + two localized appends (each its own
+    // internally-clustered layer) + SCOPED recluster (only the eroded
+    // base files rewritten — StoreSpec pins byte/mtime identity of the
+    // untouched ones) + full read-back aggregate. The aggregate is
+    // layout-independent, so DuckDB replays it off the raw events — a
+    // green row proves the write/append/journaled-rewrite cycle loses
+    // and duplicates NOTHING, which is the whole contract of OPTIMIZE.
+    "x59_scoped_optimize" -> ((s, dir) => {
+      val base = s"$scratchDir/x59"
+      val store = new graft.io.Store(s, base)
+      val e = Tables.events(s, dir)
+      store.writeZordered(e.where(col("user_id") < 100), "events_zm",
+        Seq("user_id", "ts"), files = 8)
+      store.appendZordered(e.where(col("user_id") >= 100 && col("user_id") < 125),
+        "events_zm", Seq("user_id", "ts"), files = 4)
+      store.appendZordered(e.where(col("user_id") >= 125), "events_zm",
+        Seq("user_id", "ts"), files = 4)
+      store.scopedRecluster("events_zm")
+      s.read.parquet(s"$base/events_zm")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     // CDC-style snapshot diff (incremental-recompute driver): one row per
     // changed key between a synthetic "previous" snapshot (missing the
     // mod-11 slice -> inserts; n_chars bumped on the mod-7 slice ->
@@ -1849,6 +1873,14 @@ object ExtensionQueries {
         |WHERE user_id BETWEEN 90 AND 99
         |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    // Layout-independent replay: the maintained store must hold exactly
+    // the raw rows, so the oracle aggregates events directly.
+    "x59_scoped_optimize" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
         |GROUP BY 1""".stripMargin,
     // Same prev-snapshot derivation, full-outer join, and null-safe
     // column compare as SnapshotDiff.diff.
