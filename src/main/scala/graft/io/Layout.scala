@@ -204,10 +204,10 @@ private[graft] object ScopedCommit {
   def tmpDir(dir: Path) = new Path(dir, TmpDirName)
 
   def write(fs: FileSystem, dir: Path, renames: Seq[(String, String)],
-            deletes: Seq[String], manifest: LayoutManifest): Unit = {
+            deletes: Seq[String], manifest: Option[LayoutManifest]): Unit = {
     val lines = renames.map { case (s, d) => s"rename=$s\t$d" } ++
       deletes.map(d => s"delete=$d") ++
-      manifest.lines.map(l => s"m:$l")
+      manifest.toSeq.flatMap(_.lines).map(l => s"m:$l")
     LayoutManifest.writeLinesAtomic(fs, marker(dir), lines)
   }
 
@@ -244,8 +244,11 @@ private[graft] object ScopedCommit {
       case _ => ()
     }
     val mLines = lines.filter(_.startsWith("m:")).map(_.stripPrefix("m:"))
-    LayoutManifest.writeLinesAtomic(fs, LayoutManifest.path(dir),
-      LayoutManifest.fromLines(mLines).lines)
+    // no manifest section = the table has no layout provenance (e.g. a
+    // copy-on-write delete on a plain parquet table) — leave it that way
+    if (mLines.nonEmpty)
+      LayoutManifest.writeLinesAtomic(fs, LayoutManifest.path(dir),
+        LayoutManifest.fromLines(mLines).lines)
     fs.delete(tmp, true)
     fs.delete(marker(dir), false)
   }

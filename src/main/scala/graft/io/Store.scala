@@ -322,7 +322,7 @@ class Store(spark: SparkSession, baseDir: String) {
     val renames = staged.map(s => s -> s"part-b$batchId-${s.stripPrefix("part-")}")
     val newM = m.copy(appends = m.appends :+ renames.map(_._2).sorted,
       lastBatch = Some(batchId))
-    ScopedCommit.write(fs, dir, renames, deletes = Nil, manifest = newM)
+    ScopedCommit.write(fs, dir, renames, deletes = Nil, manifest = Some(newM))
     ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
     true
   }
@@ -403,9 +403,71 @@ class Store(spark: SparkSession, baseDir: String) {
     val newManifest = LayoutManifest(m.zCols, m.bits, m.files, epoch,
       base = (kept ++ renames.map(_._2)).sorted, appends = Nil,
       lastBatch = m.lastBatch)
-    ScopedCommit.write(fs, dir, renames, deletes = rewrite, manifest = newManifest)
+    ScopedCommit.write(fs, dir, renames, deletes = rewrite, manifest = Some(newManifest))
     ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
     ScopedStats(kept.size, rewrite.size, staged.size, rewrittenBytes, totalBytes)
+  }
+
+  /** Result of a [[deleteWhere]] pass, for logging and specs. */
+  case class DeleteStats(filesTouched: Int, filesKept: Int, rowsDeleted: Long)
+
+  /** Copy-on-write DELETE scoped to the files that contain matches — the
+    * right-to-erasure / decontamination path for a 100 TB corpus: a
+    * takedown of a few documents must not rewrite the table. The matching
+    * FILES are found with one pushed-predicate scan (on a clustered/
+    * z-ordered layout the scan itself prunes to the candidate files, so
+    * finding them costs what reading them costs); only those files are
+    * re-read, filtered, and swapped in through the same journaled commit
+    * as [[scopedRecluster]] — untouched files keep name/bytes/mtime
+    * (StoreSpec pins it), a crash replays to completion, and a reader
+    * never sees missing rows mid-commit.
+    *
+    * Delete semantics are SQL's: rows where `cond` is TRUE go; FALSE and
+    * NULL stay. On a manifest-tracked curve layout the replacement files
+    * are re-staged through the table's own curve and recorded as one
+    * append layer (their rects are subsets of the originals', so
+    * skipping holds; the next scoped pass may fold them into base) and
+    * deleted originals leave the provenance lists; a plain parquet table
+    * just gets filtered replacement files.
+    */
+  def deleteWhere(rel: String, cond: org.apache.spark.sql.Column): DeleteStats = {
+    val dir = new Path(s"$baseDir/$rel")
+    Store.recoverSwap(fs, dir)
+    ScopedCommit.recover(fs, dir)
+    val all = spark.read.parquet(dir.toString)
+    val touchedNames = all.where(cond)
+      .select(input_file_name()).distinct().collect()
+      .map(r => new Path(new java.net.URI(r.getString(0))).getName).toSeq.sorted
+    val total = listDataFiles(dir)
+    if (touchedNames.isEmpty) return DeleteStats(0, total.size, 0L)
+    val region = spark.read.parquet(touchedNames.map(n => s"$dir/$n"): _*)
+    val regionRows = region.count()
+    val keep = region.where(!coalesce(cond, lit(false)))
+    val m0 = LayoutManifest.read(fs, dir)
+    val tmp = ScopedCommit.tmpDir(dir)
+    fs.delete(tmp, true)
+    val staged0 = m0 match {
+      case Some(m) => zorderStage(keep, m.zCols, touchedNames.size, m.bits)
+      case None => keep.repartition(touchedNames.size)
+    }
+    staged0.write.mode("overwrite").parquet(tmp.toString)
+    val staged = listDataFiles(tmp)
+    // every touched row may be deleted: an empty stage promotes nothing
+    // (reading an all-deleted tmp back would fail schema inference)
+    val keptRows =
+      if (staged.isEmpty) 0L else spark.read.parquet(tmp.toString).count()
+    val epoch = m0.map(_.epoch + 1).getOrElse(1L)
+    val renames = staged.map(s => s -> s"part-d$epoch-${s.stripPrefix("part-")}")
+    val touchedSet = touchedNames.toSet
+    val newM = m0.map { m =>
+      val layers = (m.appends.map(_.filterNot(touchedSet)) :+ renames.map(_._2).sorted)
+        .filter(_.nonEmpty)
+      m.copy(epoch = epoch, base = m.base.filterNot(touchedSet), appends = layers)
+    }
+    ScopedCommit.write(fs, dir, renames, deletes = touchedNames, manifest = newM)
+    ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
+    DeleteStats(touchedNames.size, total.size - touchedNames.size,
+      regionRows - keptRows)
   }
 
   /** Measured clustering quality, for recluster-or-skip decisions. */

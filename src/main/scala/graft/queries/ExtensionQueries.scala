@@ -748,6 +748,26 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
     }),
+    // Copy-on-write DELETE scoped to touched files (right-to-erasure /
+    // takedown on a 100 TB corpus without a table rewrite): matches are
+    // located by one pushed-predicate scan, only the files containing
+    // them are filtered + swapped through the scoped-commit journal
+    // (StoreSpec pins untouched-file byte/mtime identity). The read-back
+    // aggregate is layout-independent, so DuckDB replays it as a plain
+    // NOT(predicate) aggregate — a green row proves the delete removed
+    // exactly the matching rows and nothing else.
+    "x60_cow_delete" -> ((s, dir) => {
+      val base = s"$scratchDir/x60"
+      val store = new graft.io.Store(s, base)
+      store.writeZordered(Tables.events(s, dir), "events_del",
+        Seq("user_id", "ts"), files = 8)
+      store.deleteWhere("events_del",
+        col("user_id").between(40, 49) && col("event_type") === "click")
+      s.read.parquet(s"$base/events_del")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     // CDC-style snapshot diff (incremental-recompute driver): one row per
     // changed key between a synthetic "previous" snapshot (missing the
     // mod-11 slice -> inserts; n_chars bumped on the mod-7 slice ->
@@ -1881,6 +1901,15 @@ object ExtensionQueries {
         |  ROUND(SUM(value), 2) AS sum_value,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events
+        |GROUP BY 1""".stripMargin,
+    // SQL DELETE semantics replayed directly: rows where the predicate
+    // is true are gone, everything else (false or null) survives.
+    "x60_cow_delete" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE NOT (user_id BETWEEN 40 AND 49 AND event_type = 'click')
         |GROUP BY 1""".stripMargin,
     // Same prev-snapshot derivation, full-outer join, and null-safe
     // column compare as SnapshotDiff.diff.

@@ -335,8 +335,8 @@ class StoreSpec extends AnyFunSuite {
     val promoted = s"part-s9-${victim.stripPrefix("part-")}"
     ScopedCommit.write(fs, dir, renames = Seq(victim -> promoted),
       deletes = Seq(victim),
-      manifest = m.copy(epoch = 9L,
-        base = (m.base.filterNot(_ == victim) :+ promoted).sorted, appends = Nil))
+      manifest = Some(m.copy(epoch = 9L,
+        base = (m.base.filterNot(_ == victim) :+ promoted).sorted, appends = Nil)))
     // next layout operation drives the journal to completion
     store.appendZordered(
       spark.range(1000, 1010).select(col("id").as("k"), (col("id") * 7 % 1000).as("v")),
@@ -353,6 +353,48 @@ class StoreSpec extends AnyFunSuite {
     val stats = store.scopedRecluster("tbl")
     assert(!fs.exists(tmp) && stats.rewrittenFiles >= 1)
     assert(spark.read.parquet(dir.toString).count() == 1010)
+  }
+
+  test("copy-on-write delete rewrites only files containing matches; " +
+    "SQL null semantics; no-match and all-match edges hold") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_cow_delete").toString
+    val store = new Store(spark, base)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def triples() = fs.listStatus(dir).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime)).toSet
+    // k clustered over 8 files; a null-v stripe exercises delete's null rule
+    val df = spark.range(8000).select(col("id").as("k"),
+      when(col("id") % 10 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 100).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 8)
+    val before = triples()
+    // matches live in a narrow k range -> only the file(s) covering it move
+    val stats = store.deleteWhere("tbl", col("k").between(100, 299) && col("v") >= 50)
+    assert(stats.filesTouched >= 1 && stats.filesTouched <= 3, stats.toString)
+    assert(before.intersect(triples()).size == 8 - stats.filesTouched,
+      "files without matches must stay byte/mtime-identical")
+    val back = spark.read.parquet(dir.toString)
+    // SQL semantics: TRUE rows gone, FALSE and NULL rows stay
+    assert(back.count() == 8000 - stats.rowsDeleted)
+    assert(back.where(col("k").between(100, 299) && col("v") >= 50).count() == 0)
+    assert(back.where(col("k").between(100, 299) && col("v").isNull).count() == 20,
+      "null-predicate rows must survive a delete")
+    // skipping still holds for the rewritten region and elsewhere
+    assert(back.where(col("k") < 600).select(input_file_name()).distinct().count() <= 3)
+    // no-match delete is a full no-op, byte-level
+    val t0 = triples()
+    assert(store.deleteWhere("tbl", col("k") > 1000000).filesTouched == 0)
+    assert(triples() == t0)
+    // all-match delete on a plain (manifest-less) table empties it but
+    // keeps it READABLE (Spark's empty write leaves one schema-only file)
+    spark.range(100).select(col("id").as("k")).write.parquet(s"$base/plain")
+    val all = store.deleteWhere("plain", lit(true))
+    assert(all.rowsDeleted == 100)
+    assert(spark.read.parquet(s"$base/plain").count() == 0)
+    assert(spark.read.parquet(s"$base/plain").columns.toSeq == Seq("k"))
   }
 
   test("erosion statistic rises with append layers and gates maintainZordered") {
