@@ -431,6 +431,52 @@ class Store(spark: SparkSession, baseDir: String) {
     * just gets filtered replacement files.
     */
   def deleteWhere(rel: String, cond: org.apache.spark.sql.Column): DeleteStats = {
+    val r = cowRewrite(rel, cond, prefix = "d",
+      region => region.where(!coalesce(cond, lit(false))))
+    DeleteStats(r.filesTouched, r.filesKept, r.regionRows - r.stagedRows)
+  }
+
+  /** Result of an [[updateWhere]] pass, for logging and specs. */
+  case class UpdateStats(filesTouched: Int, filesKept: Int, rowsUpdated: Long)
+
+  /** Copy-on-write UPDATE scoped to the files that contain matches —
+    * [[deleteWhere]]'s sibling for in-place corrections (re-scored
+    * quality, redacted spans, fixed labels) on a table too large to
+    * rewrite: rows where `cond` is TRUE get each `set` column replaced by
+    * its expression (which may reference the row's own columns), FALSE
+    * and NULL rows pass through untouched, and only the match-bearing
+    * files are re-staged and swapped through the journaled commit.
+    * Updating a cluster column is allowed — the replacement layer is
+    * re-staged through the table's own curve, so the moved rows land
+    * correctly clustered within it.
+    */
+  def updateWhere(rel: String, cond: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column]): UpdateStats = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val r = cowRewrite(rel, cond, prefix = "u", { region =>
+      val unknown = set.keySet -- region.columns
+      require(unknown.isEmpty,
+        s"updateWhere SET columns not in the table: ${unknown.mkString(", ")}")
+      val hit = coalesce(cond, lit(false))
+      region.select(region.columns.map { c =>
+        set.get(c).map(v => when(hit, v).otherwise(col(c)).as(c)).getOrElse(col(c))
+      }: _*)
+    })
+    UpdateStats(r.filesTouched, r.filesKept, r.matchRows)
+  }
+
+  private case class CowResult(filesTouched: Int, filesKept: Int,
+                               regionRows: Long, stagedRows: Long, matchRows: Long)
+
+  /** Shared copy-on-write core of [[deleteWhere]]/[[updateWhere]]: locate
+    * match-bearing files with one pushed-predicate scan, run `transform`
+    * over ONLY those files' rows, re-stage through the table's own curve
+    * when it has layout provenance, and promote via the idempotent
+    * [[ScopedCommit]] journal — untouched files never open or move.
+    */
+  private def cowRewrite(rel: String, cond: org.apache.spark.sql.Column,
+                         prefix: String,
+                         transform: DataFrame => DataFrame): CowResult = {
     val dir = new Path(s"$baseDir/$rel")
     Store.recoverSwap(fs, dir)
     ScopedCommit.recover(fs, dir)
@@ -439,25 +485,26 @@ class Store(spark: SparkSession, baseDir: String) {
       .select(input_file_name()).distinct().collect()
       .map(r => new Path(new java.net.URI(r.getString(0))).getName).toSeq.sorted
     val total = listDataFiles(dir)
-    if (touchedNames.isEmpty) return DeleteStats(0, total.size, 0L)
+    if (touchedNames.isEmpty) return CowResult(0, total.size, 0L, 0L, 0L)
     val region = spark.read.parquet(touchedNames.map(n => s"$dir/$n"): _*)
     val regionRows = region.count()
-    val keep = region.where(!coalesce(cond, lit(false)))
+    val matchRows = region.where(coalesce(cond, lit(false))).count()
+    val out = transform(region)
     val m0 = LayoutManifest.read(fs, dir)
     val tmp = ScopedCommit.tmpDir(dir)
     fs.delete(tmp, true)
     val staged0 = m0 match {
-      case Some(m) => zorderStage(keep, m.zCols, touchedNames.size, m.bits)
-      case None => keep.repartition(touchedNames.size)
+      case Some(m) => zorderStage(out, m.zCols, touchedNames.size, m.bits)
+      case None => out.repartition(touchedNames.size)
     }
     staged0.write.mode("overwrite").parquet(tmp.toString)
     val staged = listDataFiles(tmp)
     // every touched row may be deleted: an empty stage promotes nothing
     // (reading an all-deleted tmp back would fail schema inference)
-    val keptRows =
+    val stagedRows =
       if (staged.isEmpty) 0L else spark.read.parquet(tmp.toString).count()
     val epoch = m0.map(_.epoch + 1).getOrElse(1L)
-    val renames = staged.map(s => s -> s"part-d$epoch-${s.stripPrefix("part-")}")
+    val renames = staged.map(s => s -> s"part-$prefix$epoch-${s.stripPrefix("part-")}")
     val touchedSet = touchedNames.toSet
     val newM = m0.map { m =>
       val layers = (m.appends.map(_.filterNot(touchedSet)) :+ renames.map(_._2).sorted)
@@ -466,8 +513,8 @@ class Store(spark: SparkSession, baseDir: String) {
     }
     ScopedCommit.write(fs, dir, renames, deletes = touchedNames, manifest = newM)
     ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
-    DeleteStats(touchedNames.size, total.size - touchedNames.size,
-      regionRows - keptRows)
+    CowResult(touchedNames.size, total.size - touchedNames.size, regionRows, stagedRows,
+      matchRows)
   }
 
   /** Measured clustering quality, for recluster-or-skip decisions. */

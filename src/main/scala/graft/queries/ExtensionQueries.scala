@@ -768,6 +768,25 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
     }),
+    // Copy-on-write UPDATE scoped to touched files (x60's sibling for
+    // in-place corrections — re-labels, redactions, re-scores — without
+    // a table rewrite): matching rows get the SET projection, everything
+    // else passes through, only match-bearing files move (StoreSpec pins
+    // untouched-file identity and the CASE-WHEN content law). DuckDB
+    // replays the whole operation as a CASE WHEN over the raw rows.
+    "x61_cow_update" -> ((s, dir) => {
+      val base = s"$scratchDir/x61"
+      val store = new graft.io.Store(s, base)
+      store.writeZordered(Tables.events(s, dir), "events_upd",
+        Seq("user_id", "ts"), files = 8)
+      store.updateWhere("events_upd",
+        col("user_id").between(40, 49) && col("event_type") === "click",
+        Map("event_type" -> lit("click_redacted")))
+      s.read.parquet(s"$base/events_upd")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     // CDC-style snapshot diff (incremental-recompute driver): one row per
     // changed key between a synthetic "previous" snapshot (missing the
     // mod-11 slice -> inserts; n_chars bumped on the mod-7 slice ->
@@ -1910,6 +1929,15 @@ object ExtensionQueries {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events
         |WHERE NOT (user_id BETWEEN 40 AND 49 AND event_type = 'click')
+        |GROUP BY 1""".stripMargin,
+    // SQL UPDATE semantics replayed as a CASE WHEN over the raw rows.
+    "x61_cow_update" ->
+      """SELECT CASE WHEN user_id BETWEEN 40 AND 49 AND event_type = 'click'
+        |            THEN 'click_redacted' ELSE event_type END AS event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
         |GROUP BY 1""".stripMargin,
     // Same prev-snapshot derivation, full-outer join, and null-safe
     // column compare as SnapshotDiff.diff.

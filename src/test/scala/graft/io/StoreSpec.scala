@@ -397,6 +397,47 @@ class StoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/plain").columns.toSeq == Seq("k"))
   }
 
+  test("copy-on-write update rewrites only match-bearing files; SET references row " +
+    "columns; null-predicate rows pass through; unknown SET column fails loudly") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_cow_update").toString
+    val store = new Store(spark, base)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def triples() = fs.listStatus(dir).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime)).toSet
+    val df = spark.range(8000).select(col("id").as("k"),
+      when(col("id") % 10 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 100).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 8)
+    val before = triples()
+    val cond = col("k").between(100, 299) && col("v") >= 50
+    val stats = store.updateWhere("tbl", cond, Map("v" -> (col("v") + col("k"))))
+    assert(stats.filesTouched >= 1 && stats.filesTouched <= 3, stats.toString)
+    assert(stats.rowsUpdated == df.where(cond).count())
+    assert(before.intersect(triples()).size == 8 - stats.filesTouched,
+      "files without matches must stay byte/mtime-identical")
+    // content law: table == the same CASE-WHEN projection of the input
+    val want = df.select(col("k"),
+        when(coalesce(cond, lit(false)), col("v") + col("k")).otherwise(col("v")).as("v"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = spark.read.parquet(dir.toString).collect().map(_.toString).sorted.toSeq
+    assert(got == want, "update diverged from the CASE-WHEN oracle projection")
+    // null-predicate rows (v null makes cond null) survive untouched
+    assert(spark.read.parquet(dir.toString)
+      .where(col("k").between(100, 299) && col("v").isNull).count() == 20)
+    // unknown SET column fails before anything moves
+    val t0 = triples()
+    intercept[IllegalArgumentException] {
+      store.updateWhere("tbl", lit(true), Map("nope" -> lit(1)))
+    }
+    assert(triples() == t0)
+    // no-match update is a byte-level no-op
+    assert(store.updateWhere("tbl", col("k") > 1000000, Map("v" -> lit(0L))).filesTouched == 0)
+    assert(triples() == t0)
+  }
+
   test("erosion statistic rises with append layers and gates maintainZordered") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_erosion").toString
