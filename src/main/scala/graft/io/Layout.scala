@@ -51,16 +51,19 @@ private[graft] object LayoutManifest {
     writeLinesAtomic(fs, path(dir), m.lines)
 
   /** Atomic small-file write: create under a dot-prefixed tmp name, then
-    * rename over the destination — readers never see a torn manifest.
+    * rename over the destination with OVERWRITE semantics (FileContext —
+    * atomic replace on both local and HDFS). A delete-then-rename pair
+    * would open a crash window with NO manifest at all, which on the
+    * unjournaled writes silently drops the `last_batch` watermark and
+    * re-admits an already-committed streaming batch.
     */
   def writeLinesAtomic(fs: FileSystem, dest: Path, lines: Seq[String]): Unit = {
     val tmp = new Path(dest.getParent, s".w_${dest.getName}")
     val out = fs.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    fs.delete(dest, false)
-    if (!fs.rename(tmp, dest))
-      throw new IllegalStateException(s"manifest write: rename $tmp -> $dest failed")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, fs.getConf)
+    fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   def readLines(fs: FileSystem, p: Path): Seq[String] = {
@@ -101,15 +104,19 @@ private[graft] object LayoutManifest {
   * stats, non-numeric physical type) and must be treated as
   * overlaps-everything.
   */
-private[graft] case class FileRect(name: String, bytes: Long,
+private[graft] case class FileRect(name: String, bytes: Long, rows: Long,
                                    lo: Array[Option[Double]], hi: Array[Option[Double]]) {
 
   /** Closed-interval intersection in EVERY layout dimension — the
     * condition under which two files compete for the same probes. Missing
-    * stats intersect everything (conservative: erodes, never misses).
+    * stats intersect everything (conservative: erodes, never misses) —
+    * EXCEPT a zero-row file (Spark's schema-only empty write), which has
+    * no stats because it has no data and can never compete with anything;
+    * treating it as intersect-everything would let one empty streaming
+    * batch degrade the next scoped pass into a full-table rewrite.
     */
   def intersects(o: FileRect): Boolean =
-    lo.indices.forall { i =>
+    rows > 0L && o.rows > 0L && lo.indices.forall { i =>
       (lo(i), hi(i), o.lo(i), o.hi(i)) match {
         case (Some(a), Some(b), Some(c), Some(d)) => a <= d && c <= b
         case _ => true
@@ -132,10 +139,13 @@ private[graft] object FileRect {
     val confKv = spark.sparkContext.hadoopConfiguration.asScala
       .map(e => (e.getKey, e.getValue)).toSeq
     val slices = math.min(names.size, spark.sparkContext.defaultParallelism)
-    spark.sparkContext.parallelize(names, slices).map { name =>
+    // conf reconstruction once per PARTITION, not per file: at ~1M files
+    // per 100 TB table a per-file rebuild of hundreds of conf entries
+    // would rival the footer I/O this pass exists to parallelize
+    spark.sparkContext.parallelize(names, slices).mapPartitions { it =>
       val conf = new Configuration(false)
       confKv.foreach { case (k, v) => conf.set(k, v) }
-      readOne(conf, new Path(dir, name), zCols)
+      it.map(name => readOne(conf, new Path(dir, name), zCols))
     }.collect().map(r => r.name -> r).toMap
   }
 
@@ -153,6 +163,7 @@ private[graft] object FileRect {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
       val lo = Array.fill[Option[Double]](zCols.size)(None)
       val hi = Array.fill[Option[Double]](zCols.size)(None)
       val ok = Array.fill(zCols.size)(true)
@@ -174,7 +185,7 @@ private[graft] object FileRect {
           }
         }
       }
-      FileRect(file.getName, bytes, lo, hi)
+      FileRect(file.getName, bytes, rows, lo, hi)
     } finally reader.close()
   }
 

@@ -153,6 +153,7 @@ class Store(spark: SparkSession, baseDir: String) {
     LayoutManifest.write(fs, dir,
       LayoutManifest(zCols, bits, files, epoch = 0L,
         base = listDataFiles(dir), appends = Nil))
+    refreshCatalog(dir)
   }
 
   /** Non-hidden data files of a table directory (what a Spark scan lists). */
@@ -226,6 +227,12 @@ class Store(spark: SparkSession, baseDir: String) {
     Store.recoverSwap(fs, dir)
     // likewise finish any interrupted scoped commit before listing
     if (fs.exists(dir)) ScopedCommit.recover(fs, dir)
+    // fail-first: a layout mismatch must abort BEFORE the physical append,
+    // or wrong-curve rows would already be visible with no rollback
+    val m0 = LayoutManifest.read(fs, dir)
+    m0.foreach(mf => require(mf.zCols == zCols && mf.bits == bits,
+      s"append layout (${zCols.mkString(",")}/bits=$bits) does not match " +
+        s"the table manifest (${mf.zCols.mkString(",")}/bits=${mf.bits})"))
     val before = if (fs.exists(dir)) listDataFiles(dir).toSet else Set.empty[String]
     zorderStage(df, zCols, files, bits).write.mode("append").parquet(s"$baseDir/$rel")
     // manifest bookkeeping: this batch's files form one append layer. A
@@ -235,17 +242,37 @@ class Store(spark: SparkSession, baseDir: String) {
     // rewrites them anyway (the geometry test is self-correcting; trusting
     // provenance only ever SAVES work on genuinely pristine files).
     val batch = (listDataFiles(dir).toSet -- before).toSeq.sorted
-    val m = LayoutManifest.read(fs, dir) match {
-      case Some(mf) =>
-        require(mf.zCols == zCols && mf.bits == bits,
-          s"append layout (${zCols.mkString(",")}/bits=$bits) does not match " +
-            s"the table manifest (${mf.zCols.mkString(",")}/bits=${mf.bits})")
-        mf.copy(appends = mf.appends :+ batch)
+    val m = m0 match {
+      case Some(mf) => mf.copy(appends = mf.appends :+ batch)
       case None =>
         LayoutManifest(zCols, bits, files, epoch = 0L,
           base = before.toSeq.sorted, appends = Seq(batch))
     }
     LayoutManifest.write(fs, dir, m)
+    refreshCatalog(dir)
+  }
+
+  /** Invalidate any cached catalog state over `dir`: a table registered
+    * via [[registerCatalog]] caches its resolved relation (file index
+    * included), so every mutator must refresh it or later `spark.table`
+    * reads would silently miss appended files / crash on deleted ones
+    * (PlanSpec pins both). `refreshByPath` alone does not drop the
+    * cached table relation, so the tables registered over this exact
+    * location are refreshed BY NAME — a current-database metadata scan,
+    * driver-side and tiny next to the mutation it follows. No-op when
+    * nothing is registered over the path.
+    */
+  private def refreshCatalog(dir: Path): Unit = {
+    spark.catalog.refreshByPath(dir.toString)
+    val target = fs.makeQualified(dir)
+    val cat = spark.sessionState.catalog
+    cat.listTables(cat.getCurrentDatabase).foreach { ident =>
+      try {
+        val meta = cat.getTableMetadata(ident)
+        if (new Path(meta.location) == target)
+          spark.catalog.refreshTable(ident.unquotedString)
+      } catch { case _: Exception => () } // views/dropped races: nothing to refresh
+    }
   }
 
   /** Restore a clustered/z-ordered table's layout after appends: one full
@@ -285,6 +312,7 @@ class Store(spark: SparkSession, baseDir: String) {
         LayoutManifest(zCols, bits, files, epoch = 0L,
           base = listDataFiles(target), appends = Nil, lastBatch = prevBatch))
     else fs.delete(LayoutManifest.path(target), false)
+    refreshCatalog(target)
   }
 
   /** Exactly-once variant of [[appendZordered]] for replayable writers
@@ -314,9 +342,17 @@ class Store(spark: SparkSession, baseDir: String) {
     fs.delete(tmp, true)
     zorderStage(df, zCols, files, bits).write.mode("overwrite").parquet(tmp.toString)
     val staged = listDataFiles(tmp)
-    if (staged.isEmpty) { // empty batch: record the id, add no layer
+    // An empty batch stages either nothing or one schema-only zero-row
+    // file (Spark's empty-write shape) — record the id, promote no layer.
+    // The row-count guard matters: a promoted zero-row statless file
+    // would be treated conservatively by the erosion test without
+    // FileRect's rows guard, and is dead weight either way.
+    val stagedRows =
+      if (staged.isEmpty) 0L else spark.read.parquet(tmp.toString).count()
+    if (stagedRows == 0L) {
       LayoutManifest.write(fs, dir, m.copy(lastBatch = Some(batchId)))
       fs.delete(tmp, true)
+      refreshCatalog(dir)
       return true
     }
     val renames = staged.map(s => s -> s"part-b$batchId-${s.stripPrefix("part-")}")
@@ -324,6 +360,7 @@ class Store(spark: SparkSession, baseDir: String) {
       lastBatch = Some(batchId))
     ScopedCommit.write(fs, dir, renames, deletes = Nil, manifest = Some(newM))
     ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
+    refreshCatalog(dir)
     true
   }
 
@@ -405,6 +442,7 @@ class Store(spark: SparkSession, baseDir: String) {
       lastBatch = m.lastBatch)
     ScopedCommit.write(fs, dir, renames, deletes = rewrite, manifest = Some(newManifest))
     ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
+    refreshCatalog(dir)
     ScopedStats(kept.size, rewrite.size, staged.size, rewrittenBytes, totalBytes)
   }
 
@@ -487,8 +525,12 @@ class Store(spark: SparkSession, baseDir: String) {
     val total = listDataFiles(dir)
     if (touchedNames.isEmpty) return CowResult(0, total.size, 0L, 0L, 0L)
     val region = spark.read.parquet(touchedNames.map(n => s"$dir/$n"): _*)
-    val regionRows = region.count()
-    val matchRows = region.where(coalesce(cond, lit(false))).count()
+    // one scan for both stats (the touched region is re-read once more by
+    // the staging write below; a separate count per stat would triple the
+    // I/O the file-scoping exists to avoid)
+    val statsRow = region.agg(count(lit(1)), count(when(coalesce(cond, lit(false)), 1))).head
+    val regionRows = statsRow.getLong(0)
+    val matchRows = statsRow.getLong(1)
     val out = transform(region)
     val m0 = LayoutManifest.read(fs, dir)
     val tmp = ScopedCommit.tmpDir(dir)
@@ -503,6 +545,9 @@ class Store(spark: SparkSession, baseDir: String) {
     // (reading an all-deleted tmp back would fail schema inference)
     val stagedRows =
       if (staged.isEmpty) 0L else spark.read.parquet(tmp.toString).count()
+    // a fully-deleted region stages a schema-only zero-row file; it IS
+    // promoted — it keeps an emptied table readable, and FileRect's
+    // zero-row guard keeps it inert for the erosion test
     val epoch = m0.map(_.epoch + 1).getOrElse(1L)
     val renames = staged.map(s => s -> s"part-$prefix$epoch-${s.stripPrefix("part-")}")
     val touchedSet = touchedNames.toSet
@@ -513,6 +558,7 @@ class Store(spark: SparkSession, baseDir: String) {
     }
     ScopedCommit.write(fs, dir, renames, deletes = touchedNames, manifest = newM)
     ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
+    refreshCatalog(dir)
     CowResult(touchedNames.size, total.size - touchedNames.size, regionRows, stagedRows,
       matchRows)
   }
@@ -589,6 +635,17 @@ class Store(spark: SparkSession, baseDir: String) {
     // a compact interrupted mid-swap parks the table; restore before the
     // size probe and read, or the rewrite would compact a phantom
     Store.recoverSwap(fs, target)
+    // likewise drive an interrupted scoped commit to completion first:
+    // reading mid-journal duplicates (promoted copies + not-yet-deleted
+    // originals) would bake them into the compacted table permanently
+    ScopedCommit.recover(fs, target)
+    // a curve-clustered table must not be compacted: repartition(n) would
+    // destroy the layout while the manifest still declares its files
+    // pristine — and silently discard the exactly-once batch watermark.
+    // recluster/scopedRecluster already manage file counts for z-tables.
+    require(LayoutManifest.read(fs, target).isEmpty,
+      s"$rel is curve-clustered (has a layout manifest) — compact would destroy " +
+        "the layout and its provenance; use recluster/scopedRecluster instead")
     val totalBytes = fs.getContentSummary(target).getLength
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new Path(target.getParent, s".tmp_${target.getName}")
@@ -598,6 +655,7 @@ class Store(spark: SparkSession, baseDir: String) {
       .repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
     Store.swapInto(fs, tmp, target)
+    refreshCatalog(target)
   }
 
   /** Bucketed managed table: pre-shuffles ONCE at write time so every later

@@ -494,9 +494,13 @@ object EventStreams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val dir = new org.apache.hadoop.fs.Path(tableDir)
         val store = new graft.io.Store(batch.sparkSession, dir.getParent.toString)
-        val appended = store.appendZorderedExactlyOnce(
+        store.appendZorderedExactlyOnce(
           batch.toDF(), dir.getName, zCols, batchId, files, bits)
-        if (appended && reclusterEvery > 0 && (batchId + 1) % reclusterEvery == 0)
+        // NOT gated on the append having landed: when the boundary batch
+        // is a checkpoint replay (committed before a crash, re-delivered
+        // now), the maintenance it owed must still run — scopedRecluster
+        // is idempotent and near-free when nothing eroded
+        if (reclusterEvery > 0 && (batchId + 1) % reclusterEvery == 0)
           store.scopedRecluster(dir.getName)
         ()
       }

@@ -438,6 +438,83 @@ class StoreSpec extends AnyFunSuite {
     assert(triples() == t0)
   }
 
+  test("compact replays an interrupted scoped journal first and refuses curve-clustered tables") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_compact_guard").toString
+    val store = new Store(spark, base)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plain table with a fabricated mid-journal crash: one file staged for
+    // promotion, its original still listed for deletion. compact must
+    // drive the journal to completion BEFORE reading — otherwise the
+    // promoted copy and the original would both be read and the
+    // duplicates baked permanently into the compacted table.
+    spark.range(1000).select(col("id").as("k")).repartition(4).write.parquet(s"$base/plain")
+    val dir = new org.apache.hadoop.fs.Path(s"$base/plain")
+    val want = spark.read.parquet(dir.toString).collect().map(_.toString).sorted.toSeq
+    val victim = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("part-")).sorted.head
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".tmp_scoped")
+    fs.mkdirs(tmp)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir, victim),
+      new org.apache.hadoop.fs.Path(tmp, victim)))
+    ScopedCommit.write(fs, dir, renames = Seq(victim -> s"part-s9-$victim"),
+      deletes = Seq(victim), manifest = None)
+    store.compact("plain", targetBytes = Long.MaxValue)
+    val got = spark.read.parquet(dir.toString).collect().map(_.toString).sorted.toSeq
+    assert(got == want, "journal not replayed before compact: rows lost or duplicated")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".graft_scoped_commit")))
+    // curve-clustered table: repartition would destroy the layout AND the
+    // provenance/watermark — refuse loudly, recluster is the right tool
+    val df = spark.range(1000).select(col("id").as("k"), (col("id") % 7).as("v"))
+    store.writeZordered(df, "ztbl", Seq("k", "v"), files = 2)
+    intercept[IllegalArgumentException] { store.compact("ztbl") }
+    assert(spark.read.parquet(s"$base/ztbl").count() == 1000)
+  }
+
+  test("appendZordered layout mismatch fails BEFORE any rows land") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_append_mismatch").toString
+    val store = new Store(spark, base)
+    val df = spark.range(1000).select(col("id").as("k"), (col("id") % 7).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 2)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = fs.listStatus(dir).map(st => (st.getPath.getName, st.getLen)).toSet
+    intercept[IllegalArgumentException] {
+      store.appendZordered(df.limit(10), "tbl", Seq("v", "k"), files = 2)
+    }
+    // fail-first: the mismatched batch must not be visible anywhere
+    assert(fs.listStatus(dir).map(st => (st.getPath.getName, st.getLen)).toSet == before)
+    assert(spark.read.parquet(dir.toString).count() == 1000)
+  }
+
+  test("an empty exactly-once batch records its id with no layer and cannot poison the scoped pass") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_empty_batch").toString
+    val store = new Store(spark, base)
+    val df = spark.range(2000).select(col("id").as("k"), (col("id") % 97).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 4)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def triples() = fs.listStatus(dir).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime)).toSet
+    val before = triples()
+    // an upstream filter can drop every row of a replayed offset range
+    assert(store.appendZorderedExactlyOnce(df.where(lit(false)), "tbl",
+      Seq("k", "v"), batchId = 0L, files = 4))
+    val m = LayoutManifest.read(fs, dir).get
+    assert(m.appends.isEmpty && m.lastBatch.contains(0L),
+      s"empty batch must record its id without a layer: $m")
+    // the scoped pass right after (zorderedAppendSink's ungated
+    // maintenance) must be a byte-level no-op — before the zero-row
+    // guards a schema-only statless file intersected EVERYTHING and
+    // degraded this into a full-table rewrite
+    val stats = store.scopedRecluster("tbl")
+    assert(stats.rewrittenFiles == 0 && triples() == before, stats.toString)
+  }
+
   test("erosion statistic rises with append layers and gates maintainZordered") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_erosion").toString

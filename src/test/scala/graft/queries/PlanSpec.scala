@@ -175,6 +175,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(user_id,40)"), p)
     val touched = filtered.select(input_file_name()).distinct().count()
     assert(touched <= 8, s"catalog read touched $touched of 16 z-files — skipping lost")
+    // the cached file index must not go stale across mutations: an append
+    // must be visible through spark.table, and a scoped rewrite (which
+    // DELETES original files) must not crash a later catalog read
+    val n0 = spark.table("graft_plan_cat_z").count()
+    import org.apache.spark.sql.functions.lit
+    store.appendZordered(graft.Tables.events(spark, sf).limit(100)
+        .withColumn("event_id", org.apache.spark.sql.functions.col("event_id") + 10000000L),
+      "events_z", Seq("user_id", "ts"), files = 2)
+    assert(spark.table("graft_plan_cat_z").count() == n0 + 100,
+      "catalog read missed appended rows — stale file index")
+    store.scopedRecluster("events_z")
+    assert(spark.table("graft_plan_cat_z").count() == n0 + 100,
+      "catalog read broken after scoped rewrite — stale file index")
     spark.sql("DROP TABLE graft_plan_cat_z") // external: metadata only
     assert(spark.read.parquet(s"$base/events_z").count() > 0,
       "dropping the catalog entry must not delete data")
