@@ -222,8 +222,13 @@ object Bench {
       else if (core) SparkEntry.queries.filter { case (n, _) =>
         !n.startsWith("x") && !verifyOnlyGates(n) }
       else SparkEntry.queries.filter { case (n, _) => !verifyOnlyGates(n) }
+    // skipped = EVERYTHING declared but not timed this run (no silent
+    // caps): under CORE mode that includes the whole x-extension tier,
+    // not just the verify-only gates. An explicit positional subset is
+    // the operator's own selection — nothing is "skipped" from it.
     val skipped =
-      if (subset.isEmpty && !full) verifyOnlyGates.toSeq.sorted else Nil
+      if (subset.nonEmpty) Nil
+      else (SparkEntry.queries.keySet -- selected.keySet).toSeq.sorted
     val errors = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     // Per-query ON-CPU attribution: wall timings inflate under mid-run
     // co-tenant bursts the before/after probes cannot see, so the
