@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rule: naive `abs(l - r) <= tol` band joins become
     // overlap-bucket equi-joins instead of nested-loop joins.
     e.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+    // SQL DML face: DELETE FROM / UPDATE over path-addressed parquet
+    // tables route through the journaled copy-on-write Store ops instead
+    // of Spark's "not supported with v1 tables" planner error.
+    e.injectOptimizerRule(_ => graft.plans.SqlDmlRewrite)
   }
 }
 
@@ -102,5 +106,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BandJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.SqlDmlRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SqlDmlRewrite
   }
 }

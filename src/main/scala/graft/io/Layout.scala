@@ -44,11 +44,41 @@ private[graft] case class LayoutManifest(
 private[graft] object LayoutManifest {
 
   val FileName = "_graft_layout"
+  val HistoryDirName = ".graft_history"
+  val RetiredDirName = ".graft_retired"
 
   def path(dir: Path) = new Path(dir, FileName)
 
-  def write(fs: FileSystem, dir: Path, m: LayoutManifest): Unit =
+  /** Per-epoch manifest snapshots — the unit of time travel. Dot-prefixed
+    * (invisible to scans, travels with the table); one file per epoch
+    * (`v<epoch>`), each a full manifest listing the files LIVE at that
+    * epoch. [[graft.io.Store.readVersion]] resolves those names against
+    * the table dir and [[retiredDir]]; `vacuum` prunes old snapshots.
+    */
+  def historyDir(dir: Path) = new Path(dir, HistoryDirName)
+
+  /** Where replaced data files go instead of being deleted: a retire is
+    * one atomic rename, so every prior epoch stays exactly readable until
+    * an explicit `vacuum` reclaims the bytes. Hidden from scans.
+    */
+  def retiredDir(dir: Path) = new Path(dir, RetiredDirName)
+
+  /** A mutator's epoch claim — [[graft.io.Store]]'s multi-writer CAS
+    * token for the transition INTO `epoch`. Released by [[write]] when
+    * that epoch commits.
+    */
+  def claimPath(dir: Path, epoch: Long) = new Path(historyDir(dir), s"c$epoch")
+
+  def write(fs: FileSystem, dir: Path, m: LayoutManifest): Unit = {
     writeLinesAtomic(fs, path(dir), m.lines)
+    // history snapshot rides every manifest write: same-epoch rewrites
+    // (erosion stat refresh, empty exactly-once batches) just overwrite
+    // their own snapshot — the FILE SET per epoch never changes, which is
+    // the invariant readVersion depends on
+    writeLinesAtomic(fs, new Path(historyDir(dir), s"v${m.epoch}"), m.lines)
+    // committing the epoch releases its claim (idempotent delete)
+    fs.delete(claimPath(dir, m.epoch), false)
+  }
 
   /** Atomic small-file write: create under a dot-prefixed tmp name, then
     * rename over the destination with OVERWRITE semantics (FileContext —
@@ -203,8 +233,11 @@ private[graft] object FileRect {
   * the marker re-drives to completion on the next entry; a crash before
   * it leaves only hidden tmp garbage and an intact table.
   *
-  * Marker lines: `rename=<tmpName>\t<dstName>`, `delete=<name>`, and the
-  * replacement manifest embedded as `m:<manifest line>`.
+  * Marker lines: `rename=<tmpName>\t<dstName>`, `delete=<name>` (gone for
+  * good — tables without layout provenance), `retire=<name>` (moved into
+  * [[LayoutManifest.retiredDir]] so prior epochs stay readable until
+  * vacuum — manifest-tracked tables), and the replacement manifest
+  * embedded as `m:<manifest line>`.
   */
 private[graft] object ScopedCommit {
 
@@ -215,9 +248,11 @@ private[graft] object ScopedCommit {
   def tmpDir(dir: Path) = new Path(dir, TmpDirName)
 
   def write(fs: FileSystem, dir: Path, renames: Seq[(String, String)],
-            deletes: Seq[String], manifest: Option[LayoutManifest]): Unit = {
+            deletes: Seq[String], manifest: Option[LayoutManifest],
+            retires: Seq[String] = Nil): Unit = {
     val lines = renames.map { case (s, d) => s"rename=$s\t$d" } ++
       deletes.map(d => s"delete=$d") ++
+      retires.map(r => s"retire=$r") ++
       manifest.toSeq.flatMap(_.lines).map(l => s"m:$l")
     LayoutManifest.writeLinesAtomic(fs, marker(dir), lines)
   }
@@ -252,14 +287,31 @@ private[graft] object ScopedCommit {
           throw new IllegalStateException(s"scoped commit: rename $s -> $d failed")
       case l if l.startsWith("delete=") =>
         fs.delete(new Path(dir, l.stripPrefix("delete=")), false)
+      case l if l.startsWith("retire=") =>
+        // atomic per-file move into the hidden retired dir — prior epochs'
+        // manifests keep resolving the name there until vacuum. Idempotent:
+        // a retire that already ran leaves src missing (and a vacuum racing
+        // a replay cannot exist — vacuum recovers the journal on entry).
+        val name = l.stripPrefix("retire=")
+        val src = new Path(dir, name)
+        if (fs.exists(src)) {
+          val rd = LayoutManifest.retiredDir(dir)
+          fs.mkdirs(rd)
+          val dst = new Path(rd, name)
+          // epoch-prefixed promote names make collisions impossible by
+          // construction; a same-named leftover can only be this exact
+          // retire replayed mid-rename — the bytes are identical
+          if (fs.exists(dst)) fs.delete(src, false)
+          else if (!fs.rename(src, dst))
+            throw new IllegalStateException(s"scoped commit: retire $src -> $dst failed")
+        }
       case _ => ()
     }
     val mLines = lines.filter(_.startsWith("m:")).map(_.stripPrefix("m:"))
     // no manifest section = the table has no layout provenance (e.g. a
     // copy-on-write delete on a plain parquet table) — leave it that way
     if (mLines.nonEmpty)
-      LayoutManifest.writeLinesAtomic(fs, LayoutManifest.path(dir),
-        LayoutManifest.fromLines(mLines).lines)
+      LayoutManifest.write(fs, dir, LayoutManifest.fromLines(mLines))
     fs.delete(tmp, true)
     fs.delete(marker(dir), false)
   }

@@ -233,6 +233,11 @@ class Store(spark: SparkSession, baseDir: String) {
     m0.foreach(mf => require(mf.zCols == zCols && mf.bits == bits,
       s"append layout (${zCols.mkString(",")}/bits=$bits) does not match " +
         s"the table manifest (${mf.zCols.mkString(",")}/bits=${mf.bits})"))
+    // claim the next epoch BEFORE the physical append — a concurrent
+    // mutator fails loudly here with the table untouched
+    if (fs.exists(dir))
+      claimEpoch(dir, m0.map(_.epoch + 1).getOrElse(0L),
+        java.util.UUID.randomUUID.toString)
     val before = if (fs.exists(dir)) listDataFiles(dir).toSet else Set.empty[String]
     zorderStage(df, zCols, files, bits).write.mode("append").parquet(s"$baseDir/$rel")
     // manifest bookkeeping: this batch's files form one append layer. A
@@ -242,8 +247,11 @@ class Store(spark: SparkSession, baseDir: String) {
     // rewrites them anyway (the geometry test is self-correcting; trusting
     // provenance only ever SAVES work on genuinely pristine files).
     val batch = (listDataFiles(dir).toSet -- before).toSeq.sorted
+    // every file-set change is a new epoch: the old epoch's snapshot stays
+    // readable via readVersion until vacuum (appends never retire files,
+    // so the prior epoch's files are all still live)
     val m = m0 match {
-      case Some(mf) => mf.copy(appends = mf.appends :+ batch)
+      case Some(mf) => mf.copy(epoch = mf.epoch + 1, appends = mf.appends :+ batch)
       case None =>
         LayoutManifest(zCols, bits, files, epoch = 0L,
           base = before.toSeq.sorted, appends = Seq(batch))
@@ -264,12 +272,23 @@ class Store(spark: SparkSession, baseDir: String) {
     */
   private def refreshCatalog(dir: Path): Unit = {
     spark.catalog.refreshByPath(dir.toString)
-    val target = fs.makeQualified(dir)
+    // normalized-URI comparison, not raw Path equality: a location stored
+    // with a trailing slash or an unqualified scheme/authority (object
+    // stores, CREATE TABLE ... LOCATION hand-written) must still match, or
+    // the stale cached file index would throw FileNotFound after a
+    // scoped recluster / COW delete removed its original files
+    def canon(p: Path): java.net.URI = {
+      val u = fs.makeQualified(p).toUri.normalize()
+      val path = if (u.getPath != "/" && u.getPath.endsWith("/"))
+        u.getPath.dropRight(1) else u.getPath
+      new java.net.URI(u.getScheme, u.getAuthority, path, null, null)
+    }
+    val target = canon(dir)
     val cat = spark.sessionState.catalog
     cat.listTables(cat.getCurrentDatabase).foreach { ident =>
       try {
         val meta = cat.getTableMetadata(ident)
-        if (new Path(meta.location) == target)
+        if (canon(new Path(meta.location)) == target)
           spark.catalog.refreshTable(ident.unquotedString)
       } catch { case _: Exception => () } // views/dropped races: nothing to refresh
     }
@@ -287,9 +306,42 @@ class Store(spark: SparkSession, baseDir: String) {
     val target = new Path(s"$baseDir/$rel")
     Store.recoverSwap(fs, target)
     ScopedCommit.recover(fs, target) // finish an interrupted scoped pass first
-    // the streaming batch watermark must survive the rewrite (the swap
-    // discards the old directory, manifest included)
-    val prevBatch = LayoutManifest.read(fs, target).flatMap(_.lastBatch)
+    val m0 = LayoutManifest.read(fs, target)
+    val prevBatch = m0.flatMap(_.lastBatch)
+    // a recluster to <2 columns drops the manifest (linear layouts carry
+    // none) — refuse when that manifest holds an exactly-once watermark:
+    // silently discarding last_batch would let a checkpoint replay
+    // re-admit every already-committed streaming batch as duplicates
+    require(zCols.size >= 2 || prevBatch.isEmpty,
+      s"$rel carries an exactly-once batch watermark (last_batch=${prevBatch.get}); " +
+        "a recluster to a single column would discard it and re-admit replayed " +
+        "batches — keep >= 2 layout columns or retire the streaming writer first")
+    if (m0.isDefined && zCols.size >= 2) {
+      // manifest-tracked table: full rewrite through the JOURNALED commit
+      // instead of the directory swap — the hidden history/retired dirs
+      // stay in place (a swap would discard every prior epoch), every
+      // current file is retired rather than deleted, and the one-rename
+      // window where the table path does not exist disappears. This is
+      // scopedRecluster with the whole table as the region; layout
+      // parameters (columns/bits/files) may change here.
+      val m = m0.get
+      claimEpoch(target, m.epoch + 1, java.util.UUID.randomUUID.toString)
+      val current = listDataFiles(target)
+      val tmp = ScopedCommit.tmpDir(target)
+      fs.delete(tmp, true)
+      zorderStage(spark.read.parquet(target.toString), zCols, files, bits)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val staged = listDataFiles(tmp)
+      val epoch = m.epoch + 1
+      val renames = staged.map(s => s -> s"part-s$epoch-${s.stripPrefix("part-")}")
+      val newM = LayoutManifest(zCols, bits, files, epoch,
+        base = renames.map(_._2).sorted, appends = Nil, lastBatch = prevBatch)
+      ScopedCommit.write(fs, target, renames, deletes = Nil,
+        manifest = Some(newM), retires = current)
+      ScopedCommit.replay(fs, target, LayoutManifest.readLines(fs, ScopedCommit.marker(target)))
+      refreshCatalog(target)
+      return
+    }
     // tmp is a SIBLING of the leaf (writeCsv's discipline), so a nested
     // rel stays inside its parent directory
     val tmp = new Path(target.getParent, s".tmp_${target.getName}")
@@ -306,7 +358,8 @@ class Store(spark: SparkSession, baseDir: String) {
     staged.write.mode("overwrite").parquet(tmp.toString)
     Store.swapInto(fs, tmp, target)
     // every surviving file is freshly laid out, so reset provenance to
-    // all-base (keeping the streaming batch watermark read above)
+    // all-base; a swap discards hidden dirs, so history restarts at v0
+    // (manifest-less input had no history to keep)
     if (zCols.size >= 2)
       LayoutManifest.write(fs, target,
         LayoutManifest(zCols, bits, files, epoch = 0L,
@@ -338,6 +391,10 @@ class Store(spark: SparkSession, baseDir: String) {
         s"the table manifest (${mf.zCols.mkString(",")}/bits=${mf.bits})"))
     val m = m0.getOrElse(LayoutManifest(zCols, bits, files, epoch = 0L,
       base = if (fs.exists(dir)) listDataFiles(dir) else Nil, appends = Nil))
+    // claim with the BATCH ID as token: a checkpoint replay of a crashed
+    // batch is the same logical writer and ADOPTS its own claim; a
+    // different writer (or a different batch) fails loudly
+    claimEpoch(dir, m.epoch + 1, s"b$batchId")
     val tmp = ScopedCommit.tmpDir(dir)
     fs.delete(tmp, true)
     zorderStage(df, zCols, files, bits).write.mode("overwrite").parquet(tmp.toString)
@@ -351,12 +408,15 @@ class Store(spark: SparkSession, baseDir: String) {
       if (staged.isEmpty) 0L else spark.read.parquet(tmp.toString).count()
     if (stagedRows == 0L) {
       LayoutManifest.write(fs, dir, m.copy(lastBatch = Some(batchId)))
+      // no epoch bump for an empty batch — release the claim it took
+      fs.delete(LayoutManifest.claimPath(dir, m.epoch + 1), false)
       fs.delete(tmp, true)
       refreshCatalog(dir)
       return true
     }
     val renames = staged.map(s => s -> s"part-b$batchId-${s.stripPrefix("part-")}")
-    val newM = m.copy(appends = m.appends :+ renames.map(_._2).sorted,
+    val newM = m.copy(epoch = m.epoch + 1,
+      appends = m.appends :+ renames.map(_._2).sorted,
       lastBatch = Some(batchId))
     ScopedCommit.write(fs, dir, renames, deletes = Nil, manifest = Some(newM))
     ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
@@ -413,6 +473,7 @@ class Store(spark: SparkSession, baseDir: String) {
       .map(n => fs.getFileStatus(new Path(dir, n)).getLen).sum
     if (appendAll.isEmpty)
       return ScopedStats(base.size, 0, 0, 0L, totalBytes)
+    claimEpoch(dir, m.epoch + 1, java.util.UUID.randomUUID.toString)
     val rects = FileRect.readAll(spark, dir.toString, base ++ appendAll, m.zCols)
     val aRects = appendAll.map(rects)
     val erodedBase = base.filter(b => aRects.exists(rects(b).intersects))
@@ -440,7 +501,10 @@ class Store(spark: SparkSession, baseDir: String) {
     val newManifest = LayoutManifest(m.zCols, m.bits, m.files, epoch,
       base = (kept ++ renames.map(_._2)).sorted, appends = Nil,
       lastBatch = m.lastBatch)
-    ScopedCommit.write(fs, dir, renames, deletes = rewrite, manifest = Some(newManifest))
+    // rewritten originals are RETIRED, not deleted: every prior epoch's
+    // manifest keeps resolving them until an explicit vacuum reclaims
+    ScopedCommit.write(fs, dir, renames, deletes = Nil, manifest = Some(newManifest),
+      retires = rewrite)
     ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
     refreshCatalog(dir)
     ScopedStats(kept.size, rewrite.size, staged.size, rewrittenBytes, totalBytes)
@@ -524,6 +588,8 @@ class Store(spark: SparkSession, baseDir: String) {
       .map(r => new Path(new java.net.URI(r.getString(0))).getName).toSeq.sorted
     val total = listDataFiles(dir)
     if (touchedNames.isEmpty) return CowResult(0, total.size, 0L, 0L, 0L)
+    LayoutManifest.read(fs, dir).foreach(m =>
+      claimEpoch(dir, m.epoch + 1, java.util.UUID.randomUUID.toString))
     val region = spark.read.parquet(touchedNames.map(n => s"$dir/$n"): _*)
     // one scan for both stats (the touched region is re-read once more by
     // the staging write below; a separate count per stat would triple the
@@ -556,7 +622,12 @@ class Store(spark: SparkSession, baseDir: String) {
         .filter(_.nonEmpty)
       m.copy(epoch = epoch, base = m.base.filterNot(touchedSet), appends = layers)
     }
-    ScopedCommit.write(fs, dir, renames, deletes = touchedNames, manifest = newM)
+    // manifest-tracked tables RETIRE the touched originals (prior epochs
+    // stay readable until vacuum); a plain parquet table has no history to
+    // serve, so retiring would only strand unreachable bytes — delete
+    ScopedCommit.write(fs, dir, renames,
+      deletes = if (newM.isDefined) Nil else touchedNames, manifest = newM,
+      retires = if (newM.isDefined) touchedNames else Nil)
     ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
     refreshCatalog(dir)
     CowResult(touchedNames.size, total.size - touchedNames.size, regionRows, stagedRows,
@@ -588,7 +659,14 @@ class Store(spark: SparkSession, baseDir: String) {
     val m = LayoutManifest.read(fs, dir).getOrElse(throw new IllegalStateException(
       s"$rel has no layout manifest — erosionStats needs layout provenance"))
     val onDisk = listDataFiles(dir)
-    val rects = FileRect.readAll(spark, dir.toString, onDisk, m.zCols).values.toSeq
+    // zero-row files (Spark's schema-only empty-write shape, e.g. the file
+    // a fully-deleted COW region promotes to keep the table readable) can
+    // never compete with a probe — mirroring FileRect.intersects' rows
+    // guard; counting them as probability-1 in every dimension would let
+    // ONE such file permanently inflate the statistic by ~1 and trip
+    // maintainZordered into rewrites that change nothing
+    val rects = FileRect.readAll(spark, dir.toString, onDisk, m.zCols)
+      .values.toSeq.filter(_.rows > 0L)
     val perDim = m.zCols.indices.map { d =>
       val bounds = rects.flatMap(r => for (a <- r.lo(d); b <- r.hi(d)) yield (a, b))
       val statless = rects.size - bounds.size
@@ -608,10 +686,232 @@ class Store(spark: SparkSession, baseDir: String) {
     * recluster the eroded scope only when the expected probe cost exceeds
     * `maxTouchedPerProbe`, otherwise leave the table byte-identical.
     * Returns the pass's stats when it ran.
+    *
+    * `maxAppendFiles` is the SMALL-FILE trigger the erosion statistic
+    * cannot see: many thin append layers in fresh key space never erode a
+    * base rect (each probe still touches few files), but every scan pays
+    * their per-file open/footer overhead — and [[compact]] correctly
+    * refuses curve tables. When the accreted append-layer file count
+    * crosses the threshold, the scoped pass runs anyway: append files are
+    * always in its rewrite region, so thin layers fold into ~file-sized
+    * output (output count scales with rewritten bytes) while untouched
+    * base files still never move.
     */
-  def maintainZordered(rel: String, maxTouchedPerProbe: Double): Option[ScopedStats] = {
+  def maintainZordered(rel: String, maxTouchedPerProbe: Double,
+                       maxAppendFiles: Option[Int] = None): Option[ScopedStats] = {
     val e = erosionStats(rel)
-    if (e.touchedPerProbe > maxTouchedPerProbe) Some(scopedRecluster(rel)) else None
+    if (e.touchedPerProbe > maxTouchedPerProbe ||
+        maxAppendFiles.exists(e.appendFiles > _)) Some(scopedRecluster(rel))
+    else None
+  }
+
+  // ---- snapshot retention / time travel over the manifest epochs ---------
+  //
+  // Every layout mutator above commits a NEW manifest epoch (journaled
+  // where several files move together) and snapshots it under the hidden
+  // `.graft_history/v<epoch>`; replaced data files are RETIRED into
+  // `.graft_retired/` (one atomic rename each) instead of deleted. The
+  // result is Delta/Iceberg-style versioned reads on a path-addressed
+  // store: a manifest snapshot pins an exact file set, the files stay
+  // resolvable until an explicit [[vacuum]], and physical deletion is a
+  // separate, crash-replayable maintenance decision instead of a side
+  // effect of every mutation. Reference anchor: the reference pipeline
+  // versions its CSV artifacts through DVC pointer history
+  // (/root/reference/.dvc/config:1-6); [[Versioning]] mirrors that for
+  // the export artifacts, and THIS brings the same property to the
+  // parquet layout stores a 100 TB operator actually serves from.
+
+  /** Epochs currently readable via [[readVersion]], ascending. Only real
+    * `v<epoch>` snapshots count (`c<epoch>` CLAIM tokens — [[claimEpoch]]
+    * — share the history dir but are not versions).
+    */
+  def listVersions(rel: String): Seq[Long] = {
+    val hd = LayoutManifest.historyDir(new Path(s"$baseDir/$rel"))
+    if (!fs.exists(hd)) Nil
+    else fs.listStatus(hd).toSeq
+      .filter(st => st.isFile && st.getLen > 0L && st.getPath.getName.startsWith("v"))
+      .flatMap(st => scala.util.Try(st.getPath.getName.stripPrefix("v").toLong).toOption)
+      .sorted
+  }
+
+  /** Multi-writer guard — the manifest-epoch CAS: atomically CLAIM
+    * `newEpoch` before any data motion, by exclusive-create of
+    * `.graft_history/c<newEpoch>` (create-if-absent is atomic on
+    * local/HDFS semantics). Of two concurrent mutators that both read
+    * manifest epoch N and both try to claim N+1, exactly one proceeds —
+    * the loser fails LOUDLY here with the table untouched, instead of the
+    * two interleaving through the shared stage dir and corrupting the
+    * journal (the single-writer contract, now enforced, not just
+    * documented). The committing manifest write releases the claim
+    * ([[LayoutManifest.write]]), so claims never outlive their epoch
+    * transition; claims BELOW the committed epoch are finished by
+    * definition (only their holder could have advanced the manifest past
+    * them) and are swept here, so a crash between commit and release
+    * never wedges the table.
+    *
+    * `token` is the claim's content: a replayable writer (the
+    * exactly-once streaming sink) passes its batch id and may ADOPT a
+    * claim carrying the same token — a checkpoint replay of the crashed
+    * batch is the same logical writer continuing, not a concurrent one.
+    * Unique-token claims (every other mutator) are never adoptable; a
+    * crash between claim and commit leaves the FRONTIER claim blocking
+    * mutations until [[releaseStaleClaims]] — fail-loud beats
+    * fail-corrupt, and automatic frontier cleanup would reintroduce the
+    * exact lost-claim race the guard exists to prevent.
+    */
+  private def claimEpoch(dir: Path, newEpoch: Long, token: String): Unit = {
+    val hd = LayoutManifest.historyDir(dir)
+    fs.mkdirs(hd)
+    // sweep finished claims (epoch transitions the manifest already moved
+    // past) — safe concurrently: only the finished holder's own release
+    // races this delete, and both delete the same dead file
+    fs.listStatus(hd).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("c") &&
+          scala.util.Try(n.stripPrefix("c").toLong).toOption.exists(_ < newEpoch))
+        fs.delete(st.getPath, false)
+    }
+    val hp = LayoutManifest.claimPath(dir, newEpoch)
+    val created =
+      try { val out = fs.create(hp, false); out.write(token.getBytes("UTF-8")); out.close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!created) {
+      val existing =
+        try LayoutManifest.readLines(fs, hp).mkString("\n")
+        catch { case _: Exception => "" }
+      // adopt our own replayed claim (same token); anything else is a
+      // concurrent or crashed OTHER writer
+      if (existing != token || token.isEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"epoch $newEpoch of $dir is already claimed by another writer " +
+            s"(claim='${existing.take(40)}') — a concurrent mutation is in flight, or one " +
+            "crashed mid-commit; if no writer is live, run releaseStaleClaims(rel)")
+    }
+  }
+
+  /** Admin release of a crashed writer's FRONTIER epoch claim (epoch
+    * beyond the committed manifest): run only when no writer is live —
+    * the explicit operator override of the fail-loud claim. Finished
+    * claims below the frontier self-sweep in [[claimEpoch]]; committed
+    * snapshots are [[vacuum]]'s to manage.
+    */
+  def releaseStaleClaims(rel: String): Int = {
+    val dir = new Path(s"$baseDir/$rel")
+    Store.recoverSwap(fs, dir)
+    ScopedCommit.recover(fs, dir)
+    val m = LayoutManifest.read(fs, dir).getOrElse(throw new IllegalStateException(
+      s"$rel has no layout manifest — nothing to release"))
+    val hd = LayoutManifest.historyDir(dir)
+    if (!fs.exists(hd)) return 0
+    var released = 0
+    fs.listStatus(hd).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("c") &&
+          scala.util.Try(n.stripPrefix("c").toLong).toOption.exists(_ > m.epoch)) {
+        fs.delete(st.getPath, false)
+        released += 1
+      }
+    }
+    released
+  }
+
+  /** Read the table exactly as it stood at manifest `epoch` — the file
+    * set is resolved from that epoch's history snapshot against the live
+    * directory and the retired dir, NEVER from a listing, so the result
+    * is immune to concurrent appends/optimizes committed since (and to
+    * the mid-commit duplicate window a listing-based read of the live
+    * directory can hit). Fails loudly when the epoch was vacuumed.
+    * O(1) data reads beyond the epoch's own files: resolution is two
+    * directory listings of metadata.
+    */
+  def readVersion(rel: String, epoch: Long): DataFrame = {
+    val dir = new Path(s"$baseDir/$rel")
+    Store.recoverSwap(fs, dir)
+    ScopedCommit.recover(fs, dir)
+    val hp = new Path(LayoutManifest.historyDir(dir), s"v$epoch")
+    // an in-flight/crashed CLAIM (see claimEpoch) is not a snapshot
+    if (!fs.exists(hp) || fs.getFileStatus(hp).getLen == 0L ||
+        { val ls = LayoutManifest.readLines(fs, hp); !ls.exists(_.startsWith("zcols=")) })
+      throw new IllegalStateException(
+        s"epoch $epoch of $rel is not readable — vacuumed, never committed, or an " +
+          s"unfinished claim (available: ${listVersions(rel).mkString(", ")})")
+    val m = LayoutManifest.fromLines(LayoutManifest.readLines(fs, hp))
+    val live = listDataFiles(dir).toSet
+    val rd = LayoutManifest.retiredDir(dir)
+    val retired =
+      if (fs.exists(rd)) fs.listStatus(rd).map(_.getPath.getName).toSet
+      else Set.empty[String]
+    val paths = m.allFiles.map { n =>
+      if (live(n)) s"$dir/$n"
+      else if (retired(n)) s"$rd/$n"
+      else throw new IllegalStateException(
+        s"epoch $epoch of $rel references $n, which is neither live nor retired — " +
+          "the snapshot is no longer materializable; vacuum the stale epoch")
+    }
+    require(paths.nonEmpty, s"epoch $epoch of $rel lists no data files")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Manifest-driven read of the CURRENT epoch — the duplicate-free
+    * alternative to listing the live directory: a listing taken between a
+    * journal's rename-in and retire steps sees promoted copies AND
+    * originals at once (compact's documented window); the manifest pins
+    * exactly one file set. Use for correctness-critical reads of tables
+    * under continuous maintenance.
+    */
+  def readSnapshot(rel: String): DataFrame = {
+    val dir = new Path(s"$baseDir/$rel")
+    Store.recoverSwap(fs, dir)
+    ScopedCommit.recover(fs, dir)
+    val m = LayoutManifest.read(fs, dir).getOrElse(throw new IllegalStateException(
+      s"$rel has no layout manifest — readSnapshot needs layout provenance"))
+    readVersion(rel, m.epoch)
+  }
+
+  /** Result of a [[vacuum]] pass, for logging and specs. */
+  case class VacuumStats(keptEpochs: Seq[Long], droppedEpochs: Seq[Long],
+                         removedFiles: Int, reclaimedBytes: Long)
+
+  /** Reclaim the storage behind all but the newest `keepLast` epochs:
+    * drop their history snapshots, then delete every retired file no kept
+    * epoch references. Deletion order is the crash contract — snapshots
+    * go FIRST, so an interrupted vacuum leaves dropped epochs failing
+    * loudly at the epoch level ("not readable") rather than mid-scan on
+    * a missing data file, and a re-run completes the reclaim (idempotent:
+    * both steps are deletes keyed off what still exists). Live files are
+    * never touched — the current epoch is always kept. This is the only
+    * operation that ever physically deletes a retired byte.
+    */
+  def vacuum(rel: String, keepLast: Int): VacuumStats = {
+    require(keepLast >= 1, "vacuum must keep at least the current epoch")
+    val dir = new Path(s"$baseDir/$rel")
+    Store.recoverSwap(fs, dir)
+    ScopedCommit.recover(fs, dir)
+    val m = LayoutManifest.read(fs, dir).getOrElse(throw new IllegalStateException(
+      s"$rel has no layout manifest — vacuum needs layout provenance"))
+    val versions = listVersions(rel)
+    val keep = versions.takeRight(keepLast).toSet + m.epoch
+    val drop = versions.filterNot(keep)
+    val hd = LayoutManifest.historyDir(dir)
+    drop.foreach(e => fs.delete(new Path(hd, s"v$e"), false))
+    // union of every kept epoch's file set (+ the current manifest's, in
+    // case its snapshot write was interrupted) = what must stay resolvable
+    val referenced = keep.toSeq.sorted.flatMap { e =>
+      val p = new Path(hd, s"v$e")
+      if (fs.exists(p)) LayoutManifest.fromLines(LayoutManifest.readLines(fs, p)).allFiles
+      else Nil
+    }.toSet ++ m.allFiles
+    val rd = LayoutManifest.retiredDir(dir)
+    var removed = 0
+    var bytes = 0L
+    if (fs.exists(rd)) fs.listStatus(rd).foreach { st =>
+      if (st.isFile && !referenced(st.getPath.getName)) {
+        bytes += st.getLen
+        fs.delete(st.getPath, false)
+        removed += 1
+      }
+    }
+    VacuumStats(keep.toSeq.sorted, drop, removed, bytes)
   }
 
   /** Small-file compaction — the operational complement of continuous

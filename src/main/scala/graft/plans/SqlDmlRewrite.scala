@@ -1,0 +1,149 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{GraftBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+
+/** SQL statement face for the copy-on-write layout operators: route
+  * `DELETE FROM t WHERE …` / `UPDATE t SET … WHERE …` over cataloged
+  * path-addressed parquet tables through [[graft.io.Store.deleteWhere]] /
+  * [[graft.io.Store.updateWhere]].
+  *
+  * Stock Spark parses and fully ANALYZES both statements against a v1
+  * parquet table, then rejects them at planning ("Table does not support
+  * DELETE" — row-level ops are a v2-catalog capability). This rule runs in
+  * the post-optimizer slot (`extraOptimizations` /
+  * `injectOptimizerRule`, exactly like [[BandJoinRewrite]]) — i.e. after
+  * analysis proved the statement well-typed against the table schema and
+  * before the planner would throw — and replaces the unplannable node
+  * with a runnable command over the journaled COW machinery: one
+  * pushed-predicate scan locates the match-bearing files, only those are
+  * rewritten (re-staged through the table's own curve when it has layout
+  * provenance), untouched files never move, prior epochs stay readable
+  * via readVersion. The command returns Delta-style affected-row/file
+  * counts.
+  *
+  * Deliberately narrow preconditions — rewrite ONLY when:
+  *   - the target resolves to a v1 `LogicalRelation` over a parquet
+  *     `HadoopFsRelation` with exactly one root path and NO partition
+  *     columns (the COW rewrite re-stages files under the table root; a
+  *     dt=-partitioned table would lose its directory values);
+  *   - the condition (and every UPDATE SET value) is deterministic and
+  *     subquery-free — the expressions are re-resolved by name against a
+  *     fresh scan inside the command, which cannot host another plan;
+  *   - every UPDATE SET key is a plain top-level column.
+  * Anything else falls through to Spark's own (loud) unsupported error —
+  * never a silent behavior change.
+  */
+object SqlDmlRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case d @ DeleteFromTable(rel, cond) =>
+      locate(rel) match {
+        case Some((baseDir, name, table)) if expressible(cond, rel) =>
+          // the command carries the RESOLVED condition (an unresolved one
+          // would flunk the optimizer's stays-resolved validation); it is
+          // re-targeted by NAME against the command's own scan at run time
+          GraftCowDeleteCommand(baseDir, name, table, cond)
+        case _ => d
+      }
+    case u @ UpdateTable(rel, assignments, cond) =>
+      val condOk = cond.forall(c => expressible(c, rel))
+      val setsOk = assignments.forall(a =>
+        a.key.isInstanceOf[AttributeReference] && expressible(a.value, rel))
+      locate(rel) match {
+        case Some((baseDir, name, table)) if condOk && setsOk =>
+          val sets = assignments.map(a =>
+            a.key.asInstanceOf[AttributeReference].name -> a.value)
+          GraftCowUpdateCommand(baseDir, name, table, cond, sets)
+        case _ => u
+      }
+  }
+
+  /** Unwrap alias layers; accept a single-root, unpartitioned v1 parquet
+    * relation. Returns (store base dir, table leaf rel, display name).
+    */
+  private def locate(plan: LogicalPlan): Option[(String, String, String)] = plan match {
+    case SubqueryAlias(_, child) => locate(child)
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case h: HadoopFsRelation
+            if h.fileFormat.isInstanceOf[ParquetFileFormat] &&
+              h.partitionSchema.isEmpty && h.location.rootPaths.size == 1 =>
+          val loc = h.location.rootPaths.head
+          val table = lr.catalogTable.map(_.identifier.unquotedString)
+            .getOrElse(loc.toString)
+          Some((loc.getParent.toString, loc.getName, table))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Re-expressible against a fresh scan of the same table: deterministic,
+    * no subquery, and every reference is one of the relation's own columns
+    * (true after analysis, but cheap to assert — a future Spark could
+    * thread outer references in).
+    */
+  private def expressible(e: Expression, rel: LogicalPlan): Boolean =
+    e.deterministic && !SubqueryExpression.hasSubquery(e) &&
+      e.references.subsetOf(rel.outputSet)
+
+  /** Resolved attributes -> by-name unresolved ones, so the expression can
+    * be re-resolved against the command's own scan (the original exprIds
+    * belong to a plan that no longer exists at run time). Applied INSIDE
+    * the commands' run() — a stored unresolved expression would make the
+    * command plan itself unresolved.
+    */
+  private[plans] def denorm(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  }
+}
+
+/** `DELETE FROM` over a path-addressed parquet store, via the journaled
+  * copy-on-write [[graft.io.Store.deleteWhere]]. Output mirrors Delta's
+  * affected-count convention.
+  */
+case class GraftCowDeleteCommand(baseDir: String, rel: String, table: String,
+                                 cond: Expression) extends LeafRunnableCommand {
+
+  // no output rows: the statement's user-visible schema is the analyzed
+  // DeleteFromTable's (empty — this rewrite runs post-analysis), so
+  // emitted rows could never surface; the stats live in DeleteStats via
+  // the API face
+  override def run(spark: SparkSession): Seq[Row] = {
+    new graft.io.Store(spark, baseDir)
+      .deleteWhere(rel, GraftBridge.toColumn(SqlDmlRewrite.denorm(cond)))
+    Seq.empty
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftCowDelete $table cond=${cond.sql}"
+}
+
+/** `UPDATE … SET` over a path-addressed parquet store, via the journaled
+  * copy-on-write [[graft.io.Store.updateWhere]].
+  */
+case class GraftCowUpdateCommand(baseDir: String, rel: String, table: String,
+                                 cond: Option[Expression],
+                                 sets: Seq[(String, Expression)])
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.lit
+    val c = cond.map(e => GraftBridge.toColumn(SqlDmlRewrite.denorm(e)))
+      .getOrElse(lit(true))
+    new graft.io.Store(spark, baseDir)
+      .updateWhere(rel, c, sets.map { case (n, e) =>
+        n -> GraftBridge.toColumn(SqlDmlRewrite.denorm(e)) }.toMap)
+    Seq.empty
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftCowUpdate $table set=${sets.map(_._1).mkString(",")}"
+}

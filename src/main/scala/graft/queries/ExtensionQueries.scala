@@ -787,6 +787,62 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
     }),
+    // Snapshot retention / time travel: the layout mutators retire
+    // replaced files and snapshot every manifest epoch, so the table can
+    // be read AS OF any un-vacuumed epoch. Here a COW delete and a full
+    // recluster both mutate the table, a retention pass keeps the history,
+    // and the declared read is epoch 0 — the PRE-delete table — whose
+    // aggregate DuckDB replays over the raw events. A readVersion that
+    // peeked at the live directory instead of the epoch manifest would
+    // red this row (the live table is missing the deleted slice).
+    "x62_time_travel" -> ((s, dir) => {
+      val base = s"$scratchDir/x62"
+      val store = new graft.io.Store(s, base)
+      store.writeZordered(Tables.events(s, dir), "events_hist",
+        Seq("user_id", "ts"), files = 8)                      // epoch 0
+      store.deleteWhere("events_hist",
+        col("user_id").between(40, 49) && col("event_type") === "click") // epoch 1
+      store.recluster("events_hist", Seq("user_id", "ts"), files = 8) // epoch 2
+      store.vacuum("events_hist", keepLast = 3)               // keeps 0..2
+      store.readVersion("events_hist", 0L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+    // x60 driven through PURE SQL: `DELETE FROM` against the cataloged
+    // layout table routes through the same journaled copy-on-write
+    // deleteWhere via the SqlDmlRewrite optimizer rule (stock Spark
+    // rejects DELETE on v1 parquet tables at planning). Same oracle as
+    // x60 — the SQL face must be semantically identical to the API face.
+    "x60b_sql_delete" -> ((s, dir) => {
+      val base = s"$scratchDir/x60b"
+      val store = new graft.io.Store(s, base)
+      store.writeZordered(Tables.events(s, dir), "events_sdel",
+        Seq("user_id", "ts"), files = 8)
+      store.registerCatalog("graft_x60b_events", "events_sdel")
+      s.sql("""DELETE FROM graft_x60b_events
+              |WHERE user_id BETWEEN 40 AND 49 AND event_type = 'click'""".stripMargin)
+      s.read.parquet(s"$base/events_sdel")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+    // x61 driven through PURE SQL: `UPDATE … SET` against the cataloged
+    // layout table routes through updateWhere (same rewrite rule). Same
+    // oracle as x61.
+    "x61b_sql_update" -> ((s, dir) => {
+      val base = s"$scratchDir/x61b"
+      val store = new graft.io.Store(s, base)
+      store.writeZordered(Tables.events(s, dir), "events_supd",
+        Seq("user_id", "ts"), files = 8)
+      store.registerCatalog("graft_x61b_events", "events_supd")
+      s.sql("""UPDATE graft_x61b_events SET event_type = 'click_redacted'
+              |WHERE user_id BETWEEN 40 AND 49 AND event_type = 'click'""".stripMargin)
+      s.read.parquet(s"$base/events_supd")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     // CDC-style snapshot diff (incremental-recompute driver): one row per
     // changed key between a synthetic "previous" snapshot (missing the
     // mod-11 slice -> inserts; n_chars bumped on the mod-7 slice ->
@@ -1932,6 +1988,32 @@ object ExtensionQueries {
         |GROUP BY 1""".stripMargin,
     // SQL UPDATE semantics replayed as a CASE WHEN over the raw rows.
     "x61_cow_update" ->
+      """SELECT CASE WHEN user_id BETWEEN 40 AND 49 AND event_type = 'click'
+        |            THEN 'click_redacted' ELSE event_type END AS event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    // Epoch 0 = the table BEFORE the delete and the recluster: the time
+    // travel read must reproduce the full raw table exactly.
+    "x62_time_travel" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    // The SQL face must be semantically identical to the API face: x60's
+    // oracle verbatim.
+    "x60b_sql_delete" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE NOT (user_id BETWEEN 40 AND 49 AND event_type = 'click')
+        |GROUP BY 1""".stripMargin,
+    // x61's oracle verbatim.
+    "x61b_sql_update" ->
       """SELECT CASE WHEN user_id BETWEEN 40 AND 49 AND event_type = 'click'
         |            THEN 'click_redacted' ELSE event_type END AS event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,

@@ -1,0 +1,239 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Snapshot retention / time travel laws over the layout stores: every
+  * mutator commits a new manifest epoch, retires (never deletes) replaced
+  * files, and [[Store.readVersion]] reproduces any un-vacuumed epoch
+  * EXACTLY; [[Store.vacuum]] is the only physical delete, with a
+  * crash-ordering contract (snapshots drop before data, re-runs converge).
+  */
+class TimeTravelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("every layout mutator preserves prior epochs exactly until vacuum") {
+    val base = Files.createTempDirectory("graft_tt").toString
+    val store = new Store(spark, base)
+    val df = spark.range(4000).select(col("id").as("k"),
+      pmod(col("id") * 37, lit(4000)).as("v"))
+
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 4) // epoch 0
+    val snap = scala.collection.mutable.Map[Long, Seq[String]]()
+    snap(0L) = rows(spark.read.parquet(s"$base/tbl"))
+
+    store.appendZordered(
+      spark.range(4000, 4400).select(col("id").as("k"), (col("id") % 100).as("v")),
+      "tbl", Seq("k", "v"), files = 2)                       // epoch 1
+    snap(1L) = rows(spark.read.parquet(s"$base/tbl"))
+
+    store.scopedRecluster("tbl")                             // epoch 2
+    snap(2L) = rows(spark.read.parquet(s"$base/tbl"))
+    assert(snap(2L) == snap(1L), "scoped recluster must not change rows")
+
+    store.deleteWhere("tbl", col("k") >= 3800 && col("k") < 4200) // epoch 3
+    snap(3L) = rows(spark.read.parquet(s"$base/tbl"))
+    assert(snap(3L) != snap(2L))
+
+    store.updateWhere("tbl", col("k") < 10, Map("v" -> (col("v") + 1000000L))) // epoch 4
+    snap(4L) = rows(spark.read.parquet(s"$base/tbl"))
+
+    store.recluster("tbl", Seq("k", "v"), files = 2)         // epoch 5 (journaled)
+    snap(5L) = rows(spark.read.parquet(s"$base/tbl"))
+    assert(snap(5L) == snap(4L), "full recluster must not change rows")
+
+    assert(store.listVersions("tbl") == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    // the law: every epoch reads back EXACTLY as the table stood then
+    (0L to 5L).foreach { e =>
+      assert(rows(store.readVersion("tbl", e)) == snap(e), s"epoch $e drifted")
+    }
+    // manifest-driven current read == the newest epoch == the live listing
+    assert(rows(store.readSnapshot("tbl")) == snap(5L))
+    // the journaled full recluster leaves no swap park and no journal
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/.old_tbl")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/tbl/.graft_scoped_commit")))
+  }
+
+  test("vacuum drops old epochs loudly, keeps new ones exact, reclaims bytes, " +
+    "re-runs converge (interrupted-vacuum law)") {
+    val base = Files.createTempDirectory("graft_tt_vac").toString
+    val store = new Store(spark, base)
+    val df = spark.range(3000).select(col("id").as("k"),
+      pmod(col("id") * 13, lit(3000)).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 4)     // epoch 0
+    store.deleteWhere("tbl", col("k") < 500)                     // epoch 1
+    store.deleteWhere("tbl", col("k") >= 2500)                   // epoch 2
+    val keepRows = rows(store.readVersion("tbl", 1L))
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retired = LayoutManifest.retiredDir(dir)
+    assert(fs.exists(retired) && fs.listStatus(retired).nonEmpty,
+      "COW deletes must retire, not delete")
+
+    // interrupted-vacuum simulation: the crash contract is "history
+    // snapshot deleted, data not yet" — manufacture exactly that state
+    // for the epoch the vacuum below would drop, then run the vacuum
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      LayoutManifest.historyDir(dir), "v0"), false))
+    intercept[IllegalStateException] { store.readVersion("tbl", 0L) } // loud, epoch-level
+
+    val stats = store.vacuum("tbl", keepLast = 2)
+    assert(stats.keptEpochs == Seq(1L, 2L) && stats.droppedEpochs.isEmpty,
+      s"v0's snapshot was already gone (crash sim): $stats")
+    assert(stats.removedFiles > 0 && stats.reclaimedBytes > 0L,
+      s"the orphaned epoch-0 retirees must be reclaimed: $stats")
+    // kept epochs still read exactly; dropped one fails loudly
+    assert(rows(store.readVersion("tbl", 1L)) == keepRows)
+    assert(rows(store.readSnapshot("tbl")) ==
+      rows(spark.read.parquet(dir.toString)))
+    val err = intercept[IllegalStateException] { store.readVersion("tbl", 0L) }
+    assert(err.getMessage.contains("not readable"))
+    // idempotent: a second vacuum finds nothing more
+    val again = store.vacuum("tbl", keepLast = 2)
+    assert(again.removedFiles == 0 && again.reclaimedBytes == 0L)
+    // and keepLast=1 collapses history to the current epoch only
+    val last = store.vacuum("tbl", keepLast = 1)
+    assert(last.keptEpochs == Seq(2L) && last.droppedEpochs == Seq(1L))
+    intercept[IllegalStateException] { store.readVersion("tbl", 1L) }
+    assert(rows(store.readVersion("tbl", 2L)) ==
+      rows(spark.read.parquet(dir.toString)))
+  }
+
+  test("an interrupted journaled commit leaves every prior epoch exactly readable") {
+    val base = Files.createTempDirectory("graft_tt_crash").toString
+    val store = new Store(spark, base)
+    val df = spark.range(1000).select(col("id").as("k"), (col("id") * 7 % 1000).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 2)     // epoch 0
+    val epoch0 = rows(spark.read.parquet(s"$base/tbl"))
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fabricate a crash mid-commit: one file staged + journal written with
+    // a RETIRE of the original (the new mutator shape), nothing replayed.
+    // COPY into the stage — real staging writes NEW files from a read and
+    // leaves every original in place until the journal's retire step.
+    val victim = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("part-")).sorted.head
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".tmp_scoped")
+    fs.mkdirs(tmp)
+    assert(org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(dir, victim), fs,
+      new org.apache.hadoop.fs.Path(tmp, victim), false,
+      spark.sparkContext.hadoopConfiguration))
+    val m = LayoutManifest.read(fs, dir).get
+    val promoted = s"part-s9-${victim.stripPrefix("part-")}"
+    ScopedCommit.write(fs, dir, renames = Seq(victim -> promoted),
+      deletes = Nil, retires = Seq(victim),
+      manifest = Some(m.copy(epoch = 9L,
+        base = (m.base.filterNot(_ == victim) :+ promoted).sorted, appends = Nil)))
+    // ANY entry (readVersion included) recovers the journal, then reads
+    assert(rows(store.readVersion("tbl", 0L)) == epoch0,
+      "epoch 0 must survive the interrupted commit byte-exactly")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".graft_scoped_commit")))
+    // the replay retired the victim rather than deleting it, so epoch 0
+    // resolves it from the retired dir; epoch 9 is the recovered current
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      LayoutManifest.retiredDir(dir), victim)))
+    assert(rows(store.readVersion("tbl", 9L)) == epoch0)
+    assert(store.listVersions("tbl") == Seq(0L, 9L))
+  }
+
+  test("epoch claims: a concurrent mutator fails loudly with the table intact; " +
+    "exactly-once replays adopt their own claim; commits release claims") {
+    val base = Files.createTempDirectory("graft_tt_cas").toString
+    val store = new Store(spark, base)
+    val df = spark.range(500).select(col("id").as("k"), (col("id") % 100).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 2)      // epoch 0
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def triples() = fs.listStatus(dir).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime)).toSet
+    // writer A is mid-flight: it holds the claim for epoch 1
+    fs.mkdirs(LayoutManifest.historyDir(dir))
+    val o = fs.create(LayoutManifest.claimPath(dir, 1L), false)
+    o.write("other-writer".getBytes("UTF-8")); o.close()
+    val before = triples()
+    val batch = spark.range(500, 550).select(col("id").as("k"), (col("id") % 100).as("v"))
+    intercept[java.util.ConcurrentModificationException] {
+      store.appendZordered(batch, "tbl", Seq("k", "v"), files = 1)
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      store.deleteWhere("tbl", col("k") < 10)
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      store.appendZorderedExactlyOnce(batch, "tbl", Seq("k", "v"), batchId = 3L)
+    }
+    assert(triples() == before, "losing mutators must leave the table untouched")
+    assert(rows(spark.read.parquet(dir.toString)) == rows(store.readVersion("tbl", 0L)))
+    // A crashed before committing: the frontier claim releases explicitly
+    assert(store.releaseStaleClaims("tbl") == 1)
+    store.appendZordered(batch, "tbl", Seq("k", "v"), files = 1)  // epoch 1
+    assert(!fs.exists(LayoutManifest.claimPath(dir, 1L)), "commit must release the claim")
+    // exactly-once adoption: a crashed batch-7 writer left its claim; the
+    // checkpoint REPLAY of batch 7 adopts it, any other batch fails loudly
+    val o2 = fs.create(LayoutManifest.claimPath(dir, 2L), false)
+    o2.write("b7".getBytes("UTF-8")); o2.close()
+    intercept[java.util.ConcurrentModificationException] {
+      store.appendZorderedExactlyOnce(
+        spark.range(550, 560).select(col("id").as("k"), (col("id") % 100).as("v")),
+        "tbl", Seq("k", "v"), batchId = 8L)
+    }
+    assert(store.appendZorderedExactlyOnce(
+      spark.range(550, 560).select(col("id").as("k"), (col("id") % 100).as("v")),
+      "tbl", Seq("k", "v"), batchId = 7L), "the replaying batch must adopt its own claim")
+    assert(!fs.exists(LayoutManifest.claimPath(dir, 2L)))
+    assert(spark.read.parquet(dir.toString).count() == 560)
+  }
+
+  test("maintainZordered size-trigger folds accreted thin append layers " +
+    "without touching disjoint base files") {
+    val base = Files.createTempDirectory("graft_tt_thin").toString
+    val store = new Store(spark, base)
+    // base layout over k 0..10000; thin appends land in FRESH key space
+    // (k >= 10000), so rects never erode the base — only the file count grows
+    val df = spark.range(10000).select(col("id").as("k"),
+      pmod(col("id") * 37, lit(10000)).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 4)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def liveTriples() = fs.listStatus(dir).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime)).toSet
+    val baseTriples = liveTriples()
+    (0 until 5).foreach { i =>
+      store.appendZordered(
+        spark.range(10000 + i * 100, 10100 + i * 100)
+          .select(col("id").as("k"), (col("id") % 50).as("v")),
+        "tbl", Seq("k", "v"), files = 2)
+    }
+    val want = rows(spark.read.parquet(dir.toString))
+    val e = store.erosionStats("tbl")
+    assert(e.appendLayers == 5 && e.appendFiles >= 5)
+    // erosion alone does not trip (generous touched threshold), so without
+    // the size trigger the thin layers would accrete forever
+    assert(store.maintainZordered("tbl", maxTouchedPerProbe = e.touchedPerProbe + 1).isEmpty)
+    val stats = store.maintainZordered("tbl", maxTouchedPerProbe = e.touchedPerProbe + 1,
+      maxAppendFiles = Some(4))
+    assert(stats.nonEmpty, "file-count trigger must fire past the threshold")
+    // disjoint-key appends: every base file kept byte/mtime-identical,
+    // layers folded to zero, rows identical
+    assert(baseTriples.subsetOf(liveTriples()),
+      "size-triggered pass must not rewrite disjoint base files")
+    val after = store.erosionStats("tbl")
+    assert(after.appendLayers == 0 && after.appendFiles == 0)
+    assert(rows(spark.read.parquet(dir.toString)) == want)
+    // bounded output: the folded layers land in few right-sized files, not
+    // one per original layer
+    assert(liveTriples().size <= baseTriples.size + 2,
+      s"thin layers not folded: ${liveTriples().size} files")
+  }
+}
