@@ -188,5 +188,85 @@ object CurveAb {
       val pAvgH = pairs3.map(t(byH3, _)).sum / pairs3.size
       println(f"files=$files%-4d  $s   pair-avg z=$pAvgZ%6.2f h=$pAvgH%6.2f")
     }
+
+    // ---- 4-key tier: (user_id, ts, value, event_id) -----------------------
+    // The question a four-key layout must answer BEFORE shipping: does the
+    // Hilbert advantage survive a fourth interleaved dimension, or has
+    // per-dim locality diluted to where the curves tie?
+    println("--- 4-D: (user_id, ts, value, event_id), Morton vs Skilling-Hilbert ---")
+    def zIndexK(bs: Array[Int]): Long = {
+      val k = bs.length
+      var z = 0L
+      for (i <- 0 until BITS; d <- 0 until k)
+        z |= ((bs(d) >> i) & 1).toLong << (k * i + d)
+      z
+    }
+    val rows4 = graft.Tables.events(spark, sf)
+      .select(col("user_id").cast("double"), col("ts").cast("double"),
+        col("value").cast("double"), col("event_id").cast("double"))
+      .collect().map(r => Array(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val b4 = Array.tabulate(4)(d => bucketize(rows4.map(_(d))))
+    val idx4 = rows4.indices.toArray
+    val byZ4 = idx4.sortBy(i => (zIndexK(Array(b4(0)(i), b4(1)(i), b4(2)(i), b4(3)(i))), i))
+    val byH4 = idx4.sortBy(i => (hilbertIndexN(Array(b4(0)(i), b4(1)(i), b4(2)(i), b4(3)(i))), i))
+    val singles4 = (0 until 4).map(ci =>
+      (0 until 16).map(j => Seq((ci, j * w, j * w + w - 1))))
+    val pairs4 = for (ci <- 0 until 4; cj <- ci + 1 until 4) yield
+      (for (jx <- 0 until 16; jy <- 0 until 16)
+        yield Seq((ci, jx * w, jx * w + w - 1), (cj, jy * w, jy * w + w - 1))).toSeq
+    for (files <- Seq(16, 64, 256)) {
+      def t(o: Array[Int], p: Seq[Seq[(Int, Int, Int)]]) = filesTouched(o, b4, files, p)
+      val s = singles4.zipWithIndex.map { case (p, ci) =>
+        f"dim$ci z=${t(byZ4, p)}%6.2f h=${t(byH4, p)}%6.2f" }.mkString("  ")
+      val pAvgZ = pairs4.map(t(byZ4, _)).sum / pairs4.size
+      val pAvgH = pairs4.map(t(byH4, _)).sum / pairs4.size
+      println(f"files=$files%-4d  $s   pair-avg z=$pAvgZ%6.2f h=$pAvgH%6.2f")
+    }
+    // bijection + unit-adjacency of the n-D transform at n=4 over a small
+    // grid (4 bits -> 65536 cells), mirroring the n=2/n=3 laws in
+    // FunctionsSpec — a broken transform would invalidate the A/B above
+    val g4 = 1 << 4
+    def h4(a: Int, b: Int, c: Int, d: Int): Long = {
+      // 4-bit variant of hilbertIndexN (BITS is fixed at 6 above): inline
+      // Skilling at bits=4 via masking the transform's inputs/outputs
+      val bsLocal = 4
+      val x = Array(a, b, c, d)
+      val m = 1 << (bsLocal - 1)
+      var q = m
+      while (q > 1) {
+        val p = q - 1
+        var i = 0
+        while (i < 4) {
+          if ((x(i) & q) != 0) x(0) ^= p
+          else { val t0 = (x(0) ^ x(i)) & p; x(0) ^= t0; x(i) ^= t0 }
+          i += 1
+        }
+        q >>= 1
+      }
+      var i = 1
+      while (i < 4) { x(i) ^= x(i - 1); i += 1 }
+      var t0 = 0
+      q = m
+      while (q > 1) { if ((x(3) & q) != 0) t0 ^= q - 1; q >>= 1 }
+      i = 0
+      while (i < 4) { x(i) ^= t0; i += 1 }
+      var h = 0L
+      var bbit = bsLocal - 1
+      while (bbit >= 0) {
+        i = 0
+        while (i < 4) { h = (h << 1) | ((x(i) >> bbit) & 1).toLong; i += 1 }
+        bbit -= 1
+      }
+      h
+    }
+    val all4 = for (a <- 0 until g4; b <- 0 until g4; c <- 0 until g4; d <- 0 until g4)
+      yield h4(a, b, c, d) -> (a, b, c, d)
+    require(all4.map(_._1).distinct.size == g4 * g4 * g4 * g4,
+      "hilbert n-D transform not bijective at n=4")
+    val ordered4 = all4.sortBy(_._1).map(_._2)
+    require(ordered4.sliding(2).forall { case Seq((a1, b1, c1, d1), (a2, b2, c2, d2)) =>
+      (a1 - a2).abs + (b1 - b2).abs + (c1 - c2).abs + (d1 - d2).abs == 1 },
+      "hilbert n-D transform not unit-adjacent at n=4")
+    println("n=4 bijection + unit-adjacency: OK (65536 cells)")
   }
 }
