@@ -70,13 +70,18 @@ private[graft] object LayoutManifest {
   def claimPath(dir: Path, epoch: Long) = new Path(historyDir(dir), s"c$epoch")
 
   def write(fs: FileSystem, dir: Path, m: LayoutManifest): Unit = {
-    writeLinesAtomic(fs, path(dir), m.lines)
-    // history snapshot rides every manifest write: same-epoch rewrites
-    // (erosion stat refresh, empty exactly-once batches) just overwrite
-    // their own snapshot — the FILE SET per epoch never changes, which is
-    // the invariant readVersion depends on
+    // ORDER IS THE CRASH CONTRACT: snapshot first, manifest second, claim
+    // release last. The live-manifest rename is the commit point — a crash
+    // after the snapshot but before the manifest leaves only an orphan
+    // snapshot that the epoch's true commit later overwrites (same-epoch
+    // rewrites such as the erosion stat refresh do the same; the FILE SET
+    // per epoch never changes, the invariant readVersion depends on). The
+    // reverse order would let an unjournaled writer commit an epoch whose
+    // snapshot never lands — a permanent hole readSnapshot trips over.
+    // Claim release last keeps the epoch-CAS read-under-claim race-free:
+    // nobody can win the next claim until this epoch is fully visible.
     writeLinesAtomic(fs, new Path(historyDir(dir), s"v${m.epoch}"), m.lines)
-    // committing the epoch releases its claim (idempotent delete)
+    writeLinesAtomic(fs, path(dir), m.lines)
     fs.delete(claimPath(dir, m.epoch), false)
   }
 

@@ -234,29 +234,31 @@ class Store(spark: SparkSession, baseDir: String) {
       s"append layout (${zCols.mkString(",")}/bits=$bits) does not match " +
         s"the table manifest (${mf.zCols.mkString(",")}/bits=${mf.bits})"))
     // claim the next epoch BEFORE the physical append — a concurrent
-    // mutator fails loudly here with the table untouched
-    if (fs.exists(dir))
-      claimEpoch(dir, m0.map(_.epoch + 1).getOrElse(0L),
-        java.util.UUID.randomUUID.toString)
-    val before = if (fs.exists(dir)) listDataFiles(dir).toSet else Set.empty[String]
-    zorderStage(df, zCols, files, bits).write.mode("append").parquet(s"$baseDir/$rel")
-    // manifest bookkeeping: this batch's files form one append layer. A
-    // manifest-less table (foreign/pre-manifest) adopts its existing files
-    // as "base" — if they were NOT actually curve-clustered, their wide
-    // footer rectangles intersect any append and the next scoped pass
-    // rewrites them anyway (the geometry test is self-correcting; trusting
-    // provenance only ever SAVES work on genuinely pristine files).
-    val batch = (listDataFiles(dir).toSet -- before).toSeq.sorted
-    // every file-set change is a new epoch: the old epoch's snapshot stays
-    // readable via readVersion until vacuum (appends never retire files,
-    // so the prior epoch's files are all still live)
-    val m = m0 match {
-      case Some(mf) => mf.copy(epoch = mf.epoch + 1, appends = mf.appends :+ batch)
-      case None =>
-        LayoutManifest(zCols, bits, files, epoch = 0L,
-          base = before.toSeq.sorted, appends = Seq(batch))
+    // mutator fails loudly here with the table untouched. Unconditional:
+    // the first-ever write races too (claimEpoch creates the dir), and
+    // an in-process failure during the append releases the claim.
+    withEpochClaim(dir, m0.map(_.epoch + 1).getOrElse(0L),
+      m0.map(_.epoch).getOrElse(-1L), java.util.UUID.randomUUID.toString) {
+      val before = if (fs.exists(dir)) listDataFiles(dir).toSet else Set.empty[String]
+      zorderStage(df, zCols, files, bits).write.mode("append").parquet(s"$baseDir/$rel")
+      // manifest bookkeeping: this batch's files form one append layer. A
+      // manifest-less table (foreign/pre-manifest) adopts its existing files
+      // as "base" — if they were NOT actually curve-clustered, their wide
+      // footer rectangles intersect any append and the next scoped pass
+      // rewrites them anyway (the geometry test is self-correcting; trusting
+      // provenance only ever SAVES work on genuinely pristine files).
+      val batch = (listDataFiles(dir).toSet -- before).toSeq.sorted
+      // every file-set change is a new epoch: the old epoch's snapshot stays
+      // readable via readVersion until vacuum (appends never retire files,
+      // so the prior epoch's files are all still live)
+      val m = m0 match {
+        case Some(mf) => mf.copy(epoch = mf.epoch + 1, appends = mf.appends :+ batch)
+        case None =>
+          LayoutManifest(zCols, bits, files, epoch = 0L,
+            base = before.toSeq.sorted, appends = Seq(batch))
+      }
+      LayoutManifest.write(fs, dir, m)
     }
-    LayoutManifest.write(fs, dir, m)
     refreshCatalog(dir)
   }
 
@@ -325,20 +327,22 @@ class Store(spark: SparkSession, baseDir: String) {
       // scopedRecluster with the whole table as the region; layout
       // parameters (columns/bits/files) may change here.
       val m = m0.get
-      claimEpoch(target, m.epoch + 1, java.util.UUID.randomUUID.toString)
-      val current = listDataFiles(target)
-      val tmp = ScopedCommit.tmpDir(target)
-      fs.delete(tmp, true)
-      zorderStage(spark.read.parquet(target.toString), zCols, files, bits)
-        .write.mode("overwrite").parquet(tmp.toString)
-      val staged = listDataFiles(tmp)
-      val epoch = m.epoch + 1
-      val renames = staged.map(s => s -> s"part-s$epoch-${s.stripPrefix("part-")}")
-      val newM = LayoutManifest(zCols, bits, files, epoch,
-        base = renames.map(_._2).sorted, appends = Nil, lastBatch = prevBatch)
-      ScopedCommit.write(fs, target, renames, deletes = Nil,
-        manifest = Some(newM), retires = current)
-      ScopedCommit.replay(fs, target, LayoutManifest.readLines(fs, ScopedCommit.marker(target)))
+      withEpochClaim(target, m.epoch + 1, m.epoch,
+        java.util.UUID.randomUUID.toString) {
+        val current = listDataFiles(target)
+        val tmp = ScopedCommit.tmpDir(target)
+        fs.delete(tmp, true)
+        zorderStage(spark.read.parquet(target.toString), zCols, files, bits)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val staged = listDataFiles(tmp)
+        val epoch = m.epoch + 1
+        val renames = staged.map(s => s -> s"part-s$epoch-${s.stripPrefix("part-")}")
+        val newM = LayoutManifest(zCols, bits, files, epoch,
+          base = renames.map(_._2).sorted, appends = Nil, lastBatch = prevBatch)
+        ScopedCommit.write(fs, target, renames, deletes = Nil,
+          manifest = Some(newM), retires = current)
+        ScopedCommit.replay(fs, target, LayoutManifest.readLines(fs, ScopedCommit.marker(target)))
+      }
       refreshCatalog(target)
       return
     }
@@ -394,32 +398,33 @@ class Store(spark: SparkSession, baseDir: String) {
     // claim with the BATCH ID as token: a checkpoint replay of a crashed
     // batch is the same logical writer and ADOPTS its own claim; a
     // different writer (or a different batch) fails loudly
-    claimEpoch(dir, m.epoch + 1, s"b$batchId")
-    val tmp = ScopedCommit.tmpDir(dir)
-    fs.delete(tmp, true)
-    zorderStage(df, zCols, files, bits).write.mode("overwrite").parquet(tmp.toString)
-    val staged = listDataFiles(tmp)
-    // An empty batch stages either nothing or one schema-only zero-row
-    // file (Spark's empty-write shape) — record the id, promote no layer.
-    // The row-count guard matters: a promoted zero-row statless file
-    // would be treated conservatively by the erosion test without
-    // FileRect's rows guard, and is dead weight either way.
-    val stagedRows =
-      if (staged.isEmpty) 0L else spark.read.parquet(tmp.toString).count()
-    if (stagedRows == 0L) {
-      LayoutManifest.write(fs, dir, m.copy(lastBatch = Some(batchId)))
-      // no epoch bump for an empty batch — release the claim it took
-      fs.delete(LayoutManifest.claimPath(dir, m.epoch + 1), false)
+    withEpochClaim(dir, m.epoch + 1, m0.map(_.epoch).getOrElse(-1L), s"b$batchId") {
+      val tmp = ScopedCommit.tmpDir(dir)
       fs.delete(tmp, true)
-      refreshCatalog(dir)
-      return true
+      zorderStage(df, zCols, files, bits).write.mode("overwrite").parquet(tmp.toString)
+      val staged = listDataFiles(tmp)
+      // An empty batch stages either nothing or one schema-only zero-row
+      // file (Spark's empty-write shape) — record the id, promote no layer.
+      // The row-count guard matters: a promoted zero-row statless file
+      // would be treated conservatively by the erosion test without
+      // FileRect's rows guard, and is dead weight either way.
+      val stagedRows =
+        if (staged.isEmpty) 0L else spark.read.parquet(tmp.toString).count()
+      if (stagedRows == 0L) {
+        LayoutManifest.write(fs, dir, m.copy(lastBatch = Some(batchId)))
+        // no epoch bump for an empty batch — release the claim it took
+        fs.delete(LayoutManifest.claimPath(dir, m.epoch + 1), false)
+        fs.delete(tmp, true)
+      } else {
+        val renames = staged.map(s => s -> s"part-b$batchId-${s.stripPrefix("part-")}")
+        val newM = m.copy(epoch = m.epoch + 1,
+          appends = m.appends :+ renames.map(_._2).sorted,
+          lastBatch = Some(batchId))
+        ScopedCommit.write(fs, dir, renames, deletes = Nil, manifest = Some(newM))
+        ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
+      }
+      ()
     }
-    val renames = staged.map(s => s -> s"part-b$batchId-${s.stripPrefix("part-")}")
-    val newM = m.copy(epoch = m.epoch + 1,
-      appends = m.appends :+ renames.map(_._2).sorted,
-      lastBatch = Some(batchId))
-    ScopedCommit.write(fs, dir, renames, deletes = Nil, manifest = Some(newM))
-    ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
     refreshCatalog(dir)
     true
   }
@@ -473,7 +478,7 @@ class Store(spark: SparkSession, baseDir: String) {
       .map(n => fs.getFileStatus(new Path(dir, n)).getLen).sum
     if (appendAll.isEmpty)
       return ScopedStats(base.size, 0, 0, 0L, totalBytes)
-    claimEpoch(dir, m.epoch + 1, java.util.UUID.randomUUID.toString)
+    withEpochClaim(dir, m.epoch + 1, m.epoch, java.util.UUID.randomUUID.toString) {
     val rects = FileRect.readAll(spark, dir.toString, base ++ appendAll, m.zCols)
     val aRects = appendAll.map(rects)
     val erodedBase = base.filter(b => aRects.exists(rects(b).intersects))
@@ -508,6 +513,7 @@ class Store(spark: SparkSession, baseDir: String) {
     ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
     refreshCatalog(dir)
     ScopedStats(kept.size, rewrite.size, staged.size, rewrittenBytes, totalBytes)
+    }
   }
 
   /** Result of a [[deleteWhere]] pass, for logging and specs. */
@@ -588,8 +594,24 @@ class Store(spark: SparkSession, baseDir: String) {
       .map(r => new Path(new java.net.URI(r.getString(0))).getName).toSeq.sorted
     val total = listDataFiles(dir)
     if (touchedNames.isEmpty) return CowResult(0, total.size, 0L, 0L, 0L)
-    LayoutManifest.read(fs, dir).foreach(m =>
-      claimEpoch(dir, m.epoch + 1, java.util.UUID.randomUUID.toString))
+    // ONE manifest read feeds the claim, the staging curve, and the
+    // committed epoch — split reads could diverge and release the wrong
+    // claim; manifest-less (plain parquet) tables have no epochs to guard
+    val m0 = LayoutManifest.read(fs, dir)
+    def body(): CowResult = cowRewriteBody(dir, cond, prefix, transform,
+      touchedNames, total.size, m0)
+    m0 match {
+      case Some(m) =>
+        withEpochClaim(dir, m.epoch + 1, m.epoch,
+          java.util.UUID.randomUUID.toString)(body())
+      case None => body()
+    }
+  }
+
+  private def cowRewriteBody(dir: Path, cond: org.apache.spark.sql.Column,
+                             prefix: String, transform: DataFrame => DataFrame,
+                             touchedNames: Seq[String], totalFiles: Int,
+                             m0: Option[LayoutManifest]): CowResult = {
     val region = spark.read.parquet(touchedNames.map(n => s"$dir/$n"): _*)
     // one scan for both stats (the touched region is re-read once more by
     // the staging write below; a separate count per stat would triple the
@@ -598,7 +620,6 @@ class Store(spark: SparkSession, baseDir: String) {
     val regionRows = statsRow.getLong(0)
     val matchRows = statsRow.getLong(1)
     val out = transform(region)
-    val m0 = LayoutManifest.read(fs, dir)
     val tmp = ScopedCommit.tmpDir(dir)
     fs.delete(tmp, true)
     val staged0 = m0 match {
@@ -630,7 +651,7 @@ class Store(spark: SparkSession, baseDir: String) {
       retires = if (newM.isDefined) touchedNames else Nil)
     ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
     refreshCatalog(dir)
-    CowResult(touchedNames.size, total.size - touchedNames.size, regionRows, stagedRows,
+    CowResult(touchedNames.size, totalFiles - touchedNames.size, regionRows, stagedRows,
       matchRows)
   }
 
@@ -678,7 +699,16 @@ class Store(spark: SparkSession, baseDir: String) {
       }
     }
     val touched = perDim.max
-    LayoutManifest.write(fs, dir, m.copy(touched = Some(touched)))
+    // the stat refresh rewrites the live manifest (same epoch), so it must
+    // hold the SAME serialization the mutators do: claim the next epoch for
+    // the duration of the write (validating the manifest is still at
+    // m.epoch under the claim), release after. Without this, a measure
+    // racing a committed mutation could roll the manifest back to a stale
+    // epoch and clobber the new snapshot.
+    withEpochClaim(dir, m.epoch + 1, m.epoch, java.util.UUID.randomUUID.toString) {
+      LayoutManifest.write(fs, dir, m.copy(touched = Some(touched)))
+    }
+    fs.delete(LayoutManifest.claimPath(dir, m.epoch + 1), false)
     ErosionStats(m.base.size, m.appends.size, m.appends.map(_.size).sum, touched)
   }
 
@@ -759,7 +789,8 @@ class Store(spark: SparkSession, baseDir: String) {
     * fail-corrupt, and automatic frontier cleanup would reintroduce the
     * exact lost-claim race the guard exists to prevent.
     */
-  private def claimEpoch(dir: Path, newEpoch: Long, token: String): Unit = {
+  private def claimEpoch(dir: Path, newEpoch: Long, prevEpoch: Long,
+                         token: String): Unit = {
     val hd = LayoutManifest.historyDir(dir)
     fs.mkdirs(hd)
     // sweep finished claims (epoch transitions the manifest already moved
@@ -774,7 +805,13 @@ class Store(spark: SparkSession, baseDir: String) {
     val hp = LayoutManifest.claimPath(dir, newEpoch)
     val created =
       try { val out = fs.create(hp, false); out.write(token.getBytes("UTF-8")); out.close(); true }
-      catch { case _: java.io.IOException => false }
+      catch {
+        case e: java.io.IOException =>
+          // only an EXISTING claim is a conflict; any other create failure
+          // (permissions, safe-mode, network) must stay a loud I/O error,
+          // not a misleading "another writer" message
+          if (fs.exists(hp)) false else throw e
+      }
     if (!created) {
       val existing =
         try LayoutManifest.readLines(fs, hp).mkString("\n")
@@ -786,6 +823,45 @@ class Store(spark: SparkSession, baseDir: String) {
           s"epoch $newEpoch of $dir is already claimed by another writer " +
             s"(claim='${existing.take(40)}') — a concurrent mutation is in flight, or one " +
             "crashed mid-commit; if no writer is live, run releaseStaleClaims(rel)")
+    }
+    // VALIDATE after winning: the claim file is deleted when its epoch
+    // commits, so create-if-absent alone cannot distinguish "nobody is
+    // mutating" from "that transition already happened and this mutator's
+    // manifest read is stale" — a stale winner would rebuild epoch
+    // newEpoch from pre-transition state and silently drop the committed
+    // mutation from provenance. `prevEpoch` is what the caller READ (-1
+    // for a manifest-less/fresh table); the re-read under the held claim
+    // is race-free: every epoch-advancing commit happens under its claim
+    // and releases it only after the manifest rename is visible.
+    val committed = LayoutManifest.read(fs, dir).map(_.epoch).getOrElse(-1L)
+    if (committed != prevEpoch) {
+      fs.delete(hp, false) // our claim; release before failing
+      throw new java.util.ConcurrentModificationException(
+        s"table at $dir advanced to epoch $committed since this mutator read it " +
+          s"(expected $prevEpoch) — re-read the table and retry")
+    }
+  }
+
+  /** Run a mutator body under an epoch claim, releasing the claim when an
+    * IN-PROCESS failure aborts before anything committed — a thrown
+    * validation error or failed staging job must not wedge the table's
+    * write path behind a dead claim (hard crashes still need
+    * [[releaseStaleClaims]]: a dead process cannot release anything).
+    * The release is skipped when a commit journal exists — from that
+    * point the journal replays to completion and its manifest write
+    * releases the claim itself.
+    */
+  private def withEpochClaim[T](dir: Path, newEpoch: Long, prevEpoch: Long,
+                                token: String)(body: => T): T = {
+    claimEpoch(dir, newEpoch, prevEpoch, token)
+    try body
+    catch {
+      case e: Throwable =>
+        try {
+          if (!fs.exists(ScopedCommit.marker(dir)))
+            fs.delete(LayoutManifest.claimPath(dir, newEpoch), false)
+        } catch { case _: Exception => () } // never mask the real failure
+        throw e
     }
   }
 
@@ -818,11 +894,19 @@ class Store(spark: SparkSession, baseDir: String) {
   /** Read the table exactly as it stood at manifest `epoch` — the file
     * set is resolved from that epoch's history snapshot against the live
     * directory and the retired dir, NEVER from a listing, so the result
-    * is immune to concurrent appends/optimizes committed since (and to
-    * the mid-commit duplicate window a listing-based read of the live
-    * directory can hit). Fails loudly when the epoch was vacuumed.
-    * O(1) data reads beyond the epoch's own files: resolution is two
-    * directory listings of metadata.
+    * can never contain duplicates or miss rows (the mid-commit window a
+    * listing-based read of the live directory can hit). Fails loudly when
+    * the epoch was vacuumed. O(1) data reads beyond the epoch's own
+    * files: resolution is two directory listings of metadata.
+    *
+    * Concurrency boundary: resolution is eager but the returned frame is
+    * lazy — a maintenance pass that RETIRES a resolved-live file (or a
+    * vacuum that deletes a resolved-retired one) between resolution and
+    * the action fails the scan with a missing-file error: loud, never
+    * wrong. Readers that must overlap maintenance should retry on that
+    * error (re-resolution finds the file at its new home) or act
+    * promptly after resolving; reads of vacuum-retained epochs against a
+    * paused writer are exact by construction.
     */
   def readVersion(rel: String, epoch: Long): DataFrame = {
     val dir = new Path(s"$baseDir/$rel")

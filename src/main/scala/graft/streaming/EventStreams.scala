@@ -484,10 +484,19 @@ object EventStreams {
     * time and scoped to erosion. This is the standard lakehouse
     * streaming-ingest discipline (append cheap + amortized OPTIMIZE)
     * with the layout, journal, and idempotence in one place.
+    *
+    * Retention: each scoped pass RETIRES the files it rewrites (time
+    * travel), so a long-running sink's retired bytes grow at the
+    * maintenance rewrite rate unless something reclaims them —
+    * `keepVersions` bounds that by vacuuming down to the newest N epochs
+    * on the same cadence as the scoped pass (the only step here that
+    * retires anything). Default 8: about the last 8 micro-batch commits
+    * stay time-travel readable. 0 disables vacuuming (retain everything;
+    * the operator owns reclamation).
     */
   def zorderedAppendSink(stream: DataFrame, tableDir: String, zCols: Seq[String],
                          checkpointDir: String, files: Int = 8, bits: Int = 6,
-                         reclusterEvery: Int = 0)
+                         reclusterEvery: Int = 0, keepVersions: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -500,8 +509,10 @@ object EventStreams {
         // is a checkpoint replay (committed before a crash, re-delivered
         // now), the maintenance it owed must still run — scopedRecluster
         // is idempotent and near-free when nothing eroded
-        if (reclusterEvery > 0 && (batchId + 1) % reclusterEvery == 0)
+        if (reclusterEvery > 0 && (batchId + 1) % reclusterEvery == 0) {
           store.scopedRecluster(dir.getName)
+          if (keepVersions > 0) store.vacuum(dir.getName, keepVersions)
+        }
         ()
       }
       .start()

@@ -1301,6 +1301,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(nrow.isNullAt(0))
   }
 
+  test("HilbertIndexN: bijective at n=4, unit-step adjacency (the 4-key layout law)") {
+    // exhaustive over all 65536 cells of the 16^4 grid — the law behind
+    // CurveAb's 4-D A/B (PLANS.md round 16) and any four-key writeZordered
+    val bits = 4
+    val n = 1 << bits
+    val cells = for (a <- 0 until n; b <- 0 until n; c <- 0 until n; d <- 0 until n)
+      yield (a, b, c, d,
+        graft.functions.HilbertIndexN.compute(Array(a.toLong, b.toLong, c.toLong, d.toLong), bits))
+    assert(cells.map(_._5).sorted == (0L until n.toLong * n * n * n).toList)
+    cells.sortBy(_._5).sliding(2).foreach {
+      case Seq((a1, b1, c1, d1, _), (a2, b2, c2, d2, _)) =>
+        assert(math.abs(a1 - a2) + math.abs(b1 - b2) +
+          math.abs(c1 - c2) + math.abs(d1 - d2) == 1,
+          s"jump between curve steps: ($a1,$b1,$c1,$d1) -> ($a2,$b2,$c2,$d2)")
+    }
+  }
+
   test("SortedIntersectSize: column API and SQL registration agree with array_intersect") {
     val df = Seq(
       (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L)),

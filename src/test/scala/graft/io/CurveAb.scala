@@ -88,47 +88,15 @@ object CurveAb {
     z
   }
 
-  /** n-dimensional Hilbert index via Skilling's transform (John Skilling,
-    * "Programming the Hilbert Curve", AIP Conf. Proc. 707, 2004 — public
-    * algorithm): axes -> transposed Hilbert form in place, then the index
-    * is the bit-interleave of the transposed words (X(0) most
-    * significant). Orientation may differ from the 2-D xy2d above by a
-    * reflection — irrelevant to locality, which is what the A/B measures.
+  /** n-dimensional Hilbert index: the PRODUCTION Skilling transform
+    * ([[graft.functions.HilbertIndexN.compute]]) — the A/B measures the
+    * shipped code path, so a transform defect would corrupt these numbers
+    * rather than hide behind a drifted local copy. Orientation may differ
+    * from the 2-D xy2d above by a reflection — irrelevant to locality,
+    * which is what the A/B measures.
     */
-  private def hilbertIndexN(axes: Array[Int]): Long = {
-    val n = axes.length
-    val x = axes.clone()
-    val m = 1 << (BITS - 1)
-    // inverse undo excess work
-    var q = m
-    while (q > 1) {
-      val p = q - 1
-      var i = 0
-      while (i < n) {
-        if ((x(i) & q) != 0) x(0) ^= p
-        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
-        i += 1
-      }
-      q >>= 1
-    }
-    // Gray encode
-    var i = 1
-    while (i < n) { x(i) ^= x(i - 1); i += 1 }
-    var t = 0
-    q = m
-    while (q > 1) { if ((x(n - 1) & q) != 0) t ^= q - 1; q >>= 1 }
-    i = 0
-    while (i < n) { x(i) ^= t; i += 1 }
-    // transposed words -> single index, X(0)'s bit first at each level
-    var h = 0L
-    var b = BITS - 1
-    while (b >= 0) {
-      i = 0
-      while (i < n) { h = (h << 1) | ((x(i) >> b) & 1).toLong; i += 1 }
-      b -= 1
-    }
-    h
-  }
+  private def hilbertIndexN(axes: Array[Int]): Long =
+    graft.functions.HilbertIndexN.compute(axes.map(_.toLong), BITS)
 
   def main(args: Array[String]): Unit = {
     val spark = graft.TestSpark.spark
@@ -166,10 +134,11 @@ object CurveAb {
 
     // ---- 3-key tier: (user_id, ts, value) ---------------------------------
     println("--- 3-D: (user_id, ts, value), Morton vs Skilling-Hilbert ---")
+    // one collect serves the 3-D AND 4-D tiers (event_id rides along)
     val rows3 = graft.Tables.events(spark, sf)
       .select(col("user_id").cast("double"), col("ts").cast("double"),
-        col("value").cast("double"))
-      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+        col("value").cast("double"), col("event_id").cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
     val b3 = Array(bucketize(rows3.map(_._1)), bucketize(rows3.map(_._2)),
       bucketize(rows3.map(_._3)))
     val idx3 = rows3.indices.toArray
@@ -201,12 +170,9 @@ object CurveAb {
         z |= ((bs(d) >> i) & 1).toLong << (k * i + d)
       z
     }
-    val rows4 = graft.Tables.events(spark, sf)
-      .select(col("user_id").cast("double"), col("ts").cast("double"),
-        col("value").cast("double"), col("event_id").cast("double"))
-      .collect().map(r => Array(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
-    val b4 = Array.tabulate(4)(d => bucketize(rows4.map(_(d))))
-    val idx4 = rows4.indices.toArray
+    // the 3-D tier's bucket arrays carry over; only event_id buckets are new
+    val b4 = Array(b3(0), b3(1), b3(2), bucketize(rows3.map(_._4)))
+    val idx4 = rows3.indices.toArray
     val byZ4 = idx4.sortBy(i => (zIndexK(Array(b4(0)(i), b4(1)(i), b4(2)(i), b4(3)(i))), i))
     val byH4 = idx4.sortBy(i => (hilbertIndexN(Array(b4(0)(i), b4(1)(i), b4(2)(i), b4(3)(i))), i))
     val singles4 = (0 until 4).map(ci =>
@@ -222,43 +188,13 @@ object CurveAb {
       val pAvgH = pairs4.map(t(byH4, _)).sum / pairs4.size
       println(f"files=$files%-4d  $s   pair-avg z=$pAvgZ%6.2f h=$pAvgH%6.2f")
     }
-    // bijection + unit-adjacency of the n-D transform at n=4 over a small
-    // grid (4 bits -> 65536 cells), mirroring the n=2/n=3 laws in
-    // FunctionsSpec — a broken transform would invalidate the A/B above
+    // bijection + unit-adjacency of the PRODUCTION transform at n=4 over
+    // a small grid (4 bits -> 65536 cells) — the permanent law lives in
+    // FunctionsSpec (ExtSpec.scala) beside the n=2/n=3 laws; this inline
+    // check guards the A/B's own numbers above
     val g4 = 1 << 4
-    def h4(a: Int, b: Int, c: Int, d: Int): Long = {
-      // 4-bit variant of hilbertIndexN (BITS is fixed at 6 above): inline
-      // Skilling at bits=4 via masking the transform's inputs/outputs
-      val bsLocal = 4
-      val x = Array(a, b, c, d)
-      val m = 1 << (bsLocal - 1)
-      var q = m
-      while (q > 1) {
-        val p = q - 1
-        var i = 0
-        while (i < 4) {
-          if ((x(i) & q) != 0) x(0) ^= p
-          else { val t0 = (x(0) ^ x(i)) & p; x(0) ^= t0; x(i) ^= t0 }
-          i += 1
-        }
-        q >>= 1
-      }
-      var i = 1
-      while (i < 4) { x(i) ^= x(i - 1); i += 1 }
-      var t0 = 0
-      q = m
-      while (q > 1) { if ((x(3) & q) != 0) t0 ^= q - 1; q >>= 1 }
-      i = 0
-      while (i < 4) { x(i) ^= t0; i += 1 }
-      var h = 0L
-      var bbit = bsLocal - 1
-      while (bbit >= 0) {
-        i = 0
-        while (i < 4) { h = (h << 1) | ((x(i) >> bbit) & 1).toLong; i += 1 }
-        bbit -= 1
-      }
-      h
-    }
+    def h4(a: Int, b: Int, c: Int, d: Int): Long =
+      graft.functions.HilbertIndexN.compute(Array(a.toLong, b.toLong, c.toLong, d.toLong), 4)
     val all4 = for (a <- 0 until g4; b <- 0 until g4; c <- 0 until g4; d <- 0 until g4)
       yield h4(a, b, c, d) -> (a, b, c, d)
     require(all4.map(_._1).distinct.size == g4 * g4 * g4 * g4,

@@ -194,6 +194,31 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir.toString).count() == 560)
   }
 
+  test("an in-process mutator failure releases its epoch claim — the table " +
+    "is not wedged behind a dead claim") {
+    val base = Files.createTempDirectory("graft_tt_release").toString
+    val store = new Store(spark, base)
+    store.writeZordered(
+      spark.range(300).select(col("id").as("k"), (col("id") % 7).as("v")),
+      "tbl", Seq("k", "v"), files = 2)
+    // updateWhere validates SET columns AFTER taking the epoch claim —
+    // the thrown require must release it, or every later mutation throws
+    // ConcurrentModificationException against a writer that no longer exists
+    intercept[IllegalArgumentException] {
+      store.updateWhere("tbl", lit(true), Map("no_such_col" -> lit(1L)))
+    }
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(LayoutManifest.claimPath(dir, 1L)),
+      "failed mutator left its claim behind")
+    store.deleteWhere("tbl", col("k") < 5) // succeeds: not wedged
+    assert(spark.read.parquet(dir.toString).count() == 295)
+    // the measure-only pass also cleans up after itself
+    store.erosionStats("tbl")
+    assert(!fs.exists(LayoutManifest.claimPath(dir, 3L)))
+    store.scopedRecluster("tbl") // still not wedged after the stat refresh
+  }
+
   test("maintainZordered size-trigger folds accreted thin append layers " +
     "without touching disjoint base files") {
     val base = Files.createTempDirectory("graft_tt_thin").toString
