@@ -998,6 +998,44 @@ class Store(spark: SparkSession, baseDir: String) {
     VacuumStats(keep.toSeq.sorted, drop, removed, bytes)
   }
 
+  /** Measured retention pressure, for vacuum-or-skip decisions. */
+  case class RetentionStats(liveBytes: Long, retiredBytes: Long, epochs: Int)
+
+  /** Measure how much reclaimable history a table is carrying WITHOUT
+    * touching any data: live bytes (current epoch), retired bytes (held
+    * only for time travel), and the epoch count. Two directory listings
+    * of metadata — O(files), no data pages.
+    */
+  def retentionStats(rel: String): RetentionStats = {
+    val dir = new Path(s"$baseDir/$rel")
+    Store.recoverSwap(fs, dir)
+    ScopedCommit.recover(fs, dir)
+    val live = listDataFiles(dir)
+      .map(n => fs.getFileStatus(new Path(dir, n)).getLen).sum
+    val rd = LayoutManifest.retiredDir(dir)
+    val retired =
+      if (fs.exists(rd)) fs.listStatus(rd).filter(_.isFile).map(_.getLen).sum
+      else 0L
+    RetentionStats(live, retired, listVersions(rel).size)
+  }
+
+  /** The retention decision a daily maintenance job runs beside
+    * [[maintainZordered]]: vacuum down to `keepLast` epochs only when
+    * retired bytes exceed `maxRetiredFraction` of live bytes, otherwise
+    * leave every epoch readable. This is the missing half of the
+    * maintenance loop — mutations retire bytes continuously (time
+    * travel's storage cost), and without a measured trigger the operator
+    * must either vacuum blindly on a clock or let history grow unbounded.
+    * Returns the vacuum's stats when it ran.
+    */
+  def maintainRetention(rel: String, maxRetiredFraction: Double,
+                        keepLast: Int): Option[VacuumStats] = {
+    val s = retentionStats(rel)
+    if (s.retiredBytes > maxRetiredFraction * math.max(1L, s.liveBytes))
+      Some(vacuum(rel, keepLast))
+    else None
+  }
+
   /** Small-file compaction — the operational complement of continuous
     * sinks (a streaming upsert/append sink accretes one-file-per-batch
     * until scans drown in per-file open/footer overhead): rewrite `rel`

@@ -194,6 +194,35 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir.toString).count() == 560)
   }
 
+  test("maintainRetention vacuums only past the measured retired-bytes threshold") {
+    val base = Files.createTempDirectory("graft_tt_retention").toString
+    val store = new Store(spark, base)
+    store.writeZordered(
+      spark.range(4000).select(col("id").as("k"),
+        pmod(col("id") * 37, lit(4000)).as("v")),
+      "tbl", Seq("k", "v"), files = 4)                         // epoch 0
+    val s0 = store.retentionStats("tbl")
+    assert(s0.retiredBytes == 0L && s0.liveBytes > 0L && s0.epochs == 1)
+    // a fresh table never trips the trigger, at any threshold
+    assert(store.maintainRetention("tbl", maxRetiredFraction = 0.0, keepLast = 1).isEmpty)
+    store.deleteWhere("tbl", col("k") < 2000)                  // epoch 1: retires ~half
+    val s1 = store.retentionStats("tbl")
+    assert(s1.retiredBytes > 0L && s1.epochs == 2)
+    val frac = s1.retiredBytes.toDouble / s1.liveBytes
+    // below threshold: byte-identical no-op, history intact
+    assert(store.maintainRetention("tbl", maxRetiredFraction = frac + 1.0,
+      keepLast = 1).isEmpty)
+    assert(rows(store.readVersion("tbl", 0L)).size == 4000)
+    // past threshold: vacuums to keepLast, reclaiming the orphaned retirees
+    val ran = store.maintainRetention("tbl", maxRetiredFraction = frac / 2,
+      keepLast = 1)
+    assert(ran.nonEmpty && ran.get.reclaimedBytes > 0L)
+    assert(store.retentionStats("tbl").retiredBytes < s1.retiredBytes)
+    intercept[IllegalStateException] { store.readVersion("tbl", 0L) }
+    assert(rows(store.readSnapshot("tbl")) ==
+      rows(spark.read.parquet(s"$base/tbl")))
+  }
+
   test("an in-process mutator failure releases its epoch claim — the table " +
     "is not wedged behind a dead claim") {
     val base = Files.createTempDirectory("graft_tt_release").toString
