@@ -395,10 +395,15 @@ class Store(spark: SparkSession, baseDir: String) {
         s"the table manifest (${mf.zCols.mkString(",")}/bits=${mf.bits})"))
     val m = m0.getOrElse(LayoutManifest(zCols, bits, files, epoch = 0L,
       base = if (fs.exists(dir)) listDataFiles(dir) else Nil, appends = Nil))
+    // the epoch this batch would COMMIT: 0 on a fresh/manifest-less table
+    // (exactly as appendZordered/writeZordered number their first commit —
+    // both first-write paths must race for the SAME claim file, or the
+    // CAS cannot serialize them), the next epoch otherwise
+    val newEpoch = m0.map(_.epoch + 1).getOrElse(0L)
     // claim with the BATCH ID as token: a checkpoint replay of a crashed
     // batch is the same logical writer and ADOPTS its own claim; a
     // different writer (or a different batch) fails loudly
-    withEpochClaim(dir, m.epoch + 1, m0.map(_.epoch).getOrElse(-1L), s"b$batchId") {
+    withEpochClaim(dir, newEpoch, m0.map(_.epoch).getOrElse(-1L), s"b$batchId") {
       val tmp = ScopedCommit.tmpDir(dir)
       fs.delete(tmp, true)
       zorderStage(df, zCols, files, bits).write.mode("overwrite").parquet(tmp.toString)
@@ -413,11 +418,12 @@ class Store(spark: SparkSession, baseDir: String) {
       if (stagedRows == 0L) {
         LayoutManifest.write(fs, dir, m.copy(lastBatch = Some(batchId)))
         // no epoch bump for an empty batch — release the claim it took
-        fs.delete(LayoutManifest.claimPath(dir, m.epoch + 1), false)
+        // (a fresh-table empty batch committed epoch 0 and released it)
+        fs.delete(LayoutManifest.claimPath(dir, newEpoch), false)
         fs.delete(tmp, true)
       } else {
         val renames = staged.map(s => s -> s"part-b$batchId-${s.stripPrefix("part-")}")
-        val newM = m.copy(epoch = m.epoch + 1,
+        val newM = m.copy(epoch = newEpoch,
           appends = m.appends :+ renames.map(_._2).sorted,
           lastBatch = Some(batchId))
         ScopedCommit.write(fs, dir, renames, deletes = Nil, manifest = Some(newM))
@@ -705,10 +711,9 @@ class Store(spark: SparkSession, baseDir: String) {
     // m.epoch under the claim), release after. Without this, a measure
     // racing a committed mutation could roll the manifest back to a stale
     // epoch and clobber the new snapshot.
-    withEpochClaim(dir, m.epoch + 1, m.epoch, java.util.UUID.randomUUID.toString) {
+    withSameEpochClaim(dir, m) {
       LayoutManifest.write(fs, dir, m.copy(touched = Some(touched)))
     }
-    fs.delete(LayoutManifest.claimPath(dir, m.epoch + 1), false)
     ErosionStats(m.base.size, m.appends.size, m.appends.map(_.size).sum, touched)
   }
 
@@ -753,14 +758,23 @@ class Store(spark: SparkSession, baseDir: String) {
 
   /** Epochs currently readable via [[readVersion]], ascending. Only real
     * `v<epoch>` snapshots count (`c<epoch>` CLAIM tokens — [[claimEpoch]]
-    * — share the history dir but are not versions).
+    * — share the history dir but are not versions), and only epochs AT OR
+    * BELOW the committed manifest epoch: the snapshot is written BEFORE
+    * the manifest rename (the commit point — [[LayoutManifest.write]]'s
+    * crash contract), so a writer that dies between the two leaves a
+    * snapshot for an epoch that never committed. Such a phantom must stay
+    * invisible — serving it would expose an uncommitted mutation, and its
+    * content gets overwritten when the epoch truly commits.
     */
   def listVersions(rel: String): Seq[Long] = {
-    val hd = LayoutManifest.historyDir(new Path(s"$baseDir/$rel"))
-    if (!fs.exists(hd)) Nil
-    else fs.listStatus(hd).toSeq
+    val dir = new Path(s"$baseDir/$rel")
+    val hd = LayoutManifest.historyDir(dir)
+    if (!fs.exists(hd)) return Nil
+    val committed = LayoutManifest.read(fs, dir).map(_.epoch).getOrElse(-1L)
+    fs.listStatus(hd).toSeq
       .filter(st => st.isFile && st.getLen > 0L && st.getPath.getName.startsWith("v"))
       .flatMap(st => scala.util.Try(st.getPath.getName.stripPrefix("v").toLong).toOption)
+      .filter(_ <= committed)
       .sorted
   }
 
@@ -851,6 +865,19 @@ class Store(spark: SparkSession, baseDir: String) {
     * point the journal replays to completion and its manifest write
     * releases the claim itself.
     */
+  /** A SAME-epoch manifest rewrite (e.g. the erosion-stat refresh) under
+    * the claim machinery: claim the next epoch for the write's duration,
+    * always release — the epoch never commits, so [[LayoutManifest.write]]
+    * cannot release it (it releases the epoch it writes). One place for
+    * this non-obvious pairing; a hard crash mid-body still needs
+    * [[releaseStaleClaims]], like any crashed claim holder.
+    */
+  private def withSameEpochClaim[T](dir: Path, m: LayoutManifest)(body: => T): T = {
+    claimEpoch(dir, m.epoch + 1, m.epoch, java.util.UUID.randomUUID.toString)
+    try body
+    finally fs.delete(LayoutManifest.claimPath(dir, m.epoch + 1), false)
+  }
+
   private def withEpochClaim[T](dir: Path, newEpoch: Long, prevEpoch: Long,
                                 token: String)(body: => T): T = {
     claimEpoch(dir, newEpoch, prevEpoch, token)
@@ -865,11 +892,14 @@ class Store(spark: SparkSession, baseDir: String) {
     }
   }
 
-  /** Admin release of a crashed writer's FRONTIER epoch claim (epoch
-    * beyond the committed manifest): run only when no writer is live —
-    * the explicit operator override of the fail-loud claim. Finished
-    * claims below the frontier self-sweep in [[claimEpoch]]; committed
-    * snapshots are [[vacuum]]'s to manage.
+  /** Admin release of a crashed writer's FRONTIER leftovers (anything in
+    * the history dir beyond the committed manifest epoch): the epoch
+    * CLAIM that blocks mutations, and any phantom SNAPSHOT its crash left
+    * (snapshot-first write order — invisible to reads, but worth
+    * clearing). Run only when no writer is live — the explicit operator
+    * override of the fail-loud claim. Finished claims below the frontier
+    * self-sweep in [[claimEpoch]]; committed snapshots are [[vacuum]]'s
+    * to manage.
     */
   def releaseStaleClaims(rel: String): Int = {
     val dir = new Path(s"$baseDir/$rel")
@@ -882,8 +912,9 @@ class Store(spark: SparkSession, baseDir: String) {
     var released = 0
     fs.listStatus(hd).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("c") &&
-          scala.util.Try(n.stripPrefix("c").toLong).toOption.exists(_ > m.epoch)) {
+      val stale = (n.startsWith("c") || n.startsWith("v")) &&
+        scala.util.Try(n.drop(1).toLong).toOption.exists(_ > m.epoch)
+      if (stale) {
         fs.delete(st.getPath, false)
         released += 1
       }
@@ -913,8 +944,11 @@ class Store(spark: SparkSession, baseDir: String) {
     Store.recoverSwap(fs, dir)
     ScopedCommit.recover(fs, dir)
     val hp = new Path(LayoutManifest.historyDir(dir), s"v$epoch")
-    // an in-flight/crashed CLAIM (see claimEpoch) is not a snapshot
-    if (!fs.exists(hp) || fs.getFileStatus(hp).getLen == 0L ||
+    // reject phantoms: a snapshot ABOVE the committed manifest epoch is a
+    // crashed writer's pre-commit leftover (snapshot-first write order) —
+    // serving it would expose an uncommitted mutation
+    val committed = LayoutManifest.read(fs, dir).map(_.epoch).getOrElse(-1L)
+    if (epoch > committed || !fs.exists(hp) || fs.getFileStatus(hp).getLen == 0L ||
         { val ls = LayoutManifest.readLines(fs, hp); !ls.exists(_.startsWith("zcols=")) })
       throw new IllegalStateException(
         s"epoch $epoch of $rel is not readable — vacuumed, never committed, or an " +
@@ -1009,6 +1043,8 @@ class Store(spark: SparkSession, baseDir: String) {
   def retentionStats(rel: String): RetentionStats = {
     val dir = new Path(s"$baseDir/$rel")
     Store.recoverSwap(fs, dir)
+    if (!fs.exists(dir)) throw new IllegalStateException(
+      s"$rel does not exist — retentionStats needs a written table")
     ScopedCommit.recover(fs, dir)
     val live = listDataFiles(dir)
       .map(n => fs.getFileStatus(new Path(dir, n)).getLen).sum

@@ -488,15 +488,18 @@ object EventStreams {
     * Retention: each scoped pass RETIRES the files it rewrites (time
     * travel), so a long-running sink's retired bytes grow at the
     * maintenance rewrite rate unless something reclaims them —
-    * `keepVersions` bounds that by vacuuming down to the newest N epochs
-    * on the same cadence as the scoped pass (the only step here that
-    * retires anything). Default 8: about the last 8 micro-batch commits
-    * stay time-travel readable. 0 disables vacuuming (retain everything;
-    * the operator owns reclamation).
+    * `keepVersions > 0` bounds that by vacuuming down to the newest N
+    * epochs on the same cadence as the scoped pass (the only step here
+    * that retires anything). Default 0 = retain everything: physical
+    * deletion of history is an explicit operator opt-in (the lakehouse
+    * norm — nothing auto-vacuums), via this knob, a scheduled
+    * [[graft.io.Store.maintainRetention]], or manual vacuum. A
+    * continuously-maintained sink SHOULD set it (e.g. 8) or pair with
+    * maintainRetention, or retired bytes grow without bound.
     */
   def zorderedAppendSink(stream: DataFrame, tableDir: String, zCols: Seq[String],
                          checkpointDir: String, files: Int = 8, bits: Int = 6,
-                         reclusterEvery: Int = 0, keepVersions: Int = 8)
+                         reclusterEvery: Int = 0, keepVersions: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -194,6 +194,49 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir.toString).count() == 560)
   }
 
+  test("phantom snapshots (crashed pre-commit writers) stay invisible; both " +
+    "first-write paths race for the same fresh-table claim") {
+    val base = Files.createTempDirectory("graft_tt_phantom").toString
+    val store = new Store(spark, base)
+    val df = spark.range(200).select(col("id").as("k"), (col("id") % 9).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 2)     // epoch 0
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // manufacture the crash: a writer died between its snapshot write and
+    // the manifest rename — a full, valid-looking v9 above the committed
+    // epoch (snapshot-first order makes this the only phantom shape)
+    val m = LayoutManifest.read(fs, dir).get
+    LayoutManifest.writeLinesAtomic(fs,
+      new org.apache.hadoop.fs.Path(LayoutManifest.historyDir(dir), "v9"),
+      m.copy(epoch = 9L).lines)
+    assert(store.listVersions("tbl") == Seq(0L), "phantom epoch leaked into versions")
+    val err = intercept[IllegalStateException] { store.readVersion("tbl", 9L) }
+    assert(err.getMessage.contains("not readable"))
+    // the admin release clears frontier leftovers — claim AND phantom
+    assert(store.releaseStaleClaims("tbl") == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      LayoutManifest.historyDir(dir), "v9")))
+
+    // fresh-table first-write serialization: both append paths claim c0,
+    // so a crashed (or concurrent) first writer blocks either path loudly
+    val fresh = new org.apache.hadoop.fs.Path(s"$base/fresh")
+    fs.mkdirs(LayoutManifest.historyDir(fresh))
+    val o = fs.create(LayoutManifest.claimPath(fresh, 0L), false)
+    o.write("other-writer".getBytes("UTF-8")); o.close()
+    intercept[java.util.ConcurrentModificationException] {
+      store.appendZordered(df, "fresh", Seq("k", "v"), files = 1)
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      store.appendZorderedExactlyOnce(df, "fresh", Seq("k", "v"), batchId = 0L)
+    }
+    // and the first exactly-once commit lands at epoch 0, like every
+    // other first write — one numbering across paths
+    assert(fs.delete(LayoutManifest.claimPath(fresh, 0L), false))
+    assert(store.appendZorderedExactlyOnce(df, "fresh", Seq("k", "v"), batchId = 0L))
+    assert(LayoutManifest.read(fs, fresh).get.epoch == 0L)
+    assert(store.listVersions("fresh") == Seq(0L))
+  }
+
   test("maintainRetention vacuums only past the measured retired-bytes threshold") {
     val base = Files.createTempDirectory("graft_tt_retention").toString
     val store = new Store(spark, base)
@@ -242,9 +285,11 @@ class TimeTravelSpec extends AnyFunSuite {
       "failed mutator left its claim behind")
     store.deleteWhere("tbl", col("k") < 5) // succeeds: not wedged
     assert(spark.read.parquet(dir.toString).count() == 295)
-    // the measure-only pass also cleans up after itself
+    // the measure-only pass also cleans up after itself: the table is at
+    // epoch 1 after the delete, so erosionStats holds (and must release)
+    // the claim for epoch 2
     store.erosionStats("tbl")
-    assert(!fs.exists(LayoutManifest.claimPath(dir, 3L)))
+    assert(!fs.exists(LayoutManifest.claimPath(dir, 2L)))
     store.scopedRecluster("tbl") // still not wedged after the stat refresh
   }
 
