@@ -148,11 +148,39 @@ class Store(spark: SparkSession, baseDir: String) {
     */
   def writeZordered(df: DataFrame, rel: String, zCols: Seq[String],
                     files: Int = 8, bits: Int = 6): Unit = {
-    zorderStage(df, zCols, files, bits).write.mode("overwrite").parquet(s"$baseDir/$rel")
     val dir = new Path(s"$baseDir/$rel")
-    LayoutManifest.write(fs, dir,
-      LayoutManifest(zCols, bits, files, epoch = 0L,
-        base = listDataFiles(dir), appends = Nil))
+    Store.recoverSwap(fs, dir)
+    if (fs.exists(dir)) ScopedCommit.recover(fs, dir)
+    val m0 = LayoutManifest.read(fs, dir)
+    // The replace-table write runs under the SAME epoch CAS as every other
+    // mutator, and it NEVER hands the table directory to a Spark overwrite
+    // (which would delete the hidden history/retired dirs and any live
+    // claim along with the data): the new layout is staged under the
+    // hidden tmp dir and promoted through the journaled commit. On a
+    // manifest-tracked table the replaced files are RETIRED — a full
+    // overwrite is a mutation like any other, so prior epochs stay
+    // readable until vacuum; a manifest-less directory (plain parquet or
+    // fresh) has no history to serve, so its files are deleted and the
+    // table starts its history at epoch 0.
+    withEpochClaim(dir, m0.map(_.epoch + 1).getOrElse(0L),
+      m0.map(_.epoch).getOrElse(-1L), java.util.UUID.randomUUID.toString) {
+      val current = if (fs.exists(dir)) listDataFiles(dir) else Nil
+      val tmp = ScopedCommit.tmpDir(dir)
+      fs.delete(tmp, true)
+      zorderStage(df, zCols, files, bits).write.mode("overwrite").parquet(tmp.toString)
+      val staged = listDataFiles(tmp)
+      val epoch = m0.map(_.epoch + 1).getOrElse(0L)
+      val renames = staged.map(s => s -> s"part-w$epoch-${s.stripPrefix("part-")}")
+      // a replace drops the exactly-once watermark ONLY when no manifest
+      // carried one (carrying it through mirrors recluster's discipline)
+      val newM = LayoutManifest(zCols, bits, files, epoch,
+        base = renames.map(_._2).sorted, appends = Nil,
+        lastBatch = m0.flatMap(_.lastBatch))
+      ScopedCommit.write(fs, dir, renames,
+        deletes = if (m0.isDefined) Nil else current, manifest = Some(newM),
+        retires = if (m0.isDefined) current else Nil)
+      ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
+    }
     refreshCatalog(dir)
   }
 
@@ -594,23 +622,38 @@ class Store(spark: SparkSession, baseDir: String) {
     val dir = new Path(s"$baseDir/$rel")
     Store.recoverSwap(fs, dir)
     ScopedCommit.recover(fs, dir)
-    val all = spark.read.parquet(dir.toString)
-    val touchedNames = all.where(cond)
-      .select(input_file_name()).distinct().collect()
-      .map(r => new Path(new java.net.URI(r.getString(0))).getName).toSeq.sorted
-    val total = listDataFiles(dir)
-    if (touchedNames.isEmpty) return CowResult(0, total.size, 0L, 0L, 0L)
     // ONE manifest read feeds the claim, the staging curve, and the
     // committed epoch — split reads could diverge and release the wrong
     // claim; manifest-less (plain parquet) tables have no epochs to guard
     val m0 = LayoutManifest.read(fs, dir)
-    def body(): CowResult = cowRewriteBody(dir, cond, prefix, transform,
-      touchedNames, total.size, m0)
+    // The match-bearing-file scan runs INSIDE the epoch claim: located
+    // names are only valid against the file set the claim's
+    // committed==prevEpoch validation pinned. A locate taken before the
+    // claim could miss files a concurrent append committed in the window —
+    // the claim would still validate (the append finished first), and the
+    // DELETE/UPDATE would commit a later epoch silently missing those
+    // matches instead of failing loudly.
+    def locateAndRun(): CowResult = {
+      val all = spark.read.parquet(dir.toString)
+      val touchedNames = all.where(cond)
+        .select(input_file_name()).distinct().collect()
+        .map(r => new Path(new java.net.URI(r.getString(0))).getName).toSeq.sorted
+      val total = listDataFiles(dir)
+      if (touchedNames.isEmpty) CowResult(0, total.size, 0L, 0L, 0L)
+      else cowRewriteBody(dir, cond, prefix, transform, touchedNames, total.size, m0)
+    }
     m0 match {
       case Some(m) =>
         withEpochClaim(dir, m.epoch + 1, m.epoch,
-          java.util.UUID.randomUUID.toString)(body())
-      case None => body()
+          java.util.UUID.randomUUID.toString) {
+          val r = locateAndRun()
+          // a no-match pass commits nothing — release the claim it took
+          // (the commit path's manifest write releases it otherwise)
+          if (r.filesTouched == 0)
+            fs.delete(LayoutManifest.claimPath(dir, m.epoch + 1), false)
+          r
+        }
+      case None => locateAndRun()
     }
   }
 
@@ -817,14 +860,30 @@ class Store(spark: SparkSession, baseDir: String) {
         fs.delete(st.getPath, false)
     }
     val hp = LayoutManifest.claimPath(dir, newEpoch)
+    // Exclusive-create primitive per scheme: fs.create(path, overwrite=false)
+    // is an atomic create-if-absent on HDFS, but RawLocalFileSystem (and
+    // S3A) implement it as exists-check-then-create — two same-host local
+    // writers could both "win". For file:// the claim rides
+    // java.nio CREATE_NEW, which maps to O_CREAT|O_EXCL — a kernel-atomic
+    // create that throws FileAlreadyExistsException for the loser.
     val created =
-      try { val out = fs.create(hp, false); out.write(token.getBytes("UTF-8")); out.close(); true }
-      catch {
-        case e: java.io.IOException =>
-          // only an EXISTING claim is a conflict; any other create failure
-          // (permissions, safe-mode, network) must stay a loud I/O error,
-          // not a misleading "another writer" message
-          if (fs.exists(hp)) false else throw e
+      if ("file" == fs.getScheme) {
+        val local = java.nio.file.Paths.get(hp.toUri.getPath)
+        try {
+          java.nio.file.Files.write(local, token.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try { val out = fs.create(hp, false); out.write(token.getBytes("UTF-8")); out.close(); true }
+        catch {
+          case e: java.io.IOException =>
+            // only an EXISTING claim is a conflict; any other create failure
+            // (permissions, safe-mode, network) must stay a loud I/O error,
+            // not a misleading "another writer" message
+            if (fs.exists(hp)) false else throw e
+        }
       }
     if (!created) {
       val existing =
@@ -947,13 +1006,25 @@ class Store(spark: SparkSession, baseDir: String) {
     // reject phantoms: a snapshot ABOVE the committed manifest epoch is a
     // crashed writer's pre-commit leftover (snapshot-first write order) —
     // serving it would expose an uncommitted mutation
-    val committed = LayoutManifest.read(fs, dir).map(_.epoch).getOrElse(-1L)
-    if (epoch > committed || !fs.exists(hp) || fs.getFileStatus(hp).getLen == 0L ||
-        { val ls = LayoutManifest.readLines(fs, hp); !ls.exists(_.startsWith("zcols=")) })
-      throw new IllegalStateException(
-        s"epoch $epoch of $rel is not readable — vacuumed, never committed, or an " +
-          s"unfinished claim (available: ${listVersions(rel).mkString(", ")})")
-    val m = LayoutManifest.fromLines(LayoutManifest.readLines(fs, hp))
+    val liveM = LayoutManifest.read(fs, dir)
+    val committed = liveM.map(_.epoch).getOrElse(-1L)
+    val snapshotOk = fs.exists(hp) && fs.getFileStatus(hp).getLen > 0L &&
+      LayoutManifest.readLines(fs, hp).exists(_.startsWith("zcols="))
+    val m =
+      if (epoch <= committed && snapshotOk)
+        LayoutManifest.fromLines(LayoutManifest.readLines(fs, hp))
+      else if (liveM.isDefined && epoch == committed)
+        // pre-upgrade table: a live manifest written before per-epoch
+        // snapshots existed has no v<epoch> file, but by the crash contract
+        // (snapshot first, manifest second, FILE SET per epoch immutable)
+        // the live manifest IS the current epoch's snapshot content — serve
+        // it rather than declaring a valid table unreadable until its
+        // first post-upgrade mutation
+        liveM.get
+      else
+        throw new IllegalStateException(
+          s"epoch $epoch of $rel is not readable — vacuumed, never committed, or an " +
+            s"unfinished claim (available: ${listVersions(rel).mkString(", ")})")
     val live = listDataFiles(dir).toSet
     val rd = LayoutManifest.retiredDir(dir)
     val retired =

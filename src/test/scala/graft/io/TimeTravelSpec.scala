@@ -237,6 +237,125 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(store.listVersions("fresh") == Seq(0L))
   }
 
+  test("writeZordered over an existing manifest-tracked table is a journaled " +
+    "REPLACE: history survives, replaced files retire, the claim serializes it") {
+    val base = Files.createTempDirectory("graft_tt_replace").toString
+    val store = new Store(spark, base)
+    val v1 = spark.range(1000).select(col("id").as("k"), (col("id") % 7).as("v"))
+    val v2 = spark.range(2000, 2500).select(col("id").as("k"), (col("id") % 3).as("v"))
+    store.writeZordered(v1, "tbl", Seq("k", "v"), files = 2)     // epoch 0
+    val epoch0 = rows(spark.read.parquet(s"$base/tbl"))
+    store.writeZordered(v2, "tbl", Seq("k", "v"), files = 2)     // epoch 1: REPLACE
+    assert(rows(spark.read.parquet(s"$base/tbl")) == rows(v2))
+    // the overwrite retired (not deleted) every epoch-0 file: time travel
+    // across a full replace works, and the hidden dirs survived the write
+    assert(store.listVersions("tbl") == Seq(0L, 1L))
+    assert(rows(store.readVersion("tbl", 0L)) == epoch0)
+    assert(rows(store.readSnapshot("tbl")) == rows(v2))
+    // a held claim blocks the replace loudly, table untouched
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(LayoutManifest.claimPath(dir, 2L), false)
+    o.write("other-writer".getBytes("UTF-8")); o.close()
+    intercept[java.util.ConcurrentModificationException] {
+      store.writeZordered(v1, "tbl", Seq("k", "v"), files = 2)
+    }
+    assert(rows(spark.read.parquet(dir.toString)) == rows(v2))
+    assert(fs.delete(LayoutManifest.claimPath(dir, 2L), false))
+    // vacuum to the current epoch reclaims the replaced files' bytes
+    val stats = store.vacuum("tbl", keepLast = 1)
+    assert(stats.removedFiles > 0 && stats.reclaimedBytes > 0L)
+    intercept[IllegalStateException] { store.readVersion("tbl", 0L) }
+  }
+
+  test("the epoch CAS admits exactly one winner per transition under a real " +
+    "multi-thread race (atomic create-if-absent on file://)") {
+    val base = Files.createTempDirectory("graft_tt_race").toString
+    val store = new Store(spark, base)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val n = 4
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val winCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    (0 until n).foreach { t =>
+      pool.execute(() => {
+        val batch = spark.range(t * 100L, t * 100L + 100)
+          .select(col("id").as("k"), (col("id") % 11).as("v"))
+        start.await()
+        try {
+          store.appendZordered(batch, "tbl", Seq("k", "v"), files = 1)
+          winCount.incrementAndGet()
+          ()
+        } catch {
+          case _: java.util.ConcurrentModificationException => ()
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    val wins = winCount.get
+    // every append either fully committed (a distinct epoch + its 100 rows)
+    // or failed loudly leaving nothing — no interleaving, no partial batch
+    assert(wins >= 1 && wins <= n)
+    assert(spark.read.parquet(s"$base/tbl").count() == 100L * wins,
+      s"committed rows must be exactly the $wins winners' batches")
+    assert(store.listVersions("tbl") == (0L until wins.toLong),
+      "one epoch per winner, consecutively numbered")
+  }
+
+  test("a no-match COW pass holds (and releases) the claim: the locate scan " +
+    "runs inside the CAS window, so a held claim blocks even a no-op delete") {
+    val base = Files.createTempDirectory("graft_tt_nomatch").toString
+    val store = new Store(spark, base)
+    store.writeZordered(
+      spark.range(300).select(col("id").as("k"), (col("id") % 7).as("v")),
+      "tbl", Seq("k", "v"), files = 2)                            // epoch 0
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // another writer holds the next epoch: a concurrent append could be
+    // adding match-bearing files, so even a delete that WOULD match nothing
+    // must fail loudly rather than answer from a pre-claim file listing
+    val o = fs.create(LayoutManifest.claimPath(dir, 1L), false)
+    o.write("other-writer".getBytes("UTF-8")); o.close()
+    intercept[java.util.ConcurrentModificationException] {
+      store.deleteWhere("tbl", col("k") > 100000)
+    }
+    assert(fs.delete(LayoutManifest.claimPath(dir, 1L), false))
+    // unclaimed: the no-match pass is a no-op that leaves no claim behind
+    val stats = store.deleteWhere("tbl", col("k") > 100000)
+    assert(stats.filesTouched == 0 && stats.rowsDeleted == 0L)
+    assert(!fs.exists(LayoutManifest.claimPath(dir, 1L)),
+      "no-match pass must release the claim it took")
+    store.deleteWhere("tbl", col("k") < 5) // table not wedged
+    assert(spark.read.parquet(dir.toString).count() == 295)
+  }
+
+  test("a pre-upgrade table (live manifest, no history snapshots) reads via " +
+    "readSnapshot/readVersion at its committed epoch") {
+    val base = Files.createTempDirectory("graft_tt_preupgrade").toString
+    val store = new Store(spark, base)
+    val df = spark.range(800).select(col("id").as("k"), (col("id") % 13).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 2)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a table written before per-epoch snapshots existed: the
+    // live manifest is present, the history dir is not
+    assert(fs.delete(LayoutManifest.historyDir(dir), true))
+    assert(store.listVersions("tbl").isEmpty)
+    // the live manifest IS the current epoch's snapshot content (crash
+    // contract): the manifest-driven read serves it instead of failing
+    assert(rows(store.readSnapshot("tbl")) == rows(df))
+    assert(rows(store.readVersion("tbl", 0L)) == rows(df))
+    // non-current epochs stay loud — there is genuinely no snapshot
+    intercept[IllegalStateException] { store.readVersion("tbl", 1L) }
+    // the first post-upgrade mutation restores normal history service
+    store.deleteWhere("tbl", col("k") < 100)                     // epoch 1
+    assert(store.listVersions("tbl") == Seq(1L))
+    assert(rows(store.readSnapshot("tbl")) ==
+      rows(spark.read.parquet(dir.toString)))
+  }
+
   test("maintainRetention vacuums only past the measured retired-bytes threshold") {
     val base = Files.createTempDirectory("graft_tt_retention").toString
     val store = new Store(spark, base)
