@@ -288,8 +288,14 @@ private[graft] object ScopedCommit {
         val Array(src, dst) = l.stripPrefix("rename=").split("\t", 2)
         val s = new Path(tmp, src); val d = new Path(dir, dst)
         // idempotent: a rename that already ran leaves src missing
-        if (fs.exists(s) && !fs.rename(s, d))
-          throw new IllegalStateException(s"scoped commit: rename $s -> $d failed")
+        if (fs.exists(s)) {
+          // partitioned promotes target `key=value/` subdirs that may not
+          // exist yet (an UPDATE moving rows to a new partition value) —
+          // rename into a missing parent fails on local/HDFS
+          if (dst.contains('/')) fs.mkdirs(d.getParent)
+          if (!fs.rename(s, d))
+            throw new IllegalStateException(s"scoped commit: rename $s -> $d failed")
+        }
       case l if l.startsWith("delete=") =>
         fs.delete(new Path(dir, l.stripPrefix("delete=")), false)
       case l if l.startsWith("retire=") =>

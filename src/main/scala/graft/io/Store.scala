@@ -164,7 +164,12 @@ class Store(spark: SparkSession, baseDir: String) {
     // table starts its history at epoch 0.
     withEpochClaim(dir, m0.map(_.epoch + 1).getOrElse(0L),
       m0.map(_.epoch).getOrElse(-1L), java.util.UUID.randomUUID.toString) {
-      val current = if (fs.exists(dir)) listDataFiles(dir) else Nil
+      // DEEP listing for the replace set: a manifest-less target may be a
+      // dt-partitioned table, whose data lives under key= subdirs — a
+      // top-level-only delete would leave the old partitions' rows visible
+      // beside the new layout (manifest-tracked tables are flat, so the
+      // deep listing returns exactly the flat names there)
+      val current = if (fs.exists(dir)) listDataFilesDeep(dir) else Nil
       val tmp = ScopedCommit.tmpDir(dir)
       fs.delete(tmp, true)
       zorderStage(df, zCols, files, bits).write.mode("overwrite").parquet(tmp.toString)
@@ -192,6 +197,24 @@ class Store(spark: SparkSession, baseDir: String) {
         !n.startsWith(".") && !n.startsWith("_")
       })
       .map(_.getPath.getName).sorted
+
+  /** [[listDataFiles]] recursing through non-hidden subdirectories —
+    * PARTITIONED tables keep their data under `key=value/` dirs, so their
+    * file identity is the path RELATIVE to the table root (flat tables get
+    * exactly the [[listDataFiles]] names). Hidden dirs (history, retired,
+    * staging) are skipped at every level.
+    */
+  private def listDataFilesDeep(dir: Path): Seq[String] = {
+    def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
+    def walk(d: Path, prefix: String): Seq[String] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (!visible(n)) Nil
+        else if (st.isFile) Seq(prefix + n)
+        else walk(st.getPath, s"$prefix$n/")
+      }
+    walk(dir, "").sorted
+  }
 
   /** The curve layout as a frame: bucket ranks -> curve index ->
     * range-partition + sort, helper columns dropped. Shared by
@@ -300,19 +323,20 @@ class Store(spark: SparkSession, baseDir: String) {
     * driver-side and tiny next to the mutation it follows. No-op when
     * nothing is registered over the path.
     */
+  // normalized-URI comparison, not raw Path equality: a location stored
+  // with a trailing slash or an unqualified scheme/authority (object
+  // stores, CREATE TABLE ... LOCATION hand-written) must still match, or
+  // the stale cached file index would throw FileNotFound after a
+  // scoped recluster / COW delete removed its original files
+  private def canon(p: Path): java.net.URI = {
+    val u = fs.makeQualified(p).toUri.normalize()
+    val path = if (u.getPath != "/" && u.getPath.endsWith("/"))
+      u.getPath.dropRight(1) else u.getPath
+    new java.net.URI(u.getScheme, u.getAuthority, path, null, null)
+  }
+
   private def refreshCatalog(dir: Path): Unit = {
     spark.catalog.refreshByPath(dir.toString)
-    // normalized-URI comparison, not raw Path equality: a location stored
-    // with a trailing slash or an unqualified scheme/authority (object
-    // stores, CREATE TABLE ... LOCATION hand-written) must still match, or
-    // the stale cached file index would throw FileNotFound after a
-    // scoped recluster / COW delete removed its original files
-    def canon(p: Path): java.net.URI = {
-      val u = fs.makeQualified(p).toUri.normalize()
-      val path = if (u.getPath != "/" && u.getPath.endsWith("/"))
-        u.getPath.dropRight(1) else u.getPath
-      new java.net.URI(u.getScheme, u.getAuthority, path, null, null)
-    }
     val target = canon(dir)
     val cat = spark.sessionState.catalog
     cat.listTables(cat.getCurrentDatabase).foreach { ident =>
@@ -321,6 +345,35 @@ class Store(spark: SparkSession, baseDir: String) {
         if (canon(new Path(meta.location)) == target)
           spark.catalog.refreshTable(ident.unquotedString)
       } catch { case _: Exception => () } // views/dropped races: nothing to refresh
+    }
+    // re-pin every manifest-pinned view registered over this table: the
+    // snapshot views move to the just-committed epoch, the version views
+    // re-resolve their (immutable) file set to its current home. A pinned
+    // epoch that a vacuum dropped becomes a loud-on-use error view —
+    // never a silently shrunken read.
+    val sid = Store.sessionKey(spark)
+    val targetKey = target.toString
+    Store.pinnedViews.snapshot().foreach {
+      case ((s, view), (dirKey, rel, epochOpt)) if s == sid && dirKey == targetKey =>
+        try {
+          epochOpt match {
+            case None => readSnapshot(rel).createOrReplaceTempView(view)
+            case Some(e) => readVersion(rel, e).createOrReplaceTempView(view)
+          }
+        } catch {
+          case ex: IllegalStateException =>
+            // the error rides a FILTER, not a projected column: a
+            // projection is pruned by COUNT(*)-shaped queries, which
+            // would read the dead view as silently empty — the filter
+            // must be evaluated to produce any row, so every query
+            // through the view throws with the real cause
+            spark.range(1)
+              .where(raise_error(lit(
+                s"pinned view '$view' is no longer resolvable: ${ex.getMessage}")).isNull)
+              .select(lit(1L).as("error"))
+              .createOrReplaceTempView(view)
+        }
+      case _ => ()
     }
   }
 
@@ -615,6 +668,11 @@ class Store(spark: SparkSession, baseDir: String) {
     * over ONLY those files' rows, re-stage through the table's own curve
     * when it has layout provenance, and promote via the idempotent
     * [[ScopedCommit]] journal — untouched files never open or move.
+    *
+    * Works on flat AND `key=value`-partitioned tables: file identity is
+    * the path relative to the table root, a predicate on the partition
+    * columns partition-prunes the locate scan itself, and partitioned
+    * replacements are re-staged per directory (see [[cowRewriteBody]]).
     */
   private def cowRewrite(rel: String, cond: org.apache.spark.sql.Column,
                          prefix: String,
@@ -635,10 +693,19 @@ class Store(spark: SparkSession, baseDir: String) {
     // matches instead of failing loudly.
     def locateAndRun(): CowResult = {
       val all = spark.read.parquet(dir.toString)
+      // file identity is the path RELATIVE to the table root: flat tables
+      // get bare names, partitioned tables keep their `key=value/` dirs —
+      // and the locate scan on a partitioned root is partition-PRUNED when
+      // cond constrains the partition columns (the table prunes its own
+      // COW search, the same property the curve layouts give flat tables)
+      val dirPathStr = fs.makeQualified(dir).toUri.getPath
       val touchedNames = all.where(cond)
         .select(input_file_name()).distinct().collect()
-        .map(r => new Path(new java.net.URI(r.getString(0))).getName).toSeq.sorted
-      val total = listDataFiles(dir)
+        .map { r =>
+          new java.net.URI(r.getString(0)).getPath
+            .stripPrefix(dirPathStr).stripPrefix("/")
+        }.toSeq.sorted
+      val total = listDataFilesDeep(dir)
       if (touchedNames.isEmpty) CowResult(0, total.size, 0L, 0L, 0L)
       else cowRewriteBody(dir, cond, prefix, transform, touchedNames, total.size, m0)
     }
@@ -661,7 +728,20 @@ class Store(spark: SparkSession, baseDir: String) {
                              prefix: String, transform: DataFrame => DataFrame,
                              touchedNames: Seq[String], totalFiles: Int,
                              m0: Option[LayoutManifest]): CowResult = {
-    val region = spark.read.parquet(touchedNames.map(n => s"$dir/$n"): _*)
+    // partitioned tables (touched paths carry `key=value/` dirs): the
+    // region read declares the table root as basePath so the partition
+    // columns stay IN the frame — cond and SET expressions may reference
+    // them — and the staging write re-partitions by the same directory
+    // columns, so replacement rows land back under their partition values
+    // (an UPDATE of a partition column moves its rows to the right dir)
+    val partCols: Seq[String] = touchedNames.headOption
+      .filter(_.contains('/'))
+      .map(_.split('/').dropRight(1).toSeq.map(_.takeWhile(_ != '=')))
+      .getOrElse(Nil)
+    val reader =
+      if (partCols.nonEmpty) spark.read.option("basePath", dir.toString)
+      else spark.read
+    val region = reader.parquet(touchedNames.map(n => s"$dir/$n"): _*)
     // one scan for both stats (the touched region is re-read once more by
     // the staging write below; a separate count per stat would triple the
     // I/O the file-scoping exists to avoid)
@@ -673,10 +753,22 @@ class Store(spark: SparkSession, baseDir: String) {
     fs.delete(tmp, true)
     val staged0 = m0 match {
       case Some(m) => zorderStage(out, m.zCols, touchedNames.size, m.bits)
+      case None if partCols.nonEmpty =>
+        // spread each partition's rows over ~touched-proportional tasks
+        // (hash of the data columns — deterministic under task retry,
+        // unlike rand), so one huge touched partition is not rewritten by
+        // a single task while total file count stays ~touched
+        val dataCols = out.columns.filterNot(partCols.contains).toSeq
+        val nParts = touchedNames.map(n => n.substring(0, n.lastIndexOf('/'))).distinct.size
+        val spreadK = math.max(1, touchedNames.size / math.max(1, nParts))
+        out.repartition(touchedNames.size,
+          partCols.map(col) :+ pmod(hash(dataCols.map(col): _*), lit(spreadK)): _*)
       case None => out.repartition(touchedNames.size)
     }
-    staged0.write.mode("overwrite").parquet(tmp.toString)
-    val staged = listDataFiles(tmp)
+    val writer = staged0.write.mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(tmp.toString)
+    val staged = listDataFilesDeep(tmp)
     // every touched row may be deleted: an empty stage promotes nothing
     // (reading an all-deleted tmp back would fail schema inference)
     val stagedRows =
@@ -685,7 +777,14 @@ class Store(spark: SparkSession, baseDir: String) {
     // promoted — it keeps an emptied table readable, and FileRect's
     // zero-row guard keeps it inert for the erosion test
     val epoch = m0.map(_.epoch + 1).getOrElse(1L)
-    val renames = staged.map(s => s -> s"part-$prefix$epoch-${s.stripPrefix("part-")}")
+    // promote in place: only the basename changes, the partition dirs ride
+    // through (flat paths have no '/' and reduce to the old form)
+    def promote(s: String): String = {
+      val i = s.lastIndexOf('/')
+      val (d, b) = if (i < 0) ("", s) else (s.substring(0, i + 1), s.substring(i + 1))
+      s"${d}part-$prefix$epoch-${b.stripPrefix("part-")}"
+    }
+    val renames = staged.map(s => s -> promote(s))
     val touchedSet = touchedNames.toSet
     val newM = m0.map { m =>
       val layers = (m.appends.map(_.filterNot(touchedSet)) :+ renames.map(_._2).sorted)
@@ -1041,6 +1140,49 @@ class Store(spark: SparkSession, baseDir: String) {
     spark.read.parquet(paths: _*)
   }
 
+  /** Mechanized form of [[readVersion]]'s documented concurrency
+    * boundary: resolution is eager, the frame is lazy — a maintenance
+    * pass that RETIRES a resolved-live file (or a vacuum that deletes a
+    * resolved-retired one) between resolution and the action fails the
+    * scan loudly with a missing-file error. This wrapper re-resolves and
+    * re-runs `action` on exactly that failure shape, up to `retries`
+    * times: the re-resolution finds every file at its current home (live
+    * vs retired), so a read overlapping maintenance self-heals instead of
+    * surfacing an infrastructure error to the caller. Any other failure
+    * — and a missing-file error that persists past the retries (a
+    * genuinely vacuumed epoch) — stays loud. `action` must be pure
+    * w.r.t. the frame (it may run more than once).
+    */
+  def withVersionRetry[T](rel: String, epoch: Long, retries: Int = 3)(
+      action: DataFrame => T): T =
+    retryResolve(retries, () => readVersion(rel, epoch), action)
+
+  /** [[withVersionRetry]] for the CURRENT epoch: each attempt re-resolves
+    * through [[readSnapshot]], so a retry lands on the newest committed
+    * epoch (which may have advanced past the one that failed) — the right
+    * semantics for a "read the table now" consumer under continuous
+    * maintenance.
+    */
+  def withSnapshotRetry[T](rel: String, retries: Int = 3)(
+      action: DataFrame => T): T =
+    retryResolve(retries, () => readSnapshot(rel), action)
+
+  @annotation.tailrec
+  private def retryResolve[T](attemptsLeft: Int, resolve: () => DataFrame,
+                              action: DataFrame => T): T = {
+    val df = resolve()
+    val out =
+      try Right(action(df))
+      catch {
+        case e: Throwable if attemptsLeft > 0 && Store.isMissingFileError(e) =>
+          Left(e)
+      }
+    out match {
+      case Right(v) => v
+      case Left(_) => retryResolve(attemptsLeft - 1, resolve, action)
+    }
+  }
+
   /** Manifest-driven read of the CURRENT epoch — the duplicate-free
     * alternative to listing the live directory: a listing taken between a
     * journal's rename-in and retire steps sees promoted copies AND
@@ -1100,6 +1242,9 @@ class Store(spark: SparkSession, baseDir: String) {
         removed += 1
       }
     }
+    // re-pin registered views: a version view whose epoch just dropped
+    // must become a loud-on-use error, not a silently broken scan
+    refreshCatalog(dir)
     VacuumStats(keep.toSeq.sorted, drop, removed, bytes)
   }
 
@@ -1233,6 +1378,45 @@ class Store(spark: SparkSession, baseDir: String) {
     ()
   }
 
+  /** MANIFEST-driven catalog face: register `view` over the CURRENT
+    * epoch's pinned file set ([[readSnapshot]] semantics), so a pure-SQL
+    * consumer (`spark.table`, `FROM view`) can never hit the mid-journal
+    * listing window a [[registerCatalog]] table can (a listing taken
+    * between a journal's rename-in and retire steps sees promoted copies
+    * AND originals at once — TimeTravelSpec manufactures exactly that
+    * state and pins the difference). Every mutator's commit re-pins the
+    * view to the new epoch through [[refreshCatalog]], so the view tracks
+    * the table the way a metastore pointer does: readers follow the
+    * pointer, never the bucket listing (the reference's DVC pointer-read
+    * discipline, `/root/reference/.dvc/config:1-6`, applied to the
+    * serving path). Scale shape: the pin is a file LIST in plan metadata —
+    * resolution is two directory listings; scans through the view keep
+    * full file/row-group/page skipping (PlanSpec pins the witness).
+    */
+  def registerSnapshotView(view: String, rel: String): Unit = {
+    readSnapshot(rel).createOrReplaceTempView(view)
+    Store.pinnedViews((Store.sessionKey(spark), view)) = (canonDirKey(rel), rel, None)
+  }
+
+  /** SQL time-travel face: register `view` pinned to manifest `epoch` —
+    * the `VERSION AS OF`-shaped access [[readVersion]] gives API
+    * consumers, for SQL (`FROM view`). Registration fails loudly on a
+    * vacuumed or never-committed epoch, exactly like [[readVersion]]; a
+    * LATER vacuum that drops the pinned epoch turns the view into a
+    * loud-on-use error (the vacuum's catalog refresh re-pins every
+    * registered view — a silently emptying time-travel read would be the
+    * worst outcome). Epoch-pinned content never changes, so the re-pin
+    * is only ever a re-resolution of the same file set to its current
+    * home (live vs retired dir).
+    */
+  def registerVersionView(view: String, rel: String, epoch: Long): Unit = {
+    readVersion(rel, epoch).createOrReplaceTempView(view)
+    Store.pinnedViews((Store.sessionKey(spark), view)) = (canonDirKey(rel), rel, Some(epoch))
+  }
+
+  private def canonDirKey(rel: String): String =
+    canon(new Path(s"$baseDir/$rel")).toString
+
   /** Training-export sink: hash-sharded JSONL, the artifact shape LLM
     * trainers consume. Shard assignment is `Sampling.hashUnit` on the key
     * — a pure function of the ROW, so the same corpus lands in the same
@@ -1291,6 +1475,41 @@ class Store(spark: SparkSession, baseDir: String) {
 }
 
 object Store {
+
+  /** Manifest-pinned temp views ([[Store.registerSnapshotView]] /
+    * [[Store.registerVersionView]]), keyed by (session, view name) so
+    * every mutator's catalog refresh can re-pin them: value is
+    * (canonical table dir, rel, pinned epoch — None = track current).
+    * Process-global because Store instances are ephemeral wrappers; temp
+    * views live exactly as long as their session, so a dead session's
+    * entries are inert (re-pin never runs without a mutation through
+    * that same session).
+    */
+  private val pinnedViews =
+    new scala.collection.concurrent.TrieMap[(String, String), (String, String, Option[Long])]()
+
+  private def sessionKey(spark: SparkSession): String =
+    System.identityHashCode(spark).toString
+
+  /** The failure shape of a scan whose resolved file moved under it
+    * (retire/vacuum between resolution and action): a FileNotFoundException
+    * anywhere in the cause chain, or Spark's FILE_NOT_FOUND error-class
+    * message. Nothing else qualifies — a genuine data error must not be
+    * retried into.
+    */
+  private[graft] def isMissingFileError(e: Throwable): Boolean = {
+    var c: Throwable = e
+    var seen = 0
+    while (c != null && seen < 16) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = Option(c.getMessage).getOrElse("")
+      if (m.contains("FILE_NOT_FOUND") || m.contains("does not exist")) return true
+      val next = c.getCause
+      c = if (next eq c) null else next
+      seen += 1
+    }
+    false
+  }
 
   /** Park-aside/rename swap of a fully-written `tmp` directory into
     * `target` — the shared durability discipline of [[Store.writeCsv]],

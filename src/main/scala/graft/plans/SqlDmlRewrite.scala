@@ -31,9 +31,12 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
   *
   * Deliberately narrow preconditions — rewrite ONLY when:
   *   - the target resolves to a v1 `LogicalRelation` over a parquet
-  *     `HadoopFsRelation` with exactly one root path and NO partition
-  *     columns (the COW rewrite re-stages files under the table root; a
-  *     dt=-partitioned table would lose its directory values);
+  *     `HadoopFsRelation` with exactly one root path. Partitioned
+  *     (`dt=`-style) tables are admitted: the COW core re-stages
+  *     replacement files per partition directory (values preserved), and
+  *     a predicate on the partition columns partition-prunes the locate
+  *     scan itself — the most common lakehouse takedown
+  *     (`DELETE FROM t WHERE dt = …`) touches only its own directories;
   *   - the condition (and every UPDATE SET value) is deterministic and
   *     subquery-free — the expressions are re-resolved by name against a
   *     fresh scan inside the command, which cannot host another plan;
@@ -66,8 +69,10 @@ object SqlDmlRewrite extends Rule[LogicalPlan] {
       }
   }
 
-  /** Unwrap alias layers; accept a single-root, unpartitioned v1 parquet
-    * relation. Returns (store base dir, table leaf rel, display name).
+  /** Unwrap alias layers; accept a single-root v1 parquet relation — flat
+    * or partitioned (the COW core re-stages partitioned replacements per
+    * `key=value` directory). Returns (store base dir, table leaf rel,
+    * display name).
     */
   private def locate(plan: LogicalPlan): Option[(String, String, String)] = plan match {
     case SubqueryAlias(_, child) => locate(child)
@@ -75,7 +80,7 @@ object SqlDmlRewrite extends Rule[LogicalPlan] {
       lr.relation match {
         case h: HadoopFsRelation
             if h.fileFormat.isInstanceOf[ParquetFileFormat] &&
-              h.partitionSchema.isEmpty && h.location.rootPaths.size == 1 =>
+              h.location.rootPaths.size == 1 =>
           val loc = h.location.rootPaths.head
           val table = lr.catalogTable.map(_.identifier.unquotedString)
             .getOrElse(loc.toString)

@@ -724,6 +724,50 @@ object ExtensionQueries {
               |  AND ts < TIMESTAMP '2024-01-08 00:00:00'
               |GROUP BY event_type""".stripMargin)
     }),
+    // Manifest-driven catalog face (x58 with the listing window closed):
+    // the registered view is PINNED to the manifest's file set —
+    // readSnapshot semantics for pure-SQL consumers — and every mutator's
+    // commit re-pins it, so the append here must be visible through the
+    // view without re-registration (TimeTravelSpec pins the mid-journal
+    // exactness a listing-based table cannot give; PlanSpec pins that
+    // pruning survives the view). The aggregate is layout- and
+    // catalog-independent, so DuckDB replays it off the raw events.
+    "x58b_snapshot_view" -> ((s, dir) => {
+      val base = s"$scratchDir/x58b"
+      val store = new graft.io.Store(s, base)
+      val e = Tables.events(s, dir)
+      store.writeZordered(e.where(col("user_id") < 100), "events_sv",
+        Seq("user_id", "ts"), files = 8)
+      store.registerSnapshotView("graft_x58b_snap", "events_sv")
+      store.appendZordered(e.where(col("user_id") >= 100), "events_sv",
+        Seq("user_id", "ts"), files = 4)
+      s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              |  ROUND(SUM(value), 2) AS sum_value,
+              |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              |FROM graft_x58b_snap
+              |GROUP BY event_type""".stripMargin)
+    }),
+    // SQL time-travel face (x62 through pure SQL): the version view is
+    // pinned to manifest epoch 0 — the PRE-delete, pre-recluster table —
+    // and survives both mutations because their replaced files RETIRE
+    // rather than delete. A vacuumed epoch turns the view loud-on-use
+    // (TimeTravelSpec pins it); DuckDB replays the pre-mutation aggregate
+    // over the raw events.
+    "x62b_sql_time_travel" -> ((s, dir) => {
+      val base = s"$scratchDir/x62b"
+      val store = new graft.io.Store(s, base)
+      store.writeZordered(Tables.events(s, dir), "events_hist",
+        Seq("user_id", "ts"), files = 8)                      // epoch 0
+      store.deleteWhere("events_hist",
+        col("user_id").between(40, 49) && col("event_type") === "click") // epoch 1
+      store.recluster("events_hist", Seq("user_id", "ts"), files = 8) // epoch 2
+      store.registerVersionView("graft_x62b_v0", "events_hist", 0L)
+      s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              |  ROUND(SUM(value), 2) AS sum_value,
+              |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              |FROM graft_x62b_v0
+              |GROUP BY event_type""".stripMargin)
+    }),
     // The full lakehouse maintenance cycle as one declared operator:
     // curve-clustered base layout + two localized appends (each its own
     // internally-clustered layer) + SCOPED recluster (only the eroded
@@ -839,6 +883,57 @@ object ExtensionQueries {
       s.sql("""UPDATE graft_x61b_events SET event_type = 'click_redacted'
               |WHERE user_id BETWEEN 40 AND 49 AND event_type = 'click'""".stripMargin)
       s.read.parquet(s"$base/events_supd")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+    // The DAILY MAINTENANCE LOOP as one declared operator — not the
+    // parts (x59 proves the scoped pass, x62 the retention machinery)
+    // but their measured-trigger composition: erode with appends that
+    // overlap the base in every curve dimension, let the MEASURED
+    // erosion/file-count triggers decide the scoped pass (which retires
+    // what it rewrites), then let the MEASURED retired-bytes trigger
+    // decide the vacuum. A green row proves the full cycle — append,
+    // triggered OPTIMIZE, triggered retention — loses and duplicates
+    // nothing; the trigger laws themselves are spec-pinned
+    // (TimeTravelSpec/StoreSpec). DuckDB replays the layout-independent
+    // aggregate off the raw events.
+    "x63_maintenance_cycle" -> ((s, dir) => {
+      val base = s"$scratchDir/x63"
+      val store = new graft.io.Store(s, base)
+      val e = Tables.events(s, dir)
+      // slices by event_id stripe: each spans the FULL (user_id, ts) key
+      // space, so the appends genuinely erode the base layout
+      store.writeZordered(e.where(col("event_id") % 3 === 0), "events_mc",
+        Seq("user_id", "ts"), files = 8)
+      store.appendZordered(e.where(col("event_id") % 3 === 1), "events_mc",
+        Seq("user_id", "ts"), files = 2)
+      store.appendZordered(e.where(col("event_id") % 3 === 2), "events_mc",
+        Seq("user_id", "ts"), files = 2)
+      store.maintainZordered("events_mc", maxTouchedPerProbe = 1.5,
+        maxAppendFiles = Some(3))
+      store.maintainRetention("events_mc", maxRetiredFraction = 0.05, keepLast = 1)
+      s.read.parquet(s"$base/events_mc")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+    // x60b over the OTHER common lakehouse shape: `DELETE FROM` a
+    // dt-PARTITIONED store (the date-scoped takedown every real operator
+    // runs). The dt predicate partition-prunes the locate scan — the
+    // table's own directories scope the COW search — and the replacement
+    // files are re-staged per partition directory, so untouched dates
+    // keep name/bytes/mtime (SqlDmlSpec pins both). DuckDB replays the
+    // delete as NOT(predicate) with dt re-derived from ts.
+    "x60c_sql_delete_part" -> ((s, dir) => {
+      val base = s"$scratchDir/x60c"
+      val store = new graft.io.Store(s, base)
+      store.writePartitioned(Tables.events(s, dir), "events_pdel", tsCol = "ts")
+      store.registerCatalog("graft_x60c_events", "events_pdel")
+      s.catalog.recoverPartitions("graft_x60c_events")
+      s.sql("""DELETE FROM graft_x60c_events
+              |WHERE dt = DATE'2024-01-05' AND event_type = 'click'""".stripMargin)
+      s.read.parquet(s"$base/events_pdel")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
@@ -2020,6 +2115,39 @@ object ExtensionQueries {
         |  ROUND(SUM(value), 2) AS sum_value,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events
+        |GROUP BY 1""".stripMargin,
+    // The maintained store must hold exactly the raw rows after the full
+    // triggered cycle: the oracle aggregates events directly.
+    "x63_maintenance_cycle" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    // The pinned view serves the full written+appended corpus: the
+    // layout- and catalog-independent aggregate replays off raw events.
+    "x58b_snapshot_view" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    // Epoch 0 through SQL = the table before the delete and recluster:
+    // x62's oracle verbatim.
+    "x62b_sql_time_travel" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    // The partitioned-store SQL delete replays like x60b, with the
+    // partition value re-derived from ts (UTC session on both sides).
+    "x60c_sql_delete_part" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-05' AND event_type = 'click')
         |GROUP BY 1""".stripMargin,
     // Same prev-snapshot derivation, full-outer join, and null-safe
     // column compare as SnapshotDiff.diff.

@@ -26,6 +26,67 @@ class StoreSpec extends AnyFunSuite {
     assert(out("2024-01-02 10:00:00.0") == 99.0) // delta partition replaced
   }
 
+  test("partitioned COW: deleteWhere/updateWhere touch only match-bearing " +
+    "partitions; an update of the partition column moves its rows' directory") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_part_cow").toString
+    val store = new Store(spark, base)
+    val df = (0 until 3000).map { i =>
+      (java.sql.Timestamp.valueOf(s"2024-01-0${i % 3 + 1} 10:00:00"), i.toLong, (i % 50).toDouble)
+    }.toDF("datetime", "k", "v")
+    store.writePartitioned(df, "tbl")
+    val root = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def triples(part: String) = {
+      val p = new org.apache.hadoop.fs.Path(root, part)
+      if (!fs.exists(p)) Set.empty[(String, Long, Long)]
+      else fs.listStatus(p).filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+        .map(st => (st.getPath.getName, st.getLen, st.getModificationTime)).toSet
+    }
+    val d1 = triples("dt=2024-01-01")
+    val d2 = triples("dt=2024-01-02")
+    assert(d1.nonEmpty && d2.nonEmpty)
+
+    // delete scoped to one partition: the predicate names dt, so only that
+    // directory's files are located, rewritten, and replaced
+    val del = store.deleteWhere("tbl",
+      col("dt") === lit("2024-01-03").cast("date") && col("v") >= 25)
+    assert(del.rowsDeleted == df.where(to_date(col("datetime")) === "2024-01-03"
+      && col("v") >= 25).count())
+    assert(triples("dt=2024-01-01") == d1 && triples("dt=2024-01-02") == d2,
+      "untouched partitions must keep name/bytes/mtime")
+
+    // update that MOVES rows across partitions: SET dt relocates matching
+    // rows' directory; replacement files land under the new value
+    val upd = store.updateWhere("tbl",
+      col("dt") === lit("2024-01-02").cast("date") && col("k") % 2 === 0,
+      Map("dt" -> lit("2024-01-09").cast("date")))
+    assert(upd.rowsUpdated > 0)
+    assert(triples("dt=2024-01-09").nonEmpty, "moved rows must land under the new dt dir")
+    assert(triples("dt=2024-01-01") == d1, "unrelated partition still untouched")
+    val moved = spark.read.parquet(s"$base/tbl")
+      .where(col("dt") === lit("2024-01-09").cast("date")).count()
+    assert(moved == upd.rowsUpdated)
+    // total row count is conserved across both ops
+    assert(spark.read.parquet(s"$base/tbl").count() == 3000 - del.rowsDeleted)
+  }
+
+  test("writeZordered over an existing PARTITIONED dir replaces the deep " +
+    "file set — no old partition rows survive beside the new layout") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_z_over_part").toString
+    val store = new Store(spark, base)
+    store.writePartitioned(Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 2L, 2.0))
+      .toDF("datetime", "k", "v"), "tbl")
+    val df = spark.range(500).select(col("id").as("k"), (col("id") % 9).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 2)
+    val got = spark.read.parquet(s"$base/tbl")
+    assert(got.count() == 500, "old partitioned rows leaked past the replace")
+    assert(got.columns.sorted.toSeq == Seq("k", "v"))
+  }
+
   test("writeCsv: nested rel swaps in place, overwrite replaces, no tmp debris") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_csv").toString

@@ -356,6 +356,79 @@ class TimeTravelSpec extends AnyFunSuite {
       rows(spark.read.parquet(dir.toString)))
   }
 
+  test("the snapshot view serves EXACTLY the committed epoch through a " +
+    "mid-journal state where the live listing shows duplicates") {
+    val base = Files.createTempDirectory("graft_tt_midj").toString
+    val store = new Store(spark, base)
+    val df = spark.range(1000).select(col("id").as("k"), (col("id") % 17).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 2)      // epoch 0
+    store.registerSnapshotView("graft_tt_midj_v", "tbl")
+    assert(spark.table("graft_tt_midj_v").count() == 1000)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // manufacture MID-REPLAY: journal written, promoted copy renamed IN,
+    // original not yet retired — the exact window where a listing-based
+    // read returns promoted copies AND originals at once
+    val victim = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("part-")).sorted.head
+    val victimRows = spark.read.parquet(s"$dir/$victim").count()
+    assert(victimRows > 0)
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".tmp_scoped")
+    fs.mkdirs(tmp)
+    assert(org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(dir, victim), fs,
+      new org.apache.hadoop.fs.Path(tmp, victim), false,
+      spark.sparkContext.hadoopConfiguration))
+    val m = LayoutManifest.read(fs, dir).get
+    val promoted = s"part-s9-${victim.stripPrefix("part-")}"
+    ScopedCommit.write(fs, dir, renames = Seq(victim -> promoted),
+      deletes = Nil, retires = Seq(victim),
+      manifest = Some(m.copy(epoch = 9L,
+        base = (m.base.filterNot(_ == victim) :+ promoted).sorted, appends = Nil)))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(tmp, victim),
+      new org.apache.hadoop.fs.Path(dir, promoted)))
+    // the listing-based read hits the window: duplicates
+    assert(spark.read.parquet(dir.toString).count() == 1000 + victimRows,
+      "test setup must manufacture the duplicate window")
+    // the pinned view does not: exactly the committed epoch
+    assert(spark.table("graft_tt_midj_v").count() == 1000,
+      "snapshot view leaked mid-journal duplicates")
+    // recovery + next commit re-pins the view onto the new epoch
+    store.appendZordered(
+      spark.range(1000, 1050).select(col("id").as("k"), (col("id") % 17).as("v")),
+      "tbl", Seq("k", "v"), files = 1)
+    assert(spark.table("graft_tt_midj_v").count() == 1050)
+    spark.catalog.dropTempView("graft_tt_midj_v")
+  }
+
+  test("version views: SQL time travel reads a pinned epoch; a vacuum that " +
+    "drops the epoch turns the view loud-on-use; registration stays loud") {
+    val base = Files.createTempDirectory("graft_tt_vview").toString
+    val store = new Store(spark, base)
+    val df = spark.range(2000).select(col("id").as("k"), (col("id") % 23).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 2)      // epoch 0
+    store.deleteWhere("tbl", col("k") < 500)                      // epoch 1
+    store.registerVersionView("graft_tt_v0", "tbl", 0L)
+    // the pinned epoch is the PRE-delete table, through pure SQL
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_tt_v0").head.getLong(0) == 2000)
+    // content pins too, not just counts
+    assert(spark.sql("SELECT SUM(v) AS s FROM graft_tt_v0").head.getLong(0) ==
+      df.agg(sum("v")).head.getLong(0))
+    // a recluster RETIRES the epoch-0 files; the re-pin re-resolves them
+    // to the retired dir and the view keeps serving the same rows
+    store.recluster("tbl", Seq("k", "v"), files = 2)              // epoch 2
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_tt_v0").head.getLong(0) == 2000)
+    // vacuum keeps only the current epoch: the view must turn LOUD
+    store.vacuum("tbl", keepLast = 1)
+    val err = intercept[Exception] {
+      spark.sql("SELECT COUNT(*) FROM graft_tt_v0").collect()
+    }
+    assert(err.getMessage.contains("no longer resolvable"), err.getMessage)
+    // and registering the dropped epoch fails loudly up front
+    intercept[IllegalStateException] { store.registerVersionView("graft_tt_v0b", "tbl", 0L) }
+    spark.catalog.dropTempView("graft_tt_v0")
+  }
+
   test("maintainRetention vacuums only past the measured retired-bytes threshold") {
     val base = Files.createTempDirectory("graft_tt_retention").toString
     val store = new Store(spark, base)
@@ -410,6 +483,46 @@ class TimeTravelSpec extends AnyFunSuite {
     store.erosionStats("tbl")
     assert(!fs.exists(LayoutManifest.claimPath(dir, 2L)))
     store.scopedRecluster("tbl") // still not wedged after the stat refresh
+  }
+
+  test("withVersionRetry self-heals a read that a concurrent retire lands on: " +
+    "one re-resolution finds the files at their new home") {
+    val base = Files.createTempDirectory("graft_tt_retry").toString
+    val store = new Store(spark, base)
+    val df = spark.range(2000).select(col("id").as("k"), (col("id") % 19).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 2)       // epoch 0
+    // first attempt: the frame resolves epoch 0's LIVE files, then a full
+    // recluster retires every one of them before the action runs — the
+    // exact boundary the scaladoc documents. The retry must re-resolve
+    // into .graft_retired and land the same rows.
+    var attempts = 0
+    val n = store.withVersionRetry("tbl", 0L) { frame =>
+      attempts += 1
+      if (attempts == 1) store.recluster("tbl", Seq("k", "v"), files = 2) // epoch 1
+      frame.count()
+    }
+    assert(attempts == 2, s"expected exactly one retry, got $attempts attempts")
+    assert(n == 2000)
+    // snapshot flavor: the retry resolves the NEWEST epoch, so a read
+    // overlapping a delete self-heals onto the post-delete table
+    attempts = 0
+    val n2 = store.withSnapshotRetry("tbl") { frame =>
+      attempts += 1
+      if (attempts == 1) {
+        store.deleteWhere("tbl", col("k") < 100)                   // epoch 2
+        // the delete retires the files the resolved frame points at only
+        // if they bear matches; force staleness for the whole frame
+        store.recluster("tbl", Seq("k", "v"), files = 2)           // epoch 3
+      }
+      frame.count()
+    }
+    assert(attempts == 2 && n2 == 1900)
+    // a genuinely vacuumed epoch is NOT retried into success: loud after
+    // the bounded attempts
+    store.vacuum("tbl", keepLast = 1)
+    intercept[IllegalStateException] {
+      store.withVersionRetry("tbl", 0L, retries = 2)(_.count())
+    }
   }
 
   test("maintainZordered size-trigger folds accreted thin append layers " +

@@ -84,22 +84,83 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(spark.table("graft_squpd_t").collect().map(_.toString).sorted.toSeq == want)
   }
 
+  private def deepTriples(dir: String) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
+    def walk(p: org.apache.hadoop.fs.Path, prefix: String):
+        Seq[(String, Long, Long)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (!visible(n)) Nil
+        else if (st.isFile) Seq((prefix + n, st.getLen, st.getModificationTime))
+        else walk(st.getPath, s"$prefix$n/")
+      }
+    walk(root, "").toSet
+  }
+
+  test("partitioned tables: SQL DELETE/UPDATE re-stage per partition dir; " +
+    "untouched partitions byte/mtime-identical; the locate scan partition-prunes") {
+    val base = Files.createTempDirectory("graft_sqlpart").toString
+    val store = new Store(spark, base)
+    val df = spark.range(20000).select(
+      to_timestamp(concat(lit("2024-01-0"), (col("id") % 5 + 1), lit(" 10:00:00")))
+        .as("datetime"),
+      col("id").as("k"),
+      (col("id") % 100).cast("double").as("v"))
+    store.writePartitioned(df, "part_tbl")
+    spark.sql("DROP TABLE IF EXISTS graft_sqlpart_t")
+    spark.catalog.createTable("graft_sqlpart_t", s"$base/part_tbl", "parquet")
+    spark.catalog.recoverPartitions("graft_sqlpart_t")
+    val before = deepTriples(s"$base/part_tbl")
+    assert(before.map(_._1).exists(_.startsWith("dt=")), "layout must be partitioned")
+
+    // the pruning witness: the COW locate scan is a pushed-predicate read
+    // of the table root — with a dt predicate it must prune to the one
+    // partition directory, not list-and-filter every file
+    val locate = spark.read.parquet(s"$base/part_tbl")
+      .where(col("dt") === lit("2024-01-03").cast("date") && col("v") >= 50)
+      .select(input_file_name())
+    val scan = locate.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("dt"),
+      s"dt predicate must be a partition filter:\n$scan")
+
+    val q = spark.sql(
+      "DELETE FROM graft_sqlpart_t WHERE dt = DATE'2024-01-03' AND v >= 50")
+    assert(q.queryExecution.commandExecuted.toString.contains("GraftCowDelete"),
+      s"expected GraftCowDeleteCommand in:\n${q.queryExecution.commandExecuted}")
+    val afterDel = deepTriples(s"$base/part_tbl")
+    // every file outside dt=2024-01-03 kept name/bytes/mtime; the touched
+    // partition's files were replaced in place under their directory
+    assert(before.filterNot(_._1.startsWith("dt=2024-01-03/")) ==
+      afterDel.filterNot(_._1.startsWith("dt=2024-01-03/")),
+      "untouched partitions must not move")
+    assert(afterDel.filter(_._1.startsWith("dt=2024-01-03/")) !=
+      before.filter(_._1.startsWith("dt=2024-01-03/")))
+    val expected = df.where(!(to_date(col("datetime")) === lit("2024-01-03").cast("date")
+        && col("v") >= 50)).count()
+    assert(spark.read.parquet(s"$base/part_tbl").count() == expected)
+
+    // UPDATE on another partition: SET references row columns; only that
+    // partition's files move; content matches the CASE WHEN law
+    val q2 = spark.sql(
+      "UPDATE graft_sqlpart_t SET v = v + 1000 WHERE dt = DATE'2024-01-02' AND v < 10")
+    assert(q2.queryExecution.commandExecuted.toString.contains("GraftCowUpdate"))
+    val afterUpd = deepTriples(s"$base/part_tbl")
+    assert(afterDel.filterNot(_._1.startsWith("dt=2024-01-02/")) ==
+      afterUpd.filterNot(_._1.startsWith("dt=2024-01-02/")),
+      "an update scoped to dt=2024-01-02 must leave every other partition untouched")
+    val got = spark.read.parquet(s"$base/part_tbl")
+      .where(col("dt") === lit("2024-01-02").cast("date"))
+      .agg(sum(col("v"))).head.getDouble(0)
+    val want = df.where(to_date(col("datetime")) === lit("2024-01-02").cast("date"))
+      .select(when(col("v") < 10, col("v") + 1000).otherwise(col("v")).as("v"))
+      .agg(sum(col("v"))).head.getDouble(0)
+    assert(math.abs(got - want) < 1e-6, s"got $got want $want")
+  }
+
   test("preconditions hold: DML outside them still fails with Spark's own error") {
-    import spark.implicits._
     val base = Files.createTempDirectory("graft_sqlpre").toString
-    // a dt=-partitioned table must NOT be intercepted (the COW rewrite
-    // would lose the partition-directory values)
-    Seq((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
-        (java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 2.0))
-      .toDF("datetime", "v").withColumn("dt", to_date(col("datetime")))
-      .write.partitionBy("dt").parquet(s"$base/part_tbl")
-    spark.sql("DROP TABLE IF EXISTS graft_sqlpre_part")
-    spark.catalog.createTable("graft_sqlpre_part", s"$base/part_tbl", "parquet")
-    spark.catalog.recoverPartitions("graft_sqlpre_part")
-    val e1 = intercept[Exception] {
-      spark.sql("DELETE FROM graft_sqlpre_part WHERE v = 1.0")
-    }
-    assert(e1.getMessage.contains("does not support DELETE"), e1.getMessage)
     // a subquery condition cannot be re-expressed inside the command
     val store = new Store(spark, base)
     store.writeZordered(spark.range(100).select(col("id").as("k"), col("id").as("v")),

@@ -193,6 +193,38 @@ class PlanSpec extends AnyFunSuite {
       "dropping the catalog entry must not delete data")
   }
 
+  test("manifest-pinned snapshot view: pruning survives the view; mutators re-pin it") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    // the x58b witness: the manifest-driven view is a file-LIST pin, not a
+    // different scan path — the same FileSourceScan plans under it, so
+    // pushed filters and the z-layout's file subsets hold exactly as on
+    // the listing-based read
+    val base = java.nio.file.Files.createTempDirectory("graft-snapview-").toString
+    val store = new graft.io.Store(spark, base)
+    store.writeZordered(graft.Tables.events(spark, sf), "events_z",
+      Seq("user_id", "ts"), files = 16)
+    store.registerSnapshotView("graft_plan_snap_v", "events_z")
+    val all = spark.table("graft_plan_snap_v")
+    assert(all.select(input_file_name()).distinct().count() == 16)
+    val filtered = all.where(col("user_id").between(40, 49))
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(user_id,40)"), p)
+    val touched = filtered.select(input_file_name()).distinct().count()
+    assert(touched <= 8, s"snapshot view touched $touched of 16 z-files — skipping lost")
+    // every mutator commit re-pins the view: appends become visible, a
+    // scoped rewrite (which RETIRES originals) never breaks a later read
+    val n0 = spark.table("graft_plan_snap_v").count()
+    store.appendZordered(graft.Tables.events(spark, sf).limit(100)
+        .withColumn("event_id", col("event_id") + 20000000L),
+      "events_z", Seq("user_id", "ts"), files = 2)
+    assert(spark.table("graft_plan_snap_v").count() == n0 + 100,
+      "snapshot view missed appended rows — re-pin failed")
+    store.scopedRecluster("events_z")
+    assert(spark.table("graft_plan_snap_v").count() == n0 + 100,
+      "snapshot view broken after scoped rewrite")
+    spark.catalog.dropTempView("graft_plan_snap_v")
+  }
+
   test("point-in-time join against the scd2 STORE prunes history buckets dynamically") {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     // the serving-side counterpart of the x52c write path: facts carry
