@@ -162,7 +162,11 @@ class Store(spark: SparkSession, baseDir: String) {
     // readable until vacuum; a manifest-less directory (plain parquet or
     // fresh) has no history to serve, so its files are deleted and the
     // table starts its history at epoch 0.
-    withEpochClaim(dir, m0.map(_.epoch + 1).getOrElse(0L),
+    // ONE epoch value feeds the claim, the promote names, and the manifest
+    // — a drifting second computation could claim one epoch and journal
+    // another, wedging the table behind an unreleasable claim
+    val epoch = m0.map(_.epoch + 1).getOrElse(0L)
+    withEpochClaim(dir, epoch,
       m0.map(_.epoch).getOrElse(-1L), java.util.UUID.randomUUID.toString) {
       // DEEP listing for the replace set: a manifest-less target may be a
       // dt-partitioned table, whose data lives under key= subdirs — a
@@ -174,7 +178,6 @@ class Store(spark: SparkSession, baseDir: String) {
       fs.delete(tmp, true)
       zorderStage(df, zCols, files, bits).write.mode("overwrite").parquet(tmp.toString)
       val staged = listDataFiles(tmp)
-      val epoch = m0.map(_.epoch + 1).getOrElse(0L)
       val renames = staged.map(s => s -> s"part-w$epoch-${s.stripPrefix("part-")}")
       // a replace drops the exactly-once watermark ONLY when no manifest
       // carried one (carrying it through mirrors recluster's discipline)
@@ -185,6 +188,18 @@ class Store(spark: SparkSession, baseDir: String) {
         deletes = if (m0.isDefined) Nil else current, manifest = Some(newM),
         retires = if (m0.isDefined) current else Nil)
       ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
+      // a replace of a partitioned dir leaves its key= dirs empty — dead
+      // weight on a now-flat table, so prune them (COW deletes keep a
+      // fully-emptied partition's dir deliberately: its catalog partition
+      // entry stays valid at zero files). Non-recursive delete: a dir a
+      // concurrent writer raced a file into simply stays.
+      current.filter(_.contains('/'))
+        .map(n => new Path(dir, n.substring(0, n.lastIndexOf('/'))))
+        .distinct
+        .foreach { d =>
+          try if (fs.exists(d) && fs.listStatus(d).isEmpty) fs.delete(d, false)
+          catch { case _: java.io.IOException => () }
+        }
     }
     refreshCatalog(dir)
   }
@@ -342,8 +357,18 @@ class Store(spark: SparkSession, baseDir: String) {
     cat.listTables(cat.getCurrentDatabase).foreach { ident =>
       try {
         val meta = cat.getTableMetadata(ident)
-        if (canon(new Path(meta.location)) == target)
+        if (canon(new Path(meta.location)) == target) {
           spark.catalog.refreshTable(ident.unquotedString)
+          // a catalog table that TRACKS partitions reads through the
+          // catalog's partition registry, not a directory listing — a
+          // mutation that created a new partition directory (an UPDATE
+          // moving rows to a new partition value) would be silently
+          // invisible to it until an MSCK. Re-discover after every
+          // mutation: O(partition dirs) metadata, and only for tables
+          // actually registered over this path with partition columns.
+          if (meta.partitionColumnNames.nonEmpty)
+            spark.catalog.recoverPartitions(ident.unquotedString)
+        }
       } catch { case _: Exception => () } // views/dropped races: nothing to refresh
     }
     // re-pin every manifest-pinned view registered over this table: the
@@ -354,24 +379,42 @@ class Store(spark: SparkSession, baseDir: String) {
     val sid = Store.sessionKey(spark)
     val targetKey = target.toString
     Store.pinnedViews.snapshot().foreach {
-      case ((s, view), (dirKey, rel, epochOpt)) if s == sid && dirKey == targetKey =>
-        try {
-          epochOpt match {
-            case None => readSnapshot(rel).createOrReplaceTempView(view)
-            case Some(e) => readVersion(rel, e).createOrReplaceTempView(view)
+      case (key @ (s, view), Store.PinnedView(sessRef, dirKey, viewBase, rel, epochOpt))
+          if s == sid && dirKey == targetKey =>
+        // identityHashCode keys can collide after a session is GC'd and a
+        // new one lands on the same hash — the weak ref disambiguates:
+        // a dead or different session's entry is dropped, never re-pinned
+        // into the wrong catalog
+        if (!sessRef.get.exists(_ eq spark)) Store.pinnedViews.remove(key)
+        // a view the user explicitly dropped stays dropped — resurrecting
+        // it on the next mutation would override an intentional catalog
+        // action; drop the registration along with it
+        else if (spark.sessionState.catalog.getTempView(view).isEmpty)
+          Store.pinnedViews.remove(key)
+        else {
+          // resolve through the REGISTERING store's base dir: the mutator
+          // driving this refresh may address the same table through a
+          // different baseDir/rel split, which must not change how the
+          // pinned rel resolves
+          val owner = if (viewBase == baseDir) this else new Store(spark, viewBase)
+          try {
+            epochOpt match {
+              case None => owner.readSnapshot(rel).createOrReplaceTempView(view)
+              case Some(e) => owner.readVersion(rel, e).createOrReplaceTempView(view)
+            }
+          } catch {
+            case ex: IllegalStateException =>
+              // the error rides a FILTER, not a projected column: a
+              // projection is pruned by COUNT(*)-shaped queries, which
+              // would read the dead view as silently empty — the filter
+              // must be evaluated to produce any row, so every query
+              // through the view throws with the real cause
+              spark.range(1)
+                .where(raise_error(lit(
+                  s"pinned view '$view' is no longer resolvable: ${ex.getMessage}")).isNull)
+                .select(lit(1L).as("error"))
+                .createOrReplaceTempView(view)
           }
-        } catch {
-          case ex: IllegalStateException =>
-            // the error rides a FILTER, not a projected column: a
-            // projection is pruned by COUNT(*)-shaped queries, which
-            // would read the dead view as silently empty — the filter
-            // must be evaluated to produce any row, so every query
-            // through the view throws with the real cause
-            spark.range(1)
-              .where(raise_error(lit(
-                s"pinned view '$view' is no longer resolvable: ${ex.getMessage}")).isNull)
-              .select(lit(1L).as("error"))
-              .createOrReplaceTempView(view)
         }
       case _ => ()
     }
@@ -1395,7 +1438,9 @@ class Store(spark: SparkSession, baseDir: String) {
     */
   def registerSnapshotView(view: String, rel: String): Unit = {
     readSnapshot(rel).createOrReplaceTempView(view)
-    Store.pinnedViews((Store.sessionKey(spark), view)) = (canonDirKey(rel), rel, None)
+    Store.pinnedViews((Store.sessionKey(spark), view)) =
+      Store.PinnedView(new scala.ref.WeakReference(spark), canonDirKey(rel),
+        baseDir, rel, None)
   }
 
   /** SQL time-travel face: register `view` pinned to manifest `epoch` —
@@ -1411,7 +1456,9 @@ class Store(spark: SparkSession, baseDir: String) {
     */
   def registerVersionView(view: String, rel: String, epoch: Long): Unit = {
     readVersion(rel, epoch).createOrReplaceTempView(view)
-    Store.pinnedViews((Store.sessionKey(spark), view)) = (canonDirKey(rel), rel, Some(epoch))
+    Store.pinnedViews((Store.sessionKey(spark), view)) =
+      Store.PinnedView(new scala.ref.WeakReference(spark), canonDirKey(rel),
+        baseDir, rel, Some(epoch))
   }
 
   private def canonDirKey(rel: String): String =
@@ -1476,25 +1523,37 @@ class Store(spark: SparkSession, baseDir: String) {
 
 object Store {
 
+  /** One manifest-pinned temp view's registration: the weak session ref
+    * guards against identity-hash reuse after a session dies (and lets a
+    * dead session's entries self-drop on the next touch), `viewBase` is
+    * the REGISTERING store's base dir so re-pins resolve `rel` exactly as
+    * registration did, `epoch` None = track the current epoch.
+    */
+  private case class PinnedView(session: scala.ref.WeakReference[SparkSession],
+                                dirKey: String, viewBase: String, rel: String,
+                                epoch: Option[Long])
+
   /** Manifest-pinned temp views ([[Store.registerSnapshotView]] /
     * [[Store.registerVersionView]]), keyed by (session, view name) so
-    * every mutator's catalog refresh can re-pin them: value is
-    * (canonical table dir, rel, pinned epoch — None = track current).
-    * Process-global because Store instances are ephemeral wrappers; temp
-    * views live exactly as long as their session, so a dead session's
-    * entries are inert (re-pin never runs without a mutation through
-    * that same session).
+    * every mutator's catalog refresh can re-pin them. Process-global
+    * because Store instances are ephemeral wrappers; temp views live
+    * exactly as long as their session, and entries for dead sessions or
+    * user-dropped views are removed on the next refresh touch.
     */
   private val pinnedViews =
-    new scala.collection.concurrent.TrieMap[(String, String), (String, String, Option[Long])]()
+    new scala.collection.concurrent.TrieMap[(String, String), PinnedView]()
 
   private def sessionKey(spark: SparkSession): String =
     System.identityHashCode(spark).toString
 
-  /** The failure shape of a scan whose resolved file moved under it
+  /** The failure shape of a scan whose resolved FILE moved under it
     * (retire/vacuum between resolution and action): a FileNotFoundException
-    * anywhere in the cause chain, or Spark's FILE_NOT_FOUND error-class
-    * message. Nothing else qualifies — a genuine data error must not be
+    * anywhere in the cause chain, or Spark's FILE_NOT_FOUND /
+    * FAILED_READ_FILE.FILE_NOT_EXIST error classes. Deliberately NOT a
+    * generic "does not exist" substring: analysis-time path/table/partition
+    * errors (PATH_NOT_FOUND, TABLE_OR_VIEW_NOT_FOUND) are permanent user
+    * errors that a retry would only re-run — possibly expensively — before
+    * surfacing. Nothing else qualifies; a genuine data error must never be
     * retried into.
     */
   private[graft] def isMissingFileError(e: Throwable): Boolean = {
@@ -1503,7 +1562,7 @@ object Store {
     while (c != null && seen < 16) {
       if (c.isInstanceOf[java.io.FileNotFoundException]) return true
       val m = Option(c.getMessage).getOrElse("")
-      if (m.contains("FILE_NOT_FOUND") || m.contains("does not exist")) return true
+      if (m.contains("FILE_NOT_FOUND") || m.contains("FILE_NOT_EXIST")) return true
       val next = c.getCause
       c = if (next eq c) null else next
       seen += 1

@@ -427,6 +427,15 @@ class TimeTravelSpec extends AnyFunSuite {
     // and registering the dropped epoch fails loudly up front
     intercept[IllegalStateException] { store.registerVersionView("graft_tt_v0b", "tbl", 0L) }
     spark.catalog.dropTempView("graft_tt_v0")
+    // a view the user DROPPED stays dropped: the next mutation's refresh
+    // must not resurrect it (an intentional catalog action wins over the
+    // registration), and later mutations keep working
+    store.registerSnapshotView("graft_tt_vsnap", "tbl")
+    assert(spark.catalog.tableExists("graft_tt_vsnap"))
+    spark.catalog.dropTempView("graft_tt_vsnap")
+    store.deleteWhere("tbl", col("k") >= 1900)
+    assert(!spark.catalog.tableExists("graft_tt_vsnap"),
+      "mutation resurrected a dropped pinned view")
   }
 
   test("maintainRetention vacuums only past the measured retired-bytes threshold") {

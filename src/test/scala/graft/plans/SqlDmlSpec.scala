@@ -157,6 +157,22 @@ class SqlDmlSpec extends AnyFunSuite {
       .select(when(col("v") < 10, col("v") + 1000).otherwise(col("v")).as("v"))
       .agg(sum(col("v"))).head.getDouble(0)
     assert(math.abs(got - want) < 1e-6, s"got $got want $want")
+
+    // an UPDATE that MOVES rows to a NEW partition value: the catalog
+    // tracks partitions, so the mutation must register the new directory
+    // — a refresh-only path would leave the moved rows invisible to
+    // `spark.table` until a manual MSCK
+    val total = spark.table("graft_sqlpart_t").count()
+    val q3 = spark.sql(
+      "UPDATE graft_sqlpart_t SET dt = DATE'2024-02-01' WHERE dt = DATE'2024-01-04' AND v < 5")
+    assert(q3.queryExecution.commandExecuted.toString.contains("GraftCowUpdate"))
+    val movedRows = spark.read.parquet(s"$base/part_tbl")
+      .where(col("dt") === lit("2024-02-01").cast("date")).count()
+    assert(movedRows > 0, "rows must land under the new partition dir")
+    assert(spark.table("graft_sqlpart_t").count() == total,
+      "catalog read must see the moved rows (new partition registered)")
+    assert(spark.table("graft_sqlpart_t")
+      .where(col("dt") === lit("2024-02-01").cast("date")).count() == movedRows)
   }
 
   test("preconditions hold: DML outside them still fails with Spark's own error") {
