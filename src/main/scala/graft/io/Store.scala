@@ -1140,7 +1140,15 @@ class Store(spark: SparkSession, baseDir: String) {
     * promptly after resolving; reads of vacuum-retained epochs against a
     * paused writer are exact by construction.
     */
-  def readVersion(rel: String, epoch: Long): DataFrame = {
+  def readVersion(rel: String, epoch: Long): DataFrame =
+    spark.read.parquet(resolveVersionPaths(rel, epoch): _*)
+
+  /** [[readVersion]]'s resolution step alone: the epoch's file NAMES
+    * resolved to their current homes (live dir vs retired dir) as full
+    * paths — the hook the DSv2 catalog face builds its pinned tables
+    * from. Same validation and failure modes as [[readVersion]].
+    */
+  private[graft] def resolveVersionPaths(rel: String, epoch: Long): Seq[String] = {
     val dir = new Path(s"$baseDir/$rel")
     Store.recoverSwap(fs, dir)
     ScopedCommit.recover(fs, dir)
@@ -1180,7 +1188,7 @@ class Store(spark: SparkSession, baseDir: String) {
           "the snapshot is no longer materializable; vacuum the stale epoch")
     }
     require(paths.nonEmpty, s"epoch $epoch of $rel lists no data files")
-    spark.read.parquet(paths: _*)
+    paths
   }
 
   /** Mechanized form of [[readVersion]]'s documented concurrency
@@ -1233,13 +1241,19 @@ class Store(spark: SparkSession, baseDir: String) {
     * exactly one file set. Use for correctness-critical reads of tables
     * under continuous maintenance.
     */
-  def readSnapshot(rel: String): DataFrame = {
+  def readSnapshot(rel: String): DataFrame =
+    spark.read.parquet(resolveSnapshotPaths(rel): _*)
+
+  /** [[readSnapshot]]'s resolution step alone — see
+    * [[resolveVersionPaths]].
+    */
+  private[graft] def resolveSnapshotPaths(rel: String): Seq[String] = {
     val dir = new Path(s"$baseDir/$rel")
     Store.recoverSwap(fs, dir)
     ScopedCommit.recover(fs, dir)
     val m = LayoutManifest.read(fs, dir).getOrElse(throw new IllegalStateException(
       s"$rel has no layout manifest — readSnapshot needs layout provenance"))
-    readVersion(rel, m.epoch)
+    resolveVersionPaths(rel, m.epoch)
   }
 
   /** Result of a [[vacuum]] pass, for logging and specs. */

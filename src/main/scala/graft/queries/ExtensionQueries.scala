@@ -887,6 +887,49 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
     }),
+    // The DSv2 catalog face (x58b's per-statement sibling): a
+    // `spark.sql.catalog.<name>` GraftCatalog resolves the MANIFEST at
+    // every statement, so the SQL consumer needs no registration and no
+    // re-pin — `FROM graft_x58c.events_z` is the committed epoch, always
+    // (GraftCatalogSpec pins mid-journal exactness, pushdown through the
+    // wrapped v2 ParquetTable, and read-only enforcement). Same
+    // layout-independent aggregate; DuckDB replays it off raw events.
+    "x58c_v2_catalog" -> ((s, dir) => {
+      val base = s"$scratchDir/x58c"
+      val store = new graft.io.Store(s, base)
+      val e = Tables.events(s, dir)
+      store.writeZordered(e.where(col("user_id") < 100), "events_z",
+        Seq("user_id", "ts"), files = 8)
+      s.conf.set("spark.sql.catalog.graft_x58c", "graft.sql.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_x58c.base", base)
+      store.appendZordered(e.where(col("user_id") >= 100), "events_z",
+        Seq("user_id", "ts"), files = 4)
+      s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              |  ROUND(SUM(value), 2) AS sum_value,
+              |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              |FROM graft_x58c.events_z
+              |GROUP BY event_type""".stripMargin)
+    }),
+    // REAL `VERSION AS OF` SQL over the manifest epochs (x62b through the
+    // DSv2 loadTable(ident, version) route instead of a pinned view):
+    // epoch 0 is the pre-delete, pre-recluster table, resolved per
+    // statement. Same pre-mutation oracle as x62/x62b.
+    "x62c_sql_version_as_of" -> ((s, dir) => {
+      val base = s"$scratchDir/x62c"
+      val store = new graft.io.Store(s, base)
+      store.writeZordered(Tables.events(s, dir), "events_hist",
+        Seq("user_id", "ts"), files = 8)                      // epoch 0
+      store.deleteWhere("events_hist",
+        col("user_id").between(40, 49) && col("event_type") === "click") // epoch 1
+      store.recluster("events_hist", Seq("user_id", "ts"), files = 8) // epoch 2
+      s.conf.set("spark.sql.catalog.graft_x62c", "graft.sql.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_x62c.base", base)
+      s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              |  ROUND(SUM(value), 2) AS sum_value,
+              |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              |FROM graft_x62c.events_hist VERSION AS OF 0
+              |GROUP BY event_type""".stripMargin)
+    }),
     // The DAILY MAINTENANCE LOOP as one declared operator — not the
     // parts (x59 proves the scoped pass, x62 the retention machinery)
     // but their measured-trigger composition: erode with appends that
@@ -2112,6 +2155,22 @@ object ExtensionQueries {
       """SELECT CASE WHEN user_id BETWEEN 40 AND 49 AND event_type = 'click'
         |            THEN 'click_redacted' ELSE event_type END AS event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    // The v2-catalog read serves the full written+appended corpus with no
+    // registration: the layout-independent aggregate replays off raw rows.
+    "x58c_v2_catalog" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    // VERSION AS OF 0 = the table before the delete and recluster: x62's
+    // oracle verbatim.
+    "x62c_sql_version_as_of" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(value), 2) AS sum_value,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events

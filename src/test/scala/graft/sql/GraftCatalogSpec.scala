@@ -1,0 +1,142 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.{LayoutManifest, ScopedCommit, Store}
+
+/** The DSv2 catalog face: per-statement manifest resolution (current
+  * epoch and `VERSION AS OF`), stock parquet pushdown through the
+  * wrapped v2 table, read-only enforcement, and the mid-journal
+  * exactness law that is the face's reason to exist.
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("current-epoch reads resolve per statement: appends visible with no " +
+    "re-registration; VERSION AS OF reads a pinned epoch; vacuumed stays loud") {
+    val base = Files.createTempDirectory("graft_v2cat").toString
+    val store = new Store(spark, base)
+    val df = spark.range(3000).select(col("id").as("k"),
+      pmod(col("id") * 31, lit(3000)).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 4)       // epoch 0
+    spark.conf.set("spark.sql.catalog.graft_t1", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_t1.base", base)
+
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_t1.tbl").head.getLong(0) == 3000)
+    // a mutation is visible to the NEXT statement without any catalog
+    // action — resolution happens per query (the pinned-view face needs
+    // its re-pin; this face re-reads the pointer every time)
+    store.appendZordered(
+      spark.range(3000, 3200).select(col("id").as("k"), (col("id") % 7).as("v")),
+      "tbl", Seq("k", "v"), files = 1)                             // epoch 1
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_t1.tbl").head.getLong(0) == 3200)
+
+    // time travel through real SQL syntax: epoch 0 is the pre-append table
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graft_t1.tbl VERSION AS OF 0").head.getLong(0) == 3000)
+    // content, not just counts — and the epoch survives a full recluster
+    // (files retire; resolution follows them)
+    val sum0 = df.agg(sum("v")).head.getLong(0)
+    store.recluster("tbl", Seq("k", "v"), files = 2)               // epoch 2
+    assert(spark.sql(
+      "SELECT SUM(v) AS s FROM graft_t1.tbl VERSION AS OF 0").head.getLong(0) == sum0)
+
+    // a vacuumed epoch fails loudly through SQL, exactly like readVersion
+    store.vacuum("tbl", keepLast = 1)
+    val err = intercept[Exception] {
+      spark.sql("SELECT COUNT(*) FROM graft_t1.tbl VERSION AS OF 0").collect()
+    }
+    assert(err.getMessage.contains("not readable"), err.getMessage)
+    // a non-numeric version is a clear argument error, not a scan failure
+    val err2 = intercept[Exception] {
+      spark.sql("SELECT COUNT(*) FROM graft_t1.tbl VERSION AS OF 'abc'").collect()
+    }
+    assert(err2.getMessage.contains("EPOCH"), err2.getMessage)
+  }
+
+  test("pushdown survives the catalog: PushedFilters in the v2 scan and the " +
+    "z-layout's file subset; writes and DDL are refused loudly") {
+    val base = Files.createTempDirectory("graft_v2cat_push").toString
+    val store = new Store(spark, base)
+    store.writeZordered(graft.Tables.events(spark, "/root/testdata/sf0.001"),
+      "events_z", Seq("user_id", "ts"), files = 16)
+    spark.conf.set("spark.sql.catalog.graft_t2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_t2.base", base)
+
+    val filtered = spark.sql(
+      "SELECT * FROM graft_t2.events_z WHERE user_id BETWEEN 40 AND 49")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("user_id"), plan)
+    val touched = filtered.select(input_file_name()).distinct().count()
+    assert(touched <= 8, s"catalog read touched $touched of 16 z-files — skipping lost")
+    assert(spark.sql("SELECT * FROM graft_t2.events_z").select(input_file_name())
+      .distinct().count() == 16)
+
+    // read-only: INSERT fails at analysis (no BATCH_WRITE capability),
+    // DDL fails with the catalog's own read-only message
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO graft_t2.events_z SELECT * FROM graft_t2.events_z LIMIT 1")
+    }
+    assert(e1.getMessage.toLowerCase.contains("does not support") ||
+      e1.getMessage.contains("read-only"), e1.getMessage)
+    val e2 = intercept[Exception] { spark.sql("DROP TABLE graft_t2.events_z") }
+    assert(e2.getMessage.contains("read-only"), e2.getMessage)
+    // a manifest-less dir is not served (listing semantics live in
+    // registerCatalog); a missing path is the ordinary NOT_FOUND
+    spark.range(10).write.parquet(s"$base/plain")
+    val e3 = intercept[Exception] { spark.sql("SELECT * FROM graft_t2.plain").collect() }
+    assert(e3.getMessage.contains("layout manifest"), e3.getMessage)
+    val e4 = intercept[Exception] { spark.sql("SELECT * FROM graft_t2.nope").collect() }
+    assert(e4.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e4.getMessage.toLowerCase.contains("cannot be found") ||
+      e4.getMessage.toLowerCase.contains("not found"), e4.getMessage)
+  }
+
+  test("mid-journal exactness: the catalog serves the committed epoch while " +
+    "the live listing shows duplicates") {
+    val base = Files.createTempDirectory("graft_v2cat_midj").toString
+    val store = new Store(spark, base)
+    val df = spark.range(1000).select(col("id").as("k"), (col("id") % 13).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 2)       // epoch 0
+    spark.conf.set("spark.sql.catalog.graft_t3", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_t3.base", base)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_t3.tbl").head.getLong(0) == 1000)
+
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // manufacture MID-REPLAY (the TimeTravelSpec shape): journal written,
+    // promoted copy renamed IN, original not yet retired
+    val victim = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("part-")).sorted.head
+    val victimRows = spark.read.parquet(s"$dir/$victim").count()
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".tmp_scoped")
+    fs.mkdirs(tmp)
+    assert(org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(dir, victim), fs,
+      new org.apache.hadoop.fs.Path(tmp, victim), false,
+      spark.sparkContext.hadoopConfiguration))
+    val m = LayoutManifest.read(fs, dir).get
+    val promoted = s"part-s9-${victim.stripPrefix("part-")}"
+    ScopedCommit.write(fs, dir, renames = Seq(victim -> promoted),
+      deletes = Nil, retires = Seq(victim),
+      manifest = Some(m.copy(epoch = 9L,
+        base = (m.base.filterNot(_ == victim) :+ promoted).sorted, appends = Nil)))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(tmp, victim),
+      new org.apache.hadoop.fs.Path(dir, promoted)))
+    assert(spark.read.parquet(dir.toString).count() == 1000 + victimRows,
+      "test setup must manufacture the duplicate window")
+
+    // the catalog resolves the manifest, recovers the journal on entry,
+    // and serves one committed epoch — never the duplicate listing
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_t3.tbl").head.getLong(0) == 1000,
+      "v2 catalog read leaked mid-journal duplicates")
+    assert(rows(spark.sql("SELECT * FROM graft_t3.tbl")) == rows(df))
+  }
+}
