@@ -58,11 +58,23 @@ class GraftCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
-  /** Listing would be a filesystem walk of `base` — the stores are
-    * path-addressed, so SHOW TABLES over them is not a catalog property;
-    * empty keeps the op valid without pretending to enumerate.
+  /** `SHOW TABLES [IN <catalog>.<ns>]`: one listing of the namespace's
+    * directory, keeping exactly the children that carry a layout
+    * manifest — the same "manifest-tracked or refused" contract as
+    * [[loadTable]], so everything listed is loadable and nothing listed
+    * is a listing-semantics dir this catalog would refuse to serve.
     */
-  override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val spark = SparkSession.active
+    val root = new org.apache.hadoop.fs.Path((base +: namespace).mkString("/"))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Array.empty
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_graft_layout")))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
 

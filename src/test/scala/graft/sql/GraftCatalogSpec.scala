@@ -97,6 +97,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
       e4.getMessage.toLowerCase.contains("cannot be found") ||
       e4.getMessage.toLowerCase.contains("not found"), e4.getMessage)
+    // SHOW TABLES lists exactly the manifest-tracked stores: the z-table
+    // appears, the plain parquet dir (which loadTable refuses) does not
+    val shown = spark.sql("SHOW TABLES IN graft_t2").collect()
+      .map(_.getString(1)).toSet
+    assert(shown.contains("events_z") && !shown.contains("plain"), shown.toString)
   }
 
   test("mid-journal exactness: the catalog serves the committed epoch while " +
