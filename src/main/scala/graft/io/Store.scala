@@ -189,16 +189,22 @@ class Store(spark: SparkSession, baseDir: String) {
         retires = if (m0.isDefined) current else Nil)
       ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
       // a replace of a partitioned dir leaves its key= dirs empty — dead
-      // weight on a now-flat table, so prune them (COW deletes keep a
-      // fully-emptied partition's dir deliberately: its catalog partition
-      // entry stays valid at zero files). Non-recursive delete: a dir a
+      // weight on a now-flat table, so prune them BOTTOM-UP to the table
+      // root (a multi-level a=1/b=2 layout must not strand empty a=1
+      // skeletons after their b= children go). COW deletes keep a fully
+      // emptied partition's dir deliberately: its catalog partition entry
+      // stays valid at zero files. Non-recursive delete: a dir a
       // concurrent writer raced a file into simply stays.
       current.filter(_.contains('/'))
         .map(n => new Path(dir, n.substring(0, n.lastIndexOf('/'))))
         .distinct
-        .foreach { d =>
-          try if (fs.exists(d) && fs.listStatus(d).isEmpty) fs.delete(d, false)
-          catch { case _: java.io.IOException => () }
+        .foreach { leaf =>
+          var d = leaf
+          try {
+            while (d != null && d != dir && fs.exists(d) &&
+                fs.listStatus(d).isEmpty && fs.delete(d, false))
+              d = d.getParent
+          } catch { case _: java.io.IOException => () }
         }
     }
     refreshCatalog(dir)
@@ -355,21 +361,30 @@ class Store(spark: SparkSession, baseDir: String) {
     val target = canon(dir)
     val cat = spark.sessionState.catalog
     cat.listTables(cat.getCurrentDatabase).foreach { ident =>
-      try {
-        val meta = cat.getTableMetadata(ident)
-        if (canon(new Path(meta.location)) == target) {
-          spark.catalog.refreshTable(ident.unquotedString)
-          // a catalog table that TRACKS partitions reads through the
-          // catalog's partition registry, not a directory listing — a
-          // mutation that created a new partition directory (an UPDATE
-          // moving rows to a new partition value) would be silently
-          // invisible to it until an MSCK. Re-discover after every
-          // mutation: O(partition dirs) metadata, and only for tables
-          // actually registered over this path with partition columns.
-          if (meta.partitionColumnNames.nonEmpty)
-            spark.catalog.recoverPartitions(ident.unquotedString)
-        }
-      } catch { case _: Exception => () } // views/dropped races: nothing to refresh
+      // metadata lookup tolerates views and concurrent drops (nothing to
+      // refresh); but once the table IS ours, a refresh/recover failure
+      // must stay LOUD — swallowing it would hand the caller a committed
+      // mutation with a silently stale catalog, the exact bug this hook
+      // exists to prevent. Only "already gone" is ignorable there.
+      val meta =
+        try Some(cat.getTableMetadata(ident)) catch { case _: Exception => None }
+      meta.filter(m => canon(new Path(m.location)) == target).foreach { m =>
+        def goneRace(e: Throwable): Boolean =
+          Option(e.getMessage).exists(msg =>
+            msg.contains("TABLE_OR_VIEW_NOT_FOUND") || msg.contains("NoSuchTable"))
+        try spark.catalog.refreshTable(ident.unquotedString)
+        catch { case e: Exception if goneRace(e) => () }
+        // a catalog table that TRACKS partitions reads through the
+        // catalog's partition registry, not a directory listing — a
+        // mutation that created a new partition directory (an UPDATE
+        // moving rows to a new partition value) would be silently
+        // invisible to it until an MSCK. Re-discover after every
+        // mutation: O(partition dirs) metadata, and only for tables
+        // actually registered over this path with partition columns.
+        if (m.partitionColumnNames.nonEmpty)
+          try spark.catalog.recoverPartitions(ident.unquotedString)
+          catch { case e: Exception if goneRace(e) => () }
+      }
     }
     // re-pin every manifest-pinned view registered over this table: the
     // snapshot views move to the just-committed epoch, the version views
@@ -379,41 +394,53 @@ class Store(spark: SparkSession, baseDir: String) {
     val sid = Store.sessionKey(spark)
     val targetKey = target.toString
     Store.pinnedViews.snapshot().foreach {
-      case (key @ (s, view), Store.PinnedView(sessRef, dirKey, viewBase, rel, epochOpt))
+      // dead-session hygiene first, regardless of table: the weak ref is
+      // the liveness signal, and purging here keeps the process-global
+      // map bounded in a JVM churning short-lived sessions
+      case (key, pv) if pv.session.get.isEmpty => Store.pinnedViews.remove(key)
+      case (key @ (s, view), pv @ Store.PinnedView(sessRef, dirKey, viewBase, rel, epochOpt, _))
           if s == sid && dirKey == targetKey =>
         // identityHashCode keys can collide after a session is GC'd and a
         // new one lands on the same hash — the weak ref disambiguates:
-        // a dead or different session's entry is dropped, never re-pinned
-        // into the wrong catalog
+        // a different session's entry is never re-pinned into this one
         if (!sessRef.get.exists(_ eq spark)) Store.pinnedViews.remove(key)
-        // a view the user explicitly dropped stays dropped — resurrecting
-        // it on the next mutation would override an intentional catalog
-        // action; drop the registration along with it
-        else if (spark.sessionState.catalog.getTempView(view).isEmpty)
-          Store.pinnedViews.remove(key)
         else {
-          // resolve through the REGISTERING store's base dir: the mutator
-          // driving this refresh may address the same table through a
-          // different baseDir/rel split, which must not change how the
-          // pinned rel resolves
-          val owner = if (viewBase == baseDir) this else new Store(spark, viewBase)
-          try {
-            epochOpt match {
-              case None => owner.readSnapshot(rel).createOrReplaceTempView(view)
-              case Some(e) => owner.readVersion(rel, e).createOrReplaceTempView(view)
+          val current = spark.sessionState.catalog.getRawTempView(view)
+          // intentional catalog actions win over the registration: a view
+          // the user DROPPED stays dropped, and a view the user REPLACED
+          // with their own definition (the catalog object is not the one
+          // this registry installed) is theirs now — drop the entry,
+          // touch nothing
+          if (current.isEmpty || !pv.installed.get.exists(i => current.exists(_ eq i)))
+            Store.pinnedViews.remove(key)
+          else {
+            // resolve through the REGISTERING store's base dir: the mutator
+            // driving this refresh may address the same table through a
+            // different baseDir/rel split, which must not change how the
+            // pinned rel resolves. NOTHING here may fail the caller: the
+            // mutation already committed, so any re-pin failure (vacuumed
+            // epoch, concurrent vacuum racing the resolution, anything
+            // NonFatal) degrades THIS view to loud-on-use instead.
+            val owner = if (viewBase == baseDir) this else new Store(spark, viewBase)
+            try {
+              val df = epochOpt match {
+                case None => owner.readSnapshot(rel)
+                case Some(e) => owner.readVersion(rel, e)
+              }
+              Store.installPin(spark, key, pv, df)
+            } catch {
+              case scala.util.control.NonFatal(ex) =>
+                // the error rides a FILTER, not a projected column: a
+                // projection is pruned by COUNT(*)-shaped queries, which
+                // would read the dead view as silently empty — the filter
+                // must be evaluated to produce any row, so every query
+                // through the view throws with the real cause
+                try Store.installPin(spark, key, pv, spark.range(1)
+                  .where(raise_error(lit(
+                    s"pinned view '$view' is no longer resolvable: ${ex.getMessage}")).isNull)
+                  .select(lit(1L).as("error")))
+                catch { case scala.util.control.NonFatal(_) => () }
             }
-          } catch {
-            case ex: IllegalStateException =>
-              // the error rides a FILTER, not a projected column: a
-              // projection is pruned by COUNT(*)-shaped queries, which
-              // would read the dead view as silently empty — the filter
-              // must be evaluated to produce any row, so every query
-              // through the view throws with the real cause
-              spark.range(1)
-                .where(raise_error(lit(
-                  s"pinned view '$view' is no longer resolvable: ${ex.getMessage}")).isNull)
-                .select(lit(1L).as("error"))
-                .createOrReplaceTempView(view)
           }
         }
       case _ => ()
@@ -1451,10 +1478,10 @@ class Store(spark: SparkSession, baseDir: String) {
     * full file/row-group/page skipping (PlanSpec pins the witness).
     */
   def registerSnapshotView(view: String, rel: String): Unit = {
-    readSnapshot(rel).createOrReplaceTempView(view)
-    Store.pinnedViews((Store.sessionKey(spark), view)) =
+    val df = readSnapshot(rel)
+    Store.installPin(spark, (Store.sessionKey(spark), view),
       Store.PinnedView(new scala.ref.WeakReference(spark), canonDirKey(rel),
-        baseDir, rel, None)
+        baseDir, rel, None, new scala.ref.WeakReference(null)), df)
   }
 
   /** SQL time-travel face: register `view` pinned to manifest `epoch` —
@@ -1469,10 +1496,10 @@ class Store(spark: SparkSession, baseDir: String) {
     * home (live vs retired dir).
     */
   def registerVersionView(view: String, rel: String, epoch: Long): Unit = {
-    readVersion(rel, epoch).createOrReplaceTempView(view)
-    Store.pinnedViews((Store.sessionKey(spark), view)) =
+    val df = readVersion(rel, epoch)
+    Store.installPin(spark, (Store.sessionKey(spark), view),
       Store.PinnedView(new scala.ref.WeakReference(spark), canonDirKey(rel),
-        baseDir, rel, Some(epoch))
+        baseDir, rel, Some(epoch), new scala.ref.WeakReference(null)), df)
   }
 
   private def canonDirKey(rel: String): String =
@@ -1541,11 +1568,29 @@ object Store {
     * guards against identity-hash reuse after a session dies (and lets a
     * dead session's entries self-drop on the next touch), `viewBase` is
     * the REGISTERING store's base dir so re-pins resolve `rel` exactly as
-    * registration did, `epoch` None = track the current epoch.
+    * registration did, `epoch` None = track the current epoch, and
+    * `installed` identifies the catalog object THIS registry created —
+    * a current definition that is not `eq` to it means the user replaced
+    * the view, and the registration yields to them.
     */
   private case class PinnedView(session: scala.ref.WeakReference[SparkSession],
                                 dirKey: String, viewBase: String, rel: String,
-                                epoch: Option[Long])
+                                epoch: Option[Long],
+                                installed: scala.ref.WeakReference[AnyRef])
+
+  /** Create/replace the pinned temp view and record the catalog object it
+    * installed (for the user-replacement check on later re-pins).
+    */
+  private def installPin(spark: SparkSession, key: (String, String),
+                         pv: PinnedView, df: DataFrame): Unit = {
+    df.createOrReplaceTempView(key._2)
+    // getRAWTempView: the stored TemporaryViewRelation, a stable object —
+    // getTempView would wrap the plan in a FRESH View per call, making
+    // every later identity check read as "user replaced it"
+    val handle: AnyRef =
+      spark.sessionState.catalog.getRawTempView(key._2).getOrElse(null)
+    pinnedViews(key) = pv.copy(installed = new scala.ref.WeakReference(handle))
+  }
 
   /** Manifest-pinned temp views ([[Store.registerSnapshotView]] /
     * [[Store.registerVersionView]]), keyed by (session, view name) so

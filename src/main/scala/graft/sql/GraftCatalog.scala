@@ -71,7 +71,7 @@ class GraftCatalog extends TableCatalog {
     if (!fs.exists(root)) return Array.empty
     fs.listStatus(root).toSeq
       .filter(st => st.isDirectory &&
-        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_graft_layout")))
+        fs.exists(graft.io.LayoutManifest.path(st.getPath)))
       .map(st => Identifier.of(namespace, st.getPath.getName))
       .toArray
   }

@@ -436,6 +436,16 @@ class TimeTravelSpec extends AnyFunSuite {
     store.deleteWhere("tbl", col("k") >= 1900)
     assert(!spark.catalog.tableExists("graft_tt_vsnap"),
       "mutation resurrected a dropped pinned view")
+    // a view the user REPLACED with their own definition is theirs now:
+    // the next mutation must leave it alone (intentional catalog actions
+    // always win over the registration)
+    store.registerSnapshotView("graft_tt_vmine", "tbl")
+    spark.range(7).select(col("id").as("mine")).createOrReplaceTempView("graft_tt_vmine")
+    store.deleteWhere("tbl", col("k") >= 1800)
+    assert(spark.table("graft_tt_vmine").columns.toSeq == Seq("mine") &&
+      spark.table("graft_tt_vmine").count() == 7,
+      "mutation clobbered a user-replaced view back to the pin")
+    spark.catalog.dropTempView("graft_tt_vmine")
   }
 
   test("maintainRetention vacuums only past the measured retired-bytes threshold") {
