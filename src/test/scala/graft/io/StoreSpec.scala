@@ -85,6 +85,38 @@ class StoreSpec extends AnyFunSuite {
     val got = spark.read.parquet(s"$base/tbl")
     assert(got.count() == 500, "old partitioned rows leaked past the replace")
     assert(got.columns.sorted.toSeq == Seq("k", "v"))
+    // the replace prunes emptied partition skeletons — including
+    // MULTI-LEVEL ones, bottom-up (an a=1/b=2 layout must not strand
+    // empty a=1 dirs on the now-flat table)
+    val multi = Seq((1, 10, 1.0), (2, 20, 2.0)).toDF("a", "b", "v")
+    multi.write.partitionBy("a", "b").parquet(s"$base/tbl2")
+    store.writeZordered(df, "tbl2", Seq("k", "v"), files = 2)
+    val root2 = new org.apache.hadoop.fs.Path(s"$base/tbl2")
+    val fs = root2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftoverDirs = fs.listStatus(root2).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(_.startsWith("."))
+    assert(leftoverDirs.isEmpty,
+      s"empty partition skeletons survived the replace: ${leftoverDirs.mkString(",")}")
+    assert(spark.read.parquet(s"$base/tbl2").count() == 500)
+  }
+
+  test("pinned-view re-pins resolve through the REGISTERING store's base dir, " +
+    "not the mutator's") {
+    val base = Files.createTempDirectory("graft_crossbase").toString
+    val storeOuter = new Store(spark, base)
+    val df = spark.range(400).select(col("id").as("k"), (col("id") % 5).as("v"))
+    storeOuter.writeZordered(df, "nest/tbl", Seq("k", "v"), files = 2)
+    storeOuter.registerSnapshotView("graft_crossbase_v", "nest/tbl")
+    assert(spark.table("graft_crossbase_v").count() == 400)
+    // a DIFFERENT store addresses the same table dir with another
+    // baseDir/rel split; its mutation must re-pin the view through the
+    // ORIGINAL registration (baseDir=base, rel=nest/tbl), not by
+    // resolving "nest/tbl" against its own base
+    val storeInner = new Store(spark, s"$base/nest")
+    storeInner.deleteWhere("tbl", col("k") < 100)
+    assert(spark.table("graft_crossbase_v").count() == 300,
+      "cross-baseDir mutation broke or staled the pinned view")
+    spark.catalog.dropTempView("graft_crossbase_v")
   }
 
   test("writeCsv: nested rel swaps in place, overwrite replaces, no tmp debris") {
