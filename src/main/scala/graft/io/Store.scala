@@ -391,57 +391,62 @@ class Store(spark: SparkSession, baseDir: String) {
     // re-resolve their (immutable) file set to its current home. A pinned
     // epoch that a vacuum dropped becomes a loud-on-use error view —
     // never a silently shrunken read.
-    val sid = Store.sessionKey(spark)
     val targetKey = target.toString
     Store.pinnedViews.snapshot().foreach {
       // dead-session hygiene first, regardless of table: the weak ref is
       // the liveness signal, and purging here keeps the process-global
       // map bounded in a JVM churning short-lived sessions
       case (key, pv) if pv.session.get.isEmpty => Store.pinnedViews.remove(key)
-      case (key @ (s, view), pv @ Store.PinnedView(sessRef, dirKey, viewBase, rel, epochOpt, _))
-          if s == sid && dirKey == targetKey =>
-        // identityHashCode keys can collide after a session is GC'd and a
-        // new one lands on the same hash — the weak ref disambiguates:
-        // a different session's entry is never re-pinned into this one
-        if (!sessRef.get.exists(_ eq spark)) Store.pinnedViews.remove(key)
-        else {
-          val current = spark.sessionState.catalog.getRawTempView(view)
-          // intentional catalog actions win over the registration: a view
-          // the user DROPPED stays dropped, and a view the user REPLACED
-          // with their own definition (the catalog object is not the one
-          // this registry installed) is theirs now — drop the entry,
-          // touch nothing
-          if (current.isEmpty || !pv.installed.get.exists(i => current.exists(_ eq i)))
-            Store.pinnedViews.remove(key)
-          else {
-            // resolve through the REGISTERING store's base dir: the mutator
-            // driving this refresh may address the same table through a
-            // different baseDir/rel split, which must not change how the
-            // pinned rel resolves. NOTHING here may fail the caller: the
-            // mutation already committed, so any re-pin failure (vacuumed
-            // epoch, concurrent vacuum racing the resolution, anything
-            // NonFatal) degrades THIS view to loud-on-use instead.
-            val owner = if (viewBase == baseDir) this else new Store(spark, viewBase)
-            try {
-              val df = epochOpt match {
-                case None => owner.readSnapshot(rel)
-                case Some(e) => owner.readVersion(rel, e)
+      case (key @ (_, view), pv) if pv.dirKey == targetKey =>
+        // re-pin EVERY live registered view over this table, each within
+        // ITS OWN recorded session — NOT the session driving the mutation:
+        // streaming foreachBatch commits run on a CLONED session, and a
+        // session-identity filter here would leave the parent session's
+        // views permanently stale (they broke with missing-file errors the
+        // first time a scoped pass retired their pinned files — spec-
+        // caught). The weak ref gives the exact session object, so an
+        // identity-hash collision can never re-pin into the wrong catalog.
+        pv.session.get match {
+          case None => Store.pinnedViews.remove(key)
+          case Some(sess) =>
+            val current = sess.sessionState.catalog.getRawTempView(view)
+            // intentional catalog actions win over the registration: a view
+            // the user DROPPED stays dropped, and a view the user REPLACED
+            // with their own definition (the catalog object is not the one
+            // this registry installed) is theirs now — drop the entry,
+            // touch nothing
+            if (current.isEmpty || !pv.installed.get.exists(i => current.exists(_ eq i)))
+              Store.pinnedViews.remove(key)
+            else {
+              // resolve through the REGISTERING store's base dir and the
+              // view's own session: the mutator driving this refresh may
+              // address the same table through a different baseDir/rel
+              // split or a cloned session, and neither may change how the
+              // pinned rel resolves. NOTHING here may fail the caller: the
+              // mutation already committed, so any re-pin failure (vacuumed
+              // epoch, concurrent vacuum racing the resolution, anything
+              // NonFatal) degrades THIS view to loud-on-use instead.
+              val owner = new Store(sess, pv.viewBase)
+              try {
+                val df = pv.epoch match {
+                  case None => owner.readSnapshot(pv.rel)
+                  case Some(e) => owner.readVersion(pv.rel, e)
+                }
+                Store.installPin(sess, key, pv, df)
+              } catch {
+                case scala.util.control.NonFatal(ex) =>
+                  // the error rides a FILTER, not a projected column: a
+                  // projection is pruned by COUNT(*)-shaped queries, which
+                  // would read the dead view as silently empty — the filter
+                  // must be evaluated to produce any row, so every query
+                  // through the view throws with the real cause
+                  try Store.installPin(sess, key, pv, sess.range(1)
+                    .where(raise_error(lit(
+                      s"pinned view '$view' is no longer resolvable: ${ex.getMessage}")).isNull)
+                    .select(lit(1L).as("error")))
+                  catch { case scala.util.control.NonFatal(_) => () }
               }
-              Store.installPin(spark, key, pv, df)
-            } catch {
-              case scala.util.control.NonFatal(ex) =>
-                // the error rides a FILTER, not a projected column: a
-                // projection is pruned by COUNT(*)-shaped queries, which
-                // would read the dead view as silently empty — the filter
-                // must be evaluated to produce any row, so every query
-                // through the view throws with the real cause
-                try Store.installPin(spark, key, pv, spark.range(1)
-                  .where(raise_error(lit(
-                    s"pinned view '$view' is no longer resolvable: ${ex.getMessage}")).isNull)
-                  .select(lit(1L).as("error")))
-                catch { case scala.util.control.NonFatal(_) => () }
             }
-          }
         }
       case _ => ()
     }

@@ -551,13 +551,27 @@ class StreamingSpec extends AnyFunSuite {
     val q = EventStreams.zorderedAppendSink(
       input.toDF().toDF("k", "v"), table, Seq("k", "v"),
       checkpointDir = s"$dir/ckpt", files = 2, bits = 4, reclusterEvery = 2)
+    var viewRegistered = false
     try {
       // 4 batches -> scoped recluster fires after batch ids 1 and 3
       (0 until 4).foreach { i =>
         input.addData((0L until 500L).map(j => (i * 500L + j, j % 97)): _*)
         q.processAllAvailable()
+        if (i == 0) {
+          // a snapshot view pinned after the FIRST committed batch must
+          // follow every later batch's epoch (each exactly-once commit
+          // re-pins it) — streaming ingest composes with the SQL face
+          new graft.io.Store(spark, dir).registerSnapshotView("graft_zsink_v", "table")
+          viewRegistered = true
+          assert(spark.table("graft_zsink_v").count() == 500)
+        }
       }
-    } finally q.stop()
+      assert(spark.table("graft_zsink_v").count() == 2000,
+        "snapshot view fell behind the streaming commits")
+    } finally {
+      q.stop()
+      if (viewRegistered) spark.catalog.dropTempView("graft_zsink_v")
+    }
     val got = spark.read.parquet(table)
     assert(got.count() == 2000)
     assert(got.agg(sum("k")).head.getLong(0) == (0L until 2000L).sum,
