@@ -29,16 +29,27 @@ private[graft] case class LayoutManifest(
     zCols: Seq[String], bits: Int, files: Int, epoch: Long,
     base: Seq[String], appends: Seq[Seq[String]],
     touched: Option[Double] = None,
-    lastBatch: Option[Long] = None) {
+    lastBatch: Option[Long] = None,
+    partCols: Seq[String] = Nil) {
 
   def allFiles: Seq[String] = base ++ appends.flatten
+
+  /** A manifest over a `key=value`-partitioned layout (file identities are
+    * root-relative paths through their partition dirs) rather than a
+    * curve-clustered flat one. The epoch/retire/vacuum machinery is
+    * shared; what differs is staging (partitionBy, not a curve), version
+    * reads (basePath-anchored so the partition columns reconstruct), and
+    * that the erosion/scoped-OPTIMIZE passes do not apply.
+    */
+  def isPartitioned: Boolean = partCols.nonEmpty
 
   def lines: Seq[String] =
     Seq(s"zcols=${zCols.mkString("\t")}", s"bits=$bits", s"files=$files",
       s"epoch=$epoch", s"base=${base.mkString("\t")}") ++
       appends.map(a => s"append=${a.mkString("\t")}") ++
       touched.map(t => s"stat_touched=$t").toSeq ++
-      lastBatch.map(b => s"last_batch=$b").toSeq
+      lastBatch.map(b => s"last_batch=$b").toSeq ++
+      (if (partCols.nonEmpty) Seq(s"partcols=${partCols.mkString("\t")}") else Nil)
 }
 
 private[graft] object LayoutManifest {
@@ -63,6 +74,25 @@ private[graft] object LayoutManifest {
     */
   def retiredDir(dir: Path) = new Path(dir, RetiredDirName)
 
+  /** A retired file's resting place for a root-relative `name`: flat names
+    * go under the table root's retired dir (the historical layout);
+    * PARTITIONED names (`dt=v/part-…`) retire into a `.graft_retired`
+    * nested INSIDE their own partition directory. The nesting is what
+    * keeps partition-column inference exact on mixed live/retired version
+    * reads: with `basePath` = table root, Spark's partition parser walks a
+    * retired file up through the (non-`k=v`, skipped-while-empty)
+    * `.graft_retired` segment to the same `k=v` chain and the same base as
+    * a live file — one read serves both sets with the partition columns
+    * intact — while ordinary root scans never list dot-dirs at any level,
+    * so retired bytes stay invisible to the live table.
+    */
+  def retiredPath(dir: Path, name: String): Path = {
+    val i = name.lastIndexOf('/')
+    if (i < 0) new Path(retiredDir(dir), name)
+    else new Path(new Path(dir, name.substring(0, i)),
+      s"$RetiredDirName/${name.substring(i + 1)}")
+  }
+
   /** A mutator's epoch claim — [[graft.io.Store]]'s multi-writer CAS
     * token for the transition INTO `epoch`. Released by [[write]] when
     * that epoch commits.
@@ -86,19 +116,34 @@ private[graft] object LayoutManifest {
   }
 
   /** Atomic small-file write: create under a dot-prefixed tmp name, then
-    * rename over the destination with OVERWRITE semantics (FileContext —
-    * atomic replace on both local and HDFS). A delete-then-rename pair
-    * would open a crash window with NO manifest at all, which on the
-    * unjournaled writes silently drops the `last_batch` watermark and
-    * re-admits an already-committed streaming batch.
+    * rename over the destination with OVERWRITE semantics. A
+    * delete-then-rename pair would open a window with NO manifest at all —
+    * a crash there silently drops the `last_batch` watermark and re-admits
+    * an already-committed streaming batch, and a concurrent READER (the
+    * streaming face's offset poll, any resolveSnapshot) hitting the window
+    * sees a manifest-less table and fails a read that should have
+    * succeeded. Scheme matters: HDFS implements FileContext's OVERWRITE
+    * rename natively (atomic), but the LOCAL AbstractFileSystem falls back
+    * to exactly the delete-then-rename this method must avoid — caught
+    * live by an epoch-stream poll racing an append's manifest write. For
+    * file:// the replace rides java.nio ATOMIC_MOVE (rename(2) — kernel
+    * atomic), the same primitive the claim CAS uses.
     */
   def writeLinesAtomic(fs: FileSystem, dest: Path, lines: Seq[String]): Unit = {
     val tmp = new Path(dest.getParent, s".w_${dest.getName}")
     val out = fs.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, fs.getConf)
-    fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    if ("file" == fs.getScheme) {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dest.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, fs.getConf)
+      fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   def readLines(fs: FileSystem, p: Path): Seq[String] = {
@@ -128,7 +173,8 @@ private[graft] object LayoutManifest {
       base = split(m("base")),
       appends = kv.collect { case ("append", v) => split(v) },
       touched = m.get("stat_touched").map(_.toDouble),
-      lastBatch = m.get("last_batch").map(_.toLong))
+      lastBatch = m.get("last_batch").map(_.toLong),
+      partCols = m.get("partcols").map(split).getOrElse(Nil))
   }
 }
 
@@ -252,14 +298,34 @@ private[graft] object ScopedCommit {
   def marker(dir: Path) = new Path(dir, MarkerName)
   def tmpDir(dir: Path) = new Path(dir, TmpDirName)
 
+  /** Whether ANY epoch claim is currently held on `dir` — the liveness
+    * signal [[recover]] consults before treating a markerless tmp dir as
+    * crash garbage.
+    */
+  private def anyClaim(fs: FileSystem, dir: Path): Boolean = {
+    val hd = LayoutManifest.historyDir(dir)
+    fs.exists(hd) && fs.listStatus(hd).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith("c") && scala.util.Try(n.drop(1).toLong).isSuccess
+    }
+  }
+
+  /** Write the journal marker and return its lines, so the committing
+    * writer can replay from what it KNOWS it wrote instead of re-reading
+    * the marker — a reader-driven [[recover]] racing the writer may have
+    * already replayed and deleted it, and a marker re-read would surface
+    * FileNotFoundException from a mutation that actually committed (an
+    * app-level retry of which would double-apply it).
+    */
   def write(fs: FileSystem, dir: Path, renames: Seq[(String, String)],
             deletes: Seq[String], manifest: Option[LayoutManifest],
-            retires: Seq[String] = Nil): Unit = {
+            retires: Seq[String] = Nil): Seq[String] = {
     val lines = renames.map { case (s, d) => s"rename=$s\t$d" } ++
       deletes.map(d => s"delete=$d") ++
       retires.map(r => s"retire=$r") ++
       manifest.toSeq.flatMap(_.lines).map(l => s"m:$l")
     LayoutManifest.writeLinesAtomic(fs, marker(dir), lines)
+    lines
   }
 
   /** Replay (or clean up) any interrupted scoped commit under `dir`.
@@ -271,18 +337,36 @@ private[graft] object ScopedCommit {
     val m = marker(dir)
     val tmp = tmpDir(dir)
     if (!fs.exists(m)) {
-      // no journal: any tmp dir is pre-commit garbage from a crash before
-      // the marker — the table is intact, discard the stage
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+      // No journal: a tmp dir here is pre-commit stage data. It is crash
+      // garbage ONLY when no epoch claim is held — a held claim means a
+      // mutator may be LIVE and mid-stage right now (claim first, stage
+      // second is every mutator's order), and deleting its stage under it
+      // would make it commit a silently empty/partial epoch. Leave claimed
+      // stages alone: the claim holder deletes tmp itself before staging,
+      // a crashed holder's garbage is reclaimed by releaseStaleClaims or
+      // the next mutator's own under-claim delete.
+      if (fs.exists(tmp) && !anyClaim(fs, dir)) fs.delete(tmp, true)
       return false
     }
-    val lines = LayoutManifest.readLines(fs, m)
+    // reader-driven recovery is a MAINLINE concurrent path (every SQL
+    // statement through the DSv2 face resolves through it): the marker can
+    // vanish between the exists check and this read because a concurrent
+    // replayer — the committing writer itself, or another reader — finished
+    // the commit. That is success, not a crash: the table is committed.
+    val lines =
+      try LayoutManifest.readLines(fs, m)
+      catch { case _: java.io.FileNotFoundException => return false }
     replay(fs, dir, lines)
     true
   }
 
   def replay(fs: FileSystem, dir: Path, lines: Seq[String]): Unit = {
     val tmp = tmpDir(dir)
+    // Two replayers of the SAME journal may run concurrently (the
+    // committing writer and a reader-driven recover, or two readers): every
+    // step below treats "src gone but dst present" as that step already
+    // replayed — by this replayer earlier, or by the concurrent one — and
+    // only a rename that fails with the work genuinely not done stays loud.
     lines.foreach {
       case l if l.startsWith("rename=") =>
         val Array(src, dst) = l.stripPrefix("rename=").split("\t", 2)
@@ -293,7 +377,7 @@ private[graft] object ScopedCommit {
           // exist yet (an UPDATE moving rows to a new partition value) —
           // rename into a missing parent fails on local/HDFS
           if (dst.contains('/')) fs.mkdirs(d.getParent)
-          if (!fs.rename(s, d))
+          if (!fs.rename(s, d) && !(fs.exists(d) && !fs.exists(s)))
             throw new IllegalStateException(s"scoped commit: rename $s -> $d failed")
         }
       case l if l.startsWith("delete=") =>
@@ -306,14 +390,13 @@ private[graft] object ScopedCommit {
         val name = l.stripPrefix("retire=")
         val src = new Path(dir, name)
         if (fs.exists(src)) {
-          val rd = LayoutManifest.retiredDir(dir)
-          fs.mkdirs(rd)
-          val dst = new Path(rd, name)
+          val dst = LayoutManifest.retiredPath(dir, name)
+          fs.mkdirs(dst.getParent)
           // epoch-prefixed promote names make collisions impossible by
           // construction; a same-named leftover can only be this exact
           // retire replayed mid-rename — the bytes are identical
           if (fs.exists(dst)) fs.delete(src, false)
-          else if (!fs.rename(src, dst))
+          else if (!fs.rename(src, dst) && !(fs.exists(dst) && !fs.exists(src)))
             throw new IllegalStateException(s"scoped commit: retire $src -> $dst failed")
         }
       case _ => ()

@@ -65,6 +65,118 @@ class Store(spark: SparkSession, baseDir: String) {
   def readPartitioned(rel: String): DataFrame =
     spark.read.parquet(s"$baseDir/$rel").drop("dt")
 
+  /** MANAGED date-partitioned table: [[writePartitioned]]'s layout under
+    * the same manifest-epoch machinery as the curve stores — every write
+    * commits an epoch (journaled, CAS-guarded), replaced files RETIRE into
+    * a `.graft_retired` nested inside their own partition directory
+    * ([[LayoutManifest.retiredPath]] explains why nesting, not the root
+    * retired dir, is what keeps partition-column inference exact on mixed
+    * live/retired version reads), and [[readVersion]]/[[readSnapshot]]/
+    * `VERSION AS OF` serve any un-vacuumed epoch. This closes the gap the
+    * plain [[writePartitioned]] shape leaves on the MOST COMMON ingest
+    * layout (the reference's own daily dt-shaped append,
+    * `/root/reference/.github/workflows/raw_data_collection.yml:4-6`): a
+    * takedown on a manifest-less partitioned table is unrecoverable.
+    *
+    * This is the full-replace face (epoch 0 on a fresh table; a replace of
+    * a manifest-tracked table retires every current file); the daily
+    * ingest mutator is [[upsertPartitionsManaged]]. File identities are
+    * root-relative (`dt=v/part-…`) — the same keying the partitioned COW
+    * already uses — recorded as a flat list in the manifest: partition
+    * provenance per epoch falls out of the names themselves, so a
+    * per-partition manifest section would be redundant bookkeeping.
+    */
+  def writePartitionedManaged(df: DataFrame, rel: String,
+                              tsCol: String = "datetime"): Unit = {
+    val dir = new Path(s"$baseDir/$rel")
+    Store.recoverSwap(fs, dir)
+    if (fs.exists(dir)) ScopedCommit.recover(fs, dir)
+    val m0 = LayoutManifest.read(fs, dir)
+    val epoch = m0.map(_.epoch + 1).getOrElse(0L)
+    withEpochClaim(dir, epoch,
+      m0.map(_.epoch).getOrElse(-1L), java.util.UUID.randomUUID.toString) {
+      val current = if (fs.exists(dir)) listDataFilesDeep(dir) else Nil
+      val tmp = ScopedCommit.tmpDir(dir)
+      fs.delete(tmp, true)
+      df.withColumn("dt", to_date(col(tsCol)))
+        .write.mode("overwrite").partitionBy("dt").parquet(tmp.toString)
+      val staged = listDataFilesDeep(tmp)
+      val renames = staged.map(s => s -> promoteName(s, "w", epoch))
+      val newM = LayoutManifest(Nil, 0, 0, epoch,
+        base = renames.map(_._2).sorted, appends = Nil,
+        lastBatch = m0.flatMap(_.lastBatch), partCols = Seq("dt"))
+      // a manifest-less target (fresh dir or a plain writePartitioned
+      // table being adopted) has no history to serve — delete its files
+      // and start history at this epoch; a tracked table retires them
+      ScopedCommit.replay(fs, dir, ScopedCommit.write(fs, dir, renames,
+        deletes = if (m0.isDefined) Nil else current, manifest = Some(newM),
+        retires = if (m0.isDefined) current else Nil))
+    }
+    refreshCatalog(dir)
+  }
+
+  /** The managed daily-ingest mutator: dynamic partition overwrite AS AN
+    * EPOCH. The batch stages under the hidden tmp dir partitioned by day;
+    * every current file of a TOUCHED partition retires (prior epochs keep
+    * resolving it from its in-partition retired dir), untouched
+    * partitions' files never open or move (spec pins byte/mtime
+    * identity), and the journaled commit makes batch + manifest one
+    * replayable unit. At 100 TB this is the nightly append: cost scales
+    * with the BATCH's partitions, never the table, and the epoch CAS
+    * serializes it against maintenance exactly like every other mutator.
+    */
+  def upsertPartitionsManaged(df: DataFrame, rel: String,
+                              tsCol: String = "datetime"): Unit = {
+    val dir = new Path(s"$baseDir/$rel")
+    Store.recoverSwap(fs, dir)
+    if (fs.exists(dir)) ScopedCommit.recover(fs, dir)
+    val m0 = LayoutManifest.read(fs, dir)
+    // fail-first: a curve-clustered manifest must abort BEFORE any motion
+    m0.foreach(mf => require(mf.isPartitioned,
+      s"$rel is curve-clustered (zcols=${mf.zCols.mkString(",")}) — " +
+        "partition upsert applies to managed partitioned stores; use appendZordered"))
+    val current = if (fs.exists(dir)) listDataFilesDeep(dir) else Nil
+    // adopting a foreign table: only a pure key=value layout can carry the
+    // partitioned manifest (root-level files would mix two layouts)
+    require(m0.isDefined || current.forall(_.contains('/')),
+      s"$rel holds root-level data files — not a partitioned layout; " +
+        "writePartitionedManaged replaces it wholesale instead")
+    val epoch = m0.map(_.epoch + 1).getOrElse(0L)
+    withEpochClaim(dir, epoch,
+      m0.map(_.epoch).getOrElse(-1L), java.util.UUID.randomUUID.toString) {
+      val tmp = ScopedCommit.tmpDir(dir)
+      fs.delete(tmp, true)
+      df.withColumn("dt", to_date(col(tsCol)))
+        .write.mode("overwrite").partitionBy("dt").parquet(tmp.toString)
+      val staged = listDataFilesDeep(tmp)
+      val touchedDirs = staged.filter(_.contains('/'))
+        .map(s => s.substring(0, s.lastIndexOf('/'))).toSet
+      val replaced = current.filter(n =>
+        n.contains('/') && touchedDirs(n.substring(0, n.lastIndexOf('/'))))
+      val renames = staged.map(s => s -> promoteName(s, "p", epoch))
+      val keep = current.filterNot(replaced.toSet)
+      val newM = LayoutManifest(Nil, 0, 0, epoch,
+        base = (keep ++ renames.map(_._2)).sorted, appends = Nil,
+        lastBatch = m0.flatMap(_.lastBatch), partCols = Seq("dt"))
+      // adopted (manifest-less) tables have no prior epoch to serve, so
+      // their replaced files delete; tracked tables retire them
+      ScopedCommit.replay(fs, dir, ScopedCommit.write(fs, dir, renames,
+        deletes = if (m0.isDefined) Nil else replaced, manifest = Some(newM),
+        retires = if (m0.isDefined) replaced else Nil))
+    }
+    refreshCatalog(dir)
+  }
+
+  /** Journal promote name for a staged file: epoch-prefixed basename, the
+    * partition dirs (if any) riding through unchanged — flat names reduce
+    * to the plain `part-<prefix><epoch>-…` form.
+    */
+  private def promoteName(s: String, prefix: String, epoch: Long): String = {
+    val i = s.lastIndexOf('/')
+    val (d, b) = if (i < 0) ("", s) else (s.substring(0, i + 1), s.substring(i + 1))
+    s"${d}part-$prefix$epoch-${b.stripPrefix("part-")}"
+  }
+
   /** Schema-evolution read: scan a parquet table whose OLDER files
     * predate newly added columns, by declaring the current superset
     * schema explicitly — absent columns read as null from old files,
@@ -184,10 +296,12 @@ class Store(spark: SparkSession, baseDir: String) {
       val newM = LayoutManifest(zCols, bits, files, epoch,
         base = renames.map(_._2).sorted, appends = Nil,
         lastBatch = m0.flatMap(_.lastBatch))
-      ScopedCommit.write(fs, dir, renames,
+      // replay from the lines just written, NOT a marker re-read: a
+      // reader-driven recover racing this commit may finish the replay and
+      // delete the marker first (replay itself is concurrent-replayer-safe)
+      ScopedCommit.replay(fs, dir, ScopedCommit.write(fs, dir, renames,
         deletes = if (m0.isDefined) Nil else current, manifest = Some(newM),
-        retires = if (m0.isDefined) current else Nil)
-      ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
+        retires = if (m0.isDefined) current else Nil))
       // a replace of a partitioned dir leaves its key= dirs empty — dead
       // weight on a now-flat table, so prune them BOTTOM-UP to the table
       // root (a multi-level a=1/b=2 layout must not strand empty a=1
@@ -378,11 +492,16 @@ class Store(spark: SparkSession, baseDir: String) {
         // catalog's partition registry, not a directory listing — a
         // mutation that created a new partition directory (an UPDATE
         // moving rows to a new partition value) would be silently
-        // invisible to it until an MSCK. Re-discover after every
-        // mutation: O(partition dirs) metadata, and only for tables
-        // actually registered over this path with partition columns.
+        // invisible to it until an MSCK, and one that REMOVED a
+        // partition's directory (a replace that flattens the layout, a
+        // pruned empty skeleton) leaves a stale entry whose missing path
+        // breaks catalog reads. SYNC re-discovers in BOTH directions —
+        // add new dirs, drop gone ones — after every mutation:
+        // O(partition dirs) metadata, and only for tables actually
+        // registered over this path with partition columns.
         if (m.partitionColumnNames.nonEmpty)
-          try spark.catalog.recoverPartitions(ident.unquotedString)
+          try spark.sql(
+            s"MSCK REPAIR TABLE ${ident.quotedString} SYNC PARTITIONS")
           catch { case e: Exception if goneRace(e) => () }
       }
     }
@@ -439,12 +558,22 @@ class Store(spark: SparkSession, baseDir: String) {
                   // projection is pruned by COUNT(*)-shaped queries, which
                   // would read the dead view as silently empty — the filter
                   // must be evaluated to produce any row, so every query
-                  // through the view throws with the real cause
-                  try Store.installPin(sess, key, pv, sess.range(1)
-                    .where(raise_error(lit(
-                      s"pinned view '$view' is no longer resolvable: ${ex.getMessage}")).isNull)
-                    .select(lit(1L).as("error")))
-                  catch { case scala.util.control.NonFatal(_) => () }
+                  // through the view throws with the real cause. The error
+                  // frame keeps the pinned frame's ORIGINAL schema
+                  // (null-typed columns over the error-bearing filter):
+                  // a query naming a real column (SUM(v)) must reach the
+                  // raise_error message, not die at analysis with a
+                  // misleading UNRESOLVED_COLUMN.
+                  try {
+                    val cols =
+                      if (pv.schema.isEmpty) Seq(lit(1L).as("error"))
+                      else pv.schema.fields.toSeq.map(f =>
+                        lit(null).cast(f.dataType).as(f.name))
+                    Store.installPin(sess, key, pv, sess.range(1)
+                      .where(raise_error(lit(
+                        s"pinned view '$view' is no longer resolvable: ${ex.getMessage}")).isNull)
+                      .select(cols: _*))
+                  } catch { case scala.util.control.NonFatal(_) => () }
               }
             }
         }
@@ -485,7 +614,12 @@ class Store(spark: SparkSession, baseDir: String) {
       val m = m0.get
       withEpochClaim(target, m.epoch + 1, m.epoch,
         java.util.UUID.randomUUID.toString) {
-        val current = listDataFiles(target)
+        // DEEP listing: a managed PARTITIONED store reshaping into a curve
+        // layout keeps its data under `key=value/` dirs — a top-level-only
+        // replace set would leave every old partition's rows visible
+        // beside the new layout (curve manifests are flat; the deep walk
+        // returns exactly their flat names)
+        val current = listDataFilesDeep(target)
         val tmp = ScopedCommit.tmpDir(target)
         fs.delete(tmp, true)
         zorderStage(spark.read.parquet(target.toString), zCols, files, bits)
@@ -495,9 +629,8 @@ class Store(spark: SparkSession, baseDir: String) {
         val renames = staged.map(s => s -> s"part-s$epoch-${s.stripPrefix("part-")}")
         val newM = LayoutManifest(zCols, bits, files, epoch,
           base = renames.map(_._2).sorted, appends = Nil, lastBatch = prevBatch)
-        ScopedCommit.write(fs, target, renames, deletes = Nil,
-          manifest = Some(newM), retires = current)
-        ScopedCommit.replay(fs, target, LayoutManifest.readLines(fs, ScopedCommit.marker(target)))
+        ScopedCommit.replay(fs, target, ScopedCommit.write(fs, target, renames,
+          deletes = Nil, manifest = Some(newM), retires = current))
       }
       refreshCatalog(target)
       return
@@ -582,8 +715,8 @@ class Store(spark: SparkSession, baseDir: String) {
         val newM = m.copy(epoch = newEpoch,
           appends = m.appends :+ renames.map(_._2).sorted,
           lastBatch = Some(batchId))
-        ScopedCommit.write(fs, dir, renames, deletes = Nil, manifest = Some(newM))
-        ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
+        ScopedCommit.replay(fs, dir,
+          ScopedCommit.write(fs, dir, renames, deletes = Nil, manifest = Some(newM)))
       }
       ()
     }
@@ -629,6 +762,9 @@ class Store(spark: SparkSession, baseDir: String) {
     val m = LayoutManifest.read(fs, dir).getOrElse(throw new IllegalStateException(
       s"$rel has no layout manifest — scopedRecluster needs writeZordered/appendZordered " +
         "provenance; use recluster(rel, zCols) for a full rewrite"))
+    require(!m.isPartitioned,
+      s"$rel is a managed PARTITIONED store — erosion/OPTIMIZE applies to curve " +
+        "layouts; partition dirs need no recluster (recluster(rel, zCols) reshapes)")
     val onDisk = listDataFiles(dir).toSet
     val base = m.base.filter(onDisk)
     val appended = m.appends.flatten.filter(onDisk)
@@ -670,9 +806,8 @@ class Store(spark: SparkSession, baseDir: String) {
       lastBatch = m.lastBatch)
     // rewritten originals are RETIRED, not deleted: every prior epoch's
     // manifest keeps resolving them until an explicit vacuum reclaims
-    ScopedCommit.write(fs, dir, renames, deletes = Nil, manifest = Some(newManifest),
-      retires = rewrite)
-    ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
+    ScopedCommit.replay(fs, dir, ScopedCommit.write(fs, dir, renames,
+      deletes = Nil, manifest = Some(newManifest), retires = rewrite))
     refreshCatalog(dir)
     ScopedStats(kept.size, rewrite.size, staged.size, rewrittenBytes, totalBytes)
     }
@@ -827,8 +962,10 @@ class Store(spark: SparkSession, baseDir: String) {
     val tmp = ScopedCommit.tmpDir(dir)
     fs.delete(tmp, true)
     val staged0 = m0 match {
-      case Some(m) => zorderStage(out, m.zCols, touchedNames.size, m.bits)
-      case None if partCols.nonEmpty =>
+      case Some(m) if m.zCols.size >= 2 =>
+        zorderStage(out, m.zCols, touchedNames.size, m.bits)
+      case _ if partCols.nonEmpty =>
+        // partitioned layout — manifest-tracked (managed store) or not:
         // spread each partition's rows over ~touched-proportional tasks
         // (hash of the data columns — deterministic under task retry,
         // unlike rand), so one huge touched partition is not rewritten by
@@ -838,12 +975,26 @@ class Store(spark: SparkSession, baseDir: String) {
         val spreadK = math.max(1, touchedNames.size / math.max(1, nParts))
         out.repartition(touchedNames.size,
           partCols.map(col) :+ pmod(hash(dataCols.map(col): _*), lit(spreadK)): _*)
-      case None => out.repartition(touchedNames.size)
+      case _ => out.repartition(touchedNames.size)
     }
     val writer = staged0.write.mode("overwrite")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(tmp.toString)
-    val staged = listDataFilesDeep(tmp)
+    var staged = listDataFilesDeep(tmp)
+    // A partitionBy write of an EMPTY frame creates zero files (dynamic
+    // partition writers open files lazily), so a DELETE matching every row
+    // of a fully-touched partitioned table would promote nothing while
+    // deleting every data file — the table would end file-less and every
+    // later read fail schema inference. Mirror the flat path's guard: when
+    // the delete empties the whole table, re-stage WITHOUT partitionBy so
+    // one schema-only zero-row file (partition columns included as data
+    // columns — the same read-back schema) keeps the table readable. A
+    // partial delete that merely empties SOME partitions needs no carrier:
+    // the untouched files still carry the schema.
+    if (partCols.nonEmpty && staged.isEmpty && touchedNames.size == totalFiles) {
+      out.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      staged = listDataFilesDeep(tmp)
+    }
     // every touched row may be deleted: an empty stage promotes nothing
     // (reading an all-deleted tmp back would fail schema inference)
     val stagedRows =
@@ -854,12 +1005,7 @@ class Store(spark: SparkSession, baseDir: String) {
     val epoch = m0.map(_.epoch + 1).getOrElse(1L)
     // promote in place: only the basename changes, the partition dirs ride
     // through (flat paths have no '/' and reduce to the old form)
-    def promote(s: String): String = {
-      val i = s.lastIndexOf('/')
-      val (d, b) = if (i < 0) ("", s) else (s.substring(0, i + 1), s.substring(i + 1))
-      s"${d}part-$prefix$epoch-${b.stripPrefix("part-")}"
-    }
-    val renames = staged.map(s => s -> promote(s))
+    val renames = staged.map(s => s -> promoteName(s, prefix, epoch))
     val touchedSet = touchedNames.toSet
     val newM = m0.map { m =>
       val layers = (m.appends.map(_.filterNot(touchedSet)) :+ renames.map(_._2).sorted)
@@ -869,10 +1015,9 @@ class Store(spark: SparkSession, baseDir: String) {
     // manifest-tracked tables RETIRE the touched originals (prior epochs
     // stay readable until vacuum); a plain parquet table has no history to
     // serve, so retiring would only strand unreachable bytes — delete
-    ScopedCommit.write(fs, dir, renames,
+    ScopedCommit.replay(fs, dir, ScopedCommit.write(fs, dir, renames,
       deletes = if (newM.isDefined) Nil else touchedNames, manifest = newM,
-      retires = if (newM.isDefined) touchedNames else Nil)
-    ScopedCommit.replay(fs, dir, LayoutManifest.readLines(fs, ScopedCommit.marker(dir)))
+      retires = if (newM.isDefined) touchedNames else Nil))
     refreshCatalog(dir)
     CowResult(touchedNames.size, totalFiles - touchedNames.size, regionRows, stagedRows,
       matchRows)
@@ -902,6 +1047,9 @@ class Store(spark: SparkSession, baseDir: String) {
     ScopedCommit.recover(fs, dir)
     val m = LayoutManifest.read(fs, dir).getOrElse(throw new IllegalStateException(
       s"$rel has no layout manifest — erosionStats needs layout provenance"))
+    require(!m.isPartitioned,
+      s"$rel is a managed PARTITIONED store — the erosion statistic measures " +
+        "curve-layout overlap; partition layouts do not erode")
     val onDisk = listDataFiles(dir)
     // zero-row files (Spark's schema-only empty-write shape, e.g. the file
     // a fully-deleted COW region promotes to keep the table readable) can
@@ -993,6 +1141,61 @@ class Store(spark: SparkSession, baseDir: String) {
       .flatMap(st => scala.util.Try(st.getPath.getName.stripPrefix("v").toLong).toOption)
       .filter(_ <= committed)
       .sorted
+  }
+
+  /** The committed manifest epoch, for consumers that track the table as
+    * a changelog (the streaming face's `latestOffset`). Loud on a
+    * manifest-less dir, like every manifest-driven read.
+    */
+  private[graft] def currentEpoch(rel: String): Long = {
+    val dir = new Path(s"$baseDir/$rel")
+    LayoutManifest.read(fs, dir).map(_.epoch).getOrElse(throw new IllegalStateException(
+      s"$rel has no layout manifest — epochs need layout provenance"))
+  }
+
+  /** The file NAMES of manifest `epoch` — no existence resolution (the
+    * streaming face diffs epochs by name; a vacuumed snapshot stays loud).
+    */
+  private[graft] def versionFileNames(rel: String, epoch: Long): Seq[String] = {
+    val dir = new Path(s"$baseDir/$rel")
+    val hp = new Path(LayoutManifest.historyDir(dir), s"v$epoch")
+    val liveM = LayoutManifest.read(fs, dir)
+    if (liveM.exists(_.epoch == epoch) && !fs.exists(hp)) liveM.get.allFiles
+    else if (fs.exists(hp))
+      LayoutManifest.fromLines(LayoutManifest.readLines(fs, hp)).allFiles
+    else throw new IllegalStateException(
+      s"epoch $epoch of $rel is not readable — vacuumed, never committed, or an " +
+        s"unfinished claim (available: ${listVersions(rel).mkString(", ")})")
+  }
+
+  /** One readable epoch's metadata, for history listings. `committedAtMs`
+    * is the epoch snapshot's filesystem mtime — informational (a replayed
+    * same-content rewrite refreshes it), which is all a history listing
+    * promises.
+    */
+  case class VersionInfo(epoch: Long, committedAtMs: Long, files: Int,
+                         isCurrent: Boolean)
+
+  /** [[listVersions]] with per-epoch metadata — the backing of the SQL
+    * `<table>$history` face (the `DESCRIBE HISTORY` role): epoch number,
+    * commit wall-clock, file count, and whether it is the current epoch.
+    * O(epochs) snapshot reads, metadata only.
+    */
+  def versionHistory(rel: String): Seq[VersionInfo] = {
+    val dir = new Path(s"$baseDir/$rel")
+    val current = LayoutManifest.read(fs, dir).map(_.epoch).getOrElse(-1L)
+    val hd = LayoutManifest.historyDir(dir)
+    listVersions(rel).map { e =>
+      val p = new Path(hd, s"v$e")
+      val (mtime, files) =
+        if (fs.exists(p))
+          (fs.getFileStatus(p).getModificationTime,
+            LayoutManifest.fromLines(LayoutManifest.readLines(fs, p)).allFiles.size)
+        else // pre-upgrade current epoch: the live manifest IS the snapshot
+          (fs.getFileStatus(LayoutManifest.path(dir)).getModificationTime,
+            LayoutManifest.read(fs, dir).map(_.allFiles.size).getOrElse(0))
+      VersionInfo(e, mtime, files, e == current)
+    }
   }
 
   /** Multi-writer guard — the manifest-epoch CAS: atomically CLAIM
@@ -1152,6 +1355,11 @@ class Store(spark: SparkSession, baseDir: String) {
         released += 1
       }
     }
+    // a crashed claim holder's markerless stage is garbage once its claim
+    // is gone (recover deliberately leaves CLAIMED stages alone — the
+    // holder might be live; this is the explicit operator path that knows
+    // no writer is)
+    if (released > 0) fs.delete(ScopedCommit.tmpDir(dir), true)
     released
   }
 
@@ -1172,15 +1380,25 @@ class Store(spark: SparkSession, baseDir: String) {
     * promptly after resolving; reads of vacuum-retained epochs against a
     * paused writer are exact by construction.
     */
-  def readVersion(rel: String, epoch: Long): DataFrame =
-    spark.read.parquet(resolveVersionPaths(rel, epoch): _*)
+  def readVersion(rel: String, epoch: Long): DataFrame = {
+    val r = resolveVersion(rel, epoch)
+    // partitioned manifests anchor the read at the table root, so Spark's
+    // partition parser reconstructs the `key=value` columns for live AND
+    // nested-retired files alike (flat manifests have no partition dirs
+    // and read as before)
+    val reader =
+      if (r.partCols.nonEmpty) spark.read.option("basePath", s"$baseDir/$rel")
+      else spark.read
+    reader.parquet(r.paths: _*)
+  }
 
   /** [[readVersion]]'s resolution step alone: the epoch's file NAMES
     * resolved to their current homes (live dir vs retired dir) as full
-    * paths — the hook the DSv2 catalog face builds its pinned tables
+    * paths, plus the manifest's partition columns (empty for flat
+    * layouts) — the hook the DSv2 catalog face builds its pinned tables
     * from. Same validation and failure modes as [[readVersion]].
     */
-  private[graft] def resolveVersionPaths(rel: String, epoch: Long): Seq[String] = {
+  private[graft] def resolveVersion(rel: String, epoch: Long): Store.ResolvedVersion = {
     val dir = new Path(s"$baseDir/$rel")
     Store.recoverSwap(fs, dir)
     ScopedCommit.recover(fs, dir)
@@ -1207,20 +1425,40 @@ class Store(spark: SparkSession, baseDir: String) {
         throw new IllegalStateException(
           s"epoch $epoch of $rel is not readable — vacuumed, never committed, or an " +
             s"unfinished claim (available: ${listVersions(rel).mkString(", ")})")
-    val live = listDataFiles(dir).toSet
-    val rd = LayoutManifest.retiredDir(dir)
-    val retired =
-      if (fs.exists(rd)) fs.listStatus(rd).map(_.getPath.getName).toSet
-      else Set.empty[String]
+    val live = listDataFilesDeep(dir).toSet
+    val retired = listRetired(dir).keySet
     val paths = m.allFiles.map { n =>
       if (live(n)) s"$dir/$n"
-      else if (retired(n)) s"$rd/$n"
+      else if (retired(n)) LayoutManifest.retiredPath(dir, n).toString
       else throw new IllegalStateException(
         s"epoch $epoch of $rel references $n, which is neither live nor retired — " +
           "the snapshot is no longer materializable; vacuum the stale epoch")
     }
     require(paths.nonEmpty, s"epoch $epoch of $rel lists no data files")
-    paths
+    Store.ResolvedVersion(paths, m.partCols, m.allFiles)
+  }
+
+  /** Every retired file under `dir`, keyed by its ROOT-RELATIVE data name
+    * (the identity manifests record): the table root's `.graft_retired`
+    * children (flat layouts) plus each partition directory's nested
+    * `.graft_retired` children (partitioned layouts) — one metadata walk,
+    * no data pages.
+    */
+  private def listRetired(dir: Path): Map[String, org.apache.hadoop.fs.FileStatus] = {
+    val out = Map.newBuilder[String, org.apache.hadoop.fs.FileStatus]
+    def walk(d: Path, prefix: String): Unit =
+      fs.listStatus(d).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (n == LayoutManifest.RetiredDirName)
+            fs.listStatus(st.getPath).foreach(f =>
+              if (f.isFile) out += (prefix + f.getPath.getName) -> f)
+          else if (!n.startsWith(".") && !n.startsWith("_"))
+            walk(st.getPath, s"$prefix$n/")
+        }
+      }
+    if (fs.exists(dir)) walk(dir, "")
+    out.result()
   }
 
   /** Mechanized form of [[readVersion]]'s documented concurrency
@@ -1273,19 +1511,22 @@ class Store(spark: SparkSession, baseDir: String) {
     * exactly one file set. Use for correctness-critical reads of tables
     * under continuous maintenance.
     */
-  def readSnapshot(rel: String): DataFrame =
-    spark.read.parquet(resolveSnapshotPaths(rel): _*)
+  def readSnapshot(rel: String): DataFrame = {
+    val r = resolveSnapshot(rel)
+    val reader =
+      if (r.partCols.nonEmpty) spark.read.option("basePath", s"$baseDir/$rel")
+      else spark.read
+    reader.parquet(r.paths: _*)
+  }
 
-  /** [[readSnapshot]]'s resolution step alone — see
-    * [[resolveVersionPaths]].
-    */
-  private[graft] def resolveSnapshotPaths(rel: String): Seq[String] = {
+  /** [[readSnapshot]]'s resolution step alone — see [[resolveVersion]]. */
+  private[graft] def resolveSnapshot(rel: String): Store.ResolvedVersion = {
     val dir = new Path(s"$baseDir/$rel")
     Store.recoverSwap(fs, dir)
     ScopedCommit.recover(fs, dir)
     val m = LayoutManifest.read(fs, dir).getOrElse(throw new IllegalStateException(
       s"$rel has no layout manifest — readSnapshot needs layout provenance"))
-    resolveVersionPaths(rel, m.epoch)
+    resolveVersion(rel, m.epoch)
   }
 
   /** Result of a [[vacuum]] pass, for logging and specs. */
@@ -1321,14 +1562,23 @@ class Store(spark: SparkSession, baseDir: String) {
       if (fs.exists(p)) LayoutManifest.fromLines(LayoutManifest.readLines(fs, p)).allFiles
       else Nil
     }.toSet ++ m.allFiles
-    val rd = LayoutManifest.retiredDir(dir)
     var removed = 0
     var bytes = 0L
-    if (fs.exists(rd)) fs.listStatus(rd).foreach { st =>
-      if (st.isFile && !referenced(st.getPath.getName)) {
+    listRetired(dir).foreach { case (name, st) =>
+      if (!referenced(name)) {
         bytes += st.getLen
         fs.delete(st.getPath, false)
         removed += 1
+        // an emptied NESTED retired dir (partitioned layouts) is dead
+        // weight inside its partition dir — drop it; non-recursive, so a
+        // concurrent retire racing a file in simply keeps it
+        if (name.contains('/')) {
+          val rdDir = st.getPath.getParent
+          try {
+            if (fs.exists(rdDir) && fs.listStatus(rdDir).isEmpty)
+              fs.delete(rdDir, false)
+          } catch { case _: java.io.IOException => () }
+        }
       }
     }
     // re-pin registered views: a version view whose epoch just dropped
@@ -1351,12 +1601,9 @@ class Store(spark: SparkSession, baseDir: String) {
     if (!fs.exists(dir)) throw new IllegalStateException(
       s"$rel does not exist — retentionStats needs a written table")
     ScopedCommit.recover(fs, dir)
-    val live = listDataFiles(dir)
+    val live = listDataFilesDeep(dir)
       .map(n => fs.getFileStatus(new Path(dir, n)).getLen).sum
-    val rd = LayoutManifest.retiredDir(dir)
-    val retired =
-      if (fs.exists(rd)) fs.listStatus(rd).filter(_.isFile).map(_.getLen).sum
-      else 0L
+    val retired = listRetired(dir).values.map(_.getLen).sum
     RetentionStats(live, retired, listVersions(rel).size)
   }
 
@@ -1569,6 +1816,16 @@ class Store(spark: SparkSession, baseDir: String) {
 
 object Store {
 
+  /** A version/snapshot resolution: the epoch's file set at its current
+    * homes (`paths`, aligned 1:1 with the manifest `names`), plus the
+    * manifest's partition columns (empty = flat layout). Consumers of a
+    * partitioned resolution must anchor their read with `basePath` = the
+    * table root so the partition columns reconstruct.
+    */
+  private[graft] case class ResolvedVersion(paths: Seq[String],
+                                            partCols: Seq[String],
+                                            names: Seq[String] = Nil)
+
   /** One manifest-pinned temp view's registration: the weak session ref
     * guards against identity-hash reuse after a session dies (and lets a
     * dead session's entries self-drop on the next touch), `viewBase` is
@@ -1581,10 +1838,14 @@ object Store {
   private case class PinnedView(session: scala.ref.WeakReference[SparkSession],
                                 dirKey: String, viewBase: String, rel: String,
                                 epoch: Option[Long],
-                                installed: scala.ref.WeakReference[AnyRef])
+                                installed: scala.ref.WeakReference[AnyRef],
+                                schema: StructType = new StructType())
 
   /** Create/replace the pinned temp view and record the catalog object it
-    * installed (for the user-replacement check on later re-pins).
+    * installed (for the user-replacement check on later re-pins) plus the
+    * pinned frame's schema — the loud-on-use error view is built with that
+    * schema so queries naming real columns still analyze and surface the
+    * raise_error cause instead of a misleading UNRESOLVED_COLUMN.
     */
   private def installPin(spark: SparkSession, key: (String, String),
                          pv: PinnedView, df: DataFrame): Unit = {
@@ -1594,7 +1855,8 @@ object Store {
     // every later identity check read as "user replaced it"
     val handle: AnyRef =
       spark.sessionState.catalog.getRawTempView(key._2).getOrElse(null)
-    pinnedViews(key) = pv.copy(installed = new scala.ref.WeakReference(handle))
+    pinnedViews(key) = pv.copy(installed = new scala.ref.WeakReference(handle),
+      schema = df.schema)
   }
 
   /** Manifest-pinned temp views ([[Store.registerSnapshotView]] /

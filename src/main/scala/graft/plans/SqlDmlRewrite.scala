@@ -80,7 +80,8 @@ object SqlDmlRewrite extends Rule[LogicalPlan] {
       lr.relation match {
         case h: HadoopFsRelation
             if h.fileFormat.isInstanceOf[ParquetFileFormat] &&
-              h.location.rootPaths.size == 1 =>
+              h.location.rootPaths.size == 1 &&
+              partitionsUnderRoot(lr, h.location.rootPaths.head) =>
           val loc = h.location.rootPaths.head
           val table = lr.catalogTable.map(_.identifier.unquotedString)
             .getOrElse(loc.toString)
@@ -89,6 +90,33 @@ object SqlDmlRewrite extends Rule[LogicalPlan] {
       }
     case _ => None
   }
+
+  /** The COW core locates matches by scanning the table ROOT directory, so
+    * a catalog partition registered with a custom LOCATION outside the
+    * root would be silently invisible to the DML — rows there would
+    * survive a DELETE that names them. Admit a partition-tracked table
+    * only when every registered partition's location sits under the root
+    * (one O(partitions) driver-side metadata listing at admission);
+    * anything else — including a metadata listing that fails — falls
+    * through to Spark's own loud unsupported-DML error.
+    */
+  private def partitionsUnderRoot(lr: LogicalRelation, root: Path): Boolean =
+    lr.catalogTable.forall { ct =>
+      ct.partitionColumnNames.isEmpty || {
+        try {
+          val spark = SparkSession.active
+          val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+          val qroot = fs.makeQualified(root)
+          def isUnder(p: Path): Boolean = {
+            var c = fs.makeQualified(p)
+            while (c != null) { if (c == qroot) return true; c = c.getParent }
+            false
+          }
+          spark.sessionState.catalog.listPartitions(ct.identifier)
+            .forall(_.storage.locationUri.forall(u => isUnder(new Path(u))))
+        } catch { case scala.util.control.NonFatal(_) => false }
+      }
+    }
 
   /** Re-expressible against a fresh scan of the same table: deterministic,
     * no subquery, and every reference is one of the relation's own columns

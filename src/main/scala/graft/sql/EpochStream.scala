@@ -1,0 +1,112 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Offsets for the epoch-changelog stream: one committed manifest epoch
+  * per offset (epoch -1 = "before the table existed", so the first batch
+  * delivers the full current file set).
+  */
+case class GraftEpochOffset(epoch: Long) extends Offset {
+  override def json(): String = s"""{"epoch":$epoch}"""
+}
+
+object GraftEpochOffset {
+  private val Re = """\{\s*"epoch"\s*:\s*(-?\d+)\s*\}""".r
+  def fromJson(json: String): GraftEpochOffset = json match {
+    case Re(e) => GraftEpochOffset(e.toLong)
+    case _ => throw new IllegalArgumentException(
+      s"not a graft epoch offset: '$json'")
+  }
+}
+
+/** `spark.readStream.table("graft.t")` over a manifest store — epochs as
+  * offsets: each micro-batch is the file DELTA between two committed
+  * epochs, read from the manifest snapshots (never a directory listing),
+  * so a batch can neither duplicate nor miss rows and the stream composes
+  * with the exactly-once sink's epoch discipline.
+  *
+  * APPEND-ONLY contract, enforced loudly: a rewrite epoch (recluster,
+  * COW delete/update, replace — any epoch that DROPS a file of the start
+  * epoch) fails the batch with a clear message instead of replaying
+  * rewritten rows as inserts. This is the documented decision (the other
+  * option, silent full-refresh, would emit duplicates downstream);
+  * OPTIMIZE passes on a streamed table belong between stream restarts,
+  * exactly as Delta's `ignoreChanges` family draws the line. Retention
+  * interacts the same way: the stream diffs epoch SNAPSHOTS, so vacuum
+  * only below the slowest reader's offset.
+  *
+  * Scale shape: offset resolution is O(files) driver-side metadata (two
+  * snapshot reads per batch); each batch scans ONLY its delta files
+  * through the stock v2 parquet reader (column pruning applied — the
+  * stream builds its per-batch scans at the stream's own read schema).
+  */
+class GraftEpochStream(spark: SparkSession, baseDir: String, rel: String,
+                       fullSchema: StructType, readSchema: StructType)
+    extends MicroBatchStream {
+
+  private def store = new graft.io.Store(spark, baseDir)
+
+  // the per-batch scan planned last, reused by createReaderFactory (the
+  // exec evaluates partitions first, factory second, within one batch)
+  @volatile private var lastBatchScan: Option[Scan] = None
+
+  override def initialOffset(): Offset = GraftEpochOffset(-1L)
+
+  override def latestOffset(): Offset =
+    GraftEpochOffset(store.currentEpoch(rel))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftEpochOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftEpochOffset].epoch
+    val e = end.asInstanceOf[GraftEpochOffset].epoch
+    val scan = mkScan(deltaPaths(s, e))
+    lastBatchScan = Some(scan)
+    scan.toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    lastBatchScan.getOrElse(mkScan(Nil)).toBatch.createReaderFactory()
+
+  /** The files epoch `e` added over epoch `s`, at their current homes. */
+  private def deltaPaths(s: Long, e: Long): Seq[String] = {
+    if (e < 0 || s == e) return Nil
+    val endR = store.resolveVersion(rel, e)
+    val startNames =
+      if (s < 0) Set.empty[String] else store.versionFileNames(rel, s).toSet
+    val endNames = endR.names.toSet
+    val dropped = startNames -- endNames
+    if (dropped.nonEmpty) throw new IllegalStateException(
+      s"epochs $s..$e of $rel contain a REWRITE (${dropped.size} file(s) of " +
+        s"epoch $s are gone from epoch $e, e.g. ${dropped.head}) — the epoch " +
+        "changelog streams appends only; run OPTIMIZE/DELETE between stream " +
+        "restarts, or re-read the table as a batch")
+    endR.names.zip(endR.paths).collect {
+      case (n, p) if !startNames(n) => p
+    }
+  }
+
+  /** A stock v2 parquet scan over exactly `paths`, pruned to the stream's
+    * read schema — the same reader machinery every batch face uses.
+    */
+  private def mkScan(paths: Seq[String]): Scan = {
+    val tbl = ParquetTable(s"graft-epochs:$rel", spark,
+      CaseInsensitiveStringMap.empty(), paths, Some(fullSchema),
+      classOf[ParquetFileFormat])
+    val b = tbl.newScanBuilder(CaseInsensitiveStringMap.empty())
+    b.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(readSchema)
+    b.build()
+  }
+}

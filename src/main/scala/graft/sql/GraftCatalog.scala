@@ -1,13 +1,16 @@
 package graft.sql
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCapability, TableCatalog, TableChange, SupportsRead}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDeleteV2, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource-v2 catalog face for the manifest-tracked layout stores —
@@ -19,6 +22,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.conf.set("spark.sql.catalog.graft.base", "/data/stores")
   *   spark.sql("SELECT ... FROM graft.events_z")                  -- committed epoch
   *   spark.sql("SELECT ... FROM graft.events_z VERSION AS OF 3")  -- time travel
+  *   spark.sql("SELECT * FROM graft.`events_z$history`")          -- epoch history
+  *   spark.sql("DELETE FROM graft.events_z WHERE user_id = 7")    -- journaled COW
   * }}}
   *
   * `loadTable` runs per statement resolution, resolving the table's
@@ -31,14 +36,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * state). The returned table wraps Spark's own v2 `ParquetTable`, so
   * scans keep the stock `ParquetScanBuilder` pushdown/pruning machinery
   * (spec pins the PushedFilters witness); resolution itself is two
-  * directory listings of metadata — O(files), no data pages.
+  * directory listings of metadata — O(files), no data pages. Managed
+  * PARTITIONED stores anchor their scan at the table root, so the
+  * `key=value` columns reconstruct across live and nested-retired files.
   *
   * Identifiers map to store paths: `graft.a.b.t` -> `<base>/a/b/t`
-  * (namespace segments are subdirectories). The catalog is READ-ONLY by
-  * construction — the only write paths to a manifest-tracked table are
-  * the journaled Store mutators; exposing v2 writes here would bypass
-  * the epoch CAS and the retire discipline, so the table advertises
-  * BATCH_READ alone and every DDL/DML entry point fails loudly.
+  * (namespace segments are subdirectories). `` graft.`t$history` `` is
+  * the epoch-history metadata table (the `DESCRIBE HISTORY` role): one
+  * row per readable epoch — (version, committed_at, files, is_current) —
+  * served driver-side as a LocalScan, so a SQL user can DISCOVER epochs
+  * and feed them to `VERSION AS OF` without leaving SQL.
+  *
+  * Writes: the catalog stays CREATE/ALTER/DROP/INSERT-refusing — the only
+  * write paths to a manifest-tracked table are the journaled Store
+  * mutators — but `DELETE FROM` is supported by ROUTING to exactly that
+  * machinery: [[GraftTable.deleteWhere]] translates the pushed v2
+  * predicates back to Columns and runs the journaled copy-on-write
+  * [[graft.io.Store.deleteWhere]] under the epoch CAS (replaced files
+  * retire; the takedown is time-travel-recoverable). A predicate the
+  * partial translator cannot express falls through loudly to Spark's own
+  * unsupported-DELETE error — never a silent behavior change.
   *
   * Failure modes mirror the API face: a vacuumed or never-committed
   * `VERSION AS OF` epoch and a manifest-less directory stay loud
@@ -76,7 +93,9 @@ class GraftCatalog extends TableCatalog {
       .toArray
   }
 
-  override def loadTable(ident: Identifier): Table = load(ident, None)
+  override def loadTable(ident: Identifier): Table =
+    if (ident.name().endsWith(GraftCatalog.HistorySuffix)) history(ident)
+    else load(ident, None)
 
   /** `VERSION AS OF <epoch>` — the SQL face of [[graft.io.Store.readVersion]]. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -85,7 +104,7 @@ class GraftCatalog extends TableCatalog {
       catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"graft time travel takes a manifest EPOCH number, got '$version' " +
-            s"(available: listVersions on the store)")
+            s"(available: the `${ident.name()}$$history` metadata table)")
       }
     load(ident, Some(epoch))
   }
@@ -99,12 +118,36 @@ class GraftCatalog extends TableCatalog {
     // served: this face exists to give SQL the manifest's exactness, and
     // silently falling back to a listing would reopen the exact window it
     // closes — Store.registerCatalog is the listing-semantics face.
-    val paths = epoch match {
-      case Some(e) => store.resolveVersionPaths(rel, e)
-      case None => store.resolveSnapshotPaths(rel)
+    val resolved = epoch match {
+      case Some(e) => store.resolveVersion(rel, e)
+      case None => store.resolveSnapshot(rel)
     }
+    // a managed PARTITIONED store's scan anchors at the table root so the
+    // `key=value` columns reconstruct for live and nested-retired files
+    // alike (Store.readVersion's discipline, through the v2 file index)
+    val options =
+      if (resolved.partCols.nonEmpty)
+        new CaseInsensitiveStringMap(
+          java.util.Collections.singletonMap("basePath", s"$base/$rel"))
+      else CaseInsensitiveStringMap.empty()
     new GraftTable(ParquetTable(s"$catalogName.$rel", spark,
-      CaseInsensitiveStringMap.empty(), paths, None, classOf[ParquetFileFormat]))
+      options, resolved.paths, None, classOf[ParquetFileFormat]),
+      base, rel, versionPinned = epoch.isDefined,
+      partitioned = resolved.partCols.nonEmpty)
+  }
+
+  /** The `` `t$history` `` metadata table: one row per readable epoch. */
+  private def history(ident: Identifier): Table = {
+    val spark = SparkSession.active
+    val rel = (ident.namespace() :+
+      ident.name().stripSuffix(GraftCatalog.HistorySuffix)).mkString("/")
+    val store = new graft.io.Store(spark, base)
+    if (!store.exists(rel)) throw new NoSuchTableException(ident)
+    val rows = store.versionHistory(rel).map { v =>
+      InternalRow(v.epoch, v.committedAtMs * 1000L /* micros */ ,
+        v.files, v.isCurrent)
+    }.toArray
+    new GraftHistoryTable(s"$catalogName.$rel$$history", rows)
   }
 
   private def readOnly(op: String): Nothing = throw new UnsupportedOperationException(
@@ -126,12 +169,65 @@ class GraftCatalog extends TableCatalog {
     readOnly("RENAME TABLE")
 }
 
-/** Read-only wrapper over Spark's v2 [[ParquetTable]]: same schema, same
-  * scan builder (full pushdown/pruning), but ONLY the BATCH_READ
-  * capability — `INSERT INTO graft.t` must fail at analysis rather than
-  * write unjournaled files into a manifest-tracked directory.
+object GraftCatalog {
+
+  /** Iceberg-style metadata-table marker: `` graft.`events$history` ``. */
+  val HistorySuffix = "$history"
+
+  /** Partial v1-Filter -> Column translator for the v2 DELETE face: the
+    * supported surface is exactly what one writes in a takedown WHERE
+    * clause (comparisons, IN, null tests, string matches, AND/OR/NOT).
+    * Returns None on anything else — the caller reports non-translatable
+    * and Spark surfaces its own loud unsupported-DELETE error, pointing
+    * the user at the v1 `registerCatalog` face / the API mutators.
+    */
+  private[sql] def toColumn(f: org.apache.spark.sql.sources.Filter):
+      Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+      case Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+      case Not(c) => toColumn(c).map(!_)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  private[sql] def translate(predicates: Array[Predicate]):
+      Option[org.apache.spark.sql.Column] = {
+    val cols = predicates.toSeq.map(p =>
+      org.apache.spark.sql.graftshim.GraftShim.predicateToV1(p).flatMap(toColumn(_)))
+    if (cols.exists(_.isEmpty)) None
+    // an empty predicate array is TRUNCATE: delete everything
+    else Some(cols.flatten.foldLeft(lit(true))(_ && _))
+  }
+}
+
+/** Wrapper over Spark's v2 [[ParquetTable]]: same schema, same scan
+  * builder (full pushdown/pruning), but ONLY the BATCH_READ capability —
+  * `INSERT INTO graft.t` must fail at analysis rather than write
+  * unjournaled files into a manifest-tracked directory. The one mutation
+  * served is [[SupportsDeleteV2]], because it ROUTES to the journaled
+  * epoch-CAS'd COW machinery rather than bypassing it; a version-pinned
+  * table (`VERSION AS OF`) refuses even that — epochs are immutable.
   */
-private[sql] class GraftTable(underlying: ParquetTable) extends Table with SupportsRead {
+private[sql] class GraftTable(underlying: ParquetTable, baseDir: String,
+                              rel: String, versionPinned: Boolean,
+                              partitioned: Boolean = false)
+    extends Table with SupportsRead with SupportsDeleteV2 {
 
   override def name(): String = underlying.name
 
@@ -142,8 +238,77 @@ private[sql] class GraftTable(underlying: ParquetTable) extends Table with Suppo
   override def properties(): java.util.Map[String, String] = underlying.properties
 
   override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  /** Batch scans delegate wholesale to the stock parquet builder (the
+    * shim preserves pushdown/pruning/metadata by delegation); the
+    * streaming entry point serves the EPOCH CHANGELOG — see
+    * [[GraftEpochStream]] for the append-only contract.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new org.apache.spark.sql.graftshim.GraftStreamingScanBuilder(
+      underlying.newScanBuilder(options)
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder],
+      (readSchema, _) => {
+        if (versionPinned) throw new UnsupportedOperationException(
+          s"$name is pinned to a manifest epoch (VERSION AS OF) — a pinned " +
+            "epoch never changes; stream the current table instead")
+        if (partitioned) throw new UnsupportedOperationException(
+          s"$name is a managed PARTITIONED store — the epoch changelog stream " +
+            "serves flat manifest stores; read partitions as batches instead")
+        new GraftEpochStream(SparkSession.active, baseDir, rel,
+          underlying.schema, readSchema)
+      })
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    !versionPinned && GraftCatalog.translate(predicates).isDefined
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    if (versionPinned) throw new UnsupportedOperationException(
+      s"$name is pinned to a manifest epoch (VERSION AS OF) — epochs are " +
+        "immutable; DELETE FROM the current table instead")
+    val cond = GraftCatalog.translate(predicates).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE condition not translatable for $name " +
+          s"(predicates: ${predicates.mkString(", ")}) — use the API face " +
+          "(Store.deleteWhere) or the v1 registerCatalog SQL face"))
+    new graft.io.Store(SparkSession.active, baseDir).deleteWhere(rel, cond)
+    ()
+  }
+}
+
+/** Driver-side metadata table (epoch history): a handful of rows by
+  * construction, served through [[LocalScan]] — plans as a local table
+  * scan, no distributed read.
+  */
+private[sql] class GraftHistoryTable(tableName: String, rows: Array[InternalRow])
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = GraftHistoryTable.Schema
+
+  override def partitioning(): Array[Transform] = Array.empty
+
+  override def properties(): java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
+
+  override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    underlying.newScanBuilder(options)
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = GraftHistoryTable.Schema
+        override def rows(): Array[InternalRow] = GraftHistoryTable.this.rows
+      }
+    }
+}
+
+private[sql] object GraftHistoryTable {
+  val Schema: StructType = new StructType()
+    .add("version", "bigint", nullable = false)
+    .add("committed_at", TimestampType, nullable = false)
+    .add("files", "int", nullable = false)
+    .add("is_current", "boolean", nullable = false)
 }

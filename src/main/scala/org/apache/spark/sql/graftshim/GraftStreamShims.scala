@@ -1,0 +1,78 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsReportStatistics, Statistics}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.execution.datasources.v2.FileScan
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.internal.connector.{SupportsMetadata, SupportsPushDownCatalystFilters}
+import org.apache.spark.sql.types.StructType
+
+/** Package-access shims for the graft DSv2 streaming face (the sibling of
+  * [[org.apache.spark.sql.GraftBridge]]): `SupportsPushDownCatalystFilters`
+  * and `SupportsMetadata` are `private[sql]`, so the delegating wrappers
+  * that preserve the stock parquet pushdown while adding a
+  * `toMicroBatchStream` live here — thin, original delegation only.
+  *
+  * Why a wrapper at all: `spark.readStream.table("graft.t")` drives the
+  * SAME `newScanBuilder` as batch reads, and the stock `ParquetScan`'s
+  * `toMicroBatchStream` throws. Wrapping the built scan keeps every batch
+  * property the specs pin — column pruning and catalyst filter pushdown
+  * (builder delegation), the `PushedFilters` plan display
+  * (`SupportsMetadata.getMetaData`), statistics, columnar reads — and
+  * routes only the streaming entry point to the epoch-changelog stream
+  * the caller supplies.
+  */
+/** `private[sql]` forwarding for the v2 DELETE face's predicate
+  * translation (same role as [[org.apache.spark.sql.GraftBridge]]).
+  */
+object GraftShim {
+  def predicateToV1(p: Predicate): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
+}
+
+class GraftStreamingScanBuilder(underlying: ParquetScanBuilder,
+                                mkStream: (StructType, String) => MicroBatchStream)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownCatalystFilters {
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    underlying.pruneColumns(requiredSchema)
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    underlying.pushFilters(filters)
+
+  override def pushedFilters: Array[Predicate] = underlying.pushedFilters
+
+  override def build(): Scan =
+    new GraftStreamingScan(underlying.build().asInstanceOf[FileScan], mkStream)
+}
+
+/** Delegates every batch face of the wrapped [[FileScan]]; streaming goes
+  * to the epoch stream.
+  */
+class GraftStreamingScan(underlying: FileScan,
+                         mkStream: (StructType, String) => MicroBatchStream)
+    extends Scan with SupportsReportStatistics with SupportsMetadata {
+
+  override def readSchema(): StructType = underlying.readSchema()
+
+  override def toBatch: Batch = underlying.toBatch
+
+  override def description(): String = underlying.description()
+
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    underlying.columnarSupportMode()
+
+  override def supportedCustomMetrics() = underlying.supportedCustomMetrics()
+
+  override def reportDriverMetrics() = underlying.reportDriverMetrics()
+
+  override def estimateStatistics(): Statistics = underlying.estimateStatistics()
+
+  override def getMetaData(): Map[String, String] = underlying.getMetaData()
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    mkStream(underlying.readSchema(), checkpointLocation)
+}

@@ -146,6 +146,47 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(store.listVersions("tbl") == Seq(0L, 9L))
   }
 
+  test("a journal replayed by a concurrent reader-driven recover is benign: " +
+    "the committing writer replays from its own lines, marker-gone recover no-ops") {
+    val base = Files.createTempDirectory("graft_tt_racerep").toString
+    val store = new Store(spark, base)
+    val df = spark.range(800).select(col("id").as("k"), (col("id") * 3 % 800).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 2)     // epoch 0
+    val want = rows(spark.read.parquet(s"$base/tbl"))
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fabricate the mid-commit state (same shape as the crash test above)
+    val victim = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("part-")).sorted.head
+    val tmp = ScopedCommit.tmpDir(dir)
+    fs.mkdirs(tmp)
+    assert(org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(dir, victim), fs,
+      new org.apache.hadoop.fs.Path(tmp, victim), false,
+      spark.sparkContext.hadoopConfiguration))
+    val m = LayoutManifest.read(fs, dir).get
+    val promoted = s"part-s7-${victim.stripPrefix("part-")}"
+    val lines = ScopedCommit.write(fs, dir, renames = Seq(victim -> promoted),
+      deletes = Nil, retires = Seq(victim),
+      manifest = Some(m.copy(epoch = 7L,
+        base = (m.base.filterNot(_ == victim) :+ promoted).sorted, appends = Nil)))
+    // a READER-driven recover (the per-statement DSv2 path) finishes the
+    // commit and removes the marker first…
+    assert(ScopedCommit.recover(fs, dir))
+    // …then the committing WRITER replays from the lines it wrote — every
+    // step must read as already-done, never as a failed mutation (the
+    // mutation DID commit; surfacing an error here would drive an
+    // app-level retry into double-applying it)
+    ScopedCommit.replay(fs, dir, lines)
+    // and a second reader that raced past its own exists-check finds
+    // nothing left to do
+    assert(!ScopedCommit.recover(fs, dir))
+    assert(rows(spark.read.parquet(s"$base/tbl")) == want)
+    assert(rows(store.readVersion("tbl", 7L)) == want)
+    assert(rows(store.readVersion("tbl", 0L)) == want)
+    assert(store.listVersions("tbl") == Seq(0L, 7L))
+  }
+
   test("epoch claims: a concurrent mutator fails loudly with the table intact; " +
     "exactly-once replays adopt their own claim; commits release claims") {
     val base = Files.createTempDirectory("graft_tt_cas").toString
@@ -424,6 +465,16 @@ class TimeTravelSpec extends AnyFunSuite {
       spark.sql("SELECT COUNT(*) FROM graft_tt_v0").collect()
     }
     assert(err.getMessage.contains("no longer resolvable"), err.getMessage)
+    // the error view keeps the ORIGINAL schema: a query naming a real
+    // column must still analyze and surface the raise_error cause — a
+    // single-column error schema would die first with a misleading
+    // UNRESOLVED_COLUMN that points nowhere near the vacuum
+    assert(spark.table("graft_tt_v0").columns.toSeq == Seq("k", "v"),
+      "loud-on-use view must preserve the pinned schema")
+    val errCol = intercept[Exception] {
+      spark.sql("SELECT SUM(v) FROM graft_tt_v0").collect()
+    }
+    assert(errCol.getMessage.contains("no longer resolvable"), errCol.getMessage)
     // and registering the dropped epoch fails loudly up front
     intercept[IllegalStateException] { store.registerVersionView("graft_tt_v0b", "tbl", 0L) }
     spark.catalog.dropTempView("graft_tt_v0")

@@ -175,6 +175,97 @@ class SqlDmlSpec extends AnyFunSuite {
       .where(col("dt") === lit("2024-02-01").cast("date")).count() == movedRows)
   }
 
+  test("a DELETE matching every row of a partitioned table keeps it readable: " +
+    "the empty stage promotes a schema-only carrier instead of zero files") {
+    val base = Files.createTempDirectory("graft_sqlwipe").toString
+    val store = new Store(spark, base)
+    val df = spark.range(300).select(
+      to_timestamp(concat(lit("2024-03-0"), (col("id") % 3 + 1), lit(" 08:00:00")))
+        .as("datetime"),
+      col("id").as("k"), (col("id") % 10).cast("double").as("v"))
+    store.writePartitioned(df, "wipe_tbl")
+    // partitionBy writes files lazily — an all-rows-deleted stage creates
+    // NONE, so without the carrier guard this delete would leave a file-less
+    // table whose every later read fails schema inference
+    val stats = store.deleteWhere("wipe_tbl", col("k") >= 0)
+    assert(stats.rowsDeleted == 300)
+    val back = spark.read.parquet(s"$base/wipe_tbl")
+    assert(back.count() == 0, "table must read back empty, not fail")
+    // the carrier keeps the FULL read-back schema, partition column included
+    assert(back.columns.sorted.toSeq == Seq("datetime", "dt", "k", "v"))
+    // a PARTIAL delete that merely empties one partition needs no carrier:
+    // remaining partitions carry the schema (and the layout stays partitioned)
+    val base2 = Files.createTempDirectory("graft_sqlwipe2").toString
+    val store2 = new Store(spark, base2)
+    store2.writePartitioned(df, "part_tbl")
+    store2.deleteWhere("part_tbl", to_date(col("datetime")) === lit("2024-03-02").cast("date"))
+    val back2 = spark.read.parquet(s"$base2/part_tbl")
+    assert(back2.count() == 200)
+    assert(back2.select("dt").distinct().count() == 2)
+  }
+
+  test("a catalog partition with a custom LOCATION outside the table root " +
+    "refuses the COW rewrite — Spark's own unsupported error, rows never missed") {
+    val base = Files.createTempDirectory("graft_sqlext").toString
+    val store = new Store(spark, base)
+    val df = spark.range(600).select(
+      to_timestamp(concat(lit("2024-04-0"), (col("id") % 3 + 1), lit(" 09:00:00")))
+        .as("datetime"),
+      col("id").as("k"), (col("id") % 10).cast("double").as("v"))
+    store.writePartitioned(df, "ext_tbl")
+    spark.sql("DROP TABLE IF EXISTS graft_sqlext_t")
+    spark.catalog.createTable("graft_sqlext_t", s"$base/ext_tbl", "parquet")
+    spark.catalog.recoverPartitions("graft_sqlext_t")
+    // under-root partitions only: the rewrite admits the table
+    val q = spark.sql("DELETE FROM graft_sqlext_t WHERE dt = DATE'2024-04-03' AND v < 2")
+    assert(q.queryExecution.commandExecuted.toString.contains("GraftCowDelete"))
+    // register a partition whose data lives OUTSIDE the table root: the
+    // root-scanning COW locate could never see its rows, so a DELETE that
+    // names them would silently miss — the rewrite must refuse and fall
+    // through to Spark's own loud unsupported-DML error
+    val elsewhere = Files.createTempDirectory("graft_sqlext_away").toString
+    df.where(col("k") < 50).drop("datetime")
+      .write.mode("overwrite").parquet(s"$elsewhere/away")
+    spark.sql(s"ALTER TABLE graft_sqlext_t ADD PARTITION (dt=DATE'2024-05-01') " +
+      s"LOCATION '$elsewhere/away'")
+    val before = spark.table("graft_sqlext_t").count()
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft_sqlext_t WHERE v < 5")
+    }
+    assert(e.getMessage.contains("DELETE"), e.getMessage)
+    assert(spark.table("graft_sqlext_t").count() == before, "refusal must not mutate")
+  }
+
+  test("a replace that flattens a partitioned store SYNCs stale catalog " +
+    "partitions away — catalog reads survive instead of chasing missing dirs") {
+    val base = Files.createTempDirectory("graft_sqlsync").toString
+    val store = new Store(spark, base)
+    val df = spark.range(400).select(
+      to_timestamp(concat(lit("2024-06-0"), (col("id") % 4 + 1), lit(" 07:00:00")))
+        .as("datetime"),
+      col("id").as("k"), (col("id") % 10).cast("double").as("v"))
+    store.writePartitioned(df, "sync_tbl")
+    spark.sql("DROP TABLE IF EXISTS graft_sqlsync_t")
+    spark.catalog.createTable("graft_sqlsync_t", s"$base/sync_tbl", "parquet")
+    spark.catalog.recoverPartitions("graft_sqlsync_t")
+    assert(spark.table("graft_sqlsync_t").count() == 400)
+    // replace the table with a FLAT z-layout: every dt= directory is
+    // rewritten away; an add-only partition refresh would leave the stale
+    // catalog entries pointing at pruned dirs and break `spark.table`
+    store.writeZordered(df.select(col("k"), col("v")), "sync_tbl", Seq("k", "v"),
+      files = 2)
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier("graft_sqlsync_t")
+    assert(cat.listPartitions(ident).isEmpty,
+      "stale partitions of the flattened layout must be dropped")
+    // the catalog read no longer matches the flat layout (re-registration
+    // is the documented contract after a reshape) but it must FAIL SOFT —
+    // zero partitions, zero rows — never a missing-path crash
+    assert(spark.table("graft_sqlsync_t").count() == 0)
+    store.registerCatalog("graft_sqlsync_t", "sync_tbl")
+    assert(spark.table("graft_sqlsync_t").count() == 400)
+  }
+
   test("preconditions hold: DML outside them still fails with Spark's own error") {
     val base = Files.createTempDirectory("graft_sqlpre").toString
     // a subquery condition cannot be re-expressed inside the command

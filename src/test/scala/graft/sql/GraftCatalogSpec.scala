@@ -104,6 +104,142 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(shown.contains("events_z") && !shown.contains("plain"), shown.toString)
   }
 
+  test("v2 DELETE routes through the journaled COW: translatable predicates " +
+    "retire files under the epoch CAS; untranslatable ones stay loud and untouched") {
+    val base = Files.createTempDirectory("graft_v2del").toString
+    val store = new Store(spark, base)
+    val df = spark.range(8000).select(col("id").as("k"),
+      pmod(col("id") * 37, lit(8000)).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 8)        // epoch 0
+    spark.conf.set("spark.sql.catalog.graft_d1", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_d1.base", base)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def triples() = fs.listStatus(dir).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime)).toSet
+    val before = triples()
+
+    spark.sql("DELETE FROM graft_d1.tbl WHERE k >= 7000 AND v IS NOT NULL")
+    val gone = df.where(col("k") >= 7000 && col("v").isNotNull).count()
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_d1.tbl").head.getLong(0) ==
+      8000 - gone)
+    // scoped: the k-range delete keeps out-of-range files byte/mtime-identical
+    val after = triples()
+    assert(before.intersect(after).nonEmpty && (before -- after).nonEmpty)
+    // the v2 DELETE RETIRED, not deleted: epoch 0 reads back in full, and
+    // the CAS was released (the next mutator works)
+    assert(store.readVersion("tbl", 0L).count() == 8000)
+    store.deleteWhere("tbl", col("k") < 10)                          // epoch 2
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_d1.tbl").head.getLong(0) ==
+      8000 - gone - 10)
+
+    // an untranslatable condition (arithmetic the v1 Filter surface can't
+    // carry) fails LOUDLY with the table untouched
+    val cnt = spark.sql("SELECT COUNT(*) AS n FROM graft_d1.tbl").head.getLong(0)
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft_d1.tbl WHERE k % 2 = 0")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete") ||
+      e.getMessage.toLowerCase.contains("translate"), e.getMessage)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_d1.tbl").head.getLong(0) == cnt,
+      "refused DELETE must not mutate")
+  }
+
+  test("$history metadata table lists readable epochs; SQL-only epoch " +
+    "discovery feeds VERSION AS OF; write-shaped DDL stays refused") {
+    val base = Files.createTempDirectory("graft_v2hist").toString
+    val store = new Store(spark, base)
+    val df = spark.range(2000).select(col("id").as("k"), (col("id") % 29).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 2)        // epoch 0
+    store.appendZordered(
+      spark.range(2000, 2100).select(col("id").as("k"), (col("id") % 29).as("v")),
+      "tbl", Seq("k", "v"), files = 1)                              // epoch 1
+    store.deleteWhere("tbl", col("k") < 100)                        // epoch 2
+    spark.conf.set("spark.sql.catalog.graft_h1", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_h1.base", base)
+
+    val hist = spark.sql(
+      "SELECT version, files, is_current FROM graft_h1.`tbl$history` ORDER BY version")
+      .collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L), hist.mkString(","))
+    assert(hist.map(_.getBoolean(2)).toSeq == Seq(false, false, true))
+    assert(hist.forall(_.getInt(1) > 0))
+    // committed_at is a real timestamp and non-decreasing across epochs
+    val ts = spark.sql(
+      "SELECT committed_at FROM graft_h1.`tbl$history` ORDER BY version")
+      .collect().map(_.getTimestamp(0).getTime).toSeq
+    assert(ts.size == 3 && ts == ts.sorted && ts.head > 0L)
+
+    // pure-SQL end-to-end: discover the oldest epoch, time-travel to it
+    val oldest = spark.sql(
+      "SELECT MIN(version) AS v FROM graft_h1.`tbl$history`").head.getLong(0)
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS n FROM graft_h1.tbl VERSION AS OF $oldest")
+      .head.getLong(0) == 2000)
+    // vacuum shrinks the listing to what is still readable
+    store.vacuum("tbl", keepLast = 1)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_h1.`tbl$history`")
+      .head.getLong(0) == 1)
+    // a history ident over a missing store is the ordinary NOT_FOUND
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_h1.`nope$history`").collect()
+    }
+
+    // write-shaped DDL guards (a future Spark growing new entry points
+    // must not silently write around the CAS): CTAS and ALTER refuse
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_h1.ctas AS SELECT 1 AS x")
+    }
+    assert(e1.getMessage.contains("read-only"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_h1.tbl ADD COLUMN bogus INT")
+    }
+    assert(e2.getMessage.contains("read-only"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("REPLACE TABLE graft_h1.tbl AS SELECT 1 AS x")
+    }
+    assert(e3.getMessage.contains("read-only") ||
+      e3.getMessage.toLowerCase.contains("not support"), e3.getMessage)
+  }
+
+  test("managed PARTITIONED stores through the catalog: dt reconstructs on " +
+    "current and versioned reads, partition pruning holds, v2 DELETE retires") {
+    val base = Files.createTempDirectory("graft_v2part").toString
+    val store = new Store(spark, base)
+    val df = spark.range(4000).select(
+      to_timestamp(concat(lit("2024-08-0"), (col("id") % 4 + 1), lit(" 11:00:00")))
+        .as("datetime"),
+      col("id").as("k"), (col("id") % 100).cast("double").as("v"))
+    store.writePartitionedManaged(df, "ptbl")                       // epoch 0
+    spark.conf.set("spark.sql.catalog.graft_p1", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_p1.base", base)
+
+    val cur = spark.sql("SELECT * FROM graft_p1.ptbl")
+    assert(cur.columns.contains("dt"))
+    assert(cur.count() == 4000)
+    // partition pruning through the v2 scan: a dt filter touches only its
+    // partition's files
+    val pruned = spark.sql(
+      "SELECT * FROM graft_p1.ptbl WHERE dt = DATE'2024-08-02'")
+    val files = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(files.nonEmpty && files.forall(_.contains("dt=2024-08-02")), files.toString)
+
+    // v2 DELETE on the partitioned store retires; VERSION AS OF 0 serves
+    // the pre-delete table with dt intact across nested-retired files
+    spark.sql("DELETE FROM graft_p1.ptbl WHERE dt = DATE'2024-08-02' AND v < 50")
+    val gone = df.where(to_date(col("datetime")) === lit("2024-08-02").cast("date")
+      && col("v") < 50).count()
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_p1.ptbl").head.getLong(0) ==
+      4000 - gone)
+    val v0 = spark.sql("SELECT * FROM graft_p1.ptbl VERSION AS OF 0")
+    assert(v0.columns.contains("dt") && v0.count() == 4000)
+    assert(spark.sql(
+      "SELECT CAST(COUNT(DISTINCT dt) AS BIGINT) AS d FROM graft_p1.ptbl VERSION AS OF 0")
+      .head.getLong(0) == 4)
+  }
+
   test("mid-journal exactness: the catalog serves the committed epoch while " +
     "the live listing shows duplicates") {
     val base = Files.createTempDirectory("graft_v2cat_midj").toString

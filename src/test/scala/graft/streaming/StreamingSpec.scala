@@ -14,6 +14,71 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("epoch-changelog stream over a manifest store: one batch per epoch, " +
+    "batch-identical to the epoch deltas, rewrite epochs refuse loudly") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_st5").toString
+    val store = new graft.io.Store(spark, base)
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") % 17).as("v"))
+    store.writeZordered(mk(0, 1000), "tbl", Seq("k", "v"), files = 2)   // epoch 0
+    spark.conf.set("spark.sql.catalog.graft_st5t", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_st5t.base", base)
+
+    val q = spark.readStream.table("graft_st5t.tbl")
+      .writeStream.format("memory").queryName("st5_sink")
+      .option("checkpointLocation", Files.createTempDirectory("graft_st5_ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // first batch = the full epoch-0 file set
+      assert(spark.table("st5_sink").count() == 1000)
+      // each committed append epoch arrives as ITS OWN delta — no re-reads
+      // of old files, no misses
+      store.appendZordered(mk(1000, 1200), "tbl", Seq("k", "v"), files = 1) // epoch 1
+      q.processAllAvailable()
+      assert(spark.table("st5_sink").count() == 1200)
+      store.appendZordered(mk(1200, 1250), "tbl", Seq("k", "v"), files = 1) // epoch 2
+      q.processAllAvailable()
+      val got = spark.table("st5_sink").select("k", "v").as[(Long, Long)]
+        .collect().sorted.toSeq
+      val want = mk(0, 1250).as[(Long, Long)].collect().sorted.toSeq
+      assert(got == want, "stream must deliver exactly the table, once")
+
+      // a REWRITE epoch (recluster drops epoch-2 files) must fail the
+      // stream loudly — replaying rewritten rows as inserts would
+      // duplicate downstream
+      store.recluster("tbl", Seq("k", "v"), files = 2)                   // epoch 3
+      val err = intercept[Exception] { q.processAllAvailable() }
+      def chain(e: Throwable): Seq[String] =
+        if (e == null) Nil else Option(e.getMessage).toSeq ++ chain(e.getCause)
+      assert(chain(err).exists(_.contains("REWRITE")), chain(err).mkString(" | "))
+    } finally q.stop()
+
+    // offset json round-trips (checkpoint durability shape)
+    val off = graft.sql.GraftEpochOffset(7L)
+    assert(graft.sql.GraftEpochOffset.fromJson(off.json()) == off)
+    intercept[IllegalArgumentException] {
+      graft.sql.GraftEpochOffset.fromJson("""{"foo":1}""")
+    }
+
+    // a managed PARTITIONED store refuses the stream with a pointer
+    val dfp = spark.range(100).select(
+      to_timestamp(lit("2024-09-01 10:00:00")).as("datetime"),
+      col("id").as("k"), (col("id") % 5).cast("double").as("v"))
+    store.writePartitionedManaged(dfp, "ptbl")
+    val e2 = intercept[Exception] {
+      spark.readStream.table("graft_st5t.ptbl")
+        .writeStream.format("memory").queryName("st5_sink_p")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_st5_ckp").toString)
+        .start().processAllAvailable()
+    }
+    def chain2(e: Throwable): Seq[String] =
+      if (e == null) Nil else Option(e.getMessage).toSeq ++ chain2(e.getCause)
+    assert(chain2(e2).exists(_.contains("PARTITIONED")), chain2(e2).mkString(" | "))
+  }
+
   test("hourly windowed aggregate over a file stream matches the batch result") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream_in").toString
