@@ -981,6 +981,125 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
     }),
+    // MANAGED partitioned store (manifest epochs on the MOST COMMON ingest
+    // shape): full replace commits epoch 0, the daily-ingest partition
+    // upsert commits epoch 1 — only the touched day's files move (spec
+    // pins untouched-partition byte/mtime identity) — and the declared
+    // read is the manifest-pinned CURRENT snapshot, partition column
+    // reconstructed. DuckDB replays the upsert as a CASE WHEN on the
+    // day's rows (the upsert's replacement batch derives from raw events).
+    "x64_part_upsert" -> ((s, dir) => {
+      val base = s"$scratchDir/x64"
+      val store = new graft.io.Store(s, base)
+      val e = Tables.events(s, dir)
+      store.writePartitionedManaged(e, "events_pm", tsCol = "ts")   // epoch 0
+      val day = e.where(to_date(col("ts")) === lit("2024-01-05").cast("date"))
+      store.upsertPartitionsManaged(day.withColumn("value", col("value") + 1000),
+        "events_pm", tsCol = "ts")                                  // epoch 1
+      store.readSnapshot("events_pm")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("dt")).as("n_days"))
+    }),
+    // Time travel over the PARTITIONED mutation chain (x62's sibling on
+    // the dt-shaped store): replace (epoch 0) -> partition upsert (epoch
+    // 1) -> COW delete whose dt predicate partition-prunes its own locate
+    // scan (epoch 2, RETIRES into the in-partition retired dirs). The
+    // declared read is epoch 0 — the pre-mutation table — with the
+    // partition column reconstructed across live AND retired files
+    // (n_days counts dt); DuckDB replays the full raw aggregate.
+    "x64b_part_time_travel" -> ((s, dir) => {
+      val base = s"$scratchDir/x64b"
+      val store = new graft.io.Store(s, base)
+      val e = Tables.events(s, dir)
+      store.writePartitionedManaged(e, "events_pm", tsCol = "ts")   // epoch 0
+      val day = e.where(to_date(col("ts")) === lit("2024-01-05").cast("date"))
+      store.upsertPartitionsManaged(day.withColumn("value", col("value") + 1000),
+        "events_pm", tsCol = "ts")                                  // epoch 1
+      store.deleteWhere("events_pm",
+        col("dt") === lit("2024-01-07").cast("date") && col("event_type") === "click") // epoch 2
+      store.readVersion("events_pm", 0L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("dt")).as("n_days"))
+    }),
+    // x60c's takedown on the MANAGED partitioned store: the SQL DELETE
+    // routes through the same journaled COW, but the manifest makes it
+    // RETIRE instead of delete — the declared read is epoch 0 AFTER the
+    // delete, so a green row proves the takedown is recoverable (the exact
+    // property the manifest-less x60c shape lacks). DuckDB replays the
+    // pre-delete table off raw events.
+    "x64c_sql_delete_part_retire" -> ((s, dir) => {
+      val base = s"$scratchDir/x64c"
+      val store = new graft.io.Store(s, base)
+      store.writePartitionedManaged(Tables.events(s, dir), "events_pr",
+        tsCol = "ts")                                               // epoch 0
+      store.registerCatalog("graft_x64c_events", "events_pr")
+      s.catalog.recoverPartitions("graft_x64c_events")
+      s.sql("""DELETE FROM graft_x64c_events
+              |WHERE dt = DATE'2024-01-05' AND event_type = 'click'""".stripMargin) // epoch 1
+      store.readVersion("events_pr", 0L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+    // REAL `VERSION AS OF` SQL over the PARTITIONED manifest epochs (x62c
+    // on the dt-shaped store): the DSv2 catalog anchors the epoch-0 file
+    // set at the table root, so the partition column reconstructs through
+    // pure SQL even after the delete retired the day's files. DuckDB
+    // replays the pre-mutation aggregate with dt re-derived from ts.
+    "x64d_v2_part_version" -> ((s, dir) => {
+      val base = s"$scratchDir/x64d"
+      val store = new graft.io.Store(s, base)
+      store.writePartitionedManaged(Tables.events(s, dir), "events_pm",
+        tsCol = "ts")                                               // epoch 0
+      store.deleteWhere("events_pm",
+        col("dt") === lit("2024-01-05").cast("date") && col("event_type") === "click") // epoch 1
+      s.conf.set("spark.sql.catalog.graft_x64d", "graft.sql.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_x64d.base", base)
+      s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              |  ROUND(SUM(value), 2) AS sum_value,
+              |  CAST(COUNT(DISTINCT dt) AS BIGINT) AS n_days
+              |FROM graft_x64d.events_pm VERSION AS OF 0
+              |GROUP BY event_type""".stripMargin)
+    }),
+    // STREAMING read over a manifest store — epochs as offsets: a REAL
+    // `readStream.table` through the DSv2 catalog consumes the store as a
+    // changelog (first batch = the start epoch's file set, then one delta
+    // per committed append epoch), into a memory sink under
+    // Trigger.AvailableNow. Batches diff manifest SNAPSHOTS, never a
+    // directory listing, so the collected rows are exactly the table —
+    // DuckDB replays the layout-independent aggregate off raw events.
+    // StreamingSpec pins per-epoch batch identity and the loud
+    // append-only (rewrite-refusing) contract.
+    "st5_stream_catalog" -> ((s, dir) => {
+      val base = s"$scratchDir/st5"
+      val store = new graft.io.Store(s, base)
+      val e = Tables.events(s, dir)
+      store.writeZordered(e.where(col("user_id") < 100), "events_feed",
+        Seq("user_id", "ts"), files = 4)
+      store.appendZordered(e.where(col("user_id") >= 100 && col("user_id") < 150),
+        "events_feed", Seq("user_id", "ts"), files = 2)
+      store.appendZordered(e.where(col("user_id") >= 150), "events_feed",
+        Seq("user_id", "ts"), files = 2)
+      s.conf.set("spark.sql.catalog.graft_st5", "graft.sql.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_st5.base", base)
+      // fresh checkpoint + sink per invocation: a reused checkpoint would
+      // make a second in-JVM run (bench warmup) see "nothing new" and
+      // return an empty sink
+      val uid = "graft_st5_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val ck = java.nio.file.Files.createTempDirectory("graft-st5-ck").toString
+      val q = s.readStream.table("graft_st5.events_feed")
+        .writeStream.format("memory").queryName(uid)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(uid)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     // CDC-style snapshot diff (incremental-recompute driver): one row per
     // changed key between a synthetic "previous" snapshot (missing the
     // mod-11 slice -> inserts; n_chars bumped on the mod-7 slice ->
@@ -2207,6 +2326,48 @@ object ExtensionQueries {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events
         |WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-05' AND event_type = 'click')
+        |GROUP BY 1""".stripMargin,
+    // The managed partition upsert replaces the day's rows with the
+    // derived batch: a CASE WHEN on the day replays it exactly; the
+    // partition column is CAST(ts AS DATE) by construction.
+    "x64_part_upsert" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+        |                 THEN value + 1000 ELSE value END), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    // Epoch 0 = the table before the upsert and the delete: the raw
+    // aggregate, with the partition column re-derived from ts.
+    "x64b_part_time_travel" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    // Epoch 0 read AFTER the SQL takedown = the full pre-delete table:
+    // x62's oracle shape (the retire, not the delete, is what's proven).
+    "x64c_sql_delete_part_retire" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    // VERSION AS OF 0 on the partitioned store = the pre-delete table,
+    // dt re-derived from ts.
+    "x64d_v2_part_version" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    // The epoch stream delivers the whole store exactly once across its
+    // batches: the sink aggregate replays off the raw events.
+    "st5_stream_catalog" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
         |GROUP BY 1""".stripMargin,
     // Same prev-snapshot derivation, full-outer join, and null-safe
     // column compare as SnapshotDiff.diff.
