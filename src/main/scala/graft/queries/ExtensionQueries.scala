@@ -1063,7 +1063,10 @@ object ExtensionQueries {
               |FROM graft_x64d.events_pm VERSION AS OF 0
               |GROUP BY event_type""".stripMargin)
     }),
-    // STREAMING read over a manifest store — epochs as offsets: a REAL
+    // STREAMING read over a manifest store — epochs as offsets (x-named,
+    // not st-named, deliberately: st* is the reference-parity §2.9 tier
+    // that the fingerprinted CORE bench surface tracks; this is an
+    // engine-side extension and must not shift that fingerprint): a REAL
     // `readStream.table` through the DSv2 catalog consumes the store as a
     // changelog (first batch = the start epoch's file set, then one delta
     // per committed append epoch), into a memory sink under
@@ -1072,7 +1075,7 @@ object ExtensionQueries {
     // DuckDB replays the layout-independent aggregate off raw events.
     // StreamingSpec pins per-epoch batch identity and the loud
     // append-only (rewrite-refusing) contract.
-    "st5_stream_catalog" -> ((s, dir) => {
+    "x65_stream_epochs" -> ((s, dir) => {
       val base = s"$scratchDir/st5"
       val store = new graft.io.Store(s, base)
       val e = Tables.events(s, dir)
@@ -2363,7 +2366,7 @@ object ExtensionQueries {
         |GROUP BY 1""".stripMargin,
     // The epoch stream delivers the whole store exactly once across its
     // batches: the sink aggregate replays off the raw events.
-    "st5_stream_catalog" ->
+    "x65_stream_epochs" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(value), 2) AS sum_value,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
