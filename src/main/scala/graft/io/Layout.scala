@@ -298,17 +298,28 @@ private[graft] object ScopedCommit {
   def marker(dir: Path) = new Path(dir, MarkerName)
   def tmpDir(dir: Path) = new Path(dir, TmpDirName)
 
-  /** Whether ANY epoch claim is currently held on `dir` — the liveness
-    * signal [[recover]] consults before treating a markerless tmp dir as
-    * crash garbage.
+  /** A FRESH stage dir for one commit attempt — unique per journal, and
+    * recorded in the journal's own `tmp=` line, so a LAGGARD replayer of
+    * an old journal can only ever clean its own journal's stage, never a
+    * successor's (the fixed shared name made that a real race: laggard
+    * wakes after the successor claimed and staged, deletes the shared
+    * dir, successor's renames silently no-op).
     */
-  private def anyClaim(fs: FileSystem, dir: Path): Boolean = {
-    val hd = LayoutManifest.historyDir(dir)
-    fs.exists(hd) && fs.listStatus(hd).exists { st =>
-      val n = st.getPath.getName
-      n.startsWith("c") && scala.util.Try(n.drop(1).toLong).isSuccess
+  def newStageDir(dir: Path): Path =
+    new Path(dir, s"$TmpDirName-${java.util.UUID.randomUUID.toString.take(8)}")
+
+  /** Delete every stage dir under `dir` — crashed attempts' garbage. Safe
+    * ONLY while holding the table's epoch claim (no other mutator can be
+    * mid-stage) or from the explicit no-writer-is-live admin path; any
+    * journaled stage was already fully promoted before the claim could
+    * change hands (replay applies every step before the manifest write
+    * that releases it).
+    */
+  def sweepStages(fs: FileSystem, dir: Path): Unit =
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(TmpDirName))
+        fs.delete(st.getPath, true)
     }
-  }
 
   /** Write the journal marker and return its lines, so the committing
     * writer can replay from what it KNOWS it wrote instead of re-reading
@@ -319,8 +330,12 @@ private[graft] object ScopedCommit {
     */
   def write(fs: FileSystem, dir: Path, renames: Seq[(String, String)],
             deletes: Seq[String], manifest: Option[LayoutManifest],
-            retires: Seq[String] = Nil): Seq[String] = {
-    val lines = renames.map { case (s, d) => s"rename=$s\t$d" } ++
+            retires: Seq[String] = Nil, stage: Path = null): Seq[String] = {
+    // the journal records ITS stage dir (`tmp=` line); replay renames out
+    // of and cleans exactly that dir — absent (pre-upgrade journals), the
+    // legacy fixed name applies
+    val lines = Option(stage).map(s => s"tmp=${s.getName}").toSeq ++
+      renames.map { case (s, d) => s"rename=$s\t$d" } ++
       deletes.map(d => s"delete=$d") ++
       retires.map(r => s"retire=$r") ++
       manifest.toSeq.flatMap(_.lines).map(l => s"m:$l")
@@ -335,17 +350,16 @@ private[graft] object ScopedCommit {
     */
   def recover(fs: FileSystem, dir: Path): Boolean = {
     val m = marker(dir)
-    val tmp = tmpDir(dir)
     if (!fs.exists(m)) {
-      // No journal: a tmp dir here is pre-commit stage data. It is crash
-      // garbage ONLY when no epoch claim is held — a held claim means a
-      // mutator may be LIVE and mid-stage right now (claim first, stage
-      // second is every mutator's order), and deleting its stage under it
-      // would make it commit a silently empty/partial epoch. Leave claimed
-      // stages alone: the claim holder deletes tmp itself before staging,
-      // a crashed holder's garbage is reclaimed by releaseStaleClaims or
-      // the next mutator's own under-claim delete.
-      if (fs.exists(tmp) && !anyClaim(fs, dir)) fs.delete(tmp, true)
+      // No journal: any tmp dir here is pre-commit stage data — EITHER a
+      // crashed mutator's garbage OR a live claim holder's in-progress
+      // stage (claim first, stage second is every mutator's order), and
+      // no check-then-act test can tell them apart race-free. So recovery
+      // never touches it: hidden from scans either way, it is reclaimed by
+      // the next mutator's own under-claim delete before staging, or by
+      // releaseStaleClaims for a table whose writer died. Deleting it here
+      // could destroy a live stage and turn that mutator's commit into a
+      // silently empty epoch.
       return false
     }
     // reader-driven recovery is a MAINLINE concurrent path (every SQL
@@ -361,7 +375,9 @@ private[graft] object ScopedCommit {
   }
 
   def replay(fs: FileSystem, dir: Path, lines: Seq[String]): Unit = {
-    val tmp = tmpDir(dir)
+    val tmp = lines.collectFirst {
+      case l if l.startsWith("tmp=") => new Path(dir, l.stripPrefix("tmp="))
+    }.getOrElse(tmpDir(dir))
     // Two replayers of the SAME journal may run concurrently (the
     // committing writer and a reader-driven recover, or two readers): every
     // step below treats "src gone but dst present" as that step already
@@ -401,12 +417,35 @@ private[graft] object ScopedCommit {
         }
       case _ => ()
     }
+    // stage cleanup: `tmp` is THIS journal's own per-commit dir (unique
+    // name recorded in the journal), so even an arbitrarily late laggard
+    // replay can only remove its own journal's leftovers, never a
+    // successor's in-progress stage. Every rename out of it already
+    // replayed above; only commit crumbs remain.
+    fs.delete(tmp, true)
     val mLines = lines.filter(_.startsWith("m:")).map(_.stripPrefix("m:"))
     // no manifest section = the table has no layout provenance (e.g. a
-    // copy-on-write delete on a plain parquet table) — leave it that way
-    if (mLines.nonEmpty)
-      LayoutManifest.write(fs, dir, LayoutManifest.fromLines(mLines))
-    fs.delete(tmp, true)
-    fs.delete(marker(dir), false)
+    // copy-on-write delete on a plain parquet table) — leave it that way.
+    // FORWARD-ONLY: a stale replayer waking after a concurrent replayer
+    // already committed this journal — and after a SUCCESSOR epoch
+    // committed on top — must not roll the live manifest back to this
+    // journal's epoch (journaled epochs only ever advance; the claim CAS
+    // serializes the writes themselves, not a laggard's replay of an
+    // already-applied journal).
+    if (mLines.nonEmpty) {
+      val jm = LayoutManifest.fromLines(mLines)
+      if (LayoutManifest.read(fs, dir).forall(_.epoch < jm.epoch))
+        LayoutManifest.write(fs, dir, jm)
+    }
+    // The manifest write RELEASED the claim — a new mutator may by now
+    // have consumed this marker (its entry recovery), claimed, staged, and
+    // written ITS OWN journal. Delete the marker only while it still holds
+    // the lines THIS replay applied: a different content is the successor's
+    // journal, and destroying it would leave that mutator's crash
+    // unrecoverable (the successor's own replay removes it instead).
+    val still =
+      try LayoutManifest.readLines(fs, marker(dir))
+      catch { case _: java.io.FileNotFoundException => Nil }
+    if (still == lines) fs.delete(marker(dir), false)
   }
 }

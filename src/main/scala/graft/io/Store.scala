@@ -96,11 +96,19 @@ class Store(spark: SparkSession, baseDir: String) {
     withEpochClaim(dir, epoch,
       m0.map(_.epoch).getOrElse(-1L), java.util.UUID.randomUUID.toString) {
       val current = if (fs.exists(dir)) listDataFilesDeep(dir) else Nil
-      val tmp = ScopedCommit.tmpDir(dir)
-      fs.delete(tmp, true)
-      df.withColumn("dt", to_date(col(tsCol)))
-        .write.mode("overwrite").partitionBy("dt").parquet(tmp.toString)
-      val staged = listDataFilesDeep(tmp)
+      val tmp = ScopedCommit.newStageDir(dir)
+      ScopedCommit.sweepStages(fs, dir)
+      val stagedDf = df.withColumn("dt", to_date(col(tsCol)))
+      stagedDf.write.mode("overwrite").partitionBy("dt").parquet(tmp.toString)
+      var staged = listDataFilesDeep(tmp)
+      // an EMPTY replace stages zero files (partitionBy writers open files
+      // lazily) — a zero-file manifest would make every later manifest
+      // read throw; promote one schema-only flat carrier instead, the
+      // same guard the COW full-wipe path carries
+      if (staged.isEmpty) {
+        stagedDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        staged = listDataFilesDeep(tmp)
+      }
       val renames = staged.map(s => s -> promoteName(s, "w", epoch))
       val newM = LayoutManifest(Nil, 0, 0, epoch,
         base = renames.map(_._2).sorted, appends = Nil,
@@ -110,7 +118,7 @@ class Store(spark: SparkSession, baseDir: String) {
       // and start history at this epoch; a tracked table retires them
       ScopedCommit.replay(fs, dir, ScopedCommit.write(fs, dir, renames,
         deletes = if (m0.isDefined) Nil else current, manifest = Some(newM),
-        retires = if (m0.isDefined) current else Nil))
+        retires = if (m0.isDefined) current else Nil, stage = tmp))
     }
     refreshCatalog(dir)
   }
@@ -144,25 +152,34 @@ class Store(spark: SparkSession, baseDir: String) {
     val epoch = m0.map(_.epoch + 1).getOrElse(0L)
     withEpochClaim(dir, epoch,
       m0.map(_.epoch).getOrElse(-1L), java.util.UUID.randomUUID.toString) {
-      val tmp = ScopedCommit.tmpDir(dir)
-      fs.delete(tmp, true)
+      val tmp = ScopedCommit.newStageDir(dir)
+      ScopedCommit.sweepStages(fs, dir)
       df.withColumn("dt", to_date(col(tsCol)))
         .write.mode("overwrite").partitionBy("dt").parquet(tmp.toString)
       val staged = listDataFilesDeep(tmp)
-      val touchedDirs = staged.filter(_.contains('/'))
-        .map(s => s.substring(0, s.lastIndexOf('/'))).toSet
-      val replaced = current.filter(n =>
-        n.contains('/') && touchedDirs(n.substring(0, n.lastIndexOf('/'))))
-      val renames = staged.map(s => s -> promoteName(s, "p", epoch))
-      val keep = current.filterNot(replaced.toSet)
-      val newM = LayoutManifest(Nil, 0, 0, epoch,
-        base = (keep ++ renames.map(_._2)).sorted, appends = Nil,
-        lastBatch = m0.flatMap(_.lastBatch), partCols = Seq("dt"))
-      // adopted (manifest-less) tables have no prior epoch to serve, so
-      // their replaced files delete; tracked tables retire them
-      ScopedCommit.replay(fs, dir, ScopedCommit.write(fs, dir, renames,
-        deletes = if (m0.isDefined) Nil else replaced, manifest = Some(newM),
-        retires = if (m0.isDefined) replaced else Nil))
+      // an EMPTY batch touches no partition: commit nothing, release the
+      // claim this pass took (a zero-file manifest on a fresh table would
+      // poison every later manifest read; on a live table an epoch bump
+      // that changes nothing only burns history)
+      if (staged.isEmpty) {
+        fs.delete(LayoutManifest.claimPath(dir, epoch), false)
+        fs.delete(tmp, true)
+      } else {
+        val touchedDirs = staged.filter(_.contains('/'))
+          .map(s => s.substring(0, s.lastIndexOf('/'))).toSet
+        val replaced = current.filter(n =>
+          n.contains('/') && touchedDirs(n.substring(0, n.lastIndexOf('/'))))
+        val renames = staged.map(s => s -> promoteName(s, "p", epoch))
+        val keep = current.filterNot(replaced.toSet)
+        val newM = LayoutManifest(Nil, 0, 0, epoch,
+          base = (keep ++ renames.map(_._2)).sorted, appends = Nil,
+          lastBatch = m0.flatMap(_.lastBatch), partCols = Seq("dt"))
+        // adopted (manifest-less) tables have no prior epoch to serve, so
+        // their replaced files delete; tracked tables retire them
+        ScopedCommit.replay(fs, dir, ScopedCommit.write(fs, dir, renames,
+          deletes = if (m0.isDefined) Nil else replaced, manifest = Some(newM),
+          retires = if (m0.isDefined) replaced else Nil, stage = tmp))
+      }
     }
     refreshCatalog(dir)
   }
@@ -286,8 +303,8 @@ class Store(spark: SparkSession, baseDir: String) {
       // beside the new layout (manifest-tracked tables are flat, so the
       // deep listing returns exactly the flat names there)
       val current = if (fs.exists(dir)) listDataFilesDeep(dir) else Nil
-      val tmp = ScopedCommit.tmpDir(dir)
-      fs.delete(tmp, true)
+      val tmp = ScopedCommit.newStageDir(dir)
+      ScopedCommit.sweepStages(fs, dir)
       zorderStage(df, zCols, files, bits).write.mode("overwrite").parquet(tmp.toString)
       val staged = listDataFiles(tmp)
       val renames = staged.map(s => s -> s"part-w$epoch-${s.stripPrefix("part-")}")
@@ -301,7 +318,7 @@ class Store(spark: SparkSession, baseDir: String) {
       // delete the marker first (replay itself is concurrent-replayer-safe)
       ScopedCommit.replay(fs, dir, ScopedCommit.write(fs, dir, renames,
         deletes = if (m0.isDefined) Nil else current, manifest = Some(newM),
-        retires = if (m0.isDefined) current else Nil))
+        retires = if (m0.isDefined) current else Nil, stage = tmp))
       // a replace of a partitioned dir leaves its key= dirs empty — dead
       // weight on a now-flat table, so prune them BOTTOM-UP to the table
       // root (a multi-level a=1/b=2 layout must not strand empty a=1
@@ -498,11 +515,30 @@ class Store(spark: SparkSession, baseDir: String) {
         // breaks catalog reads. SYNC re-discovers in BOTH directions —
         // add new dirs, drop gone ones — after every mutation:
         // O(partition dirs) metadata, and only for tables actually
-        // registered over this path with partition columns.
-        if (m.partitionColumnNames.nonEmpty)
-          try spark.sql(
-            s"MSCK REPAIR TABLE ${ident.quotedString} SYNC PARTITIONS")
-          catch { case e: Exception if goneRace(e) => () }
+        // registered over this path with partition columns. EXCEPT when
+        // the user registered a partition whose LOCATION lives outside
+        // the table root: MSCK's drop pass is spec-driven from the root
+        // listing and would silently deregister it, hiding its rows from
+        // every catalog read — such tables get the ADD-ONLY refresh (the
+        // same reason SqlDmlRewrite refuses them for DML).
+        if (m.partitionColumnNames.nonEmpty) {
+          val root = canon(new Path(m.location))
+          def under(u: java.net.URI): Boolean = {
+            var c: Path = new Path(u)
+            var hit = false
+            while (c != null && !hit) { hit = canon(c) == root; c = c.getParent }
+            hit
+          }
+          val allUnderRoot =
+            try spark.sessionState.catalog.listPartitions(m.identifier)
+              .forall(_.storage.locationUri.forall(under))
+            catch { case scala.util.control.NonFatal(_) => false }
+          try {
+            if (allUnderRoot)
+              spark.sql(s"MSCK REPAIR TABLE ${ident.quotedString} SYNC PARTITIONS")
+            else spark.catalog.recoverPartitions(ident.unquotedString)
+          } catch { case e: Exception if goneRace(e) => () }
+        }
       }
     }
     // re-pin every manifest-pinned view registered over this table: the
@@ -620,8 +656,8 @@ class Store(spark: SparkSession, baseDir: String) {
         // beside the new layout (curve manifests are flat; the deep walk
         // returns exactly their flat names)
         val current = listDataFilesDeep(target)
-        val tmp = ScopedCommit.tmpDir(target)
-        fs.delete(tmp, true)
+        val tmp = ScopedCommit.newStageDir(target)
+        ScopedCommit.sweepStages(fs, target)
         zorderStage(spark.read.parquet(target.toString), zCols, files, bits)
           .write.mode("overwrite").parquet(tmp.toString)
         val staged = listDataFiles(tmp)
@@ -630,7 +666,7 @@ class Store(spark: SparkSession, baseDir: String) {
         val newM = LayoutManifest(zCols, bits, files, epoch,
           base = renames.map(_._2).sorted, appends = Nil, lastBatch = prevBatch)
         ScopedCommit.replay(fs, target, ScopedCommit.write(fs, target, renames,
-          deletes = Nil, manifest = Some(newM), retires = current))
+          deletes = Nil, manifest = Some(newM), retires = current, stage = tmp))
       }
       refreshCatalog(target)
       return
@@ -693,8 +729,8 @@ class Store(spark: SparkSession, baseDir: String) {
     // batch is the same logical writer and ADOPTS its own claim; a
     // different writer (or a different batch) fails loudly
     withEpochClaim(dir, newEpoch, m0.map(_.epoch).getOrElse(-1L), s"b$batchId") {
-      val tmp = ScopedCommit.tmpDir(dir)
-      fs.delete(tmp, true)
+      val tmp = ScopedCommit.newStageDir(dir)
+      ScopedCommit.sweepStages(fs, dir)
       zorderStage(df, zCols, files, bits).write.mode("overwrite").parquet(tmp.toString)
       val staged = listDataFiles(tmp)
       // An empty batch stages either nothing or one schema-only zero-row
@@ -716,7 +752,8 @@ class Store(spark: SparkSession, baseDir: String) {
           appends = m.appends :+ renames.map(_._2).sorted,
           lastBatch = Some(batchId))
         ScopedCommit.replay(fs, dir,
-          ScopedCommit.write(fs, dir, renames, deletes = Nil, manifest = Some(newM)))
+          ScopedCommit.write(fs, dir, renames, deletes = Nil, manifest = Some(newM),
+            stage = tmp))
       }
       ()
     }
@@ -789,8 +826,8 @@ class Store(spark: SparkSession, baseDir: String) {
     // INSIDE the table (invisible to scans; survives with the table on a
     // rename). The read executes fully during the stage write — originals
     // stay intact until the journaled commit below.
-    val tmp = ScopedCommit.tmpDir(dir)
-    fs.delete(tmp, true)
+    val tmp = ScopedCommit.newStageDir(dir)
+    ScopedCommit.sweepStages(fs, dir)
     val region = spark.read.parquet(rewrite.map(n => s"$dir/$n"): _*)
     zorderStage(region, m.zCols, nOut, m.bits)
       .write.mode("overwrite").parquet(tmp.toString)
@@ -807,7 +844,7 @@ class Store(spark: SparkSession, baseDir: String) {
     // rewritten originals are RETIRED, not deleted: every prior epoch's
     // manifest keeps resolving them until an explicit vacuum reclaims
     ScopedCommit.replay(fs, dir, ScopedCommit.write(fs, dir, renames,
-      deletes = Nil, manifest = Some(newManifest), retires = rewrite))
+      deletes = Nil, manifest = Some(newManifest), retires = rewrite, stage = tmp))
     refreshCatalog(dir)
     ScopedStats(kept.size, rewrite.size, staged.size, rewrittenBytes, totalBytes)
     }
@@ -959,8 +996,8 @@ class Store(spark: SparkSession, baseDir: String) {
     val regionRows = statsRow.getLong(0)
     val matchRows = statsRow.getLong(1)
     val out = transform(region)
-    val tmp = ScopedCommit.tmpDir(dir)
-    fs.delete(tmp, true)
+    val tmp = ScopedCommit.newStageDir(dir)
+    ScopedCommit.sweepStages(fs, dir)
     val staged0 = m0 match {
       case Some(m) if m.zCols.size >= 2 =>
         zorderStage(out, m.zCols, touchedNames.size, m.bits)
@@ -1017,7 +1054,7 @@ class Store(spark: SparkSession, baseDir: String) {
     // serve, so retiring would only strand unreachable bytes — delete
     ScopedCommit.replay(fs, dir, ScopedCommit.write(fs, dir, renames,
       deletes = if (newM.isDefined) Nil else touchedNames, manifest = newM,
-      retires = if (newM.isDefined) touchedNames else Nil))
+      retires = if (newM.isDefined) touchedNames else Nil, stage = tmp))
     refreshCatalog(dir)
     CowResult(touchedNames.size, totalFiles - touchedNames.size, regionRows, stagedRows,
       matchRows)
@@ -1183,18 +1220,30 @@ class Store(spark: SparkSession, baseDir: String) {
     */
   def versionHistory(rel: String): Seq[VersionInfo] = {
     val dir = new Path(s"$baseDir/$rel")
-    val current = LayoutManifest.read(fs, dir).map(_.epoch).getOrElse(-1L)
+    val liveM = LayoutManifest.read(fs, dir)
+    val current = liveM.map(_.epoch).getOrElse(-1L)
     val hd = LayoutManifest.historyDir(dir)
-    listVersions(rel).map { e =>
-      val p = new Path(hd, s"v$e")
-      val (mtime, files) =
-        if (fs.exists(p))
-          (fs.getFileStatus(p).getModificationTime,
-            LayoutManifest.fromLines(LayoutManifest.readLines(fs, p)).allFiles.size)
-        else // pre-upgrade current epoch: the live manifest IS the snapshot
-          (fs.getFileStatus(LayoutManifest.path(dir)).getModificationTime,
-            LayoutManifest.read(fs, dir).map(_.allFiles.size).getOrElse(0))
-      VersionInfo(e, mtime, files, e == current)
+    // listVersions lists only epochs WITH a v<epoch> snapshot — a
+    // pre-upgrade table (live manifest from before per-epoch snapshots)
+    // has a readable current epoch with none, exactly the case
+    // readVersion serves; include it, or $history would list empty for a
+    // table the user can in fact time-travel
+    val vs = listVersions(rel)
+    val all = if (current >= 0 && !vs.contains(current)) vs :+ current else vs
+    all.flatMap { e =>
+      // a vacuum racing this listing may drop a snapshot mid-iteration:
+      // skip that row rather than fabricate one from the live manifest
+      try {
+        val p = new Path(hd, s"v$e")
+        val (mtime, files) =
+          if (fs.exists(p))
+            (fs.getFileStatus(p).getModificationTime,
+              LayoutManifest.fromLines(LayoutManifest.readLines(fs, p)).allFiles.size)
+          else // pre-upgrade current epoch: the live manifest IS the snapshot
+            (fs.getFileStatus(LayoutManifest.path(dir)).getModificationTime,
+              liveM.map(_.allFiles.size).getOrElse(0))
+        Some(VersionInfo(e, mtime, files, e == current))
+      } catch { case _: java.io.FileNotFoundException => None }
     }
   }
 
@@ -1359,7 +1408,7 @@ class Store(spark: SparkSession, baseDir: String) {
     // is gone (recover deliberately leaves CLAIMED stages alone — the
     // holder might be live; this is the explicit operator path that knows
     // no writer is)
-    if (released > 0) fs.delete(ScopedCommit.tmpDir(dir), true)
+    if (released > 0) ScopedCommit.sweepStages(fs, dir)
     released
   }
 

@@ -1098,10 +1098,21 @@ object ExtensionQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(uid)
+      val agg = s.table(uid)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
+      // materialize BEFORE dropping the sink, then clean up: each
+      // invocation otherwise leaks a driver-memory sink holding the whole
+      // table plus a checkpoint dir (bench warmup + runs accumulate)
+      val rows = agg.collect().toSeq
+      val out = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), agg.schema)
+      s.catalog.dropTempView(uid)
+      val ckPath = new org.apache.hadoop.fs.Path(ck)
+      ckPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ckPath, true)
+      out
     }),
     // CDC-style snapshot diff (incremental-recompute driver): one row per
     // changed key between a synthetic "previous" snapshot (missing the

@@ -35,7 +35,9 @@ object GraftShim {
 class GraftStreamingScanBuilder(underlying: ParquetScanBuilder,
                                 mkStream: (StructType, String) => MicroBatchStream)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownCatalystFilters {
+    with SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     underlying.pruneColumns(requiredSchema)
@@ -45,6 +47,18 @@ class GraftStreamingScanBuilder(underlying: ParquetScanBuilder,
 
   override def pushedFilters: Array[Predicate] = underlying.pushedFilters
 
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    underlying.pushAggregation(agg)
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    underlying.supportCompletePushDown(agg)
+
+  override def pushVariantExtractions(
+      extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction]): Array[Boolean] =
+    underlying.pushVariantExtractions(extractions)
+
   override def build(): Scan =
     new GraftStreamingScan(underlying.build().asInstanceOf[FileScan], mkStream)
 }
@@ -52,7 +66,7 @@ class GraftStreamingScanBuilder(underlying: ParquetScanBuilder,
 /** Delegates every batch face of the wrapped [[FileScan]]; streaming goes
   * to the epoch stream.
   */
-class GraftStreamingScan(underlying: FileScan,
+class GraftStreamingScan(private val underlying: FileScan,
                          mkStream: (StructType, String) => MicroBatchStream)
     extends Scan with SupportsReportStatistics with SupportsMetadata {
 
@@ -75,4 +89,14 @@ class GraftStreamingScan(underlying: FileScan,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     mkStream(underlying.readSchema(), checkpointLocation)
+
+  // scan equality drives ReuseExchange/ReuseSubquery: two references to
+  // the same graft table in one query must compare equal (the wrapped
+  // ParquetScan is a case class and carries the real identity)
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftStreamingScan => underlying == o.underlying
+    case _ => false
+  }
+
+  override def hashCode(): Int = underlying.hashCode()
 }

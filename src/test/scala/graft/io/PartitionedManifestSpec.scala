@@ -256,6 +256,30 @@ class PartitionedManifestSpec extends AnyFunSuite {
     assert(store.listVersions("tbl") == Seq(0L, 1L))
   }
 
+  test("empty batches: a managed replace of zero rows promotes a schema " +
+    "carrier; an empty partition upsert is a committed no-op, never a " +
+    "zero-file manifest") {
+    val base = Files.createTempDirectory("graft_pm_empty").toString
+    val store = new Store(spark, base)
+    val df = mkEvents(200)
+    // empty REPLACE on a fresh table: partitionBy stages zero files, so
+    // without the carrier the manifest would list none and every manifest
+    // read would throw
+    store.writePartitionedManaged(df.where(lit(false)), "fresh")
+    assert(store.readSnapshot("fresh").count() == 0)
+    assert(spark.read.parquet(s"$base/fresh").count() == 0)
+    // empty UPSERT on a live table: commits nothing, bumps nothing,
+    // releases its claim (the next mutator works), table unchanged
+    store.writePartitionedManaged(df, "tbl")                      // epoch 0
+    store.upsertPartitionsManaged(df.where(lit(false)), "tbl")    // no-op
+    assert(store.listVersions("tbl") == Seq(0L))
+    assert(store.readSnapshot("tbl").count() == 200)
+    val day = df.where(to_date(col("datetime")) === lit("2024-07-01").cast("date"))
+    store.upsertPartitionsManaged(day, "tbl")                     // epoch 1
+    assert(store.listVersions("tbl") == Seq(0L, 1L))
+    assert(store.readSnapshot("tbl").count() == 200)
+  }
+
   test("a full-table COW delete on the MANAGED partitioned store keeps it " +
     "readable and time-travelable") {
     val base = Files.createTempDirectory("graft_pm_wipe").toString

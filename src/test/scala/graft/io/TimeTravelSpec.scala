@@ -185,6 +185,45 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(rows(store.readVersion("tbl", 7L)) == want)
     assert(rows(store.readVersion("tbl", 0L)) == want)
     assert(store.listVersions("tbl") == Seq(0L, 7L))
+
+    // a STALE replayer waking after a SUCCESSOR epoch committed must not
+    // roll the manifest back, must not delete the successor's journal,
+    // and must not touch the successor's stage. Manufacture: successor
+    // journal L2 (epoch 8) written and fully replayed; then the laggard
+    // replays the OLD lines once more.
+    val m7 = LayoutManifest.read(fs, dir).get
+    val victim2 = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("part-")).sorted.head
+    // the successor stages in its OWN per-commit dir (the mutators'
+    // mechanism): a laggard replay of the OLD journal must not reach it
+    val tmp2 = ScopedCommit.newStageDir(dir)
+    fs.mkdirs(tmp2)
+    assert(org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(dir, victim2), fs,
+      new org.apache.hadoop.fs.Path(tmp2, victim2), false,
+      spark.sparkContext.hadoopConfiguration))
+    val promoted2 = s"part-s8-${victim2.stripPrefix("part-")}"
+    val lines2 = ScopedCommit.write(fs, dir, renames = Seq(victim2 -> promoted2),
+      deletes = Nil, retires = Seq(victim2),
+      manifest = Some(m7.copy(epoch = 8L,
+        base = (m7.base.filterNot(_ == victim2) :+ promoted2).sorted, appends = Nil)),
+      stage = tmp2)
+    // the laggard replays the OLD epoch-7 journal while the NEW epoch-8
+    // journal sits in the marker: nothing of the successor's may move
+    ScopedCommit.replay(fs, dir, lines)
+    assert(LayoutManifest.readLines(fs, ScopedCommit.marker(dir)) == lines2,
+      "stale replay must not delete the successor's journal")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(tmp2, victim2)),
+      "stale replay must not delete the successor's stage")
+    // the successor drives to completion; then an even-later laggard
+    // replay of epoch 7 must not roll the manifest back to 7
+    assert(ScopedCommit.recover(fs, dir))
+    assert(LayoutManifest.read(fs, dir).get.epoch == 8L)
+    ScopedCommit.replay(fs, dir, lines)
+    assert(LayoutManifest.read(fs, dir).get.epoch == 8L,
+      "journaled manifest epochs must only move FORWARD")
+    assert(rows(spark.read.parquet(s"$base/tbl")) == want)
+    assert(rows(store.readVersion("tbl", 8L)) == want)
   }
 
   test("epoch claims: a concurrent mutator fails loudly with the table intact; " +

@@ -234,6 +234,14 @@ class SqlDmlSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("DELETE"), e.getMessage)
     assert(spark.table("graft_sqlext_t").count() == before, "refusal must not mutate")
+    // and an API mutation's catalog refresh must NOT silently deregister
+    // the external partition (MSCK SYNC's drop pass is root-listing-based,
+    // so tables with out-of-root partitions get the add-only refresh)
+    store.deleteWhere("ext_tbl",
+      to_date(col("datetime")) === lit("2024-04-01").cast("date") && col("v") >= 9)
+    assert(spark.table("graft_sqlext_t")
+      .where(col("dt") === lit("2024-05-01").cast("date")).count() == 50,
+      "external-location partition rows must survive the refresh")
   }
 
   test("a replace that flattens a partitioned store SYNCs stale catalog " +

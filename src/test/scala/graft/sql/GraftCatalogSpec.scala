@@ -186,6 +186,33 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM graft_h1.`nope$history`").collect()
     }
 
+    // two scans built over one loaded table compare EQUAL (the wrapper
+    // delegates identity to the stock parquet scan) — scan/exchange reuse
+    // depends on it
+    val cat = spark.sessionState.catalogManager.catalog("graft_h1")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], "tbl"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    def mkScan() = t.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+    assert(mkScan() == mkScan() && mkScan().hashCode() == mkScan().hashCode(),
+      "wrapper scans must compare by wrapped-scan identity")
+
+    // a PRE-UPGRADE table (live manifest, no per-epoch snapshots) still
+    // lists its readable current epoch — readVersion serves it, so
+    // $history must name it
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hd = LayoutManifest.historyDir(new org.apache.hadoop.fs.Path(s"$base/tbl"))
+    fs.listStatus(hd).foreach { st =>
+      if (st.getPath.getName.startsWith("v")) fs.delete(st.getPath, false)
+    }
+    val preUp = spark.sql(
+      "SELECT version, is_current FROM graft_h1.`tbl$history`").collect()
+    assert(preUp.length == 1 && preUp.head.getLong(0) == 2L &&
+      preUp.head.getBoolean(1), preUp.mkString(","))
+
     // write-shaped DDL guards (a future Spark growing new entry points
     // must not silently write around the CAS): CTAS and ALTER refuse
     val e1 = intercept[Exception] {
