@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -33,14 +33,26 @@ object GraftEpochOffset {
   * with the exactly-once sink's epoch discipline.
   *
   * APPEND-ONLY contract, enforced loudly: a rewrite epoch (recluster,
-  * COW delete/update, replace — any epoch that DROPS a file of the start
-  * epoch) fails the batch with a clear message instead of replaying
-  * rewritten rows as inserts. This is the documented decision (the other
-  * option, silent full-refresh, would emit duplicates downstream);
-  * OPTIMIZE passes on a streamed table belong between stream restarts,
-  * exactly as Delta's `ignoreChanges` family draws the line. Retention
-  * interacts the same way: the stream diffs epoch SNAPSHOTS, so vacuum
-  * only below the slowest reader's offset.
+  * COW delete/update, replace, a partition RE-upsert — any epoch that
+  * DROPS a file of the start epoch) fails the batch with a clear message
+  * instead of replaying rewritten rows as inserts. This is the documented
+  * decision (the other option, silent full-refresh, would emit duplicates
+  * downstream); OPTIMIZE passes on a streamed table belong between stream
+  * restarts, exactly as Delta's `ignoreChanges` family draws the line.
+  * Retention interacts the same way: the stream diffs epoch SNAPSHOTS, so
+  * vacuum only below the slowest reader's offset.
+  *
+  * PARTITIONED stores stream too: per-batch scans anchor at the table
+  * root (`basePath`), so the partition columns reconstruct on every delta
+  * — the daily ingest that lands each day ONCE (new partition per epoch)
+  * is pure append and streams cleanly; re-upserting an existing day
+  * retires its files and refuses, as any rewrite does.
+  *
+  * Catch-up pacing: implements [[SupportsAdmissionControl]] — Spark's
+  * `maxFilesPerTrigger`-shaped read limits map to "at most N epochs per
+  * micro-batch" (each epoch is the natural unit here), so a stream
+  * starting against a long history advances in bounded steps instead of
+  * one giant first batch.
   *
   * Scale shape: offset resolution is O(files) driver-side metadata (two
   * snapshot reads per batch); each batch scans ONLY its delta files
@@ -48,8 +60,10 @@ object GraftEpochOffset {
   * stream builds its per-batch scans at the stream's own read schema).
   */
 class GraftEpochStream(spark: SparkSession, baseDir: String, rel: String,
-                       fullSchema: StructType, readSchema: StructType)
-    extends MicroBatchStream {
+                       dataSchema: StructType, readSchema: StructType,
+                       basePath: Option[String],
+                       maxEpochsPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def store = new graft.io.Store(spark, baseDir)
 
@@ -61,6 +75,24 @@ class GraftEpochStream(spark: SparkSession, baseDir: String, rel: String,
 
   override def latestOffset(): Offset =
     GraftEpochOffset(store.currentEpoch(rel))
+
+  override def getDefaultReadLimit(): ReadLimit =
+    maxEpochsPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  /** Admission-controlled advance: cap the epoch step per micro-batch.
+    * ReadMaxFiles carries the "N units per trigger" intent — the unit for
+    * an epoch changelog is the epoch.
+    */
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[GraftEpochOffset].epoch
+    val current = store.currentEpoch(rel)
+    limit match {
+      case m: ReadMaxFiles => GraftEpochOffset(math.min(current, start + m.maxFiles()))
+      case _ => GraftEpochOffset(current)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset =
     GraftEpochOffset.fromJson(json)
@@ -91,8 +123,8 @@ class GraftEpochStream(spark: SparkSession, baseDir: String, rel: String,
     if (dropped.nonEmpty) throw new IllegalStateException(
       s"epochs $s..$e of $rel contain a REWRITE (${dropped.size} file(s) of " +
         s"epoch $s are gone from epoch $e, e.g. ${dropped.head}) — the epoch " +
-        "changelog streams appends only; run OPTIMIZE/DELETE between stream " +
-        "restarts, or re-read the table as a batch")
+        "changelog streams appends only; run OPTIMIZE/DELETE/partition " +
+        "re-upserts between stream restarts, or re-read the table as a batch")
     endR.names.zip(endR.paths).collect {
       case (n, p) if !startNames(n) => p
     }
@@ -100,12 +132,19 @@ class GraftEpochStream(spark: SparkSession, baseDir: String, rel: String,
 
   /** A stock v2 parquet scan over exactly `paths`, pruned to the stream's
     * read schema — the same reader machinery every batch face uses.
+    * Partitioned stores anchor at the table root so `key=value` columns
+    * reconstruct (the data schema excludes them; inference appends them,
+    * matching the table's own schema construction).
     */
   private def mkScan(paths: Seq[String]): Scan = {
+    val options = basePath match {
+      case Some(bp) => new CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("basePath", bp))
+      case None => CaseInsensitiveStringMap.empty()
+    }
     val tbl = ParquetTable(s"graft-epochs:$rel", spark,
-      CaseInsensitiveStringMap.empty(), paths, Some(fullSchema),
-      classOf[ParquetFileFormat])
-    val b = tbl.newScanBuilder(CaseInsensitiveStringMap.empty())
+      options, paths, Some(dataSchema), classOf[ParquetFileFormat])
+    val b = tbl.newScanBuilder(options)
     b.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(readSchema)
     b.build()
   }

@@ -243,7 +243,9 @@ private[sql] class GraftTable(underlying: ParquetTable, baseDir: String,
   /** Batch scans delegate wholesale to the stock parquet builder (the
     * shim preserves pushdown/pruning/metadata by delegation); the
     * streaming entry point serves the EPOCH CHANGELOG — see
-    * [[GraftEpochStream]] for the append-only contract.
+    * [[GraftEpochStream]] for the append-only contract and pacing.
+    * `.option("maxEpochsPerTrigger", n)` on the readStream caps the epoch
+    * step per micro-batch (admission control).
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new org.apache.spark.sql.graftshim.GraftStreamingScanBuilder(
@@ -253,11 +255,11 @@ private[sql] class GraftTable(underlying: ParquetTable, baseDir: String,
         if (versionPinned) throw new UnsupportedOperationException(
           s"$name is pinned to a manifest epoch (VERSION AS OF) — a pinned " +
             "epoch never changes; stream the current table instead")
-        if (partitioned) throw new UnsupportedOperationException(
-          s"$name is a managed PARTITIONED store — the epoch changelog stream " +
-            "serves flat manifest stores; read partitions as batches instead")
+        val maxEpochs = Option(options.get("maxEpochsPerTrigger")).map(_.toInt)
         new GraftEpochStream(SparkSession.active, baseDir, rel,
-          underlying.schema, readSchema)
+          underlying.dataSchema, readSchema,
+          basePath = if (partitioned) Some(s"$baseDir/$rel") else None,
+          maxEpochsPerTrigger = maxEpochs)
       })
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =

@@ -62,21 +62,73 @@ class StreamingSpec extends AnyFunSuite {
       graft.sql.GraftEpochOffset.fromJson("""{"foo":1}""")
     }
 
-    // a managed PARTITIONED store refuses the stream with a pointer
-    val dfp = spark.range(100).select(
-      to_timestamp(lit("2024-09-01 10:00:00")).as("datetime"),
+  }
+
+  test("epoch stream over a MANAGED PARTITIONED store: new-day upserts are " +
+    "append epochs with dt reconstructed; re-upserting a day refuses; " +
+    "maxEpochsPerTrigger paces catch-up") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_st5p").toString
+    val store = new graft.io.Store(spark, base)
+    def day(d: String, lo: Long, hi: Long) = spark.range(lo, hi).select(
+      to_timestamp(lit(s"$d 10:00:00")).as("datetime"),
       col("id").as("k"), (col("id") % 5).cast("double").as("v"))
-    store.writePartitionedManaged(dfp, "ptbl")
-    val e2 = intercept[Exception] {
-      spark.readStream.table("graft_st5t.ptbl")
-        .writeStream.format("memory").queryName("st5_sink_p")
-        .option("checkpointLocation",
-          Files.createTempDirectory("graft_st5_ckp").toString)
-        .start().processAllAvailable()
-    }
-    def chain2(e: Throwable): Seq[String] =
-      if (e == null) Nil else Option(e.getMessage).toSeq ++ chain2(e.getCause)
-    assert(chain2(e2).exists(_.contains("PARTITIONED")), chain2(e2).mkString(" | "))
+    store.writePartitionedManaged(day("2024-09-01", 0, 100), "ptbl") // epoch 0
+    spark.conf.set("spark.sql.catalog.graft_st5p", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_st5p.base", base)
+
+    val q = spark.readStream.table("graft_st5p.ptbl")
+      .writeStream.format("memory").queryName("st5p_sink")
+      .option("checkpointLocation", Files.createTempDirectory("graft_st5p_ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("st5p_sink")
+      assert(first.columns.contains("dt"), first.columns.mkString(","))
+      assert(first.count() == 100)
+      // the daily ingest shape: each NEW day is an append epoch
+      store.upsertPartitionsManaged(day("2024-09-02", 100, 150), "ptbl") // epoch 1
+      q.processAllAvailable()
+      val sunk = spark.table("st5p_sink")
+      assert(sunk.count() == 150)
+      assert(sunk.where(col("dt") === lit("2024-09-02").cast("date")).count() == 50,
+        "the delta batch must carry its reconstructed partition value")
+      // RE-upserting an existing day retires its files — a rewrite epoch,
+      // refused loudly
+      store.upsertPartitionsManaged(day("2024-09-02", 200, 210), "ptbl") // epoch 2
+      val err = intercept[Exception] { q.processAllAvailable() }
+      def chain(e: Throwable): Seq[String] =
+        if (e == null) Nil else Option(e.getMessage).toSeq ++ chain(e.getCause)
+      assert(chain(err).exists(_.contains("REWRITE")), chain(err).mkString(" | "))
+    } finally q.stop()
+
+    // pacing: a stream starting against a 3-epoch history with
+    // maxEpochsPerTrigger=1 advances one epoch per micro-batch instead of
+    // one giant first batch — and still delivers everything
+    val base2 = Files.createTempDirectory("graft_st5q").toString
+    val store2 = new graft.io.Store(spark, base2)
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") % 17).as("v"))
+    store2.writeZordered(mk(0, 300), "tbl", Seq("k", "v"), files = 2)    // epoch 0
+    store2.appendZordered(mk(300, 400), "tbl", Seq("k", "v"), files = 1) // epoch 1
+    store2.appendZordered(mk(400, 450), "tbl", Seq("k", "v"), files = 1) // epoch 2
+    spark.conf.set("spark.sql.catalog.graft_st5q", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_st5q.base", base2)
+    val q2 = spark.readStream
+      .option("maxEpochsPerTrigger", "1")
+      .table("graft_st5q.tbl")
+      .writeStream.format("memory").queryName("st5q_sink")
+      .option("checkpointLocation", Files.createTempDirectory("graft_st5q_ck").toString)
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("st5q_sink").count() == 450)
+      val batches = q2.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3,
+        s"expected one micro-batch per epoch, got ${batches.length}")
+      assert(batches.map(_.numInputRows).toSeq == Seq(300L, 100L, 50L),
+        batches.map(_.numInputRows).mkString(","))
+    } finally q2.stop()
   }
 
   test("hourly windowed aggregate over a file stream matches the batch result") {
