@@ -109,6 +109,25 @@ class GraftCatalog extends TableCatalog {
     load(ident, Some(epoch))
   }
 
+  /** `TIMESTAMP AS OF <ts>` — maps the wall-clock to the NEWEST epoch
+    * committed at or before it (Delta's semantics), using the same
+    * commit times the `$history` table reports. A timestamp before the
+    * first epoch is loud: there was no table to read then.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val spark = SparkSession.active
+    val rel = (ident.namespace() :+ ident.name()).mkString("/")
+    val store = new graft.io.Store(spark, base)
+    if (!store.exists(rel)) throw new NoSuchTableException(ident)
+    val history = store.versionHistory(rel)
+    val at = history.filter(_.committedAtMs * 1000L <= timestampMicros)
+    if (at.isEmpty) throw new IllegalArgumentException(
+      s"no epoch of $catalogName.$rel was committed at or before " +
+        s"timestamp $timestampMicros us (earliest: ${history.headOption
+          .map(v => s"epoch ${v.epoch} at ${v.committedAtMs} ms").getOrElse("none")})")
+    load(ident, Some(at.map(_.epoch).max))
+  }
+
   private def load(ident: Identifier, epoch: Option[Long]): Table = {
     val spark = SparkSession.active
     val rel = (ident.namespace() :+ ident.name()).mkString("/")

@@ -134,6 +134,17 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) AS n FROM graft_d1.tbl").head.getLong(0) ==
       8000 - gone - 10)
 
+    // TRUNCATE TABLE rides the same journaled COW (SupportsDeleteV2's
+    // truncate = delete-everything): the table reads back empty but the
+    // pre-truncate epochs stay readable — a recoverable truncate
+    spark.sql("TRUNCATE TABLE graft_d1.tbl")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_d1.tbl").head.getLong(0) == 0)
+    assert(store.readVersion("tbl", 0L).count() == 8000,
+      "truncate must retire, not delete — epoch 0 stays readable")
+    // restore content for the untranslatable-predicate check below:
+    // verify the table still ACCEPTS mutations post-truncate
+    store.deleteWhere("tbl", org.apache.spark.sql.functions.lit(false))
+
     // an untranslatable condition (arithmetic the v1 Filter surface can't
     // carry) fails LOUDLY with the table untouched
     val cnt = spark.sql("SELECT COUNT(*) AS n FROM graft_d1.tbl").head.getLong(0)
@@ -177,6 +188,22 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql(
       s"SELECT COUNT(*) AS n FROM graft_h1.tbl VERSION AS OF $oldest")
       .head.getLong(0) == 2000)
+    // TIMESTAMP AS OF maps wall-clock -> newest epoch at-or-before it
+    // (the same commit times $history reports); before-first stays loud
+    val t0 = spark.sql(
+      "SELECT committed_at FROM graft_h1.`tbl$history` WHERE version = 0")
+      .head.getTimestamp(0)
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS n FROM graft_h1.tbl TIMESTAMP AS OF '$t0' WHERE k < 100")
+      .head.getLong(0) == 100, "epoch 0 still holds the later-deleted slice")
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graft_h1.tbl TIMESTAMP AS OF '2099-01-01' WHERE k < 100")
+      .head.getLong(0) == 0, "a far-future timestamp reads the current epoch")
+    val eTs = intercept[Exception] {
+      spark.sql(
+        "SELECT COUNT(*) FROM graft_h1.tbl TIMESTAMP AS OF '1990-01-01'").collect()
+    }
+    assert(eTs.getMessage.contains("no epoch"), eTs.getMessage)
     // vacuum shrinks the listing to what is still readable
     store.vacuum("tbl", keepLast = 1)
     assert(spark.sql("SELECT COUNT(*) AS n FROM graft_h1.`tbl$history`")
