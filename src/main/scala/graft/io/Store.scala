@@ -907,6 +907,162 @@ class Store(spark: SparkSession, baseDir: String) {
     UpdateStats(r.filesTouched, r.filesKept, r.matchRows)
   }
 
+  /** Result of a [[mergeInto]] pass, for logging and specs. */
+  case class MergeStats(filesTouched: Int, filesKept: Int, rowsUpdated: Long,
+                        rowsDeleted: Long, rowsInserted: Long)
+
+  /** MERGE INTO — the lakehouse upsert statement, as a journaled
+    * copy-on-write operator: source rows matching target rows (by `on`)
+    * drive the matched action (UPDATE SET / DELETE, optionally gated);
+    * source rows matching nothing insert. Only the files CONTAINING
+    * matches are rewritten (located exactly like [[deleteWhere]], with
+    * the file identity captured BEFORE the join shuffle), inserts land in
+    * the same staged layer, and the whole result commits as one epoch —
+    * retire-backed on manifest-tracked tables, so a bad merge is
+    * time-travel-recoverable. A matched-action merge enforces SQL's
+    * cardinality law: a target row matched by MORE than one source row
+    * fails loudly instead of applying an arbitrary update twice.
+    *
+    * Column reference convention (shared with the SQL face): target
+    * columns are qualified `__t`, source columns `__s`, in `on`, action
+    * conditions, and assignment values. Insert assignments map TARGET
+    * column name -> expression over `__s`; unassigned columns insert
+    * NULL (the SQL INSERT-list rule).
+    *
+    * Scale shape: the matched side costs what a COW delete costs (scoped
+    * to match-bearing files); the insert anti-join is inherently
+    * full-source-vs-target (every MERGE engine pays it — Delta included);
+    * a merge-heavy pipeline should bucket or cluster on the merge keys.
+    * An insert-less, match-less pass commits nothing.
+    */
+  def mergeInto(rel: String, source: DataFrame, on: org.apache.spark.sql.Column,
+                matched: Option[Store.MergeMatched],
+                insert: Option[(Map[String, org.apache.spark.sql.Column],
+                  Option[org.apache.spark.sql.Column])]): MergeStats = {
+    require(matched.isDefined || insert.isDefined,
+      "mergeInto needs at least one action (matched update/delete, or insert)")
+    val dir = new Path(s"$baseDir/$rel")
+    Store.recoverSwap(fs, dir)
+    ScopedCommit.recover(fs, dir)
+    val m0 = LayoutManifest.read(fs, dir)
+    m0 match {
+      case Some(m) =>
+        withEpochClaim(dir, m.epoch + 1, m.epoch,
+          java.util.UUID.randomUUID.toString) {
+          val r = mergeIntoBody(dir, source, on, matched, insert, m0)
+          // a pass that commits nothing releases the claim it took
+          if (r.filesTouched == 0 && r.rowsInserted == 0L)
+            fs.delete(LayoutManifest.claimPath(dir, m.epoch + 1), false)
+          r
+        }
+      case None => mergeIntoBody(dir, source, on, matched, insert, m0)
+    }
+  }
+
+  private def mergeIntoBody(dir: Path, source: DataFrame,
+                            on: org.apache.spark.sql.Column,
+                            matched: Option[Store.MergeMatched],
+                            insert: Option[(Map[String, org.apache.spark.sql.Column],
+                              Option[org.apache.spark.sql.Column])],
+                            m0: Option[LayoutManifest]): MergeStats = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def tq(c: String) = GraftBridge.toColumn(UnresolvedAttribute(Seq("__t", c)))
+    def gate(c: Option[org.apache.spark.sql.Column]) =
+      c.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
+    val all = spark.read.parquet(dir.toString)
+    val tcols = all.columns.toSeq
+    val tschema = all.schema
+    val dirPathStr = fs.makeQualified(dir).toUri.getPath
+    val srcX = source.withColumn("__graft_sx", lit(1)).alias("__s")
+    // files bearing matches — only when a matched action will rewrite
+    // them; the file name is captured BEFORE the join (input_file_name is
+    // meaningless after a shuffle)
+    val touchedNames: Seq[String] =
+      if (matched.isEmpty) Nil
+      else all.withColumn("__graft_fname", input_file_name()).alias("__t")
+        .join(srcX, on, "left_semi")
+        .select(col("__graft_fname")).distinct().collect()
+        .map(r => new java.net.URI(r.getString(0)).getPath
+          .stripPrefix(dirPathStr).stripPrefix("/"))
+        .toSeq.sorted
+    val total = listDataFilesDeep(dir)
+    val partCols: Seq[String] = m0.map(_.partCols).filter(_.nonEmpty).getOrElse(
+      touchedNames.headOption.orElse(total.headOption).filter(_.contains('/'))
+        .map(_.split('/').dropRight(1).toSeq.map(_.takeWhile(_ != '=')))
+        .getOrElse(Nil))
+    val reader =
+      if (partCols.nonEmpty) spark.read.option("basePath", dir.toString)
+      else spark.read
+    val region0 =
+      if (touchedNames.nonEmpty) reader.parquet(touchedNames.map(n => s"$dir/$n"): _*)
+      else all.where(lit(false))
+    val regionT = region0.withColumn("__graft_rid", monotonically_increasing_id())
+      .alias("__t")
+    val j = regionT.join(srcX, on, "left_outer")
+    val hitBase = col("__graft_sx").isNotNull
+    val hit = matched match {
+      case Some(Store.MergeUpdate(_, mc)) => hitBase && gate(mc)
+      case Some(Store.MergeDelete(mc)) => hitBase && gate(mc)
+      case None => lit(false)
+    }
+    // SQL's MERGE cardinality law, enforced before anything moves
+    if (matched.isDefined && touchedNames.nonEmpty) {
+      val dup = j.where(hitBase).groupBy(col("__graft_rid"))
+        .agg(count(lit(1)).as("__graft_n")).where(col("__graft_n") > 1)
+        .limit(1).count()
+      require(dup == 0L,
+        s"MERGE into $dir: a target row is matched by more than one source row — " +
+          "the SQL cardinality rule forbids it; deduplicate the source on the merge keys")
+    }
+    val (regionRows, hits) =
+      if (touchedNames.isEmpty) (0L, 0L)
+      else {
+        val r = j.agg(count(lit(1)).as("n"), count(when(hit, 1)).as("h")).head
+        (r.getLong(0), r.getLong(1))
+      }
+    val mergedRegion = matched match {
+      case Some(Store.MergeUpdate(sets, _)) =>
+        val unknown = sets.keySet -- tcols
+        require(unknown.isEmpty,
+          s"mergeInto UPDATE columns not in the table: ${unknown.mkString(", ")}")
+        j.select(tcols.map(c =>
+          sets.get(c).map(v => when(hit, v.cast(tschema(c).dataType))
+            .otherwise(tq(c)).as(c)).getOrElse(tq(c).as(c))): _*)
+      case Some(Store.MergeDelete(_)) =>
+        j.where(!hit).select(tcols.map(c => tq(c).as(c)): _*)
+      case None =>
+        j.select(tcols.map(c => tq(c).as(c)): _*)
+    }
+    val insertRows = insert match {
+      case Some((sets, ic)) =>
+        val unknown = sets.keySet -- tcols
+        require(unknown.isEmpty,
+          s"mergeInto INSERT columns not in the table: ${unknown.mkString(", ")}")
+        // NOT MATCHED = matches no target row anywhere (anti vs the whole
+        // table, not just the region); the insert condition sees source
+        // columns only
+        source.alias("__s").join(all.alias("__t"), on, "left_anti")
+          .where(gate(ic))
+          .select(tcols.map(c =>
+            sets.get(c).map(_.cast(tschema(c).dataType))
+              .getOrElse(lit(null).cast(tschema(c).dataType)).as(c)): _*)
+      case None => all.where(lit(false)).select(tcols.map(c => col(c)): _*)
+    }
+    // a pass with no matched files must not burn an epoch on zero inserts
+    if (touchedNames.isEmpty && insertRows.limit(1).count() == 0L)
+      return MergeStats(0, total.size, 0L, 0L, 0L)
+    val stagedRows = stageAndCommit(dir, "g", mergedRegion.unionByName(insertRows),
+      touchedNames, total.size, partCols, m0)
+    val (upd, del) = matched match {
+      case Some(_: Store.MergeUpdate) => (hits, 0L)
+      case Some(_: Store.MergeDelete) => (0L, hits)
+      case None => (0L, 0L)
+    }
+    val inserted = stagedRows - (regionRows - del)
+    MergeStats(touchedNames.size, total.size - touchedNames.size, upd, del, inserted)
+  }
+
   private case class CowResult(filesTouched: Int, filesKept: Int,
                                regionRows: Long, stagedRows: Long, matchRows: Long)
 
@@ -996,11 +1152,30 @@ class Store(spark: SparkSession, baseDir: String) {
     val regionRows = statsRow.getLong(0)
     val matchRows = statsRow.getLong(1)
     val out = transform(region)
+    val stagedRows = stageAndCommit(dir, prefix, out, touchedNames, totalFiles,
+      partCols, m0)
+    CowResult(touchedNames.size, totalFiles - touchedNames.size, regionRows, stagedRows,
+      matchRows)
+  }
+
+  /** The shared journaled tail of the COW rewrites and [[mergeInto]]:
+    * stage `out` as the replacement for `touchedNames` (plus any new
+    * rows), through the table's own curve / partition layout / a flat
+    * repartition; promote via the idempotent [[ScopedCommit]] journal —
+    * retiring on manifest-tracked tables, deleting on plain ones — and
+    * fold the file motion into the manifest's provenance lists. Returns
+    * the staged row count.
+    */
+  private def stageAndCommit(dir: Path, prefix: String, out: DataFrame,
+                             touchedNames: Seq[String], totalFiles: Int,
+                             partCols: Seq[String],
+                             m0: Option[LayoutManifest]): Long = {
     val tmp = ScopedCommit.newStageDir(dir)
     ScopedCommit.sweepStages(fs, dir)
+    val nOut = math.max(1, touchedNames.size)
     val staged0 = m0 match {
       case Some(m) if m.zCols.size >= 2 =>
-        zorderStage(out, m.zCols, touchedNames.size, m.bits)
+        zorderStage(out, m.zCols, nOut, m.bits)
       case _ if partCols.nonEmpty =>
         // partitioned layout — manifest-tracked (managed store) or not:
         // spread each partition's rows over ~touched-proportional tasks
@@ -1008,11 +1183,12 @@ class Store(spark: SparkSession, baseDir: String) {
         // unlike rand), so one huge touched partition is not rewritten by
         // a single task while total file count stays ~touched
         val dataCols = out.columns.filterNot(partCols.contains).toSeq
-        val nParts = touchedNames.map(n => n.substring(0, n.lastIndexOf('/'))).distinct.size
-        val spreadK = math.max(1, touchedNames.size / math.max(1, nParts))
-        out.repartition(touchedNames.size,
+        val nParts = math.max(1,
+          touchedNames.map(n => n.substring(0, n.lastIndexOf('/'))).distinct.size)
+        val spreadK = math.max(1, touchedNames.size / nParts)
+        out.repartition(nOut,
           partCols.map(col) :+ pmod(hash(dataCols.map(col): _*), lit(spreadK)): _*)
-      case _ => out.repartition(touchedNames.size)
+      case _ => out.repartition(nOut)
     }
     val writer = staged0.write.mode("overwrite")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
@@ -1056,8 +1232,7 @@ class Store(spark: SparkSession, baseDir: String) {
       deletes = if (newM.isDefined) Nil else touchedNames, manifest = newM,
       retires = if (newM.isDefined) touchedNames else Nil, stage = tmp))
     refreshCatalog(dir)
-    CowResult(touchedNames.size, totalFiles - touchedNames.size, regionRows, stagedRows,
-      matchRows)
+    stagedRows
   }
 
   /** Measured clustering quality, for recluster-or-skip decisions. */
@@ -1864,6 +2039,17 @@ class Store(spark: SparkSession, baseDir: String) {
 }
 
 object Store {
+
+  /** The matched half of a [[Store.mergeInto]]: UPDATE SET (values may
+    * reference `__t` and `__s`) or DELETE, each optionally gated by an
+    * extra condition (SQL's `WHEN MATCHED AND …`).
+    */
+  sealed trait MergeMatched
+  case class MergeUpdate(sets: Map[String, org.apache.spark.sql.Column],
+                         cond: Option[org.apache.spark.sql.Column] = None)
+      extends MergeMatched
+  case class MergeDelete(cond: Option[org.apache.spark.sql.Column] = None)
+      extends MergeMatched
 
   /** A version/snapshot resolution: the epoch's file set at its current
     * homes (`paths`, aligned 1:1 with the manifest `names`), plus the

@@ -67,6 +67,63 @@ object SqlDmlRewrite extends Rule[LogicalPlan] {
           GraftCowUpdateCommand(baseDir, name, table, cond, sets)
         case _ => u
       }
+    case m: MergeIntoTable => rewriteMerge(m).getOrElse(m)
+  }
+
+  /** `MERGE INTO` over a cataloged path-addressed parquet table — stock
+    * Spark analyzes and optimizes it fully against a v1 relation and only
+    * rejects at planning (the DELETE/UPDATE hook, verified empirically),
+    * so the same post-optimizer slot routes it to the journaled
+    * [[graft.io.Store.mergeInto]]. Narrow by construction: one matched
+    * action (UPDATE SET with plain-column keys, or DELETE), one
+    * not-matched INSERT, no not-matched-BY-SOURCE clauses, no schema
+    * evolution, every expression deterministic/subquery-free and bound to
+    * the two relations. Anything else falls through to Spark's own loud
+    * unsupported error.
+    */
+  private def rewriteMerge(m: MergeIntoTable): Option[GraftCowMergeCommand] = {
+    val tgtOut = m.targetTable.outputSet
+    val srcOut = m.sourceTable.outputSet
+    def ok(e: Expression): Boolean =
+      e.deterministic && !SubqueryExpression.hasSubquery(e) &&
+        e.references.subsetOf(tgtOut ++ srcOut)
+    def okSrc(e: Expression): Boolean =
+      e.deterministic && !SubqueryExpression.hasSubquery(e) &&
+        e.references.subsetOf(srcOut)
+    if (m.withSchemaEvolution || m.notMatchedBySourceActions.nonEmpty || !ok(m.mergeCondition))
+      return None
+    val matched: Option[MergeMatchedSpec] = m.matchedActions match {
+      case Seq() => Some(MergeMatchedSpec(None, None, delete = false, None))
+      case Seq(UpdateAction(c, assigns, _))
+          if c.forall(ok) && assigns.forall(a =>
+            a.key.isInstanceOf[AttributeReference] && ok(a.value)) =>
+        Some(MergeMatchedSpec(
+          Some(assigns.map(a => a.key.asInstanceOf[AttributeReference].name -> a.value)),
+          c, delete = false, None))
+      case Seq(DeleteAction(c)) if c.forall(ok) =>
+        Some(MergeMatchedSpec(None, None, delete = true, c))
+      case _ => None
+    }
+    val insert: Option[Option[(Seq[(String, Expression)], Option[Expression])]] =
+      m.notMatchedActions match {
+        case Seq() => Some(None)
+        case Seq(InsertAction(c, assigns))
+            if c.forall(okSrc) && assigns.forall(a =>
+              a.key.isInstanceOf[AttributeReference] && okSrc(a.value)) =>
+          Some(Some(
+            (assigns.map(a => a.key.asInstanceOf[AttributeReference].name -> a.value),
+              c)))
+        case _ => None
+      }
+    for {
+      spec <- matched
+      ins <- insert
+      if spec.sets.isDefined || spec.delete || ins.isDefined
+      (baseDir, name, table) <- locate(m.targetTable)
+    } yield GraftCowMergeCommand(baseDir, name, table,
+      m.sourceTable, m.mergeCondition, spec, ins,
+      tgtIds = tgtOut.toSeq.map(_.exprId.id),
+      srcIds = srcOut.toSeq.map(_.exprId.id))
   }
 
   /** Unwrap alias layers; accept a single-root v1 parquet relation — flat
@@ -157,6 +214,62 @@ case class GraftCowDeleteCommand(baseDir: String, rel: String, table: String,
 
   override def simpleString(maxFields: Int): String =
     s"GraftCowDelete $table cond=${cond.sql}"
+}
+
+/** The matched half of a translated MERGE: UPDATE sets (present = update),
+  * or delete=true, with the optional AND condition for either.
+  */
+case class MergeMatchedSpec(sets: Option[Seq[(String, Expression)]],
+                            updateCond: Option[Expression],
+                            delete: Boolean,
+                            deleteCond: Option[Expression])
+
+/** `MERGE INTO` over a path-addressed parquet store, via the journaled
+  * copy-on-write [[graft.io.Store.mergeInto]]. The captured expressions
+  * stay RESOLVED (an unresolved field would flunk the optimizer's
+  * stays-resolved validation) and are re-qualified by exprId — target
+  * attributes to `__t`, source to `__s` — inside run(), where the command
+  * rebuilds the two-sided join against a fresh scan and the captured
+  * source plan.
+  */
+case class GraftCowMergeCommand(baseDir: String, rel: String, table: String,
+                                sourcePlan: LogicalPlan, on: Expression,
+                                matched: MergeMatchedSpec,
+                                insert: Option[(Seq[(String, Expression)], Option[Expression])],
+                                tgtIds: Seq[Long], srcIds: Seq[Long])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(sourcePlan)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val tgt = tgtIds.toSet
+    val src = srcIds.toSet
+    def qual(e: Expression): org.apache.spark.sql.Column =
+      GraftBridge.toColumn(e.transform {
+        case a: AttributeReference if tgt(a.exprId.id) =>
+          UnresolvedAttribute(Seq("__t", a.name))
+        case a: AttributeReference if src(a.exprId.id) =>
+          UnresolvedAttribute(Seq("__s", a.name))
+      })
+    val sourceDf = GraftBridge.ofRows(spark, sourcePlan)
+    val matchedAction: Option[graft.io.Store.MergeMatched] =
+      if (matched.sets.isDefined)
+        Some(graft.io.Store.MergeUpdate(
+          matched.sets.get.map { case (n, e) => n -> qual(e) }.toMap,
+          matched.updateCond.map(qual)))
+      else if (matched.delete)
+        Some(graft.io.Store.MergeDelete(matched.deleteCond.map(qual)))
+      else None
+    new graft.io.Store(spark, baseDir).mergeInto(rel, sourceDf, qual(on),
+      matchedAction,
+      insert.map { case (sets, c) =>
+        (sets.map { case (n, e) => n -> qual(e) }.toMap, c.map(qual))
+      })
+    Seq.empty
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftCowMerge $table on=${on.sql}"
 }
 
 /** `UPDATE … SET` over a path-addressed parquet store, via the journaled

@@ -1114,6 +1114,32 @@ object ExtensionQueries {
       ckPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ckPath, true)
       out
     }),
+    // MERGE INTO — the lakehouse upsert statement, through PURE SQL over
+    // the cataloged z-store: matched rows take the source value, unmatched
+    // source rows insert, all as ONE journaled epoch (touched files
+    // retire — SqlDmlSpec pins untouched-file identity, the recoverable
+    // epoch, and SQL's multi-match cardinality law). DuckDB replays the
+    // merge as LEFT JOIN + NOT IN union semantics.
+    "x66_merge_upsert" -> ((s, dir) => {
+      val base = s"$scratchDir/x66"
+      val store = new graft.io.Store(s, base)
+      val e = Tables.events(s, dir)
+      store.writeZordered(e.where(col("user_id") < 150), "events_mg",
+        Seq("user_id", "ts"), files = 8)                            // epoch 0
+      store.registerCatalog("graft_x66_events", "events_mg")
+      e.where(col("user_id") >= 100)
+        .withColumn("value", col("value") + 1000)
+        .createOrReplaceTempView("graft_x66_src")
+      s.sql("""MERGE INTO graft_x66_events t USING graft_x66_src s
+              |ON t.event_id = s.event_id
+              |WHEN MATCHED THEN UPDATE SET value = s.value
+              |WHEN NOT MATCHED THEN INSERT (event_id, ts, user_id, event_type, value, props)
+              |VALUES (s.event_id, s.ts, s.user_id, s.event_type, s.value, s.props)""".stripMargin)
+      s.read.parquet(s"$base/events_mg")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     // CDC-style snapshot diff (incremental-recompute driver): one row per
     // changed key between a synthetic "previous" snapshot (missing the
     // mod-11 slice -> inserts; n_chars bumped on the mod-7 slice ->
@@ -2382,6 +2408,24 @@ object ExtensionQueries {
         |  ROUND(SUM(value), 2) AS sum_value,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events
+        |GROUP BY 1""".stripMargin,
+    // MERGE semantics replayed without MERGE syntax: matched targets take
+    // the source value (LEFT JOIN + COALESCE), unmatched source rows
+    // union in (NOT IN on the non-null key).
+    "x66_merge_upsert" ->
+      """WITH tgt AS (SELECT * FROM events WHERE user_id < 150),
+        |     src AS (SELECT event_id, ts, user_id, event_type, value + 1000 AS value
+        |             FROM events WHERE user_id >= 100),
+        |     merged AS (
+        |       SELECT t.event_type, COALESCE(s.value, t.value) AS value, t.user_id
+        |       FROM tgt t LEFT JOIN src s ON t.event_id = s.event_id
+        |       UNION ALL
+        |       SELECT s.event_type, s.value, s.user_id FROM src s
+        |       WHERE s.event_id NOT IN (SELECT event_id FROM tgt))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM merged
         |GROUP BY 1""".stripMargin,
     // Same prev-snapshot derivation, full-outer join, and null-safe
     // column compare as SnapshotDiff.diff.

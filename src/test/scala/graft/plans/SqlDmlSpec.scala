@@ -274,6 +274,118 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(spark.table("graft_sqlsync_t").count() == 400)
   }
 
+  test("MERGE INTO routes through the journaled COW merge: matched rows " +
+    "update, unmatched source rows insert, untouched files never move, " +
+    "prior epochs stay readable; the cardinality law is loud") {
+    val base = Files.createTempDirectory("graft_sqlmerge").toString
+    val store = new Store(spark, base)
+    val df = spark.range(10000).select(col("id").as("k"),
+      pmod(col("id") * 37, lit(10000)).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 8)
+    store.registerCatalog("graft_merge_t", "tbl")
+    spark.range(9000, 11000).select(col("id").as("k"), (col("id") * 10).as("v"))
+      .createOrReplaceTempView("graft_merge_src")
+    val before = fileTriples(s"$base/tbl")
+
+    val q = spark.sql(
+      """MERGE INTO graft_merge_t t USING graft_merge_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v + t.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, -s.v)""".stripMargin)
+    assert(q.queryExecution.commandExecuted.toString.contains("GraftCowMerge"),
+      s"expected GraftCowMergeCommand in:\n${q.queryExecution.commandExecuted}")
+    // content law: k<9000 untouched, 9000..9999 updated (s.v + t.v),
+    // 10000..10999 inserted with -s.v
+    val want = df.where(col("k") < 9000)
+      .unionByName(df.where(col("k") >= 9000)
+        .select(col("k"), (col("k") * 10 + col("v")).as("v")))
+      .unionByName(spark.range(10000, 11000)
+        .select(col("id").as("k"), (-col("id") * 10).as("v")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(spark.table("graft_merge_t").collect().map(_.toString).sorted.toSeq == want)
+    // scoped: the k-range merge keeps low-k files byte/mtime-identical
+    val after = fileTriples(s"$base/tbl")
+    assert(before.intersect(after).nonEmpty, "out-of-range files must not move")
+    assert((before -- after).nonEmpty)
+    // the merge RETIRED its touched files: epoch 0 reads back in full
+    assert(store.readVersion("tbl", 0L).count() == 10000)
+
+    // gated DELETE action: WHEN MATCHED AND <cond> THEN DELETE removes
+    // exactly the gated matches
+    val preDel = spark.table("graft_merge_t").count()
+    val delGone = spark.table("graft_merge_t")
+      .where(col("k") >= 10500 && col("v") < 0).count()
+    assert(delGone > 0)
+    spark.sql(
+      """MERGE INTO graft_merge_t t USING graft_merge_src s ON t.k = s.k
+        |WHEN MATCHED AND t.k >= 10500 THEN DELETE""".stripMargin)
+    assert(spark.table("graft_merge_t").count() == preDel - delGone)
+
+    // cardinality law: two source rows hitting one target row fail loudly
+    // with the table untouched
+    spark.range(2).select(lit(5L).as("k"), col("id").as("v"))
+      .createOrReplaceTempView("graft_merge_dup")
+    val cnt = spark.table("graft_merge_t").count()
+    val eDup = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft_merge_t t USING graft_merge_dup s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    assert(eDup.getMessage.contains("more than one source row"), eDup.getMessage)
+    assert(spark.table("graft_merge_t").count() == cnt)
+
+    // shapes outside the translation fall through to Spark's own error:
+    // NOT MATCHED BY SOURCE is not translated
+    val eBySrc = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft_merge_t t USING graft_merge_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    assert(eBySrc.getMessage.contains("MERGE"), eBySrc.getMessage)
+  }
+
+  test("MERGE INTO a managed PARTITIONED store: updates stay in their day, " +
+    "inserts create and register a NEW partition, the epoch retires") {
+    val base = Files.createTempDirectory("graft_sqlmergep").toString
+    val store = new Store(spark, base)
+    val df = spark.range(600).select(
+      to_timestamp(concat(lit("2024-10-0"), (col("id") % 3 + 1), lit(" 06:00:00")))
+        .as("datetime"),
+      col("id").as("k"), (col("id") % 50).cast("double").as("v"))
+    store.writePartitionedManaged(df, "ptbl")                      // epoch 0
+    store.registerCatalog("graft_mergep_t", "ptbl")
+    spark.catalog.recoverPartitions("graft_mergep_t")
+    // source: updates for half of day 2, inserts landing on a NEW day
+    spark.range(0, 700).select(
+      when(col("id") < 600, to_timestamp(lit("2024-10-02 06:00:00")))
+        .otherwise(to_timestamp(lit("2024-10-09 06:00:00"))).as("datetime"),
+      col("id").as("k"), lit(777.0).as("v"))
+      .where(col("id") % 2 === 1) // odd ks only
+      .createOrReplaceTempView("graft_mergep_src")
+    val q = spark.sql(
+      """MERGE INTO graft_mergep_t t USING graft_mergep_src s ON t.k = s.k
+        |WHEN MATCHED AND t.dt = DATE'2024-10-02' THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (datetime, k, v, dt)
+        |  VALUES (s.datetime, s.k, s.v, CAST(s.datetime AS DATE))""".stripMargin)
+    assert(q.queryExecution.commandExecuted.toString.contains("GraftCowMerge"))
+    val back = spark.read.parquet(s"$base/ptbl")
+    // odd ks of day 2 updated; day 1/3 untouched; odd ks 600..699 inserted
+    // under the new day
+    val updated = back.where(col("dt") === lit("2024-10-02").cast("date")
+      && col("v") === 777.0).count()
+    assert(updated == df.where(to_date(col("datetime")) === lit("2024-10-02").cast("date")
+      && col("k") % 2 === 1).count())
+    assert(back.where(col("dt") === lit("2024-10-09").cast("date")).count() == 50)
+    assert(back.count() == 650)
+    // the new partition is registered for catalog reads too
+    assert(spark.table("graft_mergep_t")
+      .where(col("dt") === lit("2024-10-09").cast("date")).count() == 50)
+    // recoverable: epoch 0 is the pre-merge table
+    assert(store.readVersion("ptbl", 0L).count() == 600)
+    assert(store.readVersion("ptbl", 0L)
+      .where(col("v") === 777.0).count() == 0)
+  }
+
   test("preconditions hold: DML outside them still fails with Spark's own error") {
     val base = Files.createTempDirectory("graft_sqlpre").toString
     // a subquery condition cannot be re-expressed inside the command
