@@ -431,7 +431,13 @@ private[graft] object ScopedCommit {
     // committed on top — must not roll the live manifest back to this
     // journal's epoch (journaled epochs only ever advance; the claim CAS
     // serializes the writes themselves, not a laggard's replay of an
-    // already-applied journal).
+    // already-applied journal). HONEST LIMIT: this check-then-write (and
+    // the marker check-then-delete below) NARROWS the laggard window from
+    // arbitrarily-late-anywhere to a pause between two adjacent metadata
+    // calls spanning a full successor commit cycle — a generic filesystem
+    // offers no compare-and-swap rename to close it outright. The outright
+    // fix is immutable commit pointers (current = max v<N>, no live-file
+    // rewrite), recorded as a round-19 candidate in PLANS.md.
     if (mLines.nonEmpty) {
       val jm = LayoutManifest.fromLines(mLines)
       if (LayoutManifest.read(fs, dir).forall(_.epoch < jm.epoch))

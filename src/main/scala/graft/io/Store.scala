@@ -520,7 +520,13 @@ class Store(spark: SparkSession, baseDir: String) {
         // the table root: MSCK's drop pass is spec-driven from the root
         // listing and would silently deregister it, hiding its rows from
         // every catalog read — such tables get the ADD-ONLY refresh (the
-        // same reason SqlDmlRewrite refuses them for DML).
+        // same reason SqlDmlRewrite refuses them for DML). The
+        // listPartitions probe is O(partitions) metadata per mutation,
+        // deliberately NOT cached: partitions can be ALTERed between any
+        // two mutations, and a stale all-under-root answer would
+        // reintroduce the silent deregistration; the MSCK that follows is
+        // itself O(partition dirs), so the probe is a constant factor on
+        // an already partition-scale refresh.
         if (m.partitionColumnNames.nonEmpty) {
           val root = canon(new Path(m.location))
           def under(u: java.net.URI): Boolean = {
@@ -945,18 +951,36 @@ class Store(spark: SparkSession, baseDir: String) {
     Store.recoverSwap(fs, dir)
     ScopedCommit.recover(fs, dir)
     val m0 = LayoutManifest.read(fs, dir)
-    m0 match {
-      case Some(m) =>
-        withEpochClaim(dir, m.epoch + 1, m.epoch,
-          java.util.UUID.randomUUID.toString) {
-          val r = mergeIntoBody(dir, source, on, matched, insert, m0)
-          // a pass that commits nothing releases the claim it took
-          if (r.filesTouched == 0 && r.rowsInserted == 0L)
-            fs.delete(LayoutManifest.claimPath(dir, m.epoch + 1), false)
-          r
-        }
-      case None => mergeIntoBody(dir, source, on, matched, insert, m0)
-    }
+    withClaimUnlessNoop(dir, m0)(
+      mergeIntoBody(dir, source, on, matched, insert, m0))(
+      r => r.filesTouched > 0 || r.rowsInserted > 0L)
+  }
+
+  /** A scan-reported file URI -> the root-relative name manifests key by
+    * (flat tables: the bare basename; partitioned: through the `k=v`
+    * dirs).
+    */
+  private def relativeName(dir: Path, fileUri: String): String = {
+    val dirPathStr = fs.makeQualified(dir).toUri.getPath
+    new java.net.URI(fileUri).getPath.stripPrefix(dirPathStr).stripPrefix("/")
+  }
+
+  /** Run a mutator body under the epoch claim when the table is
+    * manifest-tracked (plain tables have no epochs to guard), releasing
+    * the claim when the body reports it committed NOTHING — the commit
+    * path's manifest write releases it otherwise.
+    */
+  private def withClaimUnlessNoop[T](dir: Path, m0: Option[LayoutManifest])(
+      body: => T)(committed: T => Boolean): T = m0 match {
+    case Some(m) =>
+      withEpochClaim(dir, m.epoch + 1, m.epoch,
+        java.util.UUID.randomUUID.toString) {
+        val r = body
+        if (!committed(r))
+          fs.delete(LayoutManifest.claimPath(dir, m.epoch + 1), false)
+        r
+      }
+    case None => body
   }
 
   private def mergeIntoBody(dir: Path, source: DataFrame,
@@ -973,7 +997,6 @@ class Store(spark: SparkSession, baseDir: String) {
     val all = spark.read.parquet(dir.toString)
     val tcols = all.columns.toSeq
     val tschema = all.schema
-    val dirPathStr = fs.makeQualified(dir).toUri.getPath
     val srcX = source.withColumn("__graft_sx", lit(1)).alias("__s")
     // files bearing matches — only when a matched action will rewrite
     // them; the file name is captured BEFORE the join (input_file_name is
@@ -983,8 +1006,7 @@ class Store(spark: SparkSession, baseDir: String) {
       else all.withColumn("__graft_fname", input_file_name()).alias("__t")
         .join(srcX, on, "left_semi")
         .select(col("__graft_fname")).distinct().collect()
-        .map(r => new java.net.URI(r.getString(0)).getPath
-          .stripPrefix(dirPathStr).stripPrefix("/"))
+        .map(r => relativeName(dir, r.getString(0)))
         .toSeq.sorted
     val total = listDataFilesDeep(dir)
     val partCols: Seq[String] = m0.map(_.partCols).filter(_.nonEmpty).getOrElse(
@@ -1101,30 +1123,15 @@ class Store(spark: SparkSession, baseDir: String) {
       // and the locate scan on a partitioned root is partition-PRUNED when
       // cond constrains the partition columns (the table prunes its own
       // COW search, the same property the curve layouts give flat tables)
-      val dirPathStr = fs.makeQualified(dir).toUri.getPath
       val touchedNames = all.where(cond)
         .select(input_file_name()).distinct().collect()
-        .map { r =>
-          new java.net.URI(r.getString(0)).getPath
-            .stripPrefix(dirPathStr).stripPrefix("/")
-        }.toSeq.sorted
+        .map(r => relativeName(dir, r.getString(0))).toSeq.sorted
       val total = listDataFilesDeep(dir)
       if (touchedNames.isEmpty) CowResult(0, total.size, 0L, 0L, 0L)
       else cowRewriteBody(dir, cond, prefix, transform, touchedNames, total.size, m0)
     }
-    m0 match {
-      case Some(m) =>
-        withEpochClaim(dir, m.epoch + 1, m.epoch,
-          java.util.UUID.randomUUID.toString) {
-          val r = locateAndRun()
-          // a no-match pass commits nothing — release the claim it took
-          // (the commit path's manifest write releases it otherwise)
-          if (r.filesTouched == 0)
-            fs.delete(LayoutManifest.claimPath(dir, m.epoch + 1), false)
-          r
-        }
-      case None => locateAndRun()
-    }
+    // a no-match pass commits nothing — its claim releases on the way out
+    withClaimUnlessNoop(dir, m0)(locateAndRun())(_.filesTouched > 0)
   }
 
   private def cowRewriteBody(dir: Path, cond: org.apache.spark.sql.Column,
@@ -1407,17 +1414,22 @@ class Store(spark: SparkSession, baseDir: String) {
     val all = if (current >= 0 && !vs.contains(current)) vs :+ current else vs
     all.flatMap { e =>
       // a vacuum racing this listing may drop a snapshot mid-iteration:
-      // skip that row rather than fabricate one from the live manifest
+      // skip that row rather than fabricate one from the live manifest.
+      // The live-manifest fallback serves ONLY the current epoch (the
+      // pre-upgrade shape) — for any other epoch a missing snapshot IS
+      // the vacuum race, and emitting it would list an unreadable epoch
+      // with wrong metadata.
       try {
         val p = new Path(hd, s"v$e")
-        val (mtime, files) =
-          if (fs.exists(p))
-            (fs.getFileStatus(p).getModificationTime,
-              LayoutManifest.fromLines(LayoutManifest.readLines(fs, p)).allFiles.size)
-          else // pre-upgrade current epoch: the live manifest IS the snapshot
-            (fs.getFileStatus(LayoutManifest.path(dir)).getModificationTime,
-              liveM.map(_.allFiles.size).getOrElse(0))
-        Some(VersionInfo(e, mtime, files, e == current))
+        if (fs.exists(p))
+          Some(VersionInfo(e, fs.getFileStatus(p).getModificationTime,
+            LayoutManifest.fromLines(LayoutManifest.readLines(fs, p)).allFiles.size,
+            e == current))
+        else if (e == current) // pre-upgrade: the live manifest IS the snapshot
+          Some(VersionInfo(e,
+            fs.getFileStatus(LayoutManifest.path(dir)).getModificationTime,
+            liveM.map(_.allFiles.size).getOrElse(0), isCurrent = true))
+        else None
       } catch { case _: java.io.FileNotFoundException => None }
     }
   }

@@ -274,7 +274,18 @@ private[sql] class GraftTable(underlying: ParquetTable, baseDir: String,
         if (versionPinned) throw new UnsupportedOperationException(
           s"$name is pinned to a manifest epoch (VERSION AS OF) — a pinned " +
             "epoch never changes; stream the current table instead")
-        val maxEpochs = Option(options.get("maxEpochsPerTrigger")).map(_.toInt)
+        val maxEpochs = Option(options.get("maxEpochsPerTrigger")).map { v =>
+          val n =
+            try v.toInt
+            catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"maxEpochsPerTrigger must be a positive integer, got '$v'")
+            }
+          // zero/negative would freeze the stream silently (latestOffset
+          // never advances) — loud beats hung
+          require(n > 0, s"maxEpochsPerTrigger must be positive, got $n")
+          n
+        }
         new GraftEpochStream(SparkSession.active, baseDir, rel,
           underlying.dataSchema, readSchema,
           basePath = if (partitioned) Some(s"$baseDir/$rel") else None,
