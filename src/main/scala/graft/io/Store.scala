@@ -919,15 +919,18 @@ class Store(spark: SparkSession, baseDir: String) {
 
   /** MERGE INTO — the lakehouse upsert statement, as a journaled
     * copy-on-write operator: source rows matching target rows (by `on`)
-    * drive the matched action (UPDATE SET / DELETE, optionally gated);
-    * source rows matching nothing insert. Only the files CONTAINING
-    * matches are rewritten (located exactly like [[deleteWhere]], with
-    * the file identity captured BEFORE the join shuffle), inserts land in
-    * the same staged layer, and the whole result commits as one epoch —
-    * retire-backed on manifest-tracked tables, so a bad merge is
-    * time-travel-recoverable. A matched-action merge enforces SQL's
-    * cardinality law: a target row matched by MORE than one source row
-    * fails loudly instead of applying an arbitrary update twice.
+    * drive the FIRST matched clause whose condition holds (SQL's
+    * first-match-wins over an ordered `WHEN MATCHED [AND …] THEN
+    * UPDATE/DELETE` list — the shape a CDC apply needs: tombstones
+    * delete, everything else upserts); source rows matching nothing
+    * insert. Only the files CONTAINING matches are rewritten (located
+    * exactly like [[deleteWhere]], with the file identity captured BEFORE
+    * the join shuffle), inserts land in the same staged layer, and the
+    * whole result commits as one epoch — retire-backed on
+    * manifest-tracked tables, so a bad merge is time-travel-recoverable.
+    * A matched-action merge enforces SQL's cardinality law: a target row
+    * matched by MORE than one source row fails loudly instead of applying
+    * an arbitrary update twice.
     *
     * Column reference convention (shared with the SQL face): target
     * columns are qualified `__t`, source columns `__s`, in `on`, action
@@ -942,10 +945,10 @@ class Store(spark: SparkSession, baseDir: String) {
     * An insert-less, match-less pass commits nothing.
     */
   def mergeInto(rel: String, source: DataFrame, on: org.apache.spark.sql.Column,
-                matched: Option[Store.MergeMatched],
+                matched: Seq[Store.MergeMatched],
                 insert: Option[(Map[String, org.apache.spark.sql.Column],
                   Option[org.apache.spark.sql.Column])]): MergeStats = {
-    require(matched.isDefined || insert.isDefined,
+    require(matched.nonEmpty || insert.isDefined,
       "mergeInto needs at least one action (matched update/delete, or insert)")
     val dir = new Path(s"$baseDir/$rel")
     Store.recoverSwap(fs, dir)
@@ -985,7 +988,7 @@ class Store(spark: SparkSession, baseDir: String) {
 
   private def mergeIntoBody(dir: Path, source: DataFrame,
                             on: org.apache.spark.sql.Column,
-                            matched: Option[Store.MergeMatched],
+                            matched: Seq[Store.MergeMatched],
                             insert: Option[(Map[String, org.apache.spark.sql.Column],
                               Option[org.apache.spark.sql.Column])],
                             m0: Option[LayoutManifest]): MergeStats = {
@@ -1023,13 +1026,8 @@ class Store(spark: SparkSession, baseDir: String) {
       .alias("__t")
     val j = regionT.join(srcX, on, "left_outer")
     val hitBase = col("__graft_sx").isNotNull
-    val hit = matched match {
-      case Some(Store.MergeUpdate(_, mc)) => hitBase && gate(mc)
-      case Some(Store.MergeDelete(mc)) => hitBase && gate(mc)
-      case None => lit(false)
-    }
     // SQL's MERGE cardinality law, enforced before anything moves
-    if (matched.isDefined && touchedNames.nonEmpty) {
+    if (matched.nonEmpty && touchedNames.nonEmpty) {
       val dup = j.where(hitBase).groupBy(col("__graft_rid"))
         .agg(count(lit(1)).as("__graft_n")).where(col("__graft_n") > 1)
         .limit(1).count()
@@ -1037,24 +1035,57 @@ class Store(spark: SparkSession, baseDir: String) {
         s"MERGE into $dir: a target row is matched by more than one source row — " +
           "the SQL cardinality rule forbids it; deduplicate the source on the merge keys")
     }
-    val (regionRows, hits) =
-      if (touchedNames.isEmpty) (0L, 0L)
+    // which ordered clause fires per row — 0 = none (pass through),
+    // i+1 = clause i. A when-chain evaluates in order: FIRST match wins,
+    // exactly SQL's WHEN MATCHED semantics.
+    def clauseGate(a: Store.MergeMatched) = a match {
+      case Store.MergeUpdate(_, mc) => hitBase && gate(mc)
+      case Store.MergeDelete(mc) => hitBase && gate(mc)
+    }
+    val clauseCol = matched.zipWithIndex
+      .foldLeft(when(lit(false), 0)) { case (w, (a, i)) =>
+        w.when(clauseGate(a), i + 1)
+      }.otherwise(0)
+    val deleteIdx = matched.zipWithIndex.collect {
+      case (_: Store.MergeDelete, i) => i + 1
+    }
+    val updateIdx = matched.zipWithIndex.collect {
+      case (_: Store.MergeUpdate, i) => i + 1
+    }
+    def inIdx(idx: Seq[Int]) =
+      if (idx.isEmpty) lit(false) else col("__graft_cl").isin(idx: _*)
+    val (regionRows, updHits, delHits) =
+      if (touchedNames.isEmpty) (0L, 0L, 0L)
       else {
-        val r = j.agg(count(lit(1)).as("n"), count(when(hit, 1)).as("h")).head
-        (r.getLong(0), r.getLong(1))
+        val r = j.select(clauseCol.as("__graft_cl"))
+          .agg(count(lit(1)).as("n"),
+            count(when(inIdx(updateIdx), 1)).as("u"),
+            count(when(inIdx(deleteIdx), 1)).as("d")).head
+        (r.getLong(0), r.getLong(1), r.getLong(2))
       }
-    val mergedRegion = matched match {
-      case Some(Store.MergeUpdate(sets, _)) =>
+    matched.foreach {
+      case Store.MergeUpdate(sets, _) =>
         val unknown = sets.keySet -- tcols
         require(unknown.isEmpty,
           s"mergeInto UPDATE columns not in the table: ${unknown.mkString(", ")}")
-        j.select(tcols.map(c =>
-          sets.get(c).map(v => when(hit, v.cast(tschema(c).dataType))
-            .otherwise(tq(c)).as(c)).getOrElse(tq(c).as(c))): _*)
-      case Some(Store.MergeDelete(_)) =>
-        j.where(!hit).select(tcols.map(c => tq(c).as(c)): _*)
-      case None =>
-        j.select(tcols.map(c => tq(c).as(c)): _*)
+      case _ => ()
+    }
+    val mergedRegion = {
+      val jc = j.withColumn("__graft_cl", clauseCol)
+      val kept =
+        if (deleteIdx.isEmpty) jc
+        else jc.where(!inIdx(deleteIdx))
+      kept.select(tcols.map { c =>
+        // per column: CASE on the firing clause — update clauses apply
+        // their SET (or pass through when they don't assign c), all else
+        // passes through
+        val v = matched.zipWithIndex.foldLeft(when(lit(false), tq(c))) {
+          case (w, (Store.MergeUpdate(sets, _), i)) if sets.contains(c) =>
+            w.when(col("__graft_cl") === (i + 1), sets(c).cast(tschema(c).dataType))
+          case (w, _) => w
+        }.otherwise(tq(c))
+        v.as(c)
+      }: _*)
     }
     val insertRows = insert match {
       case Some((sets, ic)) =>
@@ -1076,13 +1107,9 @@ class Store(spark: SparkSession, baseDir: String) {
       return MergeStats(0, total.size, 0L, 0L, 0L)
     val stagedRows = stageAndCommit(dir, "g", mergedRegion.unionByName(insertRows),
       touchedNames, total.size, partCols, m0)
-    val (upd, del) = matched match {
-      case Some(_: Store.MergeUpdate) => (hits, 0L)
-      case Some(_: Store.MergeDelete) => (0L, hits)
-      case None => (0L, 0L)
-    }
-    val inserted = stagedRows - (regionRows - del)
-    MergeStats(touchedNames.size, total.size - touchedNames.size, upd, del, inserted)
+    val inserted = stagedRows - (regionRows - delHits)
+    MergeStats(touchedNames.size, total.size - touchedNames.size, updHits, delHits,
+      inserted)
   }
 
   private case class CowResult(filesTouched: Int, filesKept: Int,

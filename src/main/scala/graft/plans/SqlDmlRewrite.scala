@@ -92,18 +92,22 @@ object SqlDmlRewrite extends Rule[LogicalPlan] {
         e.references.subsetOf(srcOut)
     if (m.withSchemaEvolution || m.notMatchedBySourceActions.nonEmpty || !ok(m.mergeCondition))
       return None
-    val matched: Option[MergeMatchedSpec] = m.matchedActions match {
-      case Seq() => Some(MergeMatchedSpec(None, None, delete = false, None))
-      case Seq(UpdateAction(c, assigns, _))
+    // the ORDERED matched-clause list (first match wins — the CDC-apply
+    // shape: gated DELETE tombstones before the catch-all UPDATE); every
+    // clause must translate or the whole statement falls through
+    val matchedTranslated: Seq[Option[MergeClauseSpec]] = m.matchedActions.map {
+      case UpdateAction(c, assigns, _)
           if c.forall(ok) && assigns.forall(a =>
             a.key.isInstanceOf[AttributeReference] && ok(a.value)) =>
-        Some(MergeMatchedSpec(
+        Some(MergeClauseSpec(
           Some(assigns.map(a => a.key.asInstanceOf[AttributeReference].name -> a.value)),
-          c, delete = false, None))
-      case Seq(DeleteAction(c)) if c.forall(ok) =>
-        Some(MergeMatchedSpec(None, None, delete = true, c))
+          c))
+      case DeleteAction(c) if c.forall(ok) => Some(MergeClauseSpec(None, c))
       case _ => None
     }
+    val matched: Option[Seq[MergeClauseSpec]] =
+      if (matchedTranslated.forall(_.isDefined)) Some(matchedTranslated.flatten)
+      else None
     val insert: Option[Option[(Seq[(String, Expression)], Option[Expression])]] =
       m.notMatchedActions match {
         case Seq() => Some(None)
@@ -116,12 +120,12 @@ object SqlDmlRewrite extends Rule[LogicalPlan] {
         case _ => None
       }
     for {
-      spec <- matched
+      clauses <- matched
       ins <- insert
-      if spec.sets.isDefined || spec.delete || ins.isDefined
+      if clauses.nonEmpty || ins.isDefined
       (baseDir, name, table) <- locate(m.targetTable)
     } yield GraftCowMergeCommand(baseDir, name, table,
-      m.sourceTable, m.mergeCondition, spec, ins,
+      m.sourceTable, m.mergeCondition, clauses, ins,
       tgtIds = tgtOut.toSeq.map(_.exprId.id),
       srcIds = srcOut.toSeq.map(_.exprId.id))
   }
@@ -216,13 +220,11 @@ case class GraftCowDeleteCommand(baseDir: String, rel: String, table: String,
     s"GraftCowDelete $table cond=${cond.sql}"
 }
 
-/** The matched half of a translated MERGE: UPDATE sets (present = update),
-  * or delete=true, with the optional AND condition for either.
+/** One translated MERGE matched clause: UPDATE SET (sets defined) or
+  * DELETE (sets None), with the optional `AND` condition.
   */
-case class MergeMatchedSpec(sets: Option[Seq[(String, Expression)]],
-                            updateCond: Option[Expression],
-                            delete: Boolean,
-                            deleteCond: Option[Expression])
+case class MergeClauseSpec(sets: Option[Seq[(String, Expression)]],
+                           cond: Option[Expression])
 
 /** `MERGE INTO` over a path-addressed parquet store, via the journaled
   * copy-on-write [[graft.io.Store.mergeInto]]. The captured expressions
@@ -234,7 +236,7 @@ case class MergeMatchedSpec(sets: Option[Seq[(String, Expression)]],
   */
 case class GraftCowMergeCommand(baseDir: String, rel: String, table: String,
                                 sourcePlan: LogicalPlan, on: Expression,
-                                matched: MergeMatchedSpec,
+                                matched: Seq[MergeClauseSpec],
                                 insert: Option[(Seq[(String, Expression)], Option[Expression])],
                                 tgtIds: Seq[Long], srcIds: Seq[Long])
     extends LeafRunnableCommand {
@@ -252,16 +254,15 @@ case class GraftCowMergeCommand(baseDir: String, rel: String, table: String,
           UnresolvedAttribute(Seq("__s", a.name))
       })
     val sourceDf = GraftBridge.ofRows(spark, sourcePlan)
-    val matchedAction: Option[graft.io.Store.MergeMatched] =
-      if (matched.sets.isDefined)
-        Some(graft.io.Store.MergeUpdate(
-          matched.sets.get.map { case (n, e) => n -> qual(e) }.toMap,
-          matched.updateCond.map(qual)))
-      else if (matched.delete)
-        Some(graft.io.Store.MergeDelete(matched.deleteCond.map(qual)))
-      else None
+    val clauses: Seq[graft.io.Store.MergeMatched] = matched.map { cl =>
+      cl.sets match {
+        case Some(sets) => graft.io.Store.MergeUpdate(
+          sets.map { case (n, e) => n -> qual(e) }.toMap, cl.cond.map(qual))
+        case None => graft.io.Store.MergeDelete(cl.cond.map(qual))
+      }
+    }
     new graft.io.Store(spark, baseDir).mergeInto(rel, sourceDf, qual(on),
-      matchedAction,
+      clauses,
       insert.map { case (sets, c) =>
         (sets.map { case (n, e) => n -> qual(e) }.toMap, c.map(qual))
       })

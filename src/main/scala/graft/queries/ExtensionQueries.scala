@@ -1140,6 +1140,37 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
     }),
+    // The CDC APPLY — ordered matched clauses, first match wins: one
+    // MERGE statement deletes the feed's tombstones, upserts everything
+    // else, and never inserts a tombstone for a row it doesn't have (the
+    // gated NOT MATCHED). This is THE nightly shape a lakehouse table fed
+    // by change capture runs; it commits as one retire-backed epoch.
+    // DuckDB replays the final state directly off the raw slices.
+    "x67_merge_cdc" -> ((s, dir) => {
+      val base = s"$scratchDir/x67"
+      val store = new graft.io.Store(s, base)
+      val e = Tables.events(s, dir)
+      store.writeZordered(e.where(col("user_id") < 150), "events_cdc",
+        Seq("user_id", "ts"), files = 8)                            // epoch 0
+      store.registerCatalog("graft_x67_events", "events_cdc")
+      e.where(col("user_id").between(40, 49)).withColumn("op", lit("D"))
+        .unionByName(e.where(col("user_id").between(100, 199))
+          .withColumn("value", col("value") + 1000).withColumn("op", lit("U")))
+        .unionByName(e.where(col("user_id").between(200, 209))
+          .withColumn("op", lit("D")))
+        .createOrReplaceTempView("graft_x67_src")
+      s.sql("""MERGE INTO graft_x67_events t USING graft_x67_src s
+              |ON t.event_id = s.event_id
+              |WHEN MATCHED AND s.op = 'D' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET value = s.value
+              |WHEN NOT MATCHED AND s.op != 'D' THEN
+              |  INSERT (event_id, ts, user_id, event_type, value, props)
+              |  VALUES (s.event_id, s.ts, s.user_id, s.event_type, s.value, s.props)""".stripMargin)
+      s.read.parquet(s"$base/events_cdc")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     // CDC-style snapshot diff (incremental-recompute driver): one row per
     // changed key between a synthetic "previous" snapshot (missing the
     // mod-11 slice -> inserts; n_chars bumped on the mod-7 slice ->
@@ -2426,6 +2457,17 @@ object ExtensionQueries {
         |  ROUND(SUM(value), 2) AS sum_value,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM merged
+        |GROUP BY 1""".stripMargin,
+    // The applied CDC state reconstructs directly: target was user_id <
+    // 150; tombstones removed 40-49; updates bumped 100-149; inserts
+    // added 150-199 bumped; ghost tombstones (200-209) never landed.
+    "x67_merge_cdc" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(CASE WHEN user_id BETWEEN 100 AND 199
+        |                 THEN value + 1000 ELSE value END), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE user_id < 200 AND NOT (user_id BETWEEN 40 AND 49)
         |GROUP BY 1""".stripMargin,
     // Same prev-snapshot derivation, full-outer join, and null-safe
     // column compare as SnapshotDiff.diff.

@@ -344,6 +344,50 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(eBySrc.getMessage.contains("MERGE"), eBySrc.getMessage)
   }
 
+  test("MERGE CDC apply: ordered matched clauses, FIRST match wins — " +
+    "tombstones delete, the rest upsert, ghost tombstones never insert") {
+    val base = Files.createTempDirectory("graft_sqlcdc").toString
+    val store = new Store(spark, base)
+    val df = spark.range(1000).select(col("id").as("k"),
+      (col("id") % 100).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 4)
+    store.registerCatalog("graft_cdc_t", "tbl")
+    // CDC feed: tombstones for k 0..99 (every one ALSO satisfies the
+    // catch-all update clause — the delete must win by ORDER), updates
+    // for 500..799, upsert-inserts for 1000..1099, ghost tombstones for
+    // 2000..2049 (unmatched + op=D: must NOT insert)
+    spark.range(0, 100).select(col("id").as("k"), lit(-1L).as("v"), lit("D").as("op"))
+      .unionByName(spark.range(500, 800)
+        .select(col("id").as("k"), (col("id") + 100000).as("v"), lit("U").as("op")))
+      .unionByName(spark.range(1000, 1100)
+        .select(col("id").as("k"), (col("id") + 100000).as("v"), lit("U").as("op")))
+      .unionByName(spark.range(2000, 2050)
+        .select(col("id").as("k"), lit(0L).as("v"), lit("D").as("op")))
+      .createOrReplaceTempView("graft_cdc_src")
+    val q = spark.sql(
+      """MERGE INTO graft_cdc_t t USING graft_cdc_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED AND s.op != 'D' THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    assert(q.queryExecution.commandExecuted.toString.contains("GraftCowMerge"))
+    val want = df.where(col("k") >= 100 && col("k") < 500)
+      .unionByName(spark.range(500, 800).select(col("id").as("k"), (col("id") + 100000).as("v")))
+      .unionByName(df.where(col("k") >= 800))
+      .unionByName(spark.range(1000, 1100).select(col("id").as("k"), (col("id") + 100000).as("v")))
+      .collect().map(_.toString).sorted.toSeq
+    val got = spark.table("graft_cdc_t").collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+    // first-match-wins witness: the tombstoned keys are GONE, not updated
+    // to the tombstone's v=-1 by the catch-all clause
+    assert(spark.table("graft_cdc_t").where(col("v") === -1L).count() == 0)
+    assert(spark.table("graft_cdc_t").where(col("k") < 100).count() == 0)
+    // ghost tombstones never inserted
+    assert(spark.table("graft_cdc_t").where(col("k") >= 2000).count() == 0)
+    // one epoch, recoverable
+    assert(store.readVersion("tbl", 0L).count() == 1000)
+    assert(store.listVersions("tbl") == Seq(0L, 1L))
+  }
+
   test("MERGE INTO a managed PARTITIONED store: updates stay in their day, " +
     "inserts create and register a NEW partition, the epoch retires") {
     val base = Files.createTempDirectory("graft_sqlmergep").toString
