@@ -17,20 +17,24 @@ import org.apache.spark.sql.SparkSession
   * caused by an append. What IS sound: files written by the last full
   * layout pass are pristine *by construction*, so only base-vs-append
   * intersection needs testing. The manifest records exactly that
-  * provenance split plus the layout parameters, in a `_graft_layout`
-  * file inside the table directory (underscore prefix — invisible to
-  * Spark's scan listing, travels with the table on rename/swap).
+  * provenance split plus the layout parameters, as IMMUTABLE per-epoch
+  * snapshots under the hidden `.graft_history/v<epoch>` dir — the current
+  * manifest is the max committed snapshot (see [[LayoutManifest.read]] /
+  * [[LayoutManifest.write]]; a legacy `_graft_layout` live pointer is
+  * still read, never rewritten).
   *
   * Format: line-oriented `key=value` (file names cannot contain the tab
-  * separator), written atomically via tmp+rename. Deliberately not JSON:
-  * no parser dependency, and partial writes are impossible to half-read.
+  * separator), committed via atomic create-exclusive. Deliberately not
+  * JSON: no parser dependency, and partial writes are impossible to
+  * half-read.
   */
 private[graft] case class LayoutManifest(
     zCols: Seq[String], bits: Int, files: Int, epoch: Long,
     base: Seq[String], appends: Seq[Seq[String]],
     touched: Option[Double] = None,
     lastBatch: Option[Long] = None,
-    partCols: Seq[String] = Nil) {
+    partCols: Seq[String] = Nil,
+    committedAt: Option[Long] = None) {
 
   def allFiles: Seq[String] = base ++ appends.flatten
 
@@ -49,7 +53,8 @@ private[graft] case class LayoutManifest(
       appends.map(a => s"append=${a.mkString("\t")}") ++
       touched.map(t => s"stat_touched=$t").toSeq ++
       lastBatch.map(b => s"last_batch=$b").toSeq ++
-      (if (partCols.nonEmpty) Seq(s"partcols=${partCols.mkString("\t")}") else Nil)
+      (if (partCols.nonEmpty) Seq(s"partcols=${partCols.mkString("\t")}") else Nil) ++
+      committedAt.map(t => s"committed_at=$t").toSeq
 }
 
 private[graft] object LayoutManifest {
@@ -99,20 +104,46 @@ private[graft] object LayoutManifest {
     */
   def claimPath(dir: Path, epoch: Long) = new Path(historyDir(dir), s"c$epoch")
 
+  def snapshotPath(dir: Path, epoch: Long) = new Path(historyDir(dir), s"v$epoch")
+
+  /** COMMIT a new epoch — immutable-pointer discipline (Delta's log-suffix
+    * rule): the atomic CREATE of the `v<epoch>` history snapshot IS the
+    * commit point, and the "current manifest" is simply the max committed
+    * `v<N>` ([[read]]). Nothing mutable is ever rewritten on the commit
+    * path, which closes the laggard-replay rollback window BY CONSTRUCTION:
+    * a stale replayer of an already-applied journal re-attempts the same
+    * create-exclusive and LOSES to the existing snapshot — there is no
+    * check-then-act anywhere for it to slip through. The commit instant is
+    * stamped into the snapshot (`committed_at`), so history listings and
+    * `TIMESTAMP AS OF` never depend on filesystem mtimes (a same-epoch
+    * stat refresh must not shift an epoch's wall-clock identity).
+    *
+    * Claim release last keeps the epoch-CAS read-under-claim race-free:
+    * nobody can win the next claim until this epoch is fully visible. The
+    * legacy live `_graft_layout` pointer (pre-upgrade tables) is retired
+    * here — after a table's first post-upgrade commit only snapshots
+    * remain.
+    */
   def write(fs: FileSystem, dir: Path, m: LayoutManifest): Unit = {
-    // ORDER IS THE CRASH CONTRACT: snapshot first, manifest second, claim
-    // release last. The live-manifest rename is the commit point — a crash
-    // after the snapshot but before the manifest leaves only an orphan
-    // snapshot that the epoch's true commit later overwrites (same-epoch
-    // rewrites such as the erosion stat refresh do the same; the FILE SET
-    // per epoch never changes, the invariant readVersion depends on). The
-    // reverse order would let an unjournaled writer commit an epoch whose
-    // snapshot never lands — a permanent hole readSnapshot trips over.
-    // Claim release last keeps the epoch-CAS read-under-claim race-free:
-    // nobody can win the next claim until this epoch is fully visible.
-    writeLinesAtomic(fs, new Path(historyDir(dir), s"v${m.epoch}"), m.lines)
-    writeLinesAtomic(fs, path(dir), m.lines)
+    writeLinesCreate(fs, snapshotPath(dir, m.epoch),
+      m.copy(committedAt = Some(System.currentTimeMillis)).lines)
+    fs.delete(path(dir), false)
     fs.delete(claimPath(dir, m.epoch), false)
+  }
+
+  /** Same-epoch manifest REFRESH (the erosion-stat cache, an empty
+    * streaming batch's `last_batch` watermark): rewrites the committed
+    * epoch's snapshot in place — the FILE SET per epoch never changes (the
+    * invariant readVersion depends on) and `committed_at` is PRESERVED
+    * from the read manifest, so the epoch keeps its wall-clock identity.
+    * Callers hold the same-epoch claim ([[graft.io.Store]]'s
+    * withSameEpochClaim) and release it themselves; a laggard journal
+    * replay can never clobber this refresh because its create-exclusive
+    * loses to the existing snapshot.
+    */
+  def rewriteSameEpoch(fs: FileSystem, dir: Path, m: LayoutManifest): Unit = {
+    writeLinesAtomic(fs, snapshotPath(dir, m.epoch), m.lines)
+    fs.delete(path(dir), false)
   }
 
   /** Atomic small-file write: create under a dot-prefixed tmp name, then
@@ -146,16 +177,100 @@ private[graft] object LayoutManifest {
     }
   }
 
+  /** Atomic CREATE-EXCLUSIVE small-file write — the commit primitive: the
+    * full content appears at `dest` only if `dest` did not exist; returns
+    * false (content discarded) when it already does. There is no window in
+    * which a competitor can observe a partial file or clobber an existing
+    * one. file://: the content is staged under a unique tmp name, then
+    * HARD-LINKED to the destination — link(2) fails EEXIST kernel-atomically
+    * (java.nio has no rename-without-replace on Linux: ATOMIC_MOVE maps to
+    * rename(2), which always replaces, and Files.move without
+    * REPLACE_EXISTING is an exists-check-then-rename). Other schemes: tmp +
+    * FileSystem.rename WITHOUT overwrite — HDFS's rename refuses an
+    * existing destination atomically. The tmp name carries a UUID so two
+    * concurrent replayers of the same journal never share a stage file
+    * (one truncating the other's mid-link would link partial content).
+    */
+  def writeLinesCreate(fs: FileSystem, dest: Path, lines: Seq[String]): Boolean = {
+    val tmp = new Path(dest.getParent,
+      s".w_${dest.getName}_${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if ("file" == fs.getScheme) {
+      val created =
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dest.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      fs.delete(tmp, false)
+      created
+    } else {
+      val created =
+        try fs.rename(tmp, dest)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      if (!created) fs.delete(tmp, false)
+      created
+    }
+  }
+
   def readLines(fs: FileSystem, p: Path): Seq[String] = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
     finally in.close()
   }
 
-  def read(fs: FileSystem, dir: Path): Option[LayoutManifest] = {
-    val p = path(dir)
-    if (!fs.exists(p)) return None
-    Some(fromLines(readLines(fs, p)))
+  /** The newest committed epoch's snapshot number under `dir`'s history —
+    * the "current" resolution of the immutable-pointer discipline: one
+    * directory listing, no mutable file. Zero-length names are skipped
+    * (create-exclusive never leaves one; legacy crash debris could).
+    */
+  def maxSnapshotEpoch(fs: FileSystem, dir: Path): Option[Long] = {
+    val hd = historyDir(dir)
+    if (!fs.exists(hd)) return None
+    val vs = fs.listStatus(hd).toSeq
+      .filter(st => st.isFile && st.getLen > 0L && st.getPath.getName.startsWith("v"))
+      .flatMap(st => scala.util.Try(st.getPath.getName.stripPrefix("v").toLong).toOption)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Whether `dir` is a manifest-tracked table at all: committed history
+    * snapshots (the post-upgrade shape) or a legacy live pointer.
+    */
+  def exists(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(path(dir)) || maxSnapshotEpoch(fs, dir).isDefined
+
+  /** The COMMITTED manifest: the max `v<N>` history snapshot (the
+    * immutable commit pointer — every commit is an atomic create, so the
+    * max over the listing can never observe a half-commit or a rollback).
+    * A legacy live `_graft_layout` pointer is served only when it is AHEAD
+    * of every snapshot (a pre-snapshot-era table); on a tie the snapshot
+    * wins — the pre-upgrade write order was snapshot-first, so on any
+    * interrupted legacy commit the snapshot carries the newer content.
+    * The one retry absorbs a vacuum deleting a non-current snapshot
+    * between the listing and the read (vacuum always keeps the max, so
+    * the re-list converges).
+    */
+  def read(fs: FileSystem, dir: Path): Option[LayoutManifest] =
+    readAttempt(fs, dir, retried = false)
+
+  private def readAttempt(fs: FileSystem, dir: Path,
+                          retried: Boolean): Option[LayoutManifest] = {
+    val live = {
+      val p = path(dir)
+      if (fs.exists(p)) Some(fromLines(readLines(fs, p))) else None
+    }
+    maxSnapshotEpoch(fs, dir) match {
+      case Some(v) if live.forall(_.epoch <= v) =>
+        try Some(fromLines(readLines(fs, snapshotPath(dir, v))))
+        catch {
+          case _: java.io.FileNotFoundException if !retried =>
+            readAttempt(fs, dir, retried = true)
+        }
+      case _ => live
+    }
   }
 
   def fromLines(lines: Seq[String]): LayoutManifest = {
@@ -174,7 +289,8 @@ private[graft] object LayoutManifest {
       appends = kv.collect { case ("append", v) => split(v) },
       touched = m.get("stat_touched").map(_.toDouble),
       lastBatch = m.get("last_batch").map(_.toLong),
-      partCols = m.get("partcols").map(split).getOrElse(Nil))
+      partCols = m.get("partcols").map(split).getOrElse(Nil),
+      committedAt = m.get("committed_at").map(_.toLong))
   }
 }
 
@@ -295,7 +411,36 @@ private[graft] object ScopedCommit {
   val MarkerName = ".graft_scoped_commit"
   val TmpDirName = ".tmp_scoped"
 
+  /** One commit's journal: its own UNIQUE marker file plus the lines it
+    * holds. The unique name is load-bearing: a replayer deletes exactly
+    * ITS journal's file when done — a successor's journal is a different
+    * file, so the pre-upgrade check-then-delete window (laggard re-reads
+    * the marker, successor overwrites it, laggard deletes the successor's
+    * journal) cannot exist at all.
+    */
+  case class Journal(marker: Path, lines: Seq[String])
+
+  /** Legacy fixed marker path — pre-upgrade journals only; new journals
+    * get a unique name ([[newMarkerPath]]) and are found by prefix.
+    */
   def marker(dir: Path) = new Path(dir, MarkerName)
+
+  def newMarkerPath(dir: Path): Path =
+    new Path(dir, s"$MarkerName-${java.util.UUID.randomUUID.toString.take(8)}")
+
+  /** Every journal marker under `dir` (the unique-named ones and a legacy
+    * fixed-name one), name-sorted for deterministic replay order — replay
+    * is idempotent and journals touch disjoint files (epoch-unique promote
+    * names, per-journal stage dirs), so order is correctness-neutral.
+    */
+  def markers(fs: FileSystem, dir: Path): Seq[Path] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(MarkerName))
+      .map(_.getPath).sortBy(_.getName)
+
+  def anyMarker(fs: FileSystem, dir: Path): Boolean = markers(fs, dir).nonEmpty
+
   def tmpDir(dir: Path) = new Path(dir, TmpDirName)
 
   /** A FRESH stage dir for one commit attempt — unique per journal, and
@@ -321,16 +466,17 @@ private[graft] object ScopedCommit {
         fs.delete(st.getPath, true)
     }
 
-  /** Write the journal marker and return its lines, so the committing
-    * writer can replay from what it KNOWS it wrote instead of re-reading
-    * the marker — a reader-driven [[recover]] racing the writer may have
-    * already replayed and deleted it, and a marker re-read would surface
-    * FileNotFoundException from a mutation that actually committed (an
-    * app-level retry of which would double-apply it).
+  /** Write the journal to a FRESH unique marker and return the [[Journal]],
+    * so the committing writer can replay from what it KNOWS it wrote
+    * instead of re-reading the marker — a reader-driven [[recover]] racing
+    * the writer may have already replayed and deleted it, and a marker
+    * re-read would surface FileNotFoundException from a mutation that
+    * actually committed (an app-level retry of which would double-apply
+    * it).
     */
   def write(fs: FileSystem, dir: Path, renames: Seq[(String, String)],
             deletes: Seq[String], manifest: Option[LayoutManifest],
-            retires: Seq[String] = Nil, stage: Path = null): Seq[String] = {
+            retires: Seq[String] = Nil, stage: Path = null): Journal = {
     // the journal records ITS stage dir (`tmp=` line); replay renames out
     // of and cleans exactly that dir — absent (pre-upgrade journals), the
     // legacy fixed name applies
@@ -339,42 +485,47 @@ private[graft] object ScopedCommit {
       deletes.map(d => s"delete=$d") ++
       retires.map(r => s"retire=$r") ++
       manifest.toSeq.flatMap(_.lines).map(l => s"m:$l")
-    LayoutManifest.writeLinesAtomic(fs, marker(dir), lines)
-    lines
+    val m = newMarkerPath(dir)
+    LayoutManifest.writeLinesAtomic(fs, m, lines)
+    Journal(m, lines)
   }
 
-  /** Replay (or clean up) any interrupted scoped commit under `dir`.
+  /** Replay (or clean up) every interrupted scoped commit under `dir`.
     * Returns true when a journaled commit was driven to completion.
     * Called on entry by every layout mutator (append/recluster/scoped) —
     * the same discipline as [[Store.recoverSwap]] for whole-dir swaps.
+    * More than one marker can coexist briefly (a fully-applied journal
+    * whose laggard writer has not yet deleted its own file, beside a
+    * successor's pending one); replay of an applied journal is a pure
+    * no-op chain, so driving all of them is safe in any order.
     */
   def recover(fs: FileSystem, dir: Path): Boolean = {
-    val m = marker(dir)
-    if (!fs.exists(m)) {
-      // No journal: any tmp dir here is pre-commit stage data — EITHER a
-      // crashed mutator's garbage OR a live claim holder's in-progress
-      // stage (claim first, stage second is every mutator's order), and
-      // no check-then-act test can tell them apart race-free. So recovery
-      // never touches it: hidden from scans either way, it is reclaimed by
-      // the next mutator's own under-claim delete before staging, or by
-      // releaseStaleClaims for a table whose writer died. Deleting it here
-      // could destroy a live stage and turn that mutator's commit into a
-      // silently empty epoch.
-      return false
+    // No journal: any tmp dir here is pre-commit stage data — EITHER a
+    // crashed mutator's garbage OR a live claim holder's in-progress
+    // stage (claim first, stage second is every mutator's order), and
+    // no check-then-act test can tell them apart race-free. So recovery
+    // never touches it: hidden from scans either way, it is reclaimed by
+    // the next mutator's own under-claim delete before staging, or by
+    // releaseStaleClaims for a table whose writer died. Deleting it here
+    // could destroy a live stage and turn that mutator's commit into a
+    // silently empty epoch.
+    var replayed = false
+    markers(fs, dir).foreach { m =>
+      // reader-driven recovery is a MAINLINE concurrent path (every SQL
+      // statement through the DSv2 face resolves through it): a marker can
+      // vanish between the listing and this read because a concurrent
+      // replayer — the committing writer itself, or another reader —
+      // finished that commit. That is success, not a crash.
+      try {
+        replay(fs, dir, Journal(m, LayoutManifest.readLines(fs, m)))
+        replayed = true
+      } catch { case _: java.io.FileNotFoundException => () }
     }
-    // reader-driven recovery is a MAINLINE concurrent path (every SQL
-    // statement through the DSv2 face resolves through it): the marker can
-    // vanish between the exists check and this read because a concurrent
-    // replayer — the committing writer itself, or another reader — finished
-    // the commit. That is success, not a crash: the table is committed.
-    val lines =
-      try LayoutManifest.readLines(fs, m)
-      catch { case _: java.io.FileNotFoundException => return false }
-    replay(fs, dir, lines)
-    true
+    replayed
   }
 
-  def replay(fs: FileSystem, dir: Path, lines: Seq[String]): Unit = {
+  def replay(fs: FileSystem, dir: Path, j: Journal): Unit = {
+    val lines = j.lines
     val tmp = lines.collectFirst {
       case l if l.startsWith("tmp=") => new Path(dir, l.stripPrefix("tmp="))
     }.getOrElse(tmpDir(dir))
@@ -426,32 +577,17 @@ private[graft] object ScopedCommit {
     val mLines = lines.filter(_.startsWith("m:")).map(_.stripPrefix("m:"))
     // no manifest section = the table has no layout provenance (e.g. a
     // copy-on-write delete on a plain parquet table) — leave it that way.
-    // FORWARD-ONLY: a stale replayer waking after a concurrent replayer
-    // already committed this journal — and after a SUCCESSOR epoch
-    // committed on top — must not roll the live manifest back to this
-    // journal's epoch (journaled epochs only ever advance; the claim CAS
-    // serializes the writes themselves, not a laggard's replay of an
-    // already-applied journal). HONEST LIMIT: this check-then-write (and
-    // the marker check-then-delete below) NARROWS the laggard window from
-    // arbitrarily-late-anywhere to a pause between two adjacent metadata
-    // calls spanning a full successor commit cycle — a generic filesystem
-    // offers no compare-and-swap rename to close it outright. The outright
-    // fix is immutable commit pointers (current = max v<N>, no live-file
-    // rewrite), recorded as a round-19 candidate in PLANS.md.
-    if (mLines.nonEmpty) {
-      val jm = LayoutManifest.fromLines(mLines)
-      if (LayoutManifest.read(fs, dir).forall(_.epoch < jm.epoch))
-        LayoutManifest.write(fs, dir, jm)
-    }
-    // The manifest write RELEASED the claim — a new mutator may by now
-    // have consumed this marker (its entry recovery), claimed, staged, and
-    // written ITS OWN journal. Delete the marker only while it still holds
-    // the lines THIS replay applied: a different content is the successor's
-    // journal, and destroying it would leave that mutator's crash
-    // unrecoverable (the successor's own replay removes it instead).
-    val still =
-      try LayoutManifest.readLines(fs, marker(dir))
-      catch { case _: java.io.FileNotFoundException => Nil }
-    if (still == lines) fs.delete(marker(dir), false)
+    // The write is the create-exclusive snapshot commit: an arbitrarily
+    // late laggard replaying an already-applied journal re-attempts the
+    // same create and LOSES to the existing v<epoch> — it cannot roll the
+    // table back, and it cannot clobber a later same-epoch stat refresh.
+    // No forward-only epoch comparison is needed (or possible to get
+    // wrong): the filesystem's create-if-absent is the arbiter.
+    if (mLines.nonEmpty)
+      LayoutManifest.write(fs, dir, LayoutManifest.fromLines(mLines))
+    // Delete THIS journal's own marker file — unique name, so a laggard
+    // can never delete a successor's journal (the pre-upgrade fixed-name
+    // marker had exactly that check-then-delete window).
+    fs.delete(j.marker, false)
   }
 }

@@ -747,7 +747,12 @@ class Store(spark: SparkSession, baseDir: String) {
       val stagedRows =
         if (staged.isEmpty) 0L else spark.read.parquet(tmp.toString).count()
       if (stagedRows == 0L) {
-        LayoutManifest.write(fs, dir, m.copy(lastBatch = Some(batchId)))
+        // an existing table records the watermark as a SAME-epoch snapshot
+        // refresh (no file-set change, epoch identity preserved); a fresh
+        // table's first-ever batch commits epoch 0 as usual
+        if (m0.isDefined) LayoutManifest.rewriteSameEpoch(fs, dir,
+          m.copy(lastBatch = Some(batchId)))
+        else LayoutManifest.write(fs, dir, m.copy(lastBatch = Some(batchId)))
         // no epoch bump for an empty batch — release the claim it took
         // (a fresh-table empty batch committed epoch 0 and released it)
         fs.delete(LayoutManifest.claimPath(dir, newEpoch), false)
@@ -954,9 +959,20 @@ class Store(spark: SparkSession, baseDir: String) {
     Store.recoverSwap(fs, dir)
     ScopedCommit.recover(fs, dir)
     val m0 = LayoutManifest.read(fs, dir)
-    withClaimUnlessNoop(dir, m0)(
-      mergeIntoBody(dir, source, on, matched, insert, m0))(
+    // MATERIALIZE the source once: the body evaluates it across several
+    // independent jobs (locate semi-join, cardinality check, stats agg,
+    // insert anti-join, staging write) — an uncached nondeterministic
+    // source (LIMIT without ORDER, sampling, a concurrently-refreshed
+    // view) could pass the duplicate-match check on one row set and stage
+    // a DIFFERENT one: silently wrong merge results. Reference MERGE
+    // engines (Delta) materialize the source for exactly this reason.
+    // MEMORY_AND_DISK covers the mainline; a lost-executor recompute on a
+    // cluster is the residual any cache-based materialization carries.
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try withClaimUnlessNoop(dir, m0)(
+      mergeIntoBody(dir, src, on, matched, insert, m0))(
       r => r.filesTouched > 0 || r.rowsInserted > 0L)
+    finally src.unpersist(blocking = false)
   }
 
   /** A scan-reported file URI -> the root-relative name manifests key by
@@ -1001,21 +1017,39 @@ class Store(spark: SparkSession, baseDir: String) {
     val tcols = all.columns.toSeq
     val tschema = all.schema
     val srcX = source.withColumn("__graft_sx", lit(1)).alias("__s")
+    val total = listDataFilesDeep(dir)
+    val partCols: Seq[String] = m0.map(_.partCols).filter(_.nonEmpty).getOrElse(
+      total.headOption.filter(_.contains('/'))
+        .map(_.split('/').dropRight(1).toSeq.map(_.takeWhile(_ != '=')))
+        .getOrElse(Nil))
+    // PARTITION-PRUNED match surface: when an ON conjunct equates a target
+    // partition column with a source-side expression (the daily-ingest
+    // shape — `__t.dt = __s.day`), no target row outside the source's
+    // distinct values of that expression can match ANY source row. Both
+    // the locate semi-join's scan and the NOT-MATCHED anti-join's
+    // existing-side scan prune to those partitions (PartitionFilters on
+    // the scan — PlanSpec pins it): the insert path stops paying a
+    // full-table scan on day-keyed merges, the same trick the streaming
+    // upsert sink uses. The distinct-value collect is bounded by the
+    // BATCH's partition values (a CDC feed's few days), never the table.
+    val matchAll = Store.partitionEqualities(on, partCols).foldLeft(all) {
+      case (acc, (pc, srcExpr)) =>
+        val vals = source.alias("__s")
+          .select(GraftBridge.toColumn(srcExpr)).distinct().collect()
+          .map(_.get(0)).toSeq
+        if (vals.isEmpty) acc.where(lit(false))
+        else acc.where(col(pc).isin(vals: _*))
+    }
     // files bearing matches — only when a matched action will rewrite
     // them; the file name is captured BEFORE the join (input_file_name is
     // meaningless after a shuffle)
     val touchedNames: Seq[String] =
       if (matched.isEmpty) Nil
-      else all.withColumn("__graft_fname", input_file_name()).alias("__t")
+      else matchAll.withColumn("__graft_fname", input_file_name()).alias("__t")
         .join(srcX, on, "left_semi")
         .select(col("__graft_fname")).distinct().collect()
         .map(r => relativeName(dir, r.getString(0)))
         .toSeq.sorted
-    val total = listDataFilesDeep(dir)
-    val partCols: Seq[String] = m0.map(_.partCols).filter(_.nonEmpty).getOrElse(
-      touchedNames.headOption.orElse(total.headOption).filter(_.contains('/'))
-        .map(_.split('/').dropRight(1).toSeq.map(_.takeWhile(_ != '=')))
-        .getOrElse(Nil))
     val reader =
       if (partCols.nonEmpty) spark.read.option("basePath", dir.toString)
       else spark.read
@@ -1093,22 +1127,33 @@ class Store(spark: SparkSession, baseDir: String) {
         require(unknown.isEmpty,
           s"mergeInto INSERT columns not in the table: ${unknown.mkString(", ")}")
         // NOT MATCHED = matches no target row anywhere (anti vs the whole
-        // table, not just the region); the insert condition sees source
-        // columns only
-        source.alias("__s").join(all.alias("__t"), on, "left_anti")
+        // table, not just the region — partition-pruned to the source's
+        // match surface above); the insert condition sees source columns
+        // only
+        source.alias("__s").join(matchAll.alias("__t"), on, "left_anti")
           .where(gate(ic))
           .select(tcols.map(c =>
             sets.get(c).map(_.cast(tschema(c).dataType))
               .getOrElse(lit(null).cast(tschema(c).dataType)).as(c)): _*)
       case None => all.where(lit(false)).select(tcols.map(c => col(c)): _*)
     }
-    // a pass with no matched files must not burn an epoch on zero inserts
-    if (touchedNames.isEmpty && insertRows.limit(1).count() == 0L)
+    // CLAUSE-GATED rewrite scope: a batch whose matched rows fire NO
+    // clause (a CDC feed of tombstones all gated out by WHEN MATCHED AND
+    // conditions) would rewrite and retire every match-bearing file with
+    // byte-identical rows — skip the region entirely and stage only the
+    // inserts; matched files keep name/bytes/mtime (SqlDmlSpec pins it)
+    val noClauseFired = updHits + delHits == 0L
+    val commitTouched = if (noClauseFired) Nil else touchedNames
+    val commitRegion =
+      if (noClauseFired) all.where(lit(false)).select(tcols.map(c => col(c)): _*)
+      else mergedRegion
+    // a pass with no files to rewrite must not burn an epoch on zero inserts
+    if (commitTouched.isEmpty && insertRows.limit(1).count() == 0L)
       return MergeStats(0, total.size, 0L, 0L, 0L)
-    val stagedRows = stageAndCommit(dir, "g", mergedRegion.unionByName(insertRows),
-      touchedNames, total.size, partCols, m0)
-    val inserted = stagedRows - (regionRows - delHits)
-    MergeStats(touchedNames.size, total.size - touchedNames.size, updHits, delHits,
+    val stagedRows = stageAndCommit(dir, "g", commitRegion.unionByName(insertRows),
+      commitTouched, total.size, partCols, m0)
+    val inserted = stagedRows - (if (noClauseFired) 0L else regionRows - delHits)
+    MergeStats(commitTouched.size, total.size - commitTouched.size, updHits, delHits,
       inserted)
   }
 
@@ -1316,14 +1361,15 @@ class Store(spark: SparkSession, baseDir: String) {
       }
     }
     val touched = perDim.max
-    // the stat refresh rewrites the live manifest (same epoch), so it must
-    // hold the SAME serialization the mutators do: claim the next epoch for
-    // the duration of the write (validating the manifest is still at
-    // m.epoch under the claim), release after. Without this, a measure
-    // racing a committed mutation could roll the manifest back to a stale
-    // epoch and clobber the new snapshot.
+    // the stat refresh rewrites the committed epoch's snapshot (same
+    // epoch, same file set, committed_at preserved), so it must hold the
+    // SAME serialization the mutators do: claim the next epoch for the
+    // duration of the write (validating the manifest is still at m.epoch
+    // under the claim), release after. Without this, a measure racing a
+    // committed mutation could clobber the new epoch's snapshot with a
+    // stale one.
     withSameEpochClaim(dir, m) {
-      LayoutManifest.write(fs, dir, m.copy(touched = Some(touched)))
+      LayoutManifest.rewriteSameEpoch(fs, dir, m.copy(touched = Some(touched)))
     }
     ErosionStats(m.base.size, m.appends.size, m.appends.map(_.size).sum, touched)
   }
@@ -1370,12 +1416,11 @@ class Store(spark: SparkSession, baseDir: String) {
   /** Epochs currently readable via [[readVersion]], ascending. Only real
     * `v<epoch>` snapshots count (`c<epoch>` CLAIM tokens — [[claimEpoch]]
     * — share the history dir but are not versions), and only epochs AT OR
-    * BELOW the committed manifest epoch: the snapshot is written BEFORE
-    * the manifest rename (the commit point — [[LayoutManifest.write]]'s
-    * crash contract), so a writer that dies between the two leaves a
-    * snapshot for an epoch that never committed. Such a phantom must stay
-    * invisible — serving it would expose an uncommitted mutation, and its
-    * content gets overwritten when the epoch truly commits.
+    * BELOW the committed epoch — with immutable commit pointers the
+    * committed epoch IS the max snapshot, so the bound's remaining job is
+    * consistency: a commit landing between this method's manifest read
+    * and its listing must not surface an epoch newer than the committed
+    * state the caller was just told about.
     */
   def listVersions(rel: String): Seq[Long] = {
     val dir = new Path(s"$baseDir/$rel")
@@ -1415,9 +1460,11 @@ class Store(spark: SparkSession, baseDir: String) {
   }
 
   /** One readable epoch's metadata, for history listings. `committedAtMs`
-    * is the epoch snapshot's filesystem mtime — informational (a replayed
-    * same-content rewrite refreshes it), which is all a history listing
-    * promises.
+    * is the commit wall-clock STAMPED INTO the snapshot at commit time
+    * (`committed_at` line — stable across same-epoch stat refreshes and
+    * laggard replays, so a `TIMESTAMP AS OF` that resolved to epoch N
+    * keeps resolving to N after maintenance); pre-stamp legacy snapshots
+    * fall back to the file mtime.
     */
   case class VersionInfo(epoch: Long, committedAtMs: Long, files: Int,
                          isCurrent: Boolean)
@@ -1448,13 +1495,15 @@ class Store(spark: SparkSession, baseDir: String) {
       // with wrong metadata.
       try {
         val p = new Path(hd, s"v$e")
-        if (fs.exists(p))
-          Some(VersionInfo(e, fs.getFileStatus(p).getModificationTime,
-            LayoutManifest.fromLines(LayoutManifest.readLines(fs, p)).allFiles.size,
-            e == current))
-        else if (e == current) // pre-upgrade: the live manifest IS the snapshot
+        if (fs.exists(p)) {
+          val sm = LayoutManifest.fromLines(LayoutManifest.readLines(fs, p))
           Some(VersionInfo(e,
-            fs.getFileStatus(LayoutManifest.path(dir)).getModificationTime,
+            sm.committedAt.getOrElse(fs.getFileStatus(p).getModificationTime),
+            sm.allFiles.size, e == current))
+        } else if (e == current) // pre-upgrade: the live manifest IS the snapshot
+          Some(VersionInfo(e,
+            liveM.flatMap(_.committedAt).getOrElse(
+              fs.getFileStatus(LayoutManifest.path(dir)).getModificationTime),
             liveM.map(_.allFiles.size).getOrElse(0), isCurrent = true))
         else None
       } catch { case _: java.io.FileNotFoundException => None }
@@ -1584,21 +1633,23 @@ class Store(spark: SparkSession, baseDir: String) {
     catch {
       case e: Throwable =>
         try {
-          if (!fs.exists(ScopedCommit.marker(dir)))
+          if (!ScopedCommit.anyMarker(fs, dir))
             fs.delete(LayoutManifest.claimPath(dir, newEpoch), false)
         } catch { case _: Exception => () } // never mask the real failure
         throw e
     }
   }
 
-  /** Admin release of a crashed writer's FRONTIER leftovers (anything in
-    * the history dir beyond the committed manifest epoch): the epoch
-    * CLAIM that blocks mutations, and any phantom SNAPSHOT its crash left
-    * (snapshot-first write order — invisible to reads, but worth
-    * clearing). Run only when no writer is live — the explicit operator
-    * override of the fail-loud claim. Finished claims below the frontier
-    * self-sweep in [[claimEpoch]]; committed snapshots are [[vacuum]]'s
-    * to manage.
+  /** Admin release of a crashed writer's FRONTIER leftovers: the epoch
+    * CLAIM beyond the committed epoch that blocks mutations. Run only
+    * when no writer is live — the explicit operator override of the
+    * fail-loud claim. Finished claims below the frontier self-sweep in
+    * [[claimEpoch]]; committed snapshots are [[vacuum]]'s to manage.
+    * SNAPSHOTS are never touched here: under the immutable-pointer
+    * discipline a `v<N>` file IS a committed epoch (its create is the
+    * commit point, sequenced after all data motion) — the pre-upgrade
+    * "phantom snapshot" state cannot be produced anymore, and deleting
+    * the max snapshot would BE the rollback this design eliminates.
     */
   def releaseStaleClaims(rel: String): Int = {
     val dir = new Path(s"$baseDir/$rel")
@@ -1611,7 +1662,7 @@ class Store(spark: SparkSession, baseDir: String) {
     var released = 0
     fs.listStatus(hd).foreach { st =>
       val n = st.getPath.getName
-      val stale = (n.startsWith("c") || n.startsWith("v")) &&
+      val stale = n.startsWith("c") &&
         scala.util.Try(n.drop(1).toLong).toOption.exists(_ > m.epoch)
       if (stale) {
         fs.delete(st.getPath, false)
@@ -1666,9 +1717,10 @@ class Store(spark: SparkSession, baseDir: String) {
     Store.recoverSwap(fs, dir)
     ScopedCommit.recover(fs, dir)
     val hp = new Path(LayoutManifest.historyDir(dir), s"v$epoch")
-    // reject phantoms: a snapshot ABOVE the committed manifest epoch is a
-    // crashed writer's pre-commit leftover (snapshot-first write order) —
-    // serving it would expose an uncommitted mutation
+    // epoch <= committed: with immutable commit pointers the committed
+    // epoch IS the max snapshot, so this is a consistency bound (a commit
+    // racing this resolution stays invisible until re-resolved), not a
+    // phantom filter — a v<N> snapshot is a commit by construction
     val liveM = LayoutManifest.read(fs, dir)
     val committed = liveM.map(_.epoch).getOrElse(-1L)
     val snapshotOk = fs.exists(hp) && fs.getFileStatus(hp).getLen > 0L &&
@@ -2089,6 +2141,54 @@ object Store {
       extends MergeMatched
   case class MergeDelete(cond: Option[org.apache.spark.sql.Column] = None)
       extends MergeMatched
+
+  /** Partition-pruning opportunities in a MERGE's ON condition: for each
+    * target partition column `pc`, the source-side expression `e` of a
+    * top-level conjunct `__t.pc = e` (either operand order), where `e`
+    * references ONLY `__s` columns (or is a literal). Such a conjunct
+    * bounds every possible match to the source's distinct values of `e` —
+    * the match-surface scans may partition-prune to them. Conjuncts under
+    * OR/NOT never qualify (only top-level ANDs constrain all matches).
+    */
+  private[graft] def partitionEqualities(
+      on: org.apache.spark.sql.Column,
+      partCols: Seq[String]): Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal}
+    if (partCols.isEmpty) return Nil
+    // two spellings reach here: the SQL router hands a fully-catalyst tree
+    // (And/EqualTo), the Column API a pre-analysis one where `&&`/`===`
+    // are still UnresolvedFunction("and"/"=") — match both
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case UnresolvedFunction(Seq("and"), Seq(l, r), false, _, _, _, _) =>
+        conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def equality(e: Expression): Option[(Expression, Expression)] = e match {
+      case EqualTo(l, r) => Some((l, r))
+      case UnresolvedFunction(Seq("="), Seq(l, r), false, _, _, _, _) => Some((l, r))
+      case _ => None
+    }
+    def targetPart(e: Expression): Option[String] = e match {
+      case ua: UnresolvedAttribute
+        if ua.nameParts.size == 2 && ua.nameParts.head == "__t" &&
+          partCols.contains(ua.nameParts(1)) => Some(ua.nameParts(1))
+      case _ => None
+    }
+    def sourceOnly(e: Expression): Boolean = {
+      val refs = e.collect { case ua: UnresolvedAttribute => ua }
+      val lits = e.collect { case l: Literal => l }
+      (refs.nonEmpty || lits.nonEmpty) &&
+        refs.forall(_.nameParts.headOption.contains("__s"))
+    }
+    conjuncts(org.apache.spark.sql.GraftBridge.toCatalyst(on))
+      .flatMap(equality)
+      .flatMap { case (l, r) =>
+        targetPart(l).filter(_ => sourceOnly(r)).map(_ -> r)
+          .orElse(targetPart(r).filter(_ => sourceOnly(l)).map(_ -> l))
+      }.distinct
+  }
 
   /** A version/snapshot resolution: the epoch's file set at its current
     * homes (`paths`, aligned 1:1 with the manifest `names`), plus the

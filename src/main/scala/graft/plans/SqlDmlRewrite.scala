@@ -60,7 +60,7 @@ object SqlDmlRewrite extends Rule[LogicalPlan] {
       val condOk = cond.forall(c => expressible(c, rel))
       val setsOk = assignments.forall(a =>
         a.key.isInstanceOf[AttributeReference] && expressible(a.value, rel))
-      locate(rel) match {
+      locate(rel, admitV2 = true) match {
         case Some((baseDir, name, table)) if condOk && setsOk =>
           val sets = assignments.map(a =>
             a.key.asInstanceOf[AttributeReference].name -> a.value)
@@ -123,7 +123,7 @@ object SqlDmlRewrite extends Rule[LogicalPlan] {
       clauses <- matched
       ins <- insert
       if clauses.nonEmpty || ins.isDefined
-      (baseDir, name, table) <- locate(m.targetTable)
+      (baseDir, name, table) <- locate(m.targetTable, admitV2 = true)
     } yield GraftCowMergeCommand(baseDir, name, table,
       m.sourceTable, m.mergeCondition, clauses, ins,
       tgtIds = tgtOut.toSeq.map(_.exprId.id),
@@ -134,9 +134,22 @@ object SqlDmlRewrite extends Rule[LogicalPlan] {
     * or partitioned (the COW core re-stages partitioned replacements per
     * `key=value` directory). Returns (store base dir, table leaf rel,
     * display name).
+    *
+    * With `admitV2` (UPDATE/MERGE only): also accept a
+    * [[org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation]]
+    * over the graft catalog's own [[graft.sql.GraftTable]] — Spark's
+    * analyzer lets both statements through for a v2 table (its own
+    * row-level rewrite rules apply only to `SupportsRowLevelOperations`
+    * tables) and the planner would throw; routing here gives `graft.t`
+    * idents the same journaled COW UPDATE/MERGE the v1 face has, CAS and
+    * retires included. `DELETE FROM graft.t` deliberately stays on the
+    * catalog's `SupportsDeleteV2` path (one statement, one mechanism).
+    * A `VERSION AS OF`-pinned table never reaches here (not addressable
+    * as a DML target), and `$history` tables are not GraftTables.
     */
-  private def locate(plan: LogicalPlan): Option[(String, String, String)] = plan match {
-    case SubqueryAlias(_, child) => locate(child)
+  private def locate(plan: LogicalPlan,
+                     admitV2: Boolean = false): Option[(String, String, String)] = plan match {
+    case SubqueryAlias(_, child) => locate(child, admitV2)
     case lr: LogicalRelation =>
       lr.relation match {
         case h: HadoopFsRelation
@@ -149,6 +162,18 @@ object SqlDmlRewrite extends Rule[LogicalPlan] {
           Some((loc.getParent.toString, loc.getName, table))
         case _ => None
       }
+    case dsv2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if admitV2 =>
+      dsv2.table match {
+        case gt: graft.sql.GraftTable if !gt.isVersionPinned =>
+          Some((gt.storeBase, gt.storeRel, gt.name()))
+        case _ => None
+      }
+    // the optimizer's EARLY scan-pushdown batch (before the operator
+    // batch this rule runs in) has usually already turned the relation
+    // into its scan form — the original relation rides inside
+    case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+        if admitV2 => locate(sr.relation, admitV2)
     case _ => None
   }
 

@@ -1171,6 +1171,38 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
     }),
+    // The FULL DML statement surface through the DSv2 catalog ident
+    // (graft.t): UPDATE and MERGE INTO route to the same journaled COW
+    // core the v1 face uses (post-optimizer router recognizing the
+    // GraftTable relation), CAS-guarded and retire-backed — a pure-SQL
+    // consumer needs no registerCatalog and no path. The read-back is
+    // ALSO through the catalog (manifest-exact, per-statement
+    // resolution). DuckDB replays update-then-merge as CASE + LEFT JOIN
+    // + NOT-IN union.
+    "x68_v2_dml" -> ((s, dir) => {
+      val base = s"$scratchDir/x68"
+      val store = new graft.io.Store(s, base)
+      val e = Tables.events(s, dir)
+      store.writeZordered(e.where(col("user_id") < 150), "events_v2",
+        Seq("user_id", "ts"), files = 8)                            // epoch 0
+      s.conf.set("spark.sql.catalog.graft_x68", "graft.sql.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_x68.base", base)
+      s.sql("""UPDATE graft_x68.events_v2 SET value = value + 500
+              |WHERE user_id BETWEEN 10 AND 19""".stripMargin)      // epoch 1
+      e.where(col("user_id").between(120, 169))
+        .withColumn("value", col("value") + 1000)
+        .createOrReplaceTempView("graft_x68_src")
+      s.sql("""MERGE INTO graft_x68.events_v2 t USING graft_x68_src s
+              |ON t.event_id = s.event_id
+              |WHEN MATCHED THEN UPDATE SET value = s.value
+              |WHEN NOT MATCHED THEN INSERT (event_id, ts, user_id, event_type, value, props)
+              |VALUES (s.event_id, s.ts, s.user_id, s.event_type, s.value, s.props)""".stripMargin) // epoch 2
+      s.sql("""SELECT event_type, COUNT(*) AS n,
+              |  ROUND(SUM(value), 2) AS sum_value,
+              |  COUNT(DISTINCT user_id) AS n_users
+              |FROM graft_x68.events_v2
+              |GROUP BY event_type""".stripMargin)
+    }),
     // CDC-style snapshot diff (incremental-recompute driver): one row per
     // changed key between a synthetic "previous" snapshot (missing the
     // mod-11 slice -> inserts; n_chars bumped on the mod-7 slice ->
@@ -2468,6 +2500,29 @@ object ExtensionQueries {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events
         |WHERE user_id < 200 AND NOT (user_id BETWEEN 40 AND 49)
+        |GROUP BY 1""".stripMargin,
+    // UPDATE applied first (the 10-19 bump), then MERGE semantics
+    // replayed as in x66: matched targets take the source value
+    // (overwriting the earlier bump never collides — key ranges are
+    // disjoint), unmatched source rows (150-169) union in.
+    "x68_v2_dml" ->
+      """WITH tgt AS (
+        |  SELECT event_id, ts, user_id, event_type,
+        |    CASE WHEN user_id BETWEEN 10 AND 19 THEN value + 500
+        |         ELSE value END AS value
+        |  FROM events WHERE user_id < 150),
+        |src AS (SELECT event_id, ts, user_id, event_type, value + 1000 AS value
+        |        FROM events WHERE user_id BETWEEN 120 AND 169),
+        |merged AS (
+        |  SELECT t.event_type, COALESCE(s.value, t.value) AS value, t.user_id
+        |  FROM tgt t LEFT JOIN src s ON t.event_id = s.event_id
+        |  UNION ALL
+        |  SELECT s.event_type, s.value, s.user_id FROM src s
+        |  WHERE s.event_id NOT IN (SELECT event_id FROM tgt))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM merged
         |GROUP BY 1""".stripMargin,
     // Same prev-snapshot derivation, full-outer join, and null-safe
     // column compare as SnapshotDiff.diff.

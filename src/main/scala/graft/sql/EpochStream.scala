@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -48,11 +48,13 @@ object GraftEpochOffset {
   * is pure append and streams cleanly; re-upserting an existing day
   * retires its files and refuses, as any rewrite does.
   *
-  * Catch-up pacing: implements [[SupportsAdmissionControl]] — Spark's
-  * `maxFilesPerTrigger`-shaped read limits map to "at most N epochs per
-  * micro-batch" (each epoch is the natural unit here), so a stream
-  * starting against a long history advances in bounded steps instead of
-  * one giant first batch.
+  * Catch-up pacing: implements [[SupportsAdmissionControl]] with two
+  * composable knobs — `maxEpochsPerTrigger` ("at most N epochs per
+  * micro-batch", the changelog's natural unit) and `maxFilesPerTrigger`
+  * ("at most N delta files per micro-batch", whole epochs admitted while
+  * the budget lasts, always at least one) — so a stream starting against
+  * a long history advances in bounded steps instead of one giant first
+  * batch, even when epoch sizes vary wildly.
   *
   * Scale shape: offset resolution is O(files) driver-side metadata (two
   * snapshot reads per batch); each batch scans ONLY its delta files
@@ -62,7 +64,8 @@ object GraftEpochOffset {
 class GraftEpochStream(spark: SparkSession, baseDir: String, rel: String,
                        dataSchema: StructType, readSchema: StructType,
                        basePath: Option[String],
-                       maxEpochsPerTrigger: Option[Int])
+                       maxEpochsPerTrigger: Option[Int],
+                       maxFilesPerTrigger: Option[Int] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def store = new graft.io.Store(spark, baseDir)
@@ -77,19 +80,49 @@ class GraftEpochStream(spark: SparkSession, baseDir: String, rel: String,
     GraftEpochOffset(store.currentEpoch(rel))
 
   override def getDefaultReadLimit(): ReadLimit =
-    maxEpochsPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+    if (maxEpochsPerTrigger.isDefined || maxFilesPerTrigger.isDefined)
+      ReadLimit.maxFiles(maxEpochsPerTrigger.orElse(maxFilesPerTrigger).get)
+    else ReadLimit.allAvailable()
 
-  /** Admission-controlled advance: cap the epoch step per micro-batch.
-    * ReadMaxFiles carries the "N units per trigger" intent — the unit for
-    * an epoch changelog is the epoch.
+  /** Admission-controlled advance, from the stream's OWN options (the
+    * ReadLimit Spark hands back is the marker this stream returned from
+    * [[getDefaultReadLimit]]; the real pacing intent lives in the two
+    * option fields, which compose):
+    *   - `maxEpochsPerTrigger` caps the EPOCH step — the natural unit of
+    *     the changelog;
+    *   - `maxFilesPerTrigger` caps the DELTA-FILE count — the
+    *     stock-file-stream-shaped knob for catch-up over a long history
+    *     whose epochs vary wildly in size. Epochs are atomic (an offset
+    *     is an epoch boundary), so the walk admits whole epochs while the
+    *     file budget lasts and ALWAYS admits at least one (a single epoch
+    *     larger than the budget must advance the stream, not freeze it —
+    *     the same floor stock maxFilesPerTrigger applies per file).
+    * The walk reads O(admitted epochs) snapshot name-sets, driver-side
+    * metadata only, and only runs while an explicit cap is set.
     */
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val start = startOffset.asInstanceOf[GraftEpochOffset].epoch
     val current = store.currentEpoch(rel)
-    limit match {
-      case m: ReadMaxFiles => GraftEpochOffset(math.min(current, start + m.maxFiles()))
-      case _ => GraftEpochOffset(current)
+    if (maxEpochsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)
+      return GraftEpochOffset(current)
+    var end = maxEpochsPerTrigger
+      .map(n => math.min(current, start + n)).getOrElse(current)
+    maxFilesPerTrigger.foreach { budget =>
+      var prev: Set[String] =
+        if (start < 0) Set.empty
+        else store.versionFileNames(rel, start).toSet
+      var admitted = start
+      var files = 0
+      var e = start + 1
+      while (e <= end) {
+        val names = store.versionFileNames(rel, e).toSet
+        files += (names -- prev).size
+        if (files <= budget || admitted == start) { admitted = e; prev = names; e += 1 }
+        else e = end + 1 // budget exhausted past the first epoch
+      }
+      end = math.max(admitted, start)
     }
+    GraftEpochOffset(end)
   }
 
   override def reportLatestOffset(): Offset = latestOffset()

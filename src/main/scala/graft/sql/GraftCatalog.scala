@@ -88,7 +88,7 @@ class GraftCatalog extends TableCatalog {
     if (!fs.exists(root)) return Array.empty
     fs.listStatus(root).toSeq
       .filter(st => st.isDirectory &&
-        fs.exists(graft.io.LayoutManifest.path(st.getPath)))
+        graft.io.LayoutManifest.exists(fs, st.getPath))
       .map(st => Identifier.of(namespace, st.getPath.getName))
       .toArray
   }
@@ -243,10 +243,19 @@ object GraftCatalog {
   * epoch-CAS'd COW machinery rather than bypassing it; a version-pinned
   * table (`VERSION AS OF`) refuses even that — epochs are immutable.
   */
-private[sql] class GraftTable(underlying: ParquetTable, baseDir: String,
-                              rel: String, versionPinned: Boolean,
-                              partitioned: Boolean = false)
+private[graft] class GraftTable(underlying: ParquetTable, baseDir: String,
+                                rel: String, versionPinned: Boolean,
+                                partitioned: Boolean = false)
     extends Table with SupportsRead with SupportsDeleteV2 {
+
+  /** Store coordinates + pin state, for the post-optimizer DML router
+    * ([[graft.plans.SqlDmlRewrite]]): `UPDATE`/`MERGE INTO` over a
+    * `graft.t` ident route to the SAME journaled COW core the v1 face
+    * uses — the catalog object itself stays read-only.
+    */
+  private[graft] def storeBase: String = baseDir
+  private[graft] def storeRel: String = rel
+  private[graft] def isVersionPinned: Boolean = versionPinned
 
   override def name(): String = underlying.name
 
@@ -263,8 +272,9 @@ private[sql] class GraftTable(underlying: ParquetTable, baseDir: String,
     * shim preserves pushdown/pruning/metadata by delegation); the
     * streaming entry point serves the EPOCH CHANGELOG — see
     * [[GraftEpochStream]] for the append-only contract and pacing.
-    * `.option("maxEpochsPerTrigger", n)` on the readStream caps the epoch
-    * step per micro-batch (admission control).
+    * `.option("maxEpochsPerTrigger", n)` caps the epoch step per
+    * micro-batch; `.option("maxFilesPerTrigger", n)` caps the delta-FILE
+    * count (whole epochs, at least one) — both admission control.
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new org.apache.spark.sql.graftshim.GraftStreamingScanBuilder(
@@ -274,22 +284,24 @@ private[sql] class GraftTable(underlying: ParquetTable, baseDir: String,
         if (versionPinned) throw new UnsupportedOperationException(
           s"$name is pinned to a manifest epoch (VERSION AS OF) — a pinned " +
             "epoch never changes; stream the current table instead")
-        val maxEpochs = Option(options.get("maxEpochsPerTrigger")).map { v =>
-          val n =
-            try v.toInt
-            catch {
-              case _: NumberFormatException => throw new IllegalArgumentException(
-                s"maxEpochsPerTrigger must be a positive integer, got '$v'")
-            }
-          // zero/negative would freeze the stream silently (latestOffset
-          // never advances) — loud beats hung
-          require(n > 0, s"maxEpochsPerTrigger must be positive, got $n")
-          n
-        }
+        def positiveOpt(key: String): Option[Int] =
+          Option(options.get(key)).map { v =>
+            val n =
+              try v.toInt
+              catch {
+                case _: NumberFormatException => throw new IllegalArgumentException(
+                  s"$key must be a positive integer, got '$v'")
+              }
+            // zero/negative would freeze the stream silently (latestOffset
+            // never advances) — loud beats hung
+            require(n > 0, s"$key must be positive, got $n")
+            n
+          }
         new GraftEpochStream(SparkSession.active, baseDir, rel,
           underlying.dataSchema, readSchema,
           basePath = if (partitioned) Some(s"$baseDir/$rel") else None,
-          maxEpochsPerTrigger = maxEpochs)
+          maxEpochsPerTrigger = positiveOpt("maxEpochsPerTrigger"),
+          maxFilesPerTrigger = positiveOpt("maxFilesPerTrigger"))
       })
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =

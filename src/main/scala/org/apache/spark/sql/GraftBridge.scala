@@ -12,6 +12,18 @@ object GraftBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** A Column's EAGER catalyst tree. [[toExpression]] wraps the Column's
+    * lazy ColumnNode ([[classic.ColumnNodeExpression]]); Column-API
+    * composition (`===`, `&&`) builds `UnresolvedFunction("=", "and")`
+    * NODES that only become `EqualTo`/`And` at analysis. Structural
+    * inspection (e.g. pulling partition-key equalities out of a MERGE's
+    * ON) needs the converted tree — note the function names survive as
+    * `analysis.UnresolvedFunction` until resolution, so matchers must
+    * handle both spellings.
+    */
+  def toCatalyst(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** A DataFrame over an already-analyzed plan — the SQL MERGE command
     * re-executes its captured source plan through this (`Dataset.ofRows`
     * is sql-package-private in Spark 4).

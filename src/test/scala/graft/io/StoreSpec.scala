@@ -384,7 +384,7 @@ class StoreSpec extends AnyFunSuite {
     // an untouched-region probe costs what the pristine layout cost
     assert(touched(100, 600) <= lowFresh)
     // no journal/stage debris; provenance reset to all-base
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".graft_scoped_commit")))
+    assert(!graft.io.ScopedCommit.anyMarker(fs, dir))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".tmp_scoped")))
     // a second pass finds nothing to do and moves no file
     val again = store.scopedRecluster("tbl")
@@ -436,7 +436,7 @@ class StoreSpec extends AnyFunSuite {
       "tbl", Seq("k", "v"), files = 1)
     val names = fs.listStatus(dir).map(_.getPath.getName).toSet
     assert(names.contains(promoted) && !names.contains(victim))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".graft_scoped_commit")))
+    assert(!graft.io.ScopedCommit.anyMarker(fs, dir))
     assert(!fs.exists(tmp))
     val got = spark.read.parquet(dir.toString).where(col("k") < 1000)
       .collect().map(_.toString).sorted.toSeq
@@ -556,7 +556,7 @@ class StoreSpec extends AnyFunSuite {
     store.compact("plain", targetBytes = Long.MaxValue)
     val got = spark.read.parquet(dir.toString).collect().map(_.toString).sorted.toSeq
     assert(got == want, "journal not replayed before compact: rows lost or duplicated")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".graft_scoped_commit")))
+    assert(!graft.io.ScopedCommit.anyMarker(fs, dir))
     // curve-clustered table: repartition would destroy the layout AND the
     // provenance/watermark — refuse loudly, recluster is the right tool
     val df = spark.range(1000).select(col("id").as("k"), (col("id") % 7).as("v"))

@@ -60,7 +60,7 @@ class TimeTravelSpec extends AnyFunSuite {
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/.old_tbl")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/tbl/.graft_scoped_commit")))
+    assert(!ScopedCommit.anyMarker(fs, new org.apache.hadoop.fs.Path(s"$base/tbl")))
   }
 
   test("vacuum drops old epochs loudly, keeps new ones exact, reclaims bytes, " +
@@ -137,7 +137,7 @@ class TimeTravelSpec extends AnyFunSuite {
     // ANY entry (readVersion included) recovers the journal, then reads
     assert(rows(store.readVersion("tbl", 0L)) == epoch0,
       "epoch 0 must survive the interrupted commit byte-exactly")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".graft_scoped_commit")))
+    assert(!ScopedCommit.anyMarker(fs, dir))
     // the replay retired the victim rather than deleting it, so epoch 0
     // resolves it from the retired dir; epoch 9 is the recovered current
     assert(fs.exists(new org.apache.hadoop.fs.Path(
@@ -209,21 +209,33 @@ class TimeTravelSpec extends AnyFunSuite {
         base = (m7.base.filterNot(_ == victim2) :+ promoted2).sorted, appends = Nil)),
       stage = tmp2)
     // the laggard replays the OLD epoch-7 journal while the NEW epoch-8
-    // journal sits in the marker: nothing of the successor's may move
+    // journal sits pending: nothing of the successor's may move — its
+    // journal is a DIFFERENT file now (unique marker names), so the
+    // pre-upgrade check-then-delete window is gone by construction
     ScopedCommit.replay(fs, dir, lines)
-    assert(LayoutManifest.readLines(fs, ScopedCommit.marker(dir)) == lines2,
+    assert(LayoutManifest.readLines(fs, lines2.marker) == lines2.lines,
       "stale replay must not delete the successor's journal")
     assert(fs.exists(new org.apache.hadoop.fs.Path(tmp2, victim2)),
       "stale replay must not delete the successor's stage")
     // the successor drives to completion; then an even-later laggard
-    // replay of epoch 7 must not roll the manifest back to 7
+    // replay of epoch 7 must not roll the table back to 7: the epoch-7
+    // snapshot already exists, so the laggard's create-exclusive LOSES —
+    // there is no live pointer left to roll back (the closed r18 residual)
     assert(ScopedCommit.recover(fs, dir))
     assert(LayoutManifest.read(fs, dir).get.epoch == 8L)
     ScopedCommit.replay(fs, dir, lines)
     assert(LayoutManifest.read(fs, dir).get.epoch == 8L,
-      "journaled manifest epochs must only move FORWARD")
+      "committed epochs must be unrollable under laggard replay")
     assert(rows(spark.read.parquet(s"$base/tbl")) == want)
     assert(rows(store.readVersion("tbl", 8L)) == want)
+    // and a laggard replaying ITS OWN already-committed journal cannot
+    // clobber a later SAME-epoch snapshot refresh (the stat cache): the
+    // refresh content survives because the laggard's create loses
+    val m8 = LayoutManifest.read(fs, dir).get
+    LayoutManifest.rewriteSameEpoch(fs, dir, m8.copy(touched = Some(42.0)))
+    ScopedCommit.replay(fs, dir, lines2)
+    assert(LayoutManifest.read(fs, dir).get.touched.contains(42.0),
+      "laggard replay must not roll back a same-epoch stat refresh")
   }
 
   test("epoch claims: a concurrent mutator fails loudly with the table intact; " +
@@ -274,28 +286,42 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir.toString).count() == 560)
   }
 
-  test("phantom snapshots (crashed pre-commit writers) stay invisible; both " +
-    "first-write paths race for the same fresh-table claim") {
+  test("a fully-written v<N> snapshot IS a committed epoch (immutable commit " +
+    "pointers); both first-write paths race for the same fresh-table claim") {
     val base = Files.createTempDirectory("graft_tt_phantom").toString
     val store = new Store(spark, base)
     val df = spark.range(200).select(col("id").as("k"), (col("id") % 9).as("v"))
     store.writeZordered(df, "tbl", Seq("k", "v"), files = 2)     // epoch 0
     val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // manufacture the crash: a writer died between its snapshot write and
-    // the manifest rename — a full, valid-looking v9 above the committed
-    // epoch (snapshot-first order makes this the only phantom shape)
+    // the snapshot's atomic CREATE is the commit point, sequenced after
+    // all data motion — so a visible v9 (here: same file set as v0, the
+    // shape a crash-between-metadata-calls can actually leave) is a
+    // COMMITTED epoch, not a phantom: reads serve it, the current
+    // resolution is the max snapshot, and nothing ever rolls it back
     val m = LayoutManifest.read(fs, dir).get
-    LayoutManifest.writeLinesAtomic(fs,
-      new org.apache.hadoop.fs.Path(LayoutManifest.historyDir(dir), "v9"),
-      m.copy(epoch = 9L).lines)
-    assert(store.listVersions("tbl") == Seq(0L), "phantom epoch leaked into versions")
-    val err = intercept[IllegalStateException] { store.readVersion("tbl", 9L) }
-    assert(err.getMessage.contains("not readable"))
-    // the admin release clears frontier leftovers — claim AND phantom
+    LayoutManifest.write(fs, dir, m.copy(epoch = 9L))
+    assert(store.listVersions("tbl") == Seq(0L, 9L))
+    assert(LayoutManifest.read(fs, dir).get.epoch == 9L)
+    assert(rows(store.readVersion("tbl", 9L)) == rows(df))
+    assert(rows(store.readSnapshot("tbl")) == rows(df))
+    // the admin release clears the frontier CLAIM a crashed writer left,
+    // and never touches snapshots — deleting the max snapshot would BE
+    // the rollback the immutable-pointer design eliminates
+    val o9 = fs.create(LayoutManifest.claimPath(dir, 12L), false)
+    o9.write("crashed-writer".getBytes("UTF-8")); o9.close()
     assert(store.releaseStaleClaims("tbl") == 1)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+    assert(!fs.exists(LayoutManifest.claimPath(dir, 12L)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
       LayoutManifest.historyDir(dir), "v9")))
+    // immutability: a second commit attempt at the same epoch cannot
+    // clobber the existing snapshot (create-exclusive loses)
+    LayoutManifest.write(fs, dir, m.copy(epoch = 9L, touched = Some(7.0)))
+    assert(LayoutManifest.read(fs, dir).get.touched.isEmpty,
+      "an existing epoch snapshot must never be overwritten by a commit")
+    // the next mutation continues from the max snapshot
+    store.deleteWhere("tbl", col("k") < 10)                      // epoch 10
+    assert(store.listVersions("tbl") == Seq(0L, 9L, 10L))
 
     // fresh-table first-write serialization: both append paths claim c0,
     // so a crashed (or concurrent) first writer blocks either path loudly
@@ -420,7 +446,10 @@ class TimeTravelSpec extends AnyFunSuite {
     val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // simulate a table written before per-epoch snapshots existed: the
-    // live manifest is present, the history dir is not
+    // live `_graft_layout` pointer is present (written here explicitly —
+    // post-upgrade commits never write it), the history dir is not
+    LayoutManifest.writeLinesAtomic(fs, LayoutManifest.path(dir),
+      LayoutManifest.read(fs, dir).get.lines)
     assert(fs.delete(LayoutManifest.historyDir(dir), true))
     assert(store.listVersions("tbl").isEmpty)
     // the live manifest IS the current epoch's snapshot content (crash

@@ -157,6 +157,79 @@ class GraftCatalogSpec extends AnyFunSuite {
       "refused DELETE must not mutate")
   }
 
+  test("v2 UPDATE and MERGE INTO route through the journaled COW: graft.t " +
+    "idents get the full DML surface on the same CAS'd retire-backed core") {
+    graft.GraftExtensions.register(spark) // the DML router is an extension rule
+    val base = Files.createTempDirectory("graft_v2upd").toString
+    val store = new Store(spark, base)
+    val df = spark.range(6000).select(col("id").as("k"),
+      pmod(col("id") * 13, lit(6000)).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 6)        // epoch 0
+    spark.conf.set("spark.sql.catalog.graft_u1", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_u1.base", base)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def triples() = fs.listStatus(dir).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime)).toSet
+    val before = triples()
+
+    // UPDATE through the catalog ident: scoped COW (out-of-range files
+    // byte/mtime-identical), retire-backed (epoch 0 reads back in full)
+    spark.sql("UPDATE graft_u1.tbl SET v = v + 1000000 WHERE k >= 5500")
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graft_u1.tbl WHERE v >= 1000000").head.getLong(0) ==
+      df.where(col("k") >= 5500).count())
+    val after = triples()
+    assert(before.intersect(after).nonEmpty && (before -- after).nonEmpty,
+      "v2 UPDATE must be scoped to match-bearing files")
+    assert(store.readVersion("tbl", 0L).count() == 6000)
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graft_u1.tbl VERSION AS OF 0 WHERE v >= 1000000")
+      .head.getLong(0) == 0, "epoch 0 must predate the v2 UPDATE")
+
+    // MERGE INTO through the catalog ident: tombstone-delete + upsert +
+    // gated insert, one retire-backed epoch
+    spark.range(5998, 6004)
+      .select(col("id").as("mk"), (col("id") * 2).as("mv"),
+        (col("id") % 2 === 0).as("del"))
+      .createOrReplaceTempView("graft_u1_src")
+    spark.sql("""
+      MERGE INTO graft_u1.tbl t USING graft_u1_src s ON t.k = s.mk
+      WHEN MATCHED AND s.del THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.mv
+      WHEN NOT MATCHED AND NOT s.del THEN INSERT (k, v) VALUES (s.mk, s.mv)
+    """)
+    // 5998 deleted (del), 5999 updated to 11998; 6000/6002 are del-gated
+    // ghosts (no insert); 6001/6003 insert
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graft_u1.tbl WHERE k = 5998").head.getLong(0) == 0)
+    assert(spark.sql(
+      "SELECT v FROM graft_u1.tbl WHERE k = 5999").head.getLong(0) == 11998L)
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graft_u1.tbl WHERE k IN (6000, 6002)")
+      .head.getLong(0) == 0)
+    assert(spark.sql(
+      "SELECT SUM(v) AS s FROM graft_u1.tbl WHERE k IN (6001, 6003)")
+      .head.getLong(0) == 6001L * 2 + 6003L * 2)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_u1.tbl").head.getLong(0) ==
+      6000 - 1 + 2)
+    // the whole merge is ONE epoch; every prior epoch stays readable
+    assert(store.listVersions("tbl") == Seq(0L, 1L, 2L))
+    assert(store.readVersion("tbl", 1L).where(col("k") === 5998).count() == 1)
+
+    // the CAS still guards the v2 DML face: a held claim blocks it loudly
+    val o = fs.create(LayoutManifest.claimPath(dir, 3L), false)
+    o.write("other-writer".getBytes("UTF-8")); o.close()
+    intercept[Exception] {
+      spark.sql("UPDATE graft_u1.tbl SET v = 0 WHERE k = 1")
+    }
+    assert(fs.delete(LayoutManifest.claimPath(dir, 3L), false))
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graft_u1.tbl WHERE v = 0 AND k = 1")
+      .head.getLong(0) == 0, "a CAS-blocked v2 UPDATE must not mutate")
+  }
+
   test("$history metadata table lists readable epochs; SQL-only epoch " +
     "discovery feeds VERSION AS OF; write-shaped DDL stays refused") {
     val base = Files.createTempDirectory("graft_v2hist").toString
@@ -204,6 +277,19 @@ class GraftCatalogSpec extends AnyFunSuite {
         "SELECT COUNT(*) FROM graft_h1.tbl TIMESTAMP AS OF '1990-01-01'").collect()
     }
     assert(eTs.getMessage.contains("no epoch"), eTs.getMessage)
+    // a same-epoch maintenance refresh must not shift an epoch's
+    // wall-clock identity: committed_at is stamped INSIDE the snapshot at
+    // commit (not derived from file mtimes, which the refresh bumps), so
+    // a timestamp that resolved to the current epoch keeps doing so
+    val t2 = spark.sql(
+      "SELECT committed_at FROM graft_h1.`tbl$history` WHERE version = 2")
+      .head.getTimestamp(0)
+    val curN = spark.sql("SELECT COUNT(*) AS n FROM graft_h1.tbl").head.getLong(0)
+    store.erosionStats("tbl") // rewrites v2's snapshot (stat cache)
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS n FROM graft_h1.tbl TIMESTAMP AS OF '$t2'")
+      .head.getLong(0) == curN,
+      "TIMESTAMP AS OF must be stable across same-epoch maintenance")
     // vacuum shrinks the listing to what is still readable
     store.vacuum("tbl", keepLast = 1)
     assert(spark.sql("SELECT COUNT(*) AS n FROM graft_h1.`tbl$history`")
@@ -231,7 +317,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     // $history must name it
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hd = LayoutManifest.historyDir(new org.apache.hadoop.fs.Path(s"$base/tbl"))
+    val tdir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    // pre-upgrade shape = live pointer present (written here explicitly —
+    // post-upgrade commits never write it), no snapshots
+    LayoutManifest.writeLinesAtomic(fs, LayoutManifest.path(tdir),
+      LayoutManifest.read(fs, tdir).get.lines)
+    val hd = LayoutManifest.historyDir(tdir)
     fs.listStatus(hd).foreach { st =>
       if (st.getPath.getName.startsWith("v")) fs.delete(st.getPath, false)
     }

@@ -129,6 +129,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(batches.map(_.numInputRows).toSeq == Seq(300L, 100L, 50L),
         batches.map(_.numInputRows).mkString(","))
     } finally q2.stop()
+
+    // file-count pacing: epoch 0 carries 2 files, epochs 1/2 one each.
+    // maxFilesPerTrigger=2 admits whole epochs while the delta-file
+    // budget lasts (epoch 0 alone exhausts it; epochs 1+2 fit together),
+    // and a first epoch larger than the budget still advances the stream
+    val q3 = spark.readStream
+      .option("maxFilesPerTrigger", "2")
+      .table("graft_st5q.tbl")
+      .writeStream.format("memory").queryName("st5r_sink")
+      .option("checkpointLocation", Files.createTempDirectory("graft_st5r_ck").toString)
+      .start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("st5r_sink").count() == 450)
+      val batches = q3.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.map(_.numInputRows).toSeq == Seq(300L, 150L),
+        batches.map(_.numInputRows).mkString(","))
+    } finally q3.stop()
+    // a zero/negative cap is loud, not a silent freeze (same law as
+    // maxEpochsPerTrigger)
+    val eBad = intercept[Exception] {
+      spark.readStream.option("maxFilesPerTrigger", "0")
+        .table("graft_st5q.tbl")
+        .writeStream.format("memory").queryName("st5r_bad")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_st5r_bk").toString)
+        .start().processAllAvailable()
+    }
+    def chain2(e: Throwable): Seq[String] =
+      if (e == null) Nil else Option(e.getMessage).toSeq ++ chain2(e.getCause)
+    assert(chain2(eBad).exists(_.contains("maxFilesPerTrigger")),
+      chain2(eBad).mkString(" | "))
   }
 
   test("hourly windowed aggregate over a file stream matches the batch result") {
