@@ -190,6 +190,11 @@ private[graft] object LayoutManifest {
     * existing destination atomically. The tmp name carries a UUID so two
     * concurrent replayers of the same journal never share a stage file
     * (one truncating the other's mid-link would link partial content).
+    * A crash between the stage and the link leaves the dot-prefixed tmp
+    * as hidden debris (skipped by every v/c/marker filter); the explicit
+    * no-writer-live admin path ([[graft.io.Store.releaseStaleClaims]])
+    * reclaims it — a sweep anywhere concurrent could race a LIVE commit
+    * mid-stage.
     */
   def writeLinesCreate(fs: FileSystem, dest: Path, lines: Seq[String]): Boolean = {
     val tmp = new Path(dest.getParent,
@@ -425,19 +430,36 @@ private[graft] object ScopedCommit {
     */
   def marker(dir: Path) = new Path(dir, MarkerName)
 
-  def newMarkerPath(dir: Path): Path =
-    new Path(dir, s"$MarkerName-${java.util.UUID.randomUUID.toString.take(8)}")
-
-  /** Every journal marker under `dir` (the unique-named ones and a legacy
-    * fixed-name one), name-sorted for deterministic replay order — replay
-    * is idempotent and journals touch disjoint files (epoch-unique promote
-    * names, per-journal stage dirs), so order is correctness-neutral.
+  /** New journals live in the HIDDEN history dir (`.graft_history/`): the
+    * recovery check that every mutator AND every per-statement DSv2 read
+    * runs must stay O(1)-ish — listing the TABLE root to find markers
+    * would be an O(data files) metadata pass per statement on a 100 TB
+    * table (the history dir holds epoch-count entries, bounded by
+    * vacuum). Plain (manifest-less) tables get the dir created on their
+    * first journal; it is dot-prefixed, invisible to scans, and travels
+    * with the table.
     */
-  def markers(fs: FileSystem, dir: Path): Seq[Path] =
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith(MarkerName))
-      .map(_.getPath).sortBy(_.getName)
+  def newMarkerPath(dir: Path): Path =
+    new Path(LayoutManifest.historyDir(dir),
+      s"$MarkerName-${java.util.UUID.randomUUID.toString.take(8)}")
+
+  /** Every journal marker under `dir` (the unique-named ones in the
+    * history dir and a legacy fixed-name one at the root), name-sorted
+    * for deterministic replay order — replay is idempotent and journals
+    * touch disjoint files (epoch-unique promote names, per-journal stage
+    * dirs), so order is correctness-neutral. Cost: one exists probe plus
+    * one small-dir listing.
+    */
+  def markers(fs: FileSystem, dir: Path): Seq[Path] = {
+    val legacy = if (fs.exists(marker(dir))) Seq(marker(dir)) else Nil
+    val hd = LayoutManifest.historyDir(dir)
+    val fresh =
+      if (!fs.exists(hd)) Nil
+      else fs.listStatus(hd).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith(MarkerName))
+        .map(_.getPath).sortBy(_.getName)
+    legacy ++ fresh
+  }
 
   def anyMarker(fs: FileSystem, dir: Path): Boolean = markers(fs, dir).nonEmpty
 

@@ -968,11 +968,16 @@ class Store(spark: SparkSession, baseDir: String) {
     // engines (Delta) materialize the source for exactly this reason.
     // MEMORY_AND_DISK covers the mainline; a lost-executor recompute on a
     // cluster is the residual any cache-based materialization carries.
-    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // A source the CALLER already cached is left alone — persist would
+    // no-op but the paired unpersist would evict THEIR entry.
+    val callerCached = org.apache.spark.sql.GraftBridge.isCached(source)
+    val src =
+      if (callerCached) source
+      else source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try withClaimUnlessNoop(dir, m0)(
       mergeIntoBody(dir, src, on, matched, insert, m0))(
       r => r.filesTouched > 0 || r.rowsInserted > 0L)
-    finally src.unpersist(blocking = false)
+    finally if (!callerCached) src.unpersist(blocking = false)
   }
 
   /** A scan-reported file URI -> the root-relative name manifests key by
@@ -1032,12 +1037,20 @@ class Store(spark: SparkSession, baseDir: String) {
     // full-table scan on day-keyed merges, the same trick the streaming
     // upsert sink uses. The distinct-value collect is bounded by the
     // BATCH's partition values (a CDC feed's few days), never the table.
+    // Distinct-value probe is CAPPED: pruning only pays when the source
+    // touches few partitions (days of a CDC feed). Past the cap the
+    // collect would be a driver OOM risk and the In() literal list a
+    // planning blowup — skip pruning for that column instead (pure
+    // optimization; the unpruned scan is always correct).
+    val pruneCap = 1000
     val matchAll = Store.partitionEqualities(on, partCols).foldLeft(all) {
       case (acc, (pc, srcExpr)) =>
         val vals = source.alias("__s")
-          .select(GraftBridge.toColumn(srcExpr)).distinct().collect()
+          .select(GraftBridge.toColumn(srcExpr)).distinct()
+          .limit(pruneCap + 1).collect()
           .map(_.get(0)).toSeq
         if (vals.isEmpty) acc.where(lit(false))
+        else if (vals.size > pruneCap) acc
         else acc.where(col(pc).isin(vals: _*))
     }
     // files bearing matches — only when a matched action will rewrite
@@ -1664,9 +1677,16 @@ class Store(spark: SparkSession, baseDir: String) {
       val n = st.getPath.getName
       val stale = n.startsWith("c") &&
         scala.util.Try(n.drop(1).toLong).toOption.exists(_ > m.epoch)
-      if (stale) {
+      // a writer that died between staging a `.w_…` metadata tmp and its
+      // link/rename leaves the tmp (and its checksum sidecar) as hidden
+      // debris nothing else reclaims — this no-writer-is-live path is the
+      // only place a sweep cannot race a commit mid-stage (claimEpoch's
+      // sweep could: a LIVE epoch holder stages its snapshot tmp while a
+      // loser runs the sweep)
+      val debris = n.contains(".w_")
+      if (stale || debris) {
         fs.delete(st.getPath, false)
-        released += 1
+        if (stale) released += 1
       }
     }
     // a crashed claim holder's markerless stage is garbage once its claim

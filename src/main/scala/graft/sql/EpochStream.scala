@@ -84,10 +84,7 @@ class GraftEpochStream(spark: SparkSession, baseDir: String, rel: String,
       ReadLimit.maxFiles(maxEpochsPerTrigger.orElse(maxFilesPerTrigger).get)
     else ReadLimit.allAvailable()
 
-  /** Admission-controlled advance, from the stream's OWN options (the
-    * ReadLimit Spark hands back is the marker this stream returned from
-    * [[getDefaultReadLimit]]; the real pacing intent lives in the two
-    * option fields, which compose):
+  /** Admission-controlled advance, from the stream's OWN options:
     *   - `maxEpochsPerTrigger` caps the EPOCH step — the natural unit of
     *     the changelog;
     *   - `maxFilesPerTrigger` caps the DELTA-FILE count — the
@@ -97,23 +94,42 @@ class GraftEpochStream(spark: SparkSession, baseDir: String, rel: String,
     *     file budget lasts and ALWAYS admits at least one (a single epoch
     *     larger than the budget must advance the stream, not freeze it —
     *     the same floor stock maxFilesPerTrigger applies per file).
-    * The walk reads O(admitted epochs) snapshot name-sets, driver-side
-    * metadata only, and only runs while an explicit cap is set.
+    * An explicit [[ReadAllAvailable]] limit (Trigger.Once) OVERRIDES the
+    * pacing — "everything in one batch" is that trigger's contract, and
+    * capping it would silently strand the epochs past the cap when the
+    * query terminates after its single batch.
+    *
+    * A FRESH stream (offset -1) pages from the OLDEST still-readable
+    * epoch: earlier epochs were vacuumed and their deltas no longer
+    * exist — the paced first batch anchors there exactly as the unpaced
+    * first batch anchors at the current snapshot (both deliver a full
+    * file set, never a partial table).
+    *
+    * Caught up (current == start) returns immediately — an idle poll
+    * pays one manifest read, never the walk. The walk itself reads
+    * O(admitted epochs) snapshot name-sets, driver-side metadata only.
     */
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val start = startOffset.asInstanceOf[GraftEpochOffset].epoch
     val current = store.currentEpoch(rel)
-    if (maxEpochsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)
+    if (current <= start ||
+        limit.isInstanceOf[org.apache.spark.sql.connector.read.streaming.ReadAllAvailable] ||
+        (maxEpochsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty))
       return GraftEpochOffset(current)
+    // first epoch a paced batch may deliver: the next one, or — from a
+    // fresh offset — the oldest epoch that still has a snapshot
+    val first =
+      if (start >= 0) start + 1
+      else store.listVersions(rel).headOption.getOrElse(current)
     var end = maxEpochsPerTrigger
-      .map(n => math.min(current, start + n)).getOrElse(current)
+      .map(n => math.min(current, math.max(first, start + n))).getOrElse(current)
     maxFilesPerTrigger.foreach { budget =>
       var prev: Set[String] =
         if (start < 0) Set.empty
         else store.versionFileNames(rel, start).toSet
       var admitted = start
       var files = 0
-      var e = start + 1
+      var e = first
       while (e <= end) {
         val names = store.versionFileNames(rel, e).toSet
         files += (names -- prev).size

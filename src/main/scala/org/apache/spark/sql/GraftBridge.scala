@@ -24,6 +24,17 @@ object GraftBridge {
   def toCatalyst(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter.apply(c.node)
 
+  /** Whether `df`'s plan is already in the session cache — the guard a
+    * materialize-then-unpersist scope needs so it never drops a CALLER's
+    * cache: `persist()` on an already-cached plan is a warning no-op, but
+    * the paired `unpersist()` would evict the caller's entry and silently
+    * de-optimize every later use (the cache manager is sql-private).
+    */
+  def isCached(df: Dataset[_]): Boolean = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds).isDefined
+  }
+
   /** A DataFrame over an already-analyzed plan — the SQL MERGE command
     * re-executes its captured source plan through this (`Dataset.ofRows`
     * is sql-package-private in Spark 4).

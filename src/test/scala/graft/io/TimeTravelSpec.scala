@@ -310,8 +310,14 @@ class TimeTravelSpec extends AnyFunSuite {
     // the rollback the immutable-pointer design eliminates
     val o9 = fs.create(LayoutManifest.claimPath(dir, 12L), false)
     o9.write("crashed-writer".getBytes("UTF-8")); o9.close()
+    // and a writer that died mid writeLinesCreate leaves a hidden .w_
+    // staging tmp — swept by the same explicit no-writer-live path
+    val debris = new org.apache.hadoop.fs.Path(
+      LayoutManifest.historyDir(dir), ".w_v12_deadbeef")
+    val od = fs.create(debris, false); od.write("zcols=k".getBytes); od.close()
     assert(store.releaseStaleClaims("tbl") == 1)
     assert(!fs.exists(LayoutManifest.claimPath(dir, 12L)))
+    assert(!fs.exists(debris), "crash-orphaned .w_ staging tmps must sweep")
     assert(fs.exists(new org.apache.hadoop.fs.Path(
       LayoutManifest.historyDir(dir), "v9")))
     // immutability: a second commit attempt at the same epoch cannot

@@ -467,6 +467,20 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(before.subsetOf(triples()), "insert-only merge must keep every existing file")
     assert(spark.read.parquet(dir.toString).count() == 2010)
     assert(store.listVersions("tbl") == Seq(0L, 1L))
+
+    // the merge materializes an UNCACHED source internally but must not
+    // evict a cache the CALLER created on the same frame (persist would
+    // no-op; the paired unpersist would drop the caller's entry)
+    val cachedSrc = spark.range(9500, 9510).select(col("id").as("mk"),
+      col("id").as("mv")).cache()
+    cachedSrc.count()
+    assert(cachedSrc.storageLevel.useMemory)
+    store.mergeInto("tbl", cachedSrc, t("k") === s("mk"),
+      matched = Seq(Store.MergeUpdate(Map("v" -> s("mv")))),
+      insert = Some((Map("k" -> s("mk"), "v" -> s("mv")), None)))
+    assert(cachedSrc.storageLevel.useMemory,
+      "merge must not unpersist a caller-cached source")
+    cachedSrc.unpersist()
   }
 
   test("MERGE with a partition-key equality in ON prunes the insert anti-join " +

@@ -147,6 +147,49 @@ class StreamingSpec extends AnyFunSuite {
       assert(batches.map(_.numInputRows).toSeq == Seq(300L, 150L),
         batches.map(_.numInputRows).mkString(","))
     } finally q3.stop()
+    // an explicit ReadAllAvailable limit (Trigger.Once's contract)
+    // OVERRIDES the pacing: capping it would strand the epochs past the
+    // cap when the single-batch query terminates
+    val allStream = new graft.sql.GraftEpochStream(spark, base2, "tbl",
+      spark.read.parquet(s"$base2/tbl").schema,
+      spark.read.parquet(s"$base2/tbl").schema,
+      basePath = None, maxEpochsPerTrigger = Some(1))
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val cur = allStream.latestOffset().asInstanceOf[graft.sql.GraftEpochOffset].epoch
+    assert(allStream.latestOffset(graft.sql.GraftEpochOffset(-1L),
+      ReadLimit.allAvailable()).asInstanceOf[graft.sql.GraftEpochOffset].epoch == cur,
+      "Trigger.Once (allAvailable) must deliver everything despite pacing options")
+    assert(allStream.latestOffset(graft.sql.GraftEpochOffset(-1L),
+      allStream.getDefaultReadLimit()).asInstanceOf[graft.sql.GraftEpochOffset].epoch == 0L,
+      "the default (paced) limit steps one epoch")
+
+    // a paced FRESH stream over a table whose early history was vacuumed
+    // anchors its first batch at the oldest still-readable epoch instead
+    // of crashing on the vacuumed one
+    store2.deleteWhere("tbl", col("k") < 5)                             // epoch 3
+    store2.vacuum("tbl", keepLast = 2)                                  // keeps 2, 3
+    val q4 = spark.readStream
+      .option("maxEpochsPerTrigger", "1")
+      .option("maxFilesPerTrigger", "100")
+      .table("graft_st5q.tbl")
+      .writeStream.format("memory").queryName("st5s_sink")
+      .option("checkpointLocation", Files.createTempDirectory("graft_st5s_ck").toString)
+      .start()
+    try {
+      // batch 1 anchors at epoch 2 (the oldest readable) and delivers its
+      // full 450-row file set; batch 2 (epoch 3, a COW-delete REWRITE)
+      // then refuses loudly — the documented append-only line. What must
+      // NOT appear anywhere is "not readable": that is the vacuumed-epoch
+      // startup crash this law exists to prevent.
+      val e4 = intercept[Exception] { q4.processAllAvailable() }
+      def c(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ c(x.getCause)
+      assert(c(e4).exists(_.contains("REWRITE")) &&
+        !c(e4).exists(_.contains("not readable")), c(e4).mkString(" | "))
+      assert(spark.table("st5s_sink").count() == 450,
+        "the paced fresh start must anchor at the oldest readable epoch")
+    } finally q4.stop()
+
     // a zero/negative cap is loud, not a silent freeze (same law as
     // maxEpochsPerTrigger)
     val eBad = intercept[Exception] {
