@@ -1773,6 +1773,35 @@ class Store(spark: SparkSession, baseDir: String) {
     Store.ResolvedVersion(paths, m.partCols, m.allFiles)
   }
 
+  /** Resolve a SMALL set of root-relative file `names` to their current
+    * homes (live path, else retired) with per-name existence probes —
+    * O(names) metadata, the per-micro-batch shape the epoch stream needs:
+    * [[resolveVersion]] pays TWO whole-table metadata walks
+    * (listDataFilesDeep + listRetired) per call, which is O(table files)
+    * per batch no matter how small the delta. Same recovery discipline
+    * and same loudness (a name that is neither live nor retired throws
+    * the resolveVersion message); same concurrency boundary too — a
+    * retire landing between resolution and the scan fails the read
+    * loudly, never wrongly.
+    */
+  private[graft] def resolveNames(rel: String, epoch: Long,
+                                  names: Seq[String]): Seq[String] = {
+    val dir = new Path(s"$baseDir/$rel")
+    Store.recoverSwap(fs, dir)
+    ScopedCommit.recover(fs, dir)
+    names.map { n =>
+      val livePath = new Path(dir, n)
+      if (fs.exists(livePath)) livePath.toString
+      else {
+        val rp = LayoutManifest.retiredPath(dir, n)
+        if (fs.exists(rp)) rp.toString
+        else throw new IllegalStateException(
+          s"epoch $epoch of $rel references $n, which is neither live nor retired — " +
+            "the snapshot is no longer materializable; vacuum the stale epoch")
+      }
+    }
+  }
+
   /** Every retired file under `dir`, keyed by its ROOT-RELATIVE data name
     * (the identity manifests record): the table root's `.graft_retired`
     * children (flat layouts) plus each partition directory's nested

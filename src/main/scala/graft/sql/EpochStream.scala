@@ -65,7 +65,8 @@ class GraftEpochStream(spark: SparkSession, baseDir: String, rel: String,
                        dataSchema: StructType, readSchema: StructType,
                        basePath: Option[String],
                        maxEpochsPerTrigger: Option[Int],
-                       maxFilesPerTrigger: Option[Int] = None)
+                       maxFilesPerTrigger: Option[Int] = None,
+                       startingEpoch: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def store = new graft.io.Store(spark, baseDir)
@@ -74,7 +75,30 @@ class GraftEpochStream(spark: SparkSession, baseDir: String, rel: String,
   // exec evaluates partitions first, factory second, within one batch)
   @volatile private var lastBatchScan: Option[Scan] = None
 
-  override def initialOffset(): Offset = GraftEpochOffset(-1L)
+  /** Where a NEW checkpoint starts (Delta's `startingVersion` shape) —
+    * only consulted on the stream's first-ever batch; afterwards the
+    * checkpointed offset rules:
+    *   - absent: the full current table, then deltas (offset -1);
+    *   - `"latest"`: only changes AFTER the stream starts (offset =
+    *     current epoch — the tail -f mode);
+    *   - `<n>`: epochs n and newer (offset n-1; the first batch needs
+    *     epoch n-1's snapshot unless n is the oldest readable — `0` is
+    *     exactly the default). A vacuumed anchor fails the first batch
+    *     loudly rather than silently delivering a different slice.
+    */
+  override def initialOffset(): Offset = startingEpoch match {
+    case None => GraftEpochOffset(-1L)
+    case Some("latest") => GraftEpochOffset(store.currentEpoch(rel))
+    case Some(v) =>
+      val n =
+        try v.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"startingEpoch must be a non-negative epoch number or 'latest', got '$v'")
+        }
+      require(n >= 0, s"startingEpoch must be non-negative, got $n")
+      GraftEpochOffset(n - 1)
+  }
 
   override def latestOffset(): Offset =
     GraftEpochOffset(store.currentEpoch(rel))
@@ -161,22 +185,27 @@ class GraftEpochStream(spark: SparkSession, baseDir: String, rel: String,
   override def createReaderFactory(): PartitionReaderFactory =
     lastBatchScan.getOrElse(mkScan(Nil)).toBatch.createReaderFactory()
 
-  /** The files epoch `e` added over epoch `s`, at their current homes. */
+  /** The files epoch `e` added over epoch `s`, at their current homes.
+    * Cost shape matters here — this runs once per micro-batch: the two
+    * epochs' NAME sets come from their snapshots (two small metadata
+    * reads) and only the DELTA names are resolved to paths (O(delta)
+    * existence probes via [[graft.io.Store.resolveNames]]) — never a
+    * whole-table listing, so a small append batch on a million-file
+    * table costs the batch, not the table.
+    */
   private def deltaPaths(s: Long, e: Long): Seq[String] = {
     if (e < 0 || s == e) return Nil
-    val endR = store.resolveVersion(rel, e)
+    val endNamesSeq = store.versionFileNames(rel, e)
     val startNames =
       if (s < 0) Set.empty[String] else store.versionFileNames(rel, s).toSet
-    val endNames = endR.names.toSet
+    val endNames = endNamesSeq.toSet
     val dropped = startNames -- endNames
     if (dropped.nonEmpty) throw new IllegalStateException(
       s"epochs $s..$e of $rel contain a REWRITE (${dropped.size} file(s) of " +
         s"epoch $s are gone from epoch $e, e.g. ${dropped.head}) — the epoch " +
         "changelog streams appends only; run OPTIMIZE/DELETE/partition " +
         "re-upserts between stream restarts, or re-read the table as a batch")
-    endR.names.zip(endR.paths).collect {
-      case (n, p) if !startNames(n) => p
-    }
+    store.resolveNames(rel, e, endNamesSeq.filterNot(startNames))
   }
 
   /** A stock v2 parquet scan over exactly `paths`, pruned to the stream's

@@ -275,6 +275,9 @@ private[graft] class GraftTable(underlying: ParquetTable, baseDir: String,
     * `.option("maxEpochsPerTrigger", n)` caps the epoch step per
     * micro-batch; `.option("maxFilesPerTrigger", n)` caps the delta-FILE
     * count (whole epochs, at least one) — both admission control.
+    * `.option("startingEpoch", n | "latest")` anchors a NEW checkpoint
+    * (Delta's `startingVersion` shape): epochs n and newer, or only
+    * changes after start.
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new org.apache.spark.sql.graftshim.GraftStreamingScanBuilder(
@@ -301,7 +304,8 @@ private[graft] class GraftTable(underlying: ParquetTable, baseDir: String,
           underlying.dataSchema, readSchema,
           basePath = if (partitioned) Some(s"$baseDir/$rel") else None,
           maxEpochsPerTrigger = positiveOpt("maxEpochsPerTrigger"),
-          maxFilesPerTrigger = positiveOpt("maxFilesPerTrigger"))
+          maxFilesPerTrigger = positiveOpt("maxFilesPerTrigger"),
+          startingEpoch = Option(options.get("startingEpoch")))
       })
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =

@@ -204,6 +204,53 @@ class StreamingSpec extends AnyFunSuite {
       if (e == null) Nil else Option(e.getMessage).toSeq ++ chain2(e.getCause)
     assert(chain2(eBad).exists(_.contains("maxFilesPerTrigger")),
       chain2(eBad).mkString(" | "))
+
+    // startingEpoch anchors a NEW checkpoint (Delta's startingVersion
+    // shape): "2" delivers epochs 2.. only; "latest" delivers only what
+    // commits after the stream starts. Fresh table — anchors need their
+    // predecessor snapshots readable.
+    val base3 = Files.createTempDirectory("graft_st5t").toString
+    val store3 = new graft.io.Store(spark, base3)
+    store3.writeZordered(mk(0, 300), "tbl", Seq("k", "v"), files = 2)    // epoch 0
+    store3.appendZordered(mk(300, 400), "tbl", Seq("k", "v"), files = 1) // epoch 1
+    store3.appendZordered(mk(400, 450), "tbl", Seq("k", "v"), files = 1) // epoch 2
+    spark.conf.set("spark.sql.catalog.graft_st5se", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_st5se.base", base3)
+    val q5 = spark.readStream
+      .option("startingEpoch", "2")
+      .table("graft_st5se.tbl")
+      .writeStream.format("memory").queryName("st5t_sink")
+      .option("checkpointLocation", Files.createTempDirectory("graft_st5t_ck").toString)
+      .start()
+    try {
+      q5.processAllAvailable()
+      assert(spark.table("st5t_sink").select("k").as[Long].collect().sorted.toSeq ==
+        (400L until 450L).toSeq, "startingEpoch=2 must deliver exactly epoch 2's delta")
+    } finally q5.stop()
+    val q6 = spark.readStream
+      .option("startingEpoch", "latest")
+      .table("graft_st5se.tbl")
+      .writeStream.format("memory").queryName("st5u_sink")
+      .option("checkpointLocation", Files.createTempDirectory("graft_st5u_ck").toString)
+      .start()
+    try {
+      q6.processAllAvailable()
+      assert(spark.table("st5u_sink").count() == 0,
+        "startingEpoch=latest must skip the existing table")
+      store3.appendZordered(mk(450, 460), "tbl", Seq("k", "v"), files = 1) // epoch 3
+      q6.processAllAvailable()
+      assert(spark.table("st5u_sink").select("k").as[Long].collect().sorted.toSeq ==
+        (450L until 460L).toSeq, "only the post-start epoch arrives")
+    } finally q6.stop()
+    val eSe = intercept[Exception] {
+      spark.readStream.option("startingEpoch", "nope").table("graft_st5se.tbl")
+        .writeStream.format("memory").queryName("st5v_sink")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_st5v_ck").toString)
+        .start().processAllAvailable()
+    }
+    assert(chain2(eSe).exists(_.contains("startingEpoch")),
+      chain2(eSe).mkString(" | "))
   }
 
   test("hourly windowed aggregate over a file stream matches the batch result") {
