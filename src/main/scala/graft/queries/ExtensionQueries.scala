@@ -961,6 +961,30 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
     }),
+    // x63's maintenance loop driven from PURE SQL: the CALL procedures
+    // (ProcedureCatalog — Spark 4's stored-procedure face) run the same
+    // measured triggers through the same journaled operators, and the
+    // read-back goes through the catalog. The oracle is identical to
+    // x63's: maintenance must never change what the table SAYS.
+    "x69_sql_maintenance" -> ((s, dir) => {
+      val base = s"$scratchDir/x69"
+      val store = new graft.io.Store(s, base)
+      val e = Tables.events(s, dir)
+      store.writeZordered(e.where(col("event_id") % 3 === 0), "events_sm",
+        Seq("user_id", "ts"), files = 8)
+      store.appendZordered(e.where(col("event_id") % 3 === 1), "events_sm",
+        Seq("user_id", "ts"), files = 2)
+      store.appendZordered(e.where(col("event_id") % 3 === 2), "events_sm",
+        Seq("user_id", "ts"), files = 2)
+      s.conf.set("spark.sql.catalog.graft_x69", "graft.sql.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_x69.base", base)
+      s.sql("CALL graft_x69.maintain('events_sm', 1.5, 3, 0.05, 1)").collect()
+      s.sql("""SELECT event_type, COUNT(*) AS n,
+              |  ROUND(SUM(value), 2) AS sum_value,
+              |  COUNT(DISTINCT user_id) AS n_users
+              |FROM graft_x69.events_sm
+              |GROUP BY event_type""".stripMargin)
+    }),
     // x60b over the OTHER common lakehouse shape: `DELETE FROM` a
     // dt-PARTITIONED store (the date-scoped takedown every real operator
     // runs). The dt predicate partition-prunes the locate scan — the
@@ -2400,6 +2424,14 @@ object ExtensionQueries {
     // The maintained store must hold exactly the raw rows after the full
     // triggered cycle: the oracle aggregates events directly.
     "x63_maintenance_cycle" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    // The SQL-driven (CALL) maintenance cycle holds the same law: the
+    // catalog read-back aggregates to exactly the raw rows.
+    "x69_sql_maintenance" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(value), 2) AS sum_value,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users

@@ -62,10 +62,32 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ([[graft.io.Store.readVersion]]'s messages); a nonexistent path is
   * the analyzer's ordinary TABLE_OR_VIEW_NOT_FOUND.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var base: String = _
+
+  /** `CALL graft.<proc>(…)` — the SQL face of the MAINTENANCE loop, so an
+    * operator never leaves SQL to run it: `vacuum`, `optimize` (the
+    * scoped recluster), `erosion` (measure only), `maintain` (the full
+    * measured daily cycle), `release_stale_claims`. Reads stay reads and
+    * writes stay journaled: every procedure routes to the same Store
+    * operator the API face runs, epoch CAS included. Iceberg's
+    * `CALL cat.system.proc` spelling is accepted too.
+    */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val ns = ident.namespace().toSeq
+    if (ns.nonEmpty && ns != Seq("system"))
+      throw new RuntimeException(
+        s"graft catalog '$catalogName' has no procedure namespace '${ns.mkString(".")}' " +
+          "(procedures live at the catalog root, or under `system`)")
+    GraftProcedures.load(catalogName, base, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.nonEmpty && namespace.toSeq != Seq("system")) Array.empty
+    else GraftProcedures.Names.map(n => Identifier.of(namespace, n)).toArray
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -359,4 +381,121 @@ private[sql] object GraftHistoryTable {
     .add("committed_at", TimestampType, nullable = false)
     .add("files", "int", nullable = false)
     .add("is_current", "boolean", nullable = false)
+}
+
+/** The `CALL`-able maintenance procedures ([[GraftCatalog.loadProcedure]]):
+  * each binds a fixed IN-parameter list, runs the corresponding journaled
+  * [[graft.io.Store]] operator on the active session, and returns its
+  * stats as ONE driver-side row (a [[LocalScan]], like `$history`).
+  * Deliberately NOT deterministic — a call is an action on table state.
+  */
+private[sql] object GraftProcedures {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val Names: Seq[String] =
+    Seq("vacuum", "optimize", "erosion", "maintain", "release_stale_claims")
+
+  def load(catalog: String, base: String, name: String): UnboundProcedure =
+    name match {
+      case "vacuum" => new Vacuum(base)
+      case "optimize" => new Optimize(base)
+      case "erosion" => new Erosion(base)
+      case "maintain" => new Maintain(base)
+      case "release_stale_claims" => new Release(base)
+      case other => throw new RuntimeException(
+        s"graft catalog '$catalog' has no procedure '$other' " +
+          s"(available: ${Names.mkString(", ")})")
+    }
+
+  private def in(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
+
+  private def one(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(row)
+    }).iterator()
+
+  /** One fixed-signature procedure: unbound and bound in one object (the
+    * parameter list never depends on the argument types).
+    */
+  private abstract class P(pname: String, desc: String,
+                           params: Array[ProcedureParameter],
+                           out: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = pname
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    protected def output: StructType = out
+    protected def run(s: graft.io.Store, args: InternalRow): InternalRow
+    final override def call(input: InternalRow): java.util.Iterator[Scan] =
+      one(out, run(mkStore, input))
+    protected def base: String
+    private def mkStore = new graft.io.Store(SparkSession.active, base)
+  }
+
+  private class Vacuum(val base: String) extends P("vacuum",
+    "reclaim all but the newest keep_last epochs (snapshots first, then unreferenced retired files)",
+    Array(in("table", StringType), in("keep_last", IntegerType)),
+    new StructType().add("kept_epochs", StringType).add("dropped_epochs", StringType)
+      .add("removed_files", IntegerType).add("reclaimed_bytes", LongType)) {
+    override def run(s: graft.io.Store, a: InternalRow): InternalRow = {
+      val st = s.vacuum(a.getUTF8String(0).toString, a.getInt(1))
+      InternalRow(UTF8String.fromString(st.keptEpochs.mkString(",")),
+        UTF8String.fromString(st.droppedEpochs.mkString(",")),
+        st.removedFiles, st.reclaimedBytes)
+    }
+  }
+
+  private class Optimize(val base: String) extends P("optimize",
+    "scoped recluster: rewrite only what appends eroded, untouched files never move",
+    Array(in("table", StringType)),
+    new StructType().add("kept_files", IntegerType).add("rewritten_files", IntegerType)
+      .add("new_files", IntegerType).add("rewritten_bytes", LongType)
+      .add("total_bytes", LongType)) {
+    override def run(s: graft.io.Store, a: InternalRow): InternalRow = {
+      val st = s.scopedRecluster(a.getUTF8String(0).toString)
+      InternalRow(st.keptFiles, st.rewrittenFiles, st.newFiles,
+        st.rewrittenBytes, st.totalBytes)
+    }
+  }
+
+  private class Erosion(val base: String) extends P("erosion",
+    "measure clustering erosion (expected files touched per narrow probe) without rewriting",
+    Array(in("table", StringType)),
+    new StructType().add("base_files", IntegerType).add("append_layers", IntegerType)
+      .add("append_files", IntegerType).add("touched_per_probe", DoubleType)) {
+    override def run(s: graft.io.Store, a: InternalRow): InternalRow = {
+      val st = s.erosionStats(a.getUTF8String(0).toString)
+      InternalRow(st.baseFiles, st.appendLayers, st.appendFiles, st.touchedPerProbe)
+    }
+  }
+
+  private class Maintain(val base: String) extends P("maintain",
+    "the measured daily cycle: scoped recluster past the erosion/file-count triggers, vacuum past the retired-bytes trigger",
+    Array(in("table", StringType), in("max_touched_per_probe", DoubleType),
+      in("max_append_files", IntegerType), in("max_retired_fraction", DoubleType),
+      in("keep_last", IntegerType)),
+    new StructType().add("reclustered", BooleanType).add("rewritten_files", IntegerType)
+      .add("vacuumed", BooleanType).add("reclaimed_bytes", LongType)) {
+    override def run(s: graft.io.Store, a: InternalRow): InternalRow = {
+      val rel = a.getUTF8String(0).toString
+      val z = s.maintainZordered(rel, a.getDouble(1), Some(a.getInt(2)))
+      val v = s.maintainRetention(rel, a.getDouble(3), a.getInt(4))
+      InternalRow(z.isDefined, z.map(_.rewrittenFiles).getOrElse(0),
+        v.isDefined, v.map(_.reclaimedBytes).getOrElse(0L))
+    }
+  }
+
+  private class Release(val base: String) extends P("release_stale_claims",
+    "admin release of a crashed writer's frontier claim and hidden staging debris (run only when no writer is live)",
+    Array(in("table", StringType)),
+    new StructType().add("released", IntegerType)) {
+    override def run(s: graft.io.Store, a: InternalRow): InternalRow =
+      InternalRow(s.releaseStaleClaims(a.getUTF8String(0).toString))
+  }
 }

@@ -230,6 +230,65 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head.getLong(0) == 0, "a CAS-blocked v2 UPDATE must not mutate")
   }
 
+  test("CALL procedures run the maintenance loop from pure SQL: optimize is " +
+    "scoped, vacuum reclaims, erosion measures, maintain gates on its triggers, " +
+    "stale claims release; unknown procedures stay loud") {
+    val base = Files.createTempDirectory("graft_v2proc").toString
+    val store = new Store(spark, base)
+    val df = spark.range(4000).select(col("id").as("k"),
+      pmod(col("id") * 17, lit(4000)).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 4)        // epoch 0
+    // erode for real: a full-key-space append intersects every base rect
+    store.appendZordered(
+      spark.range(0, 4000, 40).select(col("id").as("k"), (col("id") % 9).as("v")),
+      "tbl", Seq("k", "v"), files = 1)                              // epoch 1
+    spark.conf.set("spark.sql.catalog.graft_pc1", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_pc1.base", base)
+
+    // measure-only: erosion reports the append layer without moving bytes
+    val er = spark.sql("CALL graft_pc1.erosion('tbl')").head
+    assert(er.getInt(0) == 4 && er.getInt(1) == 1 && er.getInt(2) == 1,
+      er.toString)
+    assert(er.getDouble(3) > 1.0, "a full-cover append must erode")
+
+    // optimize = the scoped pass: every append file rewritten, the read
+    // stays exact, the epoch advances (CALL via the system namespace too)
+    val opt = spark.sql("CALL graft_pc1.system.optimize('tbl')").head
+    assert(opt.getInt(1) > 0 && opt.getInt(2) > 0, opt.toString)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_pc1.tbl").head.getLong(0) == 4100)
+
+    // vacuum down to the current epoch: retired bytes reclaimed, old
+    // epochs loud — the stats row says what went
+    val vac = spark.sql("CALL graft_pc1.vacuum('tbl', 1)").head
+    assert(vac.getInt(2) > 0 && vac.getLong(3) > 0L, vac.toString)
+    intercept[Exception] { store.readVersion("tbl", 0L) }
+
+    // maintain below its triggers is a measured NO-OP; a crashed claim
+    // releases through SQL
+    val mt = spark.sql(
+      "CALL graft_pc1.maintain('tbl', 1000.0, 1000, 1000.0, 1)").head
+    assert(!mt.getBoolean(0) && !mt.getBoolean(2), mt.toString)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = LayoutManifest.read(fs, dir).get
+    val oc = fs.create(LayoutManifest.claimPath(dir, m.epoch + 5), false)
+    oc.write("dead".getBytes); oc.close()
+    assert(spark.sql("CALL graft_pc1.release_stale_claims('tbl')")
+      .head.getInt(0) == 1)
+
+    // discovery + refusals: SHOW PROCEDURES lists the surface; unknown
+    // names and bad arg types are loud
+    val shown = spark.sql("SHOW PROCEDURES IN graft_pc1").collect().map(_.toString)
+    assert(shown.exists(_.contains("vacuum")) && shown.exists(_.contains("maintain")),
+      shown.mkString(","))
+    val eUnknown = intercept[Exception] {
+      spark.sql("CALL graft_pc1.compact_everything('tbl')")
+    }
+    assert(eUnknown.getMessage.contains("no procedure") ||
+      Option(eUnknown.getCause).exists(_.getMessage.contains("no procedure")),
+      eUnknown.getMessage)
+  }
+
   test("$history metadata table lists readable epochs; SQL-only epoch " +
     "discovery feeds VERSION AS OF; write-shaped DDL stays refused") {
     val base = Files.createTempDirectory("graft_v2hist").toString
