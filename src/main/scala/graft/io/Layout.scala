@@ -171,6 +171,11 @@ private[graft] object LayoutManifest {
         java.nio.file.Paths.get(dest.toUri.getPath),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the raw java.nio move bypasses ChecksumFileSystem, stranding the
+      // tmp's hidden `.<name>.crc` sidecar — with UNIQUE tmp/marker names
+      // (one journal per commit) that would leak one file per commit into
+      // a listing-hot dir instead of overwriting a fixed one
+      fs.delete(new Path(tmp.getParent, s".${tmp.getName}.crc"), false)
     } else {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, fs.getConf)
       fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -216,7 +221,18 @@ private[graft] object LayoutManifest {
       val created =
         try fs.rename(tmp, dest)
         catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
-      if (!created) fs.delete(tmp, false)
+      if (!created) {
+        fs.delete(tmp, false)
+        // FileSystem.rename returns false for MORE than "dest exists"
+        // (vanished source, namenode edge states). Only an existing dest
+        // is the benign lost-the-race outcome; anything else must be
+        // LOUD — swallowing it under a held claim would delete the claim
+        // and report a commit whose snapshot never landed (data files on
+        // disk, manifest silently behind).
+        if (!fs.exists(dest)) throw new java.io.IOException(
+          s"atomic create of $dest failed: rename returned false and the " +
+            "destination does not exist — filesystem error, not a lost race")
+      }
       created
     }
   }
@@ -250,31 +266,34 @@ private[graft] object LayoutManifest {
   /** The COMMITTED manifest: the max `v<N>` history snapshot (the
     * immutable commit pointer — every commit is an atomic create, so the
     * max over the listing can never observe a half-commit or a rollback).
-    * A legacy live `_graft_layout` pointer is served only when it is AHEAD
-    * of every snapshot (a pre-snapshot-era table); on a tie the snapshot
-    * wins — the pre-upgrade write order was snapshot-first, so on any
-    * interrupted legacy commit the snapshot carries the newer content.
-    * The one retry absorbs a vacuum deleting a non-current snapshot
-    * between the listing and the read (vacuum always keeps the max, so
-    * the re-list converges).
+    * When ANY snapshot exists it wins outright: ever since per-epoch
+    * snapshots were introduced, every commit wrote its snapshot BEFORE
+    * touching the live pointer, so a live pointer can never be ahead of
+    * the snapshot set — the legacy `_graft_layout` file is consulted
+    * only for pre-snapshot-era tables with no history at all, and its
+    * own exists-then-read is retried through [[readAttempt]] because the
+    * table's first post-upgrade commit DELETES it (the retry then finds
+    * the snapshot that commit created first). The retry also absorbs a
+    * vacuum deleting a non-current snapshot between the listing and the
+    * read (vacuum always keeps the max, so the re-list converges). Cost
+    * on the hot path: one history listing + one small read — no
+    * legacy-pointer probe on post-upgrade tables.
     */
   def read(fs: FileSystem, dir: Path): Option[LayoutManifest] =
     readAttempt(fs, dir, retried = false)
 
   private def readAttempt(fs: FileSystem, dir: Path,
                           retried: Boolean): Option[LayoutManifest] = {
-    val live = {
-      val p = path(dir)
-      if (fs.exists(p)) Some(fromLines(readLines(fs, p))) else None
-    }
-    maxSnapshotEpoch(fs, dir) match {
-      case Some(v) if live.forall(_.epoch <= v) =>
-        try Some(fromLines(readLines(fs, snapshotPath(dir, v))))
-        catch {
-          case _: java.io.FileNotFoundException if !retried =>
-            readAttempt(fs, dir, retried = true)
-        }
-      case _ => live
+    try {
+      maxSnapshotEpoch(fs, dir) match {
+        case Some(v) => Some(fromLines(readLines(fs, snapshotPath(dir, v))))
+        case None =>
+          val p = path(dir)
+          if (fs.exists(p)) Some(fromLines(readLines(fs, p))) else None
+      }
+    } catch {
+      case _: java.io.FileNotFoundException if !retried =>
+        readAttempt(fs, dir, retried = true)
     }
   }
 
@@ -603,10 +622,18 @@ private[graft] object ScopedCommit {
     // late laggard replaying an already-applied journal re-attempts the
     // same create and LOSES to the existing v<epoch> — it cannot roll the
     // table back, and it cannot clobber a later same-epoch stat refresh.
-    // No forward-only epoch comparison is needed (or possible to get
-    // wrong): the filesystem's create-if-absent is the arbiter.
-    if (mLines.nonEmpty)
-      LayoutManifest.write(fs, dir, LayoutManifest.fromLines(mLines))
+    // The forward-only guard handles the one case the create cannot: a
+    // laggard whose APPLIED epoch was since VACUUMED (snapshot deleted)
+    // would otherwise re-create a ghost snapshot whose files are gone —
+    // listed by $history, unreadable by readVersion. The guard is not a
+    // rollback-prevention check-then-act anymore (epochs never decrease,
+    // so "committed >= mine" is stable once true); if it races the
+    // genuine first commit, the create-exclusive still arbitrates.
+    if (mLines.nonEmpty) {
+      val jm = LayoutManifest.fromLines(mLines)
+      if (LayoutManifest.read(fs, dir).forall(_.epoch < jm.epoch))
+        LayoutManifest.write(fs, dir, jm)
+    }
     // Delete THIS journal's own marker file — unique name, so a laggard
     // can never delete a successor's journal (the pre-upgrade fixed-name
     // marker had exactly that check-then-delete window).

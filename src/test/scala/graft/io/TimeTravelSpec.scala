@@ -236,6 +236,28 @@ class TimeTravelSpec extends AnyFunSuite {
     ScopedCommit.replay(fs, dir, lines2)
     assert(LayoutManifest.read(fs, dir).get.touched.contains(42.0),
       "laggard replay must not roll back a same-epoch stat refresh")
+    // a laggard whose epoch was since VACUUMED must not resurrect a ghost
+    // snapshot (files gone, $history would list an unreadable epoch): the
+    // forward-only guard skips the write — and since committed epochs
+    // never decrease, the guard is stable, not a check-then-act window
+    store.vacuum("tbl", keepLast = 1)                 // drops v0 and v7
+    assert(store.listVersions("tbl") == Seq(8L))
+    ScopedCommit.replay(fs, dir, lines)               // the epoch-7 laggard
+    assert(store.listVersions("tbl") == Seq(8L),
+      "a vacuumed epoch must stay vacuumed under laggard replay")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      LayoutManifest.historyDir(dir), "v7")))
+    // journaled commits leave no `.w_` checksum-sidecar debris behind
+    // (the raw atomic move bypasses ChecksumFileSystem, which also HIDES
+    // crc files from fs.listStatus — list via nio to see the real dir;
+    // unique marker names would leak one hidden crc per commit without
+    // the explicit cleanup)
+    import scala.jdk.CollectionConverters._
+    val nioCrcs = java.nio.file.Files.list(java.nio.file.Paths.get(
+        LayoutManifest.historyDir(dir).toUri.getPath))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.contains(".w_") && n.endsWith(".crc")).toSeq
+    assert(nioCrcs.isEmpty, s"leaked checksum sidecars: ${nioCrcs.mkString(",")}")
   }
 
   test("epoch claims: a concurrent mutator fails loudly with the table intact; " +
