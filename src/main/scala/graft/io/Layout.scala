@@ -125,8 +125,16 @@ private[graft] object LayoutManifest {
     * remain.
     */
   def write(fs: FileSystem, dir: Path, m: LayoutManifest): Unit = {
+    // MONOTONIC commit stamp (Delta's commit-timestamp adjustment): clamp
+    // to predecessor + 1, so a crashed journal driven to completion much
+    // later — or multi-writer clock skew — can never stamp an epoch BEHIND
+    // its predecessor. Without the clamp, TIMESTAMP AS OF (newest epoch
+    // with committed_at <= target) could resolve past or skip an epoch.
+    // Cost: one predecessor snapshot read per commit, metadata only.
+    val prev = read(fs, dir).flatMap(_.committedAt).getOrElse(Long.MinValue)
+    val stamp = math.max(System.currentTimeMillis, prev + 1L)
     writeLinesCreate(fs, snapshotPath(dir, m.epoch),
-      m.copy(committedAt = Some(System.currentTimeMillis)).lines)
+      m.copy(committedAt = Some(stamp)).lines)
     fs.delete(path(dir), false)
     fs.delete(claimPath(dir, m.epoch), false)
   }
@@ -556,11 +564,18 @@ private[graft] object ScopedCommit {
       // statement through the DSv2 face resolves through it): a marker can
       // vanish between the listing and this read because a concurrent
       // replayer — the committing writer itself, or another reader —
-      // finished that commit. That is success, not a crash.
-      try {
-        replay(fs, dir, Journal(m, LayoutManifest.readLines(fs, m)))
+      // finished that commit. That is success, not a crash. ONLY the
+      // marker read gets that tolerance: an FNF thrown by replay() itself
+      // (a mid-chain resolution genuinely failing) must stay loud — the
+      // pre-r20 whole-body swallow would skip the replay silently, leave
+      // the marker pending forever, and re-attempt on every statement.
+      val lines =
+        try Some(LayoutManifest.readLines(fs, m))
+        catch { case _: java.io.FileNotFoundException => None }
+      lines.foreach { ls =>
+        replay(fs, dir, Journal(m, ls))
         replayed = true
-      } catch { case _: java.io.FileNotFoundException => () }
+      }
     }
     replayed
   }

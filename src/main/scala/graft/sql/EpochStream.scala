@@ -97,6 +97,16 @@ class GraftEpochStream(spark: SparkSession, baseDir: String, rel: String,
             s"startingEpoch must be a non-negative epoch number or 'latest', got '$v'")
         }
       require(n >= 0, s"startingEpoch must be non-negative, got $n")
+      // validate the anchor AT STREAM START: an n beyond current+1 would
+      // checkpoint an offset AHEAD of the table — latestOffset's
+      // `current <= start` early-return then yields an offset BEHIND the
+      // checkpointed start and the batch fails later with an unrelated
+      // "epoch n-1 not readable" message. n == current+1 is the explicit
+      // "only future changes" anchor (same offset as 'latest').
+      val current = store.currentEpoch(rel)
+      require(n <= current + 1,
+        s"startingEpoch $n is beyond the current epoch $current of $rel — " +
+          s"use an epoch in [0, ${current + 1}] or 'latest'")
       GraftEpochOffset(n - 1)
   }
 

@@ -78,10 +78,13 @@ class GraftCatalog extends TableCatalog
     */
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     val ns = ident.namespace().toSeq
+    // proper not-found classification (4.1.2 ships no NoSuchProcedureException
+    // class, so the error-class form carries the contract): ProcedureCatalog
+    // callers — EXISTS checks, SHOW PROCEDURES — must see a ROUTINE_NOT_FOUND
+    // AnalysisException, not an internal RuntimeException
     if (ns.nonEmpty && ns != Seq("system"))
-      throw new RuntimeException(
-        s"graft catalog '$catalogName' has no procedure namespace '${ns.mkString(".")}' " +
-          "(procedures live at the catalog root, or under `system`)")
+      throw GraftProcedures.notFound(
+        (Seq(catalogName) ++ ns :+ ident.name()).mkString("."))
     GraftProcedures.load(catalogName, base, ident.name())
   }
 
@@ -405,10 +408,17 @@ private[sql] object GraftProcedures {
       case "erosion" => new Erosion(base)
       case "maintain" => new Maintain(base)
       case "release_stale_claims" => new Release(base)
-      case other => throw new RuntimeException(
-        s"graft catalog '$catalog' has no procedure '$other' " +
-          s"(available: ${Names.mkString(", ")})")
+      case other => throw notFound(s"$catalog.$other")
     }
+
+  /** The Spark 4 not-found shape for procedures: an [[AnalysisException]]
+    * under the ROUTINE_NOT_FOUND error class (4.1.2 has no dedicated
+    * NoSuchProcedureException), so callers classifying errors see a
+    * proper not-found instead of an internal error.
+    */
+  def notFound(name: String): org.apache.spark.sql.AnalysisException =
+    new org.apache.spark.sql.AnalysisException(
+      "ROUTINE_NOT_FOUND", Map("routineName" -> s"`$name`"), None)
 
   private def in(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
 

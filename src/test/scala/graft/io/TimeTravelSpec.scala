@@ -595,6 +595,30 @@ class TimeTravelSpec extends AnyFunSuite {
     spark.catalog.dropTempView("graft_tt_vmine")
   }
 
+  test("commit timestamps are monotonic across epochs even when a predecessor " +
+    "carries a future clock (Delta's commit-timestamp adjustment)") {
+    val base = Files.createTempDirectory("graft_ttmono").toString
+    val store = new Store(spark, base)
+    val df = spark.range(500).select(col("id").as("k"), (col("id") % 7).as("v"))
+    store.writeZordered(df, "tbl", Seq("k", "v"), files = 2)          // epoch 0
+    // doctor epoch 0's stamp an hour into the future (multi-writer clock
+    // skew / a crashed journal recovered much later)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m0 = LayoutManifest.read(fs, dir).get
+    val future = System.currentTimeMillis + 3600L * 1000
+    LayoutManifest.rewriteSameEpoch(fs, dir, m0.copy(committedAt = Some(future)))
+    store.appendZordered(
+      spark.range(500, 600).select(col("id").as("k"), (col("id") % 7).as("v")),
+      "tbl", Seq("k", "v"), files = 1)                                // epoch 1
+    val hist = store.versionHistory("tbl").map(v => v.epoch -> v.committedAtMs).toMap
+    assert(hist(1L) == future + 1L,
+      s"epoch 1 must clamp to predecessor+1, got ${hist(1L)} vs $future")
+    // TIMESTAMP AS OF at the doctored instant resolves to epoch 0, one
+    // past it to epoch 1 — no epoch is skipped or shadowed
+    assert(hist(0L) < hist(1L))
+  }
+
   test("maintainRetention vacuums only past the measured retired-bytes threshold") {
     val base = Files.createTempDirectory("graft_tt_retention").toString
     val store = new Store(spark, base)

@@ -281,12 +281,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     val shown = spark.sql("SHOW PROCEDURES IN graft_pc1").collect().map(_.toString)
     assert(shown.exists(_.contains("vacuum")) && shown.exists(_.contains("maintain")),
       shown.mkString(","))
+    // proper not-found CLASSIFICATION (r19 ADVICE): unknown procedure
+    // names and namespaces surface as ROUTINE_NOT_FOUND AnalysisExceptions
+    // (4.1.2's NoSuchProcedureException-equivalent), not internal errors
+    def routineNotFound(e: Throwable): Boolean = {
+      val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).toSeq
+      chain.exists {
+        case ae: org.apache.spark.sql.AnalysisException =>
+          ae.getCondition == "ROUTINE_NOT_FOUND"
+        case _ => false
+      }
+    }
     val eUnknown = intercept[Exception] {
       spark.sql("CALL graft_pc1.compact_everything('tbl')")
     }
-    assert(eUnknown.getMessage.contains("no procedure") ||
-      Option(eUnknown.getCause).exists(_.getMessage.contains("no procedure")),
-      eUnknown.getMessage)
+    assert(routineNotFound(eUnknown), eUnknown.toString)
+    val eBadNs = intercept[Exception] {
+      spark.sql("CALL graft_pc1.nowhere.vacuum('tbl', 1)")
+    }
+    assert(routineNotFound(eBadNs), eBadNs.toString)
   }
 
   test("$history metadata table lists readable epochs; SQL-only epoch " +

@@ -251,6 +251,19 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(chain2(eSe).exists(_.contains("startingEpoch")),
       chain2(eSe).mkString(" | "))
+    // an anchor BEYOND current+1 fails at stream start with a
+    // startingEpoch-named message (r19 ADVICE: before the guard it
+    // surfaced as an unrelated "epoch N-1 not readable" later on)
+    val eAhead = intercept[Exception] {
+      spark.readStream.option("startingEpoch", "99").table("graft_st5se.tbl")
+        .writeStream.format("memory").queryName("st5w_sink")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_st5w_ck").toString)
+        .start().processAllAvailable()
+    }
+    assert(chain2(eAhead).exists(m =>
+      m.contains("startingEpoch") && m.contains("beyond")),
+      chain2(eAhead).mkString(" | "))
   }
 
   test("hourly windowed aggregate over a file stream matches the batch result") {
