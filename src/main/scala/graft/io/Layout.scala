@@ -34,9 +34,22 @@ private[graft] case class LayoutManifest(
     touched: Option[Double] = None,
     lastBatch: Option[Long] = None,
     partCols: Seq[String] = Nil,
-    committedAt: Option[Long] = None) {
+    committedAt: Option[Long] = None,
+    schemaJson: Option[String] = None) {
 
   def allFiles: Seq[String] = base ++ appends.flatten
+
+  /** The epoch's declared TABLE schema (schema evolution): absent = the
+    * files' own physical schema is the table schema (the pre-evolution
+    * state); present = [[graft.io.Store.addColumns]] widened the schema
+    * without rewriting files, and every reader must project the files to
+    * it (absent columns read as null). Stored as Spark's StructType JSON —
+    * single line, control characters escaped by the JSON spec, so the
+    * `key=value` line format holds.
+    */
+  def schema: Option[org.apache.spark.sql.types.StructType] =
+    schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** A manifest over a `key=value`-partitioned layout (file identities are
     * root-relative paths through their partition dirs) rather than a
@@ -54,7 +67,8 @@ private[graft] case class LayoutManifest(
       touched.map(t => s"stat_touched=$t").toSeq ++
       lastBatch.map(b => s"last_batch=$b").toSeq ++
       (if (partCols.nonEmpty) Seq(s"partcols=${partCols.mkString("\t")}") else Nil) ++
-      committedAt.map(t => s"committed_at=$t").toSeq
+      committedAt.map(t => s"committed_at=$t").toSeq ++
+      schemaJson.map(j => s"schema=$j").toSeq
 }
 
 private[graft] object LayoutManifest {
@@ -322,7 +336,8 @@ private[graft] object LayoutManifest {
       touched = m.get("stat_touched").map(_.toDouble),
       lastBatch = m.get("last_batch").map(_.toLong),
       partCols = m.get("partcols").map(split).getOrElse(Nil),
-      committedAt = m.get("committed_at").map(_.toLong))
+      committedAt = m.get("committed_at").map(_.toLong),
+      schemaJson = m.get("schema"))
   }
 }
 

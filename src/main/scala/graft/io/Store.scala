@@ -149,6 +149,7 @@ class Store(spark: SparkSession, baseDir: String) {
     require(m0.isDefined || current.forall(_.contains('/')),
       s"$rel holds root-level data files — not a partitioned layout; " +
         "writePartitionedManaged replaces it wholesale instead")
+    validateAgainstDeclared(df.withColumn("dt", to_date(col(tsCol))).schema, m0, rel)
     val epoch = m0.map(_.epoch + 1).getOrElse(0L)
     withEpochClaim(dir, epoch,
       m0.map(_.epoch).getOrElse(-1L), java.util.UUID.randomUUID.toString) {
@@ -173,7 +174,8 @@ class Store(spark: SparkSession, baseDir: String) {
         val keep = current.filterNot(replaced.toSet)
         val newM = LayoutManifest(Nil, 0, 0, epoch,
           base = (keep ++ renames.map(_._2)).sorted, appends = Nil,
-          lastBatch = m0.flatMap(_.lastBatch), partCols = Seq("dt"))
+          lastBatch = m0.flatMap(_.lastBatch), partCols = Seq("dt"),
+          schemaJson = m0.flatMap(_.schemaJson))
         // adopted (manifest-less) tables have no prior epoch to serve, so
         // their replaced files delete; tracked tables retire them
         ScopedCommit.replay(fs, dir, ScopedCommit.write(fs, dir, renames,
@@ -209,6 +211,56 @@ class Store(spark: SparkSession, baseDir: String) {
     */
   def readEvolved(rel: String, schema: StructType): DataFrame =
     spark.read.schema(schema).parquet(s"$baseDir/$rel")
+
+  /** SCHEMA EVOLUTION on a manifest-tracked store — `ALTER TABLE ADD
+    * COLUMN(S)` without rewriting a byte of data: commits a new epoch with
+    * the SAME file set whose snapshot carries the WIDENED schema
+    * (`schema=` line). Every reader — [[readSnapshot]]/[[readVersion]],
+    * the DSv2 catalog, the COW mutators' own region reads — projects the
+    * files to the epoch's declared schema, so pre-evolution files read
+    * the new columns as null and each epoch keeps ITS OWN schema under
+    * `VERSION AS OF` (a pre-ALTER epoch still shows the narrow one). At
+    * 100 TB this is the difference between a metadata commit and a full
+    * table rewrite — the Delta/Iceberg add-column discipline.
+    *
+    * Additive only, enforced loudly: new columns must be NEW names (no
+    * case-insensitive collision) and nullable (existing files read them
+    * as null — a NOT NULL add would be a lie). Drops, renames, and type
+    * changes are refused at the catalog face ([[graft.sql.GraftCatalog]]):
+    * they change what EXISTING bytes mean and need a rewrite. On a
+    * partitioned manifest the new columns slot BEFORE the partition
+    * columns, matching how Spark appends partition columns to a scan's
+    * data schema.
+    */
+  def addColumns(rel: String, cols: StructType): Unit = {
+    require(cols.nonEmpty, "addColumns needs at least one new column")
+    val dir = new Path(s"$baseDir/$rel")
+    Store.recoverSwap(fs, dir)
+    ScopedCommit.recover(fs, dir)
+    val m0 = LayoutManifest.read(fs, dir).getOrElse(throw new IllegalStateException(
+      s"$rel has no layout manifest — schema evolution needs a manifest-tracked " +
+        "store (writeZordered/writePartitionedManaged provenance)"))
+    cols.foreach(f => require(f.nullable,
+      s"new column ${f.name} must be nullable — existing files read it as null"))
+    // current FULL table schema: the declared one, else the files'
+    // physical schema (+ reconstructed partition columns)
+    val current = m0.schema.getOrElse(readSnapshot(rel).schema)
+    cols.foreach(f => require(
+      !current.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+      s"column ${f.name} already exists in $rel (${current.fieldNames.mkString(", ")})"))
+    val widened =
+      if (m0.isPartitioned) {
+        val (data, part) = current.fields.partition(f => !m0.partCols.contains(f.name))
+        StructType(data ++ cols.fields ++ part)
+      } else StructType(current.fields ++ cols.fields)
+    // a pure-metadata commit: same file set, next epoch, widened schema —
+    // one atomic snapshot create under the epoch CAS, nothing to journal
+    withEpochClaim(dir, m0.epoch + 1, m0.epoch, java.util.UUID.randomUUID.toString) {
+      LayoutManifest.write(fs, dir,
+        m0.copy(epoch = m0.epoch + 1, schemaJson = Some(widened.json)))
+    }
+    refreshCatalog(dir)
+  }
 
   /** Columnar ORC sink/scan — the second interchange format beside
     * parquet (some warehouse stacks are ORC-native). Spark's built-in ORC
@@ -436,6 +488,7 @@ class Store(spark: SparkSession, baseDir: String) {
     m0.foreach(mf => require(mf.zCols == zCols && mf.bits == bits,
       s"append layout (${zCols.mkString(",")}/bits=$bits) does not match " +
         s"the table manifest (${mf.zCols.mkString(",")}/bits=${mf.bits})"))
+    validateAgainstDeclared(df.schema, m0, rel)
     // claim the next epoch BEFORE the physical append — a concurrent
     // mutator fails loudly here with the table untouched. Unconditional:
     // the first-ever write races too (claimEpoch creates the dir), and
@@ -664,13 +717,22 @@ class Store(spark: SparkSession, baseDir: String) {
         val current = listDataFilesDeep(target)
         val tmp = ScopedCommit.newStageDir(target)
         ScopedCommit.sweepStages(fs, target)
-        zorderStage(spark.read.parquet(target.toString), zCols, files, bits)
+        // the evolved reader matters doubly here: a reshape of a
+        // PARTITIONED store must keep its partition column as data, and
+        // an evolved table's added columns must survive the rewrite
+        val src =
+          if (m.isPartitioned)
+            evolvedReader(m0).option("basePath", target.toString)
+              .parquet(current.map(n => s"$target/$n"): _*)
+          else evolvedReader(m0).parquet(target.toString)
+        zorderStage(src, zCols, files, bits)
           .write.mode("overwrite").parquet(tmp.toString)
         val staged = listDataFiles(tmp)
         val epoch = m.epoch + 1
         val renames = staged.map(s => s -> s"part-s$epoch-${s.stripPrefix("part-")}")
         val newM = LayoutManifest(zCols, bits, files, epoch,
-          base = renames.map(_._2).sorted, appends = Nil, lastBatch = prevBatch)
+          base = renames.map(_._2).sorted, appends = Nil, lastBatch = prevBatch,
+          schemaJson = m.schemaJson)
         ScopedCommit.replay(fs, target, ScopedCommit.write(fs, target, renames,
           deletes = Nil, manifest = Some(newM), retires = current, stage = tmp))
       }
@@ -683,9 +745,9 @@ class Store(spark: SparkSession, baseDir: String) {
     fs.delete(tmp, true)
     val staged =
       if (zCols.size >= 2)
-        zorderStage(spark.read.parquet(target.toString), zCols, files, bits)
+        zorderStage(evolvedReader(m0).parquet(target.toString), zCols, files, bits)
       else
-        spark.read.parquet(target.toString)
+        evolvedReader(m0).parquet(target.toString)
           .repartitionByRange(files, zCols.map(col): _*)
           .sortWithinPartitions(zCols.map(col): _*)
     // the read is lazy but executes fully during the tmp write, while the
@@ -724,6 +786,7 @@ class Store(spark: SparkSession, baseDir: String) {
     m0.foreach(mf => require(mf.zCols == zCols && mf.bits == bits,
       s"append layout (${zCols.mkString(",")}/bits=$bits) does not match " +
         s"the table manifest (${mf.zCols.mkString(",")}/bits=${mf.bits})"))
+    validateAgainstDeclared(df.schema, m0, rel)
     val m = m0.getOrElse(LayoutManifest(zCols, bits, files, epoch = 0L,
       base = if (fs.exists(dir)) listDataFiles(dir) else Nil, appends = Nil))
     // the epoch this batch would COMMIT: 0 on a fresh/manifest-less table
@@ -839,7 +902,9 @@ class Store(spark: SparkSession, baseDir: String) {
     // stay intact until the journaled commit below.
     val tmp = ScopedCommit.newStageDir(dir)
     ScopedCommit.sweepStages(fs, dir)
-    val region = spark.read.parquet(rewrite.map(n => s"$dir/$n"): _*)
+    // the region may mix pre- and post-evolution vintages — project to
+    // the declared schema or the staged rewrite drops added columns
+    val region = evolvedReader(Some(m)).parquet(rewrite.map(n => s"$dir/$n"): _*)
     zorderStage(region, m.zCols, nOut, m.bits)
       .write.mode("overwrite").parquet(tmp.toString)
     val staged = listDataFiles(tmp)
@@ -851,7 +916,7 @@ class Store(spark: SparkSession, baseDir: String) {
     // re-append an already-committed streaming batch after an OPTIMIZE
     val newManifest = LayoutManifest(m.zCols, m.bits, m.files, epoch,
       base = (kept ++ renames.map(_._2)).sorted, appends = Nil,
-      lastBatch = m.lastBatch)
+      lastBatch = m.lastBatch, schemaJson = m.schemaJson)
     // rewritten originals are RETIRED, not deleted: every prior epoch's
     // manifest keeps resolving them until an explicit vacuum reclaims
     ScopedCommit.replay(fs, dir, ScopedCommit.write(fs, dir, renames,
@@ -980,6 +1045,34 @@ class Store(spark: SparkSession, baseDir: String) {
     finally if (!callerCached) src.unpersist(blocking = false)
   }
 
+  /** A reader projecting to the manifest's DECLARED schema when the table
+    * was schema-evolved ([[addColumns]]) — every INTERNAL read of a
+    * manifest-tracked table's data (COW locates and regions, recluster
+    * stages) must go through this: a plain `spark.read.parquet(dir)` on
+    * an evolved table infers the schema from an arbitrary file, and a
+    * pre-evolution file would silently DROP the added columns from a COW
+    * rewrite's staged replacement — data loss. No declared schema = the
+    * stock inference, exactly as before.
+    */
+  private def evolvedReader(m0: Option[LayoutManifest]): org.apache.spark.sql.DataFrameReader =
+    m0.flatMap(_.schema).map(spark.read.schema).getOrElse(spark.read)
+
+  /** Append-batch schema check on an evolved table: every batch column
+    * must exist in the declared schema with the same type — a stray
+    * column would vanish on every read (the declared schema projects it
+    * away), which is silent data loss shaped exactly like a typo.
+    */
+  private def validateAgainstDeclared(batch: StructType,
+                                      m0: Option[LayoutManifest], rel: String): Unit =
+    m0.flatMap(_.schema).foreach { s =>
+      val bad = batch.fields.filterNot(f => s.fields.exists(g =>
+        g.name.equalsIgnoreCase(f.name) && g.dataType == f.dataType))
+      require(bad.isEmpty,
+        s"append to $rel does not fit its declared (evolved) schema — " +
+          s"offending columns: ${bad.map(f => s"${f.name}:${f.dataType.simpleString}")
+            .mkString(", ")}; declared: ${s.simpleString}")
+    }
+
   /** A scan-reported file URI -> the root-relative name manifests key by
     * (flat tables: the bare basename; partitioned: through the `k=v`
     * dirs).
@@ -1018,7 +1111,7 @@ class Store(spark: SparkSession, baseDir: String) {
     def tq(c: String) = GraftBridge.toColumn(UnresolvedAttribute(Seq("__t", c)))
     def gate(c: Option[org.apache.spark.sql.Column]) =
       c.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
-    val all = spark.read.parquet(dir.toString)
+    val all = evolvedReader(m0).parquet(dir.toString)
     val tcols = all.columns.toSeq
     val tschema = all.schema
     val srcX = source.withColumn("__graft_sx", lit(1)).alias("__s")
@@ -1064,8 +1157,8 @@ class Store(spark: SparkSession, baseDir: String) {
         .map(r => relativeName(dir, r.getString(0)))
         .toSeq.sorted
     val reader =
-      if (partCols.nonEmpty) spark.read.option("basePath", dir.toString)
-      else spark.read
+      if (partCols.nonEmpty) evolvedReader(m0).option("basePath", dir.toString)
+      else evolvedReader(m0)
     val region0 =
       if (touchedNames.nonEmpty) reader.parquet(touchedNames.map(n => s"$dir/$n"): _*)
       else all.where(lit(false))
@@ -1202,7 +1295,7 @@ class Store(spark: SparkSession, baseDir: String) {
     // DELETE/UPDATE would commit a later epoch silently missing those
     // matches instead of failing loudly.
     def locateAndRun(): CowResult = {
-      val all = spark.read.parquet(dir.toString)
+      val all = evolvedReader(m0).parquet(dir.toString)
       // file identity is the path RELATIVE to the table root: flat tables
       // get bare names, partitioned tables keep their `key=value/` dirs —
       // and the locate scan on a partitioned root is partition-PRUNED when
@@ -1234,8 +1327,8 @@ class Store(spark: SparkSession, baseDir: String) {
       .map(_.split('/').dropRight(1).toSeq.map(_.takeWhile(_ != '=')))
       .getOrElse(Nil)
     val reader =
-      if (partCols.nonEmpty) spark.read.option("basePath", dir.toString)
-      else spark.read
+      if (partCols.nonEmpty) evolvedReader(m0).option("basePath", dir.toString)
+      else evolvedReader(m0)
     val region = reader.parquet(touchedNames.map(n => s"$dir/$n"): _*)
     // one scan for both stats (the touched region is re-read once more by
     // the staging write below; a separate count per stat would triple the
@@ -1720,9 +1813,14 @@ class Store(spark: SparkSession, baseDir: String) {
     // partition parser reconstructs the `key=value` columns for live AND
     // nested-retired files alike (flat manifests have no partition dirs
     // and read as before)
-    val reader =
+    val reader0 =
       if (r.partCols.nonEmpty) spark.read.option("basePath", s"$baseDir/$rel")
       else spark.read
+    // an EVOLVED epoch declares its schema in the snapshot: project every
+    // file to it (columns a pre-evolution file lacks read as null) — each
+    // epoch reads under ITS OWN schema, so VERSION AS OF a pre-ALTER
+    // epoch shows the narrow schema and a post-ALTER one the wide
+    val reader = r.schema.map(reader0.schema).getOrElse(reader0)
     reader.parquet(r.paths: _*)
   }
 
@@ -1770,7 +1868,7 @@ class Store(spark: SparkSession, baseDir: String) {
           "the snapshot is no longer materializable; vacuum the stale epoch")
     }
     require(paths.nonEmpty, s"epoch $epoch of $rel lists no data files")
-    Store.ResolvedVersion(paths, m.partCols, m.allFiles)
+    Store.ResolvedVersion(paths, m.partCols, m.allFiles, m.schema)
   }
 
   /** Resolve a SMALL set of root-relative file `names` to their current
@@ -1877,9 +1975,10 @@ class Store(spark: SparkSession, baseDir: String) {
     */
   def readSnapshot(rel: String): DataFrame = {
     val r = resolveSnapshot(rel)
-    val reader =
+    val reader0 =
       if (r.partCols.nonEmpty) spark.read.option("basePath", s"$baseDir/$rel")
       else spark.read
+    val reader = r.schema.map(reader0.schema).getOrElse(reader0)
     reader.parquet(r.paths: _*)
   }
 
@@ -2247,7 +2346,8 @@ object Store {
     */
   private[graft] case class ResolvedVersion(paths: Seq[String],
                                             partCols: Seq[String],
-                                            names: Seq[String] = Nil)
+                                            names: Seq[String] = Nil,
+                                            schema: Option[StructType] = None)
 
   /** One manifest-pinned temp view's registration: the weak session ref
     * guards against identity-hash reuse after a session dies (and lets a

@@ -985,6 +985,34 @@ object ExtensionQueries {
               |FROM graft_x69.events_sm
               |GROUP BY event_type""".stripMargin)
     }),
+    // SCHEMA EVOLUTION (the Delta/Iceberg add-column discipline): `ALTER
+    // TABLE graft.t ADD COLUMN` commits a METADATA-ONLY epoch — same file
+    // set, widened declared schema (SchemaEvolutionSpec pins that no data
+    // file moves) — and every reader projects old files to it (new column
+    // null), while a later append lands rows that carry it. At 100 TB
+    // this is one snapshot write instead of a full-table rewrite. The
+    // read-back goes through the catalog (declared schema applied);
+    // DuckDB replays the two vintages as a UNION with a NULL column.
+    "x70_schema_evolution" -> ((s, dir) => {
+      val base = s"$scratchDir/x70"
+      val store = new graft.io.Store(s, base)
+      val e = Tables.events(s, dir)
+      store.writeZordered(e.where(col("user_id") < 100), "events_se",
+        Seq("user_id", "ts"), files = 4)                             // epoch 0
+      s.conf.set("spark.sql.catalog.graft_x70", "graft.sql.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_x70.base", base)
+      s.sql("ALTER TABLE graft_x70.events_se ADD COLUMN score DOUBLE") // epoch 1
+      store.appendZordered(
+        e.where(col("user_id").between(100, 149))
+          .withColumn("score", col("value") * 2), "events_se",
+        Seq("user_id", "ts"), files = 2)                             // epoch 2
+      s.sql("""SELECT event_type, COUNT(*) AS n,
+              |  ROUND(SUM(value), 2) AS sum_value,
+              |  ROUND(SUM(COALESCE(score, 0)), 2) AS sum_score,
+              |  COUNT(score) AS n_scored
+              |FROM graft_x70.events_se
+              |GROUP BY event_type""".stripMargin)
+    }),
     // x60b over the OTHER common lakehouse shape: `DELETE FROM` a
     // dt-PARTITIONED store (the date-scoped takedown every real operator
     // runs). The dt predicate partition-prunes the locate scan — the
@@ -2436,6 +2464,21 @@ object ExtensionQueries {
         |  ROUND(SUM(value), 2) AS sum_value,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events
+        |GROUP BY 1""".stripMargin,
+    // The two schema vintages replay as a UNION: the pre-ALTER slice with
+    // a NULL score, the post-ALTER appended slice carrying value*2.
+    "x70_schema_evolution" ->
+      """WITH t AS (
+        |  SELECT event_type, value, CAST(NULL AS DOUBLE) AS score
+        |  FROM events WHERE user_id < 100
+        |  UNION ALL
+        |  SELECT event_type, value, value * 2 AS score
+        |  FROM events WHERE user_id BETWEEN 100 AND 149)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  ROUND(SUM(COALESCE(score, 0)), 2) AS sum_score,
+        |  CAST(COUNT(score) AS BIGINT) AS n_scored
+        |FROM t
         |GROUP BY 1""".stripMargin,
     // The pinned view serves the full written+appended corpus: the
     // layout- and catalog-independent aggregate replays off raw events.

@@ -174,8 +174,12 @@ class GraftCatalog extends TableCatalog
         new CaseInsensitiveStringMap(
           java.util.Collections.singletonMap("basePath", s"$base/$rel"))
       else CaseInsensitiveStringMap.empty()
+    // an EVOLVED epoch's declared schema rides as the user-specified
+    // schema: FileTable subtracts the inferred partition columns and
+    // re-appends them, so old files project the added columns as null
+    // with zero footer reads beyond the stock resolution
     new GraftTable(ParquetTable(s"$catalogName.$rel", spark,
-      options, resolved.paths, None, classOf[ParquetFileFormat]),
+      options, resolved.paths, resolved.schema, classOf[ParquetFileFormat]),
       base, rel, versionPinned = epoch.isDefined,
       partitioned = resolved.partCols.nonEmpty)
   }
@@ -204,8 +208,41 @@ class GraftCatalog extends TableCatalog
                            properties: java.util.Map[String, String]): Table =
     readOnly("CREATE TABLE")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
+  /** `ALTER TABLE graft.t ADD COLUMN(S)` — the ONE admitted DDL mutation,
+    * because it routes to the journaled schema-evolution epoch
+    * ([[graft.io.Store.addColumns]]): a metadata-only commit, no data
+    * rewritten, every epoch keeps its own schema under `VERSION AS OF`.
+    * Everything else (DROP/RENAME COLUMN, type changes, NOT NULL adds,
+    * positioned adds, comments/properties) changes what existing bytes
+    * mean without rewriting them — refused loudly, with the same
+    * mutate-through-the-Store message as the other DDL.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.isEmpty || adds.size != changes.size)
+      readOnly("ALTER TABLE — only ADD COLUMN(S) is supported; " +
+        "drops/renames/type changes need a rewrite")
+    adds.foreach { a =>
+      if (a.fieldNames().length != 1)
+        readOnly("ALTER TABLE ADD COLUMN into a nested field")
+      if (a.position() != null)
+        readOnly("ALTER TABLE ADD COLUMN with a position (FIRST/AFTER) — " +
+          "new columns append before the partition columns")
+      if (a.defaultValue() != null)
+        readOnly("ALTER TABLE ADD COLUMN with a DEFAULT value")
+      if (!a.isNullable)
+        readOnly("ALTER TABLE ADD COLUMN NOT NULL — existing files read " +
+          "the new column as null")
+    }
+    val spark = SparkSession.active
+    val rel = (ident.namespace() :+ ident.name()).mkString("/")
+    val store = new graft.io.Store(spark, base)
+    if (!store.exists(rel)) throw new NoSuchTableException(ident)
+    store.addColumns(rel, StructType(adds.map(a =>
+      org.apache.spark.sql.types.StructField(a.fieldNames().head, a.dataType(),
+        nullable = true))))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
 
