@@ -1992,6 +1992,137 @@ class Store(spark: SparkSession, baseDir: String) {
     resolveVersion(rel, m.epoch)
   }
 
+  /** ROW-LEVEL CHANGE FEED over the manifest epochs — the Delta CDF role
+    * for consumers downstream of COW DELETE/UPDATE/MERGE, where the
+    * append-only epoch STREAM refuses rewrites by design: one row per
+    * changed row per epoch in `(sinceEpoch, untilEpoch]`, stamped
+    * `_change_type` (insert / delete / update_preimage /
+    * update_postimage), `_commit_epoch`, `_commit_ts`.
+    *
+    * The per-epoch delta comes from the SNAPSHOTS, never a listing: an
+    * epoch that only ADDS files is a pure append — its added files' rows
+    * emit as inserts with no join at all; a REWRITE epoch (COW
+    * delete/update/merge, OPTIMIZE, partition re-upsert) diffs the
+    * retired file set against its replacements, KEYED on the table's
+    * declared key: old-only keys are deletes, new-only inserts, keys on
+    * both sides with different content emit the update pre/post pair —
+    * and identical content emits NOTHING, so a pure layout pass
+    * (recluster, compaction) is change-feed silent, exactly the property
+    * that makes maintenance invisible downstream.
+    *
+    * Scale shape: cost is O(delta files) per epoch — the rewrite join
+    * runs only over the touched region's rows, driver work is O(epochs)
+    * metadata. Rows are projected to the UNTIL epoch's schema (evolved
+    * columns read null from pre-evolution vintages — Delta's CDF-under-
+    * latest-schema convention).
+    *
+    * Contract: `key` must uniquely identify rows WITHIN each rewritten
+    * region (validated eagerly per rewrite epoch, one bounded aggregation
+    * over the delta — SQL MERGE's cardinality law, without which pre/post
+    * pairing is ill-defined). Resolution is eager, the frame lazy; the
+    * usual retire/vacuum race fails the scan loudly ([[readVersion]]'s
+    * boundary). Epochs in range must still be readable — a vacuumed one
+    * is loud, never a silent gap.
+    */
+  def changeFeed(rel: String, key: Seq[String], sinceEpoch: Long,
+                 untilEpoch: Option[Long] = None): DataFrame = {
+    require(key.nonEmpty, "changeFeed needs the table's key column(s)")
+    val dir = new Path(s"$baseDir/$rel")
+    Store.recoverSwap(fs, dir)
+    ScopedCommit.recover(fs, dir)
+    val current = currentEpoch(rel)
+    val until = untilEpoch.getOrElse(current)
+    require(until <= current,
+      s"untilEpoch $until is beyond the current epoch $current of $rel")
+    require(sinceEpoch >= -1 && sinceEpoch <= until,
+      s"sinceEpoch must be in [-1, $until], got $sinceEpoch")
+    val untilRes = resolveVersion(rel, until)
+    // uniform output schema: the until epoch's own read schema (declared
+    // when evolved, else the files' physical schema + partition columns)
+    val outSchema = readVersion(rel, until).schema
+    val missing = key.filterNot(k => outSchema.fieldNames.exists(_.equalsIgnoreCase(k)))
+    require(missing.isEmpty,
+      s"key column(s) not in $rel: ${missing.mkString(", ")} " +
+        s"(schema: ${outSchema.fieldNames.mkString(", ")})")
+    val commitTs: Map[Long, Long] =
+      versionHistory(rel).map(v => v.epoch -> v.committedAtMs).toMap
+    def readNames(epoch: Long, names: Seq[String]): DataFrame =
+      if (names.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+      else {
+        val r0 =
+          if (untilRes.partCols.nonEmpty)
+            spark.read.option("basePath", s"$baseDir/$rel").schema(outSchema)
+          else spark.read.schema(outSchema)
+        r0.parquet(resolveNames(rel, epoch, names): _*)
+      }
+    def stamp(df: DataFrame, tpe: String, epoch: Long): DataFrame =
+      df.select(outSchema.fieldNames.map(col).toSeq :+
+        lit(tpe).as("_change_type") :+
+        lit(epoch).as("_commit_epoch") :+
+        lit(new java.sql.Timestamp(commitTs.getOrElse(epoch, 0L))).as("_commit_ts"): _*)
+    val perEpoch = ((sinceEpoch + 1) to until).map { e =>
+      val prevNames =
+        if (e == 0L) Set.empty[String] else versionFileNames(rel, e - 1).toSet
+      val eNames = versionFileNames(rel, e)
+      val added = eNames.filterNot(prevNames)
+      val dropped = (prevNames -- eNames).toSeq.sorted
+      if (dropped.isEmpty) stamp(readNames(e, added), "insert", e)
+      else {
+        val oldR = readNames(e, dropped)
+        val newR = readNames(e, added)
+        val kc = key.map(col)
+        // the pre/post pairing is only defined on unique keys — validate
+        // over exactly the delta region (bounded), loudly
+        Seq("retired" -> oldR, "replacement" -> newR).foreach { case (side, df) =>
+          val dup = df.groupBy(kc: _*).agg(count(lit(1)).as("__n"))
+            .where(col("__n") > 1).limit(1).count()
+          require(dup == 0L,
+            s"changeFeed($rel): key (${key.mkString(", ")}) is not unique in " +
+              s"epoch $e's $side region — pre/post pairing is ill-defined; " +
+              "pass the table's full key")
+        }
+        // ONE pass over the joined delta: each row explodes into its 0-2
+        // change rows (identical pre/post content explodes into none) —
+        // no cache, no 4-way re-read of the region
+        val dataCols = outSchema.fieldNames.toSeq
+        val o = oldR.select(struct(dataCols.map(col): _*).as("__o"))
+        val n = newR.select(struct(dataCols.map(col): _*).as("__n"))
+        val joined = o.join(n,
+          key.map(k => col(s"__o.$k") <=> col(s"__n.$k")).reduce(_ && _),
+          "full_outer")
+        def tagged(r: org.apache.spark.sql.Column, t: String) =
+          struct(r.as("r"), lit(t).as("t"))
+        // an unmatched when-chain yields NULL and explode(null) emits no
+        // rows — exactly the silent case (pre == post: pure layout motion)
+        val rows = joined.select(explode(
+          when(col("__n").isNull, array(tagged(col("__o"), "delete")))
+            .when(col("__o").isNull, array(tagged(col("__n"), "insert")))
+            .when(!(col("__o") <=> col("__n")),
+              array(tagged(col("__o"), "update_preimage"),
+                tagged(col("__n"), "update_postimage")))).as("__x"))
+        rows.select(col("__x.r.*"), col("__x.t").as("_change_type"))
+          .withColumn("_commit_epoch", lit(e))
+          .withColumn("_commit_ts",
+            lit(new java.sql.Timestamp(commitTs.getOrElse(e, 0L))))
+      }
+    }
+    if (perEpoch.isEmpty)
+      stamp(readNames(until, Nil), "insert", until).where(lit(false))
+    else perEpoch.reduce(_ unionByName _)
+  }
+
+  /** SQL face of [[changeFeed]]: register `view` over the change rows of
+    * `(sinceEpoch, untilEpoch]`, so a pure-SQL consumer reads
+    * `SELECT ... FROM view` — the `table_changes(...)` role. The view is
+    * a plain temp view over the lazily-planned feed (epoch-bounded
+    * content never changes, so there is nothing to re-pin).
+    */
+  def registerChangeView(view: String, rel: String, key: Seq[String],
+                         sinceEpoch: Long, untilEpoch: Option[Long] = None): Unit =
+    changeFeed(rel, key, sinceEpoch, untilEpoch).createOrReplaceTempView(view)
+
   /** Result of a [[vacuum]] pass, for logging and specs. */
   case class VacuumStats(keptEpochs: Seq[Long], droppedEpochs: Seq[Long],
                          removedFiles: Int, reclaimedBytes: Long)

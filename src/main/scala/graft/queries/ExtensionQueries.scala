@@ -1013,6 +1013,36 @@ object ExtensionQueries {
               |FROM graft_x70.events_se
               |GROUP BY event_type""".stripMargin)
     }),
+    // ROW-LEVEL CHANGE FEED (the Delta CDF role): a MERGE commits one COW
+    // epoch, and changeFeed diffs the retired vs replacement file sets
+    // KEYED on event_id — updated rows emit an update_preimage/postimage
+    // pair (old and new value), source rows matching nothing emit
+    // inserts, and the region's pass-through rows emit NOTHING (content
+    // equal), which is what makes maintenance invisible downstream. Cost
+    // is O(delta files), never the table. DuckDB replays the same diff
+    // from the merge's set algebra.
+    "x71_change_feed" -> ((s, dir) => {
+      val base = s"$scratchDir/x71"
+      val store = new graft.io.Store(s, base)
+      val e = Tables.events(s, dir)
+      store.writeZordered(e.where(col("user_id") < 150), "events_cf",
+        Seq("user_id", "ts"), files = 4)                             // epoch 0
+      val src = e.where(col("user_id").between(100, 169))
+        .withColumn("value", col("value") + 1000)
+      store.mergeInto("events_cf", src,
+        on = expr("__t.event_id = __s.event_id"),
+        matched = Seq(graft.io.Store.MergeUpdate(
+          Map("value" -> expr("__s.value")))),
+        insert = Some((Map(
+          "event_id" -> expr("__s.event_id"), "ts" -> expr("__s.ts"),
+          "user_id" -> expr("__s.user_id"),
+          "event_type" -> expr("__s.event_type"),
+          "value" -> expr("__s.value"), "props" -> expr("__s.props")),
+          None)))                                                    // epoch 1
+      store.changeFeed("events_cf", Seq("event_id"), sinceEpoch = 0)
+        .groupBy(col("_change_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
     // x60b over the OTHER common lakehouse shape: `DELETE FROM` a
     // dt-PARTITIONED store (the date-scoped takedown every real operator
     // runs). The dt predicate partition-prunes the locate scan — the
@@ -2480,6 +2510,25 @@ object ExtensionQueries {
         |  CAST(COUNT(score) AS BIGINT) AS n_scored
         |FROM t
         |GROUP BY 1""".stripMargin,
+    // The CDF rows replay as set algebra over the merge: matched targets
+    // emit their pre and post images, unmatched source rows insert.
+    "x71_change_feed" ->
+      """WITH tgt AS (SELECT * FROM events WHERE user_id < 150),
+        |src AS (SELECT event_id, event_type, value + 1000 AS value
+        |        FROM events WHERE user_id BETWEEN 100 AND 169),
+        |changes AS (
+        |  SELECT 'update_preimage' AS _change_type, t.event_type, t.value
+        |  FROM tgt t JOIN src s ON t.event_id = s.event_id
+        |  UNION ALL
+        |  SELECT 'update_postimage', t.event_type, s.value
+        |  FROM tgt t JOIN src s ON t.event_id = s.event_id
+        |  UNION ALL
+        |  SELECT 'insert', s.event_type, s.value FROM src s
+        |  WHERE s.event_id NOT IN (SELECT event_id FROM tgt))
+        |SELECT _change_type, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM changes
+        |GROUP BY 1, 2""".stripMargin,
     // The pinned view serves the full written+appended corpus: the
     // layout- and catalog-independent aggregate replays off raw events.
     "x58b_snapshot_view" ->
