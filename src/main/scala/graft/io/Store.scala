@@ -135,6 +135,26 @@ class Store(spark: SparkSession, baseDir: String) {
     */
   def upsertPartitionsManaged(df: DataFrame, rel: String,
                               tsCol: String = "datetime"): Unit = {
+    // OPTIMISTIC CONCURRENCY (Delta's protocol shape): a CAS conflict
+    // retries the WHOLE attempt against the new table state — but only
+    // when the interloping commits touched partitions DISJOINT from this
+    // batch's days (checked below per retry). Two nightly jobs landing
+    // different days serialize automatically; two writers racing the SAME
+    // day stay loud (last-writer-wins-by-accident is exactly what the CAS
+    // exists to prevent). The batch's day set is computed once, lazily —
+    // only a conflicted retry pays the one distinct-scan job.
+    val batchParts = new Store.Lazily(
+      df.select(to_date(col(tsCol)).cast("string")).distinct()
+        .collect().map(r => s"dt=${r.getString(0)}").toSet)
+    Store.retryDisjointCas(rel, s"$baseDir/$rel", fs,
+      overlap = changedParts =>
+        changedParts.exists(p => p.isEmpty || batchParts.get(p))) {
+      upsertPartitionsOnce(df, rel, tsCol)
+    }
+  }
+
+  private def upsertPartitionsOnce(df: DataFrame, rel: String,
+                                   tsCol: String): Unit = {
     val dir = new Path(s"$baseDir/$rel")
     Store.recoverSwap(fs, dir)
     if (fs.exists(dir)) ScopedCommit.recover(fs, dir)
@@ -472,7 +492,20 @@ class Store(spark: SparkSession, baseDir: String) {
     * lakehouse write/maintain split (append cheap, OPTIMIZE amortized).
     */
   def appendZordered(df: DataFrame, rel: String, zCols: Seq[String],
-                     files: Int = 8, bits: Int = 6): Unit = {
+                     files: Int = 8, bits: Int = 6): Unit =
+    // OPTIMISTIC CONCURRENCY: an append only ADDS files, so it is
+    // file-disjoint with ANY interleaved commit by construction — a CAS
+    // conflict (another writer won the epoch) retries the whole attempt
+    // against the new state, bounded; the retry re-validates the layout
+    // against the NEW manifest, so a concurrent reshape still fails
+    // loudly. The claim is taken before any data motion, so a conflicted
+    // attempt has written nothing.
+    Store.retryDisjointCas(rel, s"$baseDir/$rel", fs, overlap = _ => false) {
+      appendZorderedOnce(df, rel, zCols, files, bits)
+    }
+
+  private def appendZorderedOnce(df: DataFrame, rel: String, zCols: Seq[String],
+                                 files: Int, bits: Int): Unit = {
     // A recluster interrupted between swapInto's two renames parks the
     // table with the target missing. Appending into that hole would
     // recreate the target, making later recovery read the parked pre-crash
@@ -2525,6 +2558,58 @@ object Store {
 
   private def sessionKey(spark: SparkSession): String =
     System.identityHashCode(spark).toString
+
+  /** One-slot lazy cell: the value computes on first use only — a
+    * conflict-free mutator never pays for its conflict bookkeeping.
+    */
+  private[graft] class Lazily[T](body: => T) { lazy val get: T = body }
+
+  /** Optimistic-concurrency driver for CAS-conflicting mutators (Delta's
+    * protocol shape): run `body`; on an epoch-CAS conflict
+    * (ConcurrentModificationException from [[Store.claimEpoch]] — thrown
+    * BEFORE any data motion), re-read the table, verify every commit that
+    * landed since this writer last observed the table touched only
+    * DISJOINT partitions (`overlap` over the changed files' partition
+    * dirs; "" = a flat file changed — always a conflict for partition
+    * writers), and re-attempt bounded times with quadratic backoff.
+    * Overlapping interlopers — and a conflict that persists past the
+    * budget (a crashed writer's frontier claim) — rethrow the original
+    * loud error: the caller decides, never a silent last-writer-wins.
+    */
+  private[graft] def retryDisjointCas(rel: String, dirStr: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      overlap: Set[String] => Boolean, attempts: Int = 8)(body: => Unit): Unit = {
+    val dir = new Path(dirStr)
+    var attempt = 0
+    var prev: Option[Set[String]] = None
+    while (true) {
+      val now: Set[String] =
+        LayoutManifest.read(fs, dir).map(_.allFiles.toSet).getOrElse(Set.empty)
+      if (attempt > 0) {
+        val before = prev.getOrElse(Set.empty)
+        val changed = (before diff now) ++ (now diff before)
+        val changedParts = changed.map(n =>
+          if (n.contains('/')) n.substring(0, n.lastIndexOf('/')) else "")
+        if (overlap(changedParts))
+          throw new java.util.ConcurrentModificationException(
+            s"optimistic retry of $rel abandoned: a concurrent commit touched " +
+              s"overlapping partition(s) ${changedParts.mkString(", ")} — " +
+              "re-read the table and re-issue the write explicitly")
+      }
+      prev = Some(now)
+      try { body; return }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > attempts) throw e
+          // quadratic backoff with jitter: N conflicted writers behind one
+          // in-flight commit must fan out, not re-collide in lockstep
+          val d = math.min(2000L, 100L * attempt * attempt)
+          Thread.sleep(d / 2 +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(d / 2 + 1))
+      }
+    }
+  }
 
   /** The failure shape of a scan whose resolved FILE moved under it
     * (retire/vacuum between resolution and action): a FileNotFoundException

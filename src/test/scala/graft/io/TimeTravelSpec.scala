@@ -429,13 +429,78 @@ class TimeTravelSpec extends AnyFunSuite {
     pool.shutdown()
     assert(pool.awaitTermination(120, TimeUnit.SECONDS))
     val wins = winCount.get
-    // every append either fully committed (a distinct epoch + its 100 rows)
-    // or failed loudly leaving nothing — no interleaving, no partial batch
-    assert(wins >= 1 && wins <= n)
+    // appends are file-disjoint by construction, so the optimistic CAS
+    // retry serializes ALL of them — every batch lands as its own epoch
+    // (r20; before the retry, exactly one landed per transition). Still
+    // no interleaving and no partial batches.
+    assert(wins == n, s"all $n disjoint appends must serialize, got $wins")
     assert(spark.read.parquet(s"$base/tbl").count() == 100L * wins,
       s"committed rows must be exactly the $wins winners' batches")
     assert(store.listVersions("tbl") == (0L until wins.toLong),
       "one epoch per winner, consecutively numbered")
+  }
+
+  test("optimistic concurrency on the partition upsert: disjoint-day racers " +
+    "all land; same-day racers produce a loud loser with the table intact") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val base = Files.createTempDirectory("graft_tt_opt").toString
+    val store = new Store(spark, base)
+    def day(d: Int, off: Long) = spark.range(off, off + 50).select(
+      col("id").as("k"),
+      expr(s"timestamp'2024-05-0$d 00:00:00'").as("ts"),
+      (col("id") % 9).cast("double").as("value"))
+    store.writePartitionedManaged(day(1, 0), "ptbl", tsCol = "ts")  // epoch 0
+    // 4 threads, 4 DISJOINT days: with conflict-detection-and-retry all
+    // four serialize (pre-r20: exactly one landed, three failed loudly)
+    val n = 4
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until n).foreach { t =>
+      pool.execute(() => {
+        val batch = day(t + 2, 100L * (t + 1))
+        start.await()
+        try store.upsertPartitionsManaged(batch, "ptbl", tsCol = "ts")
+        catch { case e: Throwable => errs.add(e); () }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(180, TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"disjoint days must all land: ${errs.peek()}")
+    val snap = store.readSnapshot("ptbl")
+    assert(snap.count() == 50L * (n + 1))
+    assert(snap.select(countDistinct(col("dt"))).head.getLong(0) == n + 1)
+    assert(store.listVersions("ptbl") == (0L to n.toLong))
+
+    // SAME-day race: one commits, the other's retry detects the overlap
+    // and stays loud; the table holds exactly one batch's content
+    val start2 = new CountDownLatch(1)
+    val pool2 = Executors.newFixedThreadPool(2)
+    val errs2 = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ok2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    (0 until 2).foreach { t =>
+      pool2.execute(() => {
+        val batch = day(9, 1000L * (t + 1))
+          .withColumn("value", col("value") + t * 100)
+        start2.await()
+        try { store.upsertPartitionsManaged(batch, "ptbl", tsCol = "ts"); ok2.incrementAndGet(); () }
+        catch { case e: Throwable => errs2.add(e); () }
+      })
+    }
+    start2.countDown()
+    pool2.shutdown()
+    assert(pool2.awaitTermination(180, TimeUnit.SECONDS))
+    // either both raced (one loud loser) or they serialized without a CAS
+    // collision (both landed, one after the other) — in every outcome the
+    // day holds exactly ONE batch's 50 rows and nothing interleaved
+    assert(ok2.get >= 1, errs2.toString)
+    errs2.forEach(e => assert(
+      e.isInstanceOf[java.util.ConcurrentModificationException], e.toString))
+    val d9 = store.readSnapshot("ptbl")
+      .where(col("dt") === lit("2024-05-09").cast("date"))
+    assert(d9.count() == 50)
+    assert(d9.select(countDistinct(col("k"))).head.getLong(0) == 50)
   }
 
   test("a no-match COW pass holds (and releases) the claim: the locate scan " +
