@@ -2295,6 +2295,105 @@ class Store(spark: SparkSession, baseDir: String) {
     refreshCatalog(target)
   }
 
+  /** Result of a [[compactPartitionsManaged]] pass, for logging and specs. */
+  case class PartCompactStats(partitionsCompacted: Int, filesIn: Int,
+                              filesOut: Int, bytesRewritten: Long)
+
+  /** Small-file compaction for MANAGED PARTITIONED stores — the
+    * maintenance half the partitioned shape was missing ([[compact]]
+    * refuses manifest tables; [[scopedRecluster]] refuses partitioned
+    * ones): each nightly [[upsertPartitionsManaged]] writes its day in
+    * as many files as tasks carried rows, and a month of ingests leaves
+    * every partition paying per-file open/footer overhead on every scan.
+    * This pass rewrites ONLY the partitions whose file count exceeds both
+    * `maxFilesPerPartition` and their byte-optimal count
+    * (ceil(bytes/targetBytes)), as one retire-backed epoch: replaced
+    * files retire into their in-partition retired dirs (prior epochs stay
+    * readable until vacuum), untouched partitions never open or move
+    * (spec pins byte/mtime identity), and the change feed is SILENT for
+    * it (content-identical pairs emit nothing). Cost scales with the
+    * fragmented partitions, never the table.
+    */
+  def compactPartitionsManaged(rel: String,
+                               targetBytes: Long = 128L * 1024 * 1024,
+                               maxFilesPerPartition: Int = 1): PartCompactStats = {
+    require(maxFilesPerPartition >= 1, "maxFilesPerPartition must be >= 1")
+    val dir = new Path(s"$baseDir/$rel")
+    Store.recoverSwap(fs, dir)
+    ScopedCommit.recover(fs, dir)
+    val m = LayoutManifest.read(fs, dir).getOrElse(throw new IllegalStateException(
+      s"$rel has no layout manifest — compactPartitionsManaged needs a managed " +
+        "partitioned store (writePartitionedManaged provenance)"))
+    require(m.isPartitioned,
+      s"$rel is curve-clustered — scopedRecluster/maintainZordered manage its files")
+    // measure from the manifest + one metadata stat per file: a partition
+    // is fragmented when it holds more files than BOTH the operator cap
+    // and its byte-optimal count (a partition of 4 big files at cap 8 is
+    // healthy; 40 tiny files is not)
+    val byDir = m.allFiles.filter(_.contains('/'))
+      .groupBy(n => n.substring(0, n.lastIndexOf('/')))
+    val sizes = m.allFiles.filter(_.contains('/'))
+      .map(n => n -> fs.getFileStatus(new Path(dir, n)).getLen).toMap
+    val plan = byDir.map { case (d, names) =>
+      val bytes = names.map(sizes).sum
+      val targetN = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+      (d, names, bytes, targetN)
+    }.filter { case (_, names, _, targetN) =>
+      names.size > math.max(targetN, maxFilesPerPartition.toLong)
+    }.toSeq.sortBy(_._1)
+    if (plan.isEmpty) return PartCompactStats(0, 0, 0, 0L)
+    val touched = plan.flatMap(_._2).sorted
+    val bytesIn = plan.map(_._3).sum
+    val kmax = plan.map(_._4).max.toInt
+    val totalOut = plan.map(_._4).sum.toInt
+    withEpochClaim(dir, m.epoch + 1, m.epoch, java.util.UUID.randomUUID.toString) {
+      val tmp = ScopedCommit.newStageDir(dir)
+      ScopedCommit.sweepStages(fs, dir)
+      val region = evolvedReader(Some(m)).option("basePath", dir.toString)
+        .parquet(touched.map(n => s"$dir/$n"): _*)
+      // one shuffle sized to the fragmented region: partition columns plus
+      // a hash slot spread each partition over ~its byte-optimal count
+      // (deterministic under task retry — hash of the data columns, not
+      // rand); partitions smaller than kmax slots may split one file finer
+      // than optimal, never coarser
+      val dataCols = region.columns.filterNot(m.partCols.contains).toSeq
+      val staged0 =
+        if (kmax <= 1) region.repartition(totalOut, m.partCols.map(col): _*)
+        else region.repartition(totalOut,
+          m.partCols.map(col) :+ pmod(hash(dataCols.map(col): _*), lit(kmax)): _*)
+      staged0.write.mode("overwrite").partitionBy(m.partCols: _*).parquet(tmp.toString)
+      val staged = listDataFilesDeep(tmp)
+      val epoch = m.epoch + 1
+      val renames = staged.map(s => s -> promoteName(s, "c", epoch))
+      val touchedSet = touched.toSet
+      val newM = m.copy(epoch = epoch,
+        base = (m.base.filterNot(touchedSet) ++ renames.map(_._2)).sorted,
+        appends = m.appends.map(_.filterNot(touchedSet)).filter(_.nonEmpty))
+      ScopedCommit.replay(fs, dir, ScopedCommit.write(fs, dir, renames,
+        deletes = Nil, manifest = Some(newM), retires = touched, stage = tmp))
+      refreshCatalog(dir)
+      PartCompactStats(plan.size, touched.size, staged.size, bytesIn)
+    }
+  }
+
+  /** The partitioned maintenance decision ([[maintainZordered]]'s sibling
+    * for the dt-shaped stores): compact only when some partition actually
+    * crossed the file-count trigger — [[compactPartitionsManaged]] itself
+    * measures and commits nothing when nothing is fragmented, so this is
+    * the same measured-trigger contract with the stats exposed as
+    * ran/skipped.
+    */
+  def maintainPartitionsManaged(rel: String, maxFilesPerPartition: Int,
+                                targetBytes: Long = 128L * 1024 * 1024): Option[PartCompactStats] =
+    Some(compactPartitionsManaged(rel, targetBytes, maxFilesPerPartition))
+      .filter(_.partitionsCompacted > 0)
+
+  /** Whether `rel` is a managed PARTITIONED store (vs curve-clustered or
+    * manifest-less) — the routing probe for layout-shaped maintenance.
+    */
+  private[graft] def isPartitionedStore(rel: String): Boolean =
+    LayoutManifest.read(fs, new Path(s"$baseDir/$rel")).exists(_.isPartitioned)
+
   /** Bucketed managed table: pre-shuffles ONCE at write time so every later
     * equi-join/aggregation on `bucketCols` is co-located — Catalyst plans a
     * SortMergeJoin with NO Exchange on either side. This is the 100 TB

@@ -1043,6 +1043,27 @@ object ExtensionQueries {
         .groupBy(col("_change_type"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
+    // Partitioned-store MAINTENANCE from pure SQL (x69's sibling on the
+    // dt-shaped layout): the replace deliberately fragments every day
+    // into 8 small files, CALL maintain routes to the per-partition
+    // compaction (retire-backed epoch; PartCompactSpec pins that healthy
+    // partitions keep byte/mtime identity and the change feed is silent),
+    // and the catalog read-back must aggregate to exactly the raw rows —
+    // maintenance never changes what the table SAYS.
+    "x72_part_maintain" -> ((s, dir) => {
+      val base = s"$scratchDir/x72"
+      val store = new graft.io.Store(s, base)
+      store.writePartitionedManaged(Tables.events(s, dir).repartition(8),
+        "events_pc", tsCol = "ts")                                   // epoch 0
+      s.conf.set("spark.sql.catalog.graft_x72", "graft.sql.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_x72.base", base)
+      s.sql("CALL graft_x72.maintain('events_pc', 1.5, 2, 1000.0, 2)").collect()
+      s.sql("""SELECT event_type, COUNT(*) AS n,
+              |  ROUND(SUM(value), 2) AS sum_value,
+              |  COUNT(DISTINCT dt) AS n_days
+              |FROM graft_x72.events_pc
+              |GROUP BY event_type""".stripMargin)
+    }),
     // x60b over the OTHER common lakehouse shape: `DELETE FROM` a
     // dt-PARTITIONED store (the date-scoped takedown every real operator
     // runs). The dt predicate partition-prunes the locate scan — the
@@ -2529,6 +2550,14 @@ object ExtensionQueries {
         |  ROUND(SUM(value), 2) AS sum_value
         |FROM changes
         |GROUP BY 1, 2""".stripMargin,
+    // The compacted store must hold exactly the raw rows: the oracle
+    // aggregates events directly, dt re-derived from ts.
+    "x72_part_maintain" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        |FROM events
+        |GROUP BY 1""".stripMargin,
     // The pinned view serves the full written+appended corpus: the
     // layout- and catalog-independent aggregate replays off raw events.
     "x58b_snapshot_view" ->

@@ -523,7 +523,7 @@ private[sql] object GraftProcedures {
   }
 
   private class Maintain(val base: String) extends P("maintain",
-    "the measured daily cycle: scoped recluster past the erosion/file-count triggers, vacuum past the retired-bytes trigger",
+    "the measured daily cycle: scoped recluster (curve stores) or per-partition compaction (partitioned stores) past the erosion/file-count triggers, vacuum past the retired-bytes trigger",
     Array(in("table", StringType), in("max_touched_per_probe", DoubleType),
       in("max_append_files", IntegerType), in("max_retired_fraction", DoubleType),
       in("keep_last", IntegerType)),
@@ -531,10 +531,23 @@ private[sql] object GraftProcedures {
       .add("vacuumed", BooleanType).add("reclaimed_bytes", LongType)) {
     override def run(s: graft.io.Store, a: InternalRow): InternalRow = {
       val rel = a.getUTF8String(0).toString
-      val z = s.maintainZordered(rel, a.getDouble(1), Some(a.getInt(2)))
+      // layout-shaped routing: curve stores run the erosion-triggered
+      // scoped recluster; managed PARTITIONED stores run the per-partition
+      // small-file compaction (max_append_files doubles as the
+      // files-per-partition cap — the same "too many small files" trigger
+      // in both layouts; max_touched_per_probe has no partitioned analog)
+      val (ran, rewritten) =
+        if (s.isPartitionedStore(rel)) {
+          val c = s.maintainPartitionsManaged(rel,
+            maxFilesPerPartition = math.max(1, a.getInt(2)))
+          (c.isDefined, c.map(_.filesIn).getOrElse(0))
+        } else {
+          val z = s.maintainZordered(rel, a.getDouble(1), Some(a.getInt(2)))
+          (z.isDefined, z.map(_.rewrittenFiles).getOrElse(0))
+        }
       val v = s.maintainRetention(rel, a.getDouble(3), a.getInt(4))
-      InternalRow(z.isDefined, z.map(_.rewrittenFiles).getOrElse(0),
-        v.isDefined, v.map(_.reclaimedBytes).getOrElse(0L))
+      InternalRow(ran, rewritten, v.isDefined,
+        v.map(_.reclaimedBytes).getOrElse(0L))
     }
   }
 
