@@ -287,6 +287,62 @@ object GraftCatalog {
     }
   }
 
+  /** Runtime (join-time) file pruning for a partitioned graft scan — the
+    * [[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]
+    * translation: the DPP predicates arrive as v2 [[Predicate]]s over the
+    * partition columns; every fully-translatable one becomes a catalyst
+    * expression RESOLVED against the scan's partition schema (name-bound
+    * AttributeReferences — exactly what the file index's partition pruner
+    * transforms by name) and rides the wrapped ParquetScan's own
+    * `partitionFilters`, so the re-planned batch lists only the matching
+    * partitions' files. A predicate that does not translate or reference
+    * partition columns only is DROPPED — pruning is an optimization; the
+    * join itself re-applies the condition.
+    */
+  private[graft] def runtimeFilteredScan(
+      scan: org.apache.spark.sql.execution.datasources.v2.FileScan,
+      predicates: Array[Predicate]):
+      Option[org.apache.spark.sql.execution.datasources.v2.FileScan] = {
+    import org.apache.spark.sql.{sources => sf}
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    val ps = scan.fileIndex.partitionSchema
+    if (ps.isEmpty || predicates.isEmpty) return None
+    // DIRECT sources.Filter -> catalyst translation, fully RESOLVED and
+    // interpretable (the file index's partition pruner evaluates these
+    // with an interpreted Predicate — a Column-built tree would carry
+    // UnresolvedFunction nodes it cannot eval). Attribute binding is by
+    // NAME against the partition schema; Literal.create converts the v1
+    // filters' external values (java.sql.Date etc.) to internal form.
+    def attr(name: String): Option[ce.AttributeReference] =
+      ps.fields.find(_.name.equalsIgnoreCase(name))
+        .map(f => ce.AttributeReference(f.name, f.dataType, nullable = true)())
+    def litFor(a: ce.AttributeReference, v: Any): ce.Expression =
+      ce.Literal.create(v, a.dataType)
+    def toExpr(f: sf.Filter): Option[ce.Expression] = f match {
+      case sf.EqualTo(a, v) => attr(a).map(x => ce.EqualTo(x, litFor(x, v)))
+      case sf.EqualNullSafe(a, v) => attr(a).map(x => ce.EqualNullSafe(x, litFor(x, v)))
+      case sf.GreaterThan(a, v) => attr(a).map(x => ce.GreaterThan(x, litFor(x, v)))
+      case sf.GreaterThanOrEqual(a, v) => attr(a).map(x => ce.GreaterThanOrEqual(x, litFor(x, v)))
+      case sf.LessThan(a, v) => attr(a).map(x => ce.LessThan(x, litFor(x, v)))
+      case sf.LessThanOrEqual(a, v) => attr(a).map(x => ce.LessThanOrEqual(x, litFor(x, v)))
+      case sf.In(a, vs) => attr(a).map(x => ce.In(x, vs.toIndexedSeq.map(litFor(x, _))))
+      case sf.IsNull(a) => attr(a).map(ce.IsNull)
+      case sf.IsNotNull(a) => attr(a).map(ce.IsNotNull)
+      case sf.And(l, r) => for { lc <- toExpr(l); rc <- toExpr(r) } yield ce.And(lc, rc)
+      case sf.Or(l, r) => for { lc <- toExpr(l); rc <- toExpr(r) } yield ce.Or(lc, rc)
+      case sf.Not(c) => toExpr(c).map(ce.Not)
+      case _ => None
+    }
+    val exprs = predicates.toSeq.flatMap(p =>
+      org.apache.spark.sql.graftshim.GraftShim.predicateToV1(p).flatMap(toExpr))
+    if (exprs.isEmpty) None
+    else scan match {
+      case pq: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        Some(pq.copy(partitionFilters = pq.partitionFilters ++ exprs))
+      case _ => None
+    }
+  }
+
   private[sql] def translate(predicates: Array[Predicate]):
       Option[org.apache.spark.sql.Column] = {
     val cols = predicates.toSeq.map(p =>
@@ -345,7 +401,7 @@ private[graft] class GraftTable(underlying: ParquetTable, baseDir: String,
     new org.apache.spark.sql.graftshim.GraftStreamingScanBuilder(
       underlying.newScanBuilder(options)
         .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder],
-      (readSchema, _) => {
+      mkStream = (readSchema, _) => {
         if (versionPinned) throw new UnsupportedOperationException(
           s"$name is pinned to a manifest epoch (VERSION AS OF) — a pinned " +
             "epoch never changes; stream the current table instead")
@@ -368,7 +424,8 @@ private[graft] class GraftTable(underlying: ParquetTable, baseDir: String,
           maxEpochsPerTrigger = positiveOpt("maxEpochsPerTrigger"),
           maxFilesPerTrigger = positiveOpt("maxFilesPerTrigger"),
           startingEpoch = Option(options.get("startingEpoch")))
-      })
+      },
+      runtimeFilter = GraftCatalog.runtimeFilteredScan)
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     !versionPinned && GraftCatalog.translate(predicates).isDefined

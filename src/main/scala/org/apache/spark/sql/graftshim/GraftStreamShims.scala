@@ -33,7 +33,9 @@ object GraftShim {
 }
 
 class GraftStreamingScanBuilder(underlying: ParquetScanBuilder,
-                                mkStream: (StructType, String) => MicroBatchStream)
+                                mkStream: (StructType, String) => MicroBatchStream,
+                                runtimeFilter: (FileScan, Array[Predicate]) => Option[FileScan] =
+                                  (_, _) => None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -60,15 +62,33 @@ class GraftStreamingScanBuilder(underlying: ParquetScanBuilder,
     underlying.pushVariantExtractions(extractions)
 
   override def build(): Scan =
-    new GraftStreamingScan(underlying.build().asInstanceOf[FileScan], mkStream)
+    new GraftStreamingScan(underlying.build().asInstanceOf[FileScan], mkStream,
+      runtimeFilter)
 }
 
 /** Delegates every batch face of the wrapped [[FileScan]]; streaming goes
-  * to the epoch stream.
+  * to the epoch stream. Implements [[SupportsRuntimeV2Filtering]] — a
+  * capability stock v2 parquet LACKS: dynamic partition pruning hands the
+  * join-time predicates to [[filter]], which re-plans the wrapped scan
+  * over only the matching partitions' files (the `runtimeFilter` callback
+  * owns the translation; a non-translatable predicate leaves the scan
+  * unchanged — pruning is an optimization, never a correctness gate).
+  * `underlying` is mutable for exactly this protocol: BatchScanExec calls
+  * filter() and then re-invokes toBatch for the filtered partitions.
   */
-class GraftStreamingScan(private val underlying: FileScan,
-                         mkStream: (StructType, String) => MicroBatchStream)
-    extends Scan with SupportsReportStatistics with SupportsMetadata {
+class GraftStreamingScan(private var underlying: FileScan,
+                         mkStream: (StructType, String) => MicroBatchStream,
+                         runtimeFilter: (FileScan, Array[Predicate]) => Option[FileScan] =
+                           (_, _) => None)
+    extends Scan with SupportsReportStatistics with SupportsMetadata
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    underlying.fileIndex.partitionSchema.fieldNames.map(n =>
+      org.apache.spark.sql.connector.expressions.FieldReference.column(n))
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    runtimeFilter(underlying, predicates).foreach(s => underlying = s)
 
   override def readSchema(): StructType = underlying.readSchema()
 

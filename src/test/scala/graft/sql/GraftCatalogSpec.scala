@@ -409,8 +409,11 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql("CREATE TABLE graft_h1.ctas AS SELECT 1 AS x")
     }
     assert(e1.getMessage.contains("read-only"), e1.getMessage)
+    // ALTER TABLE ADD COLUMN is the ONE admitted DDL since r20 (schema
+    // evolution — SchemaEvolutionSpec owns its laws); every other ALTER
+    // shape stays refused
     val e2 = intercept[Exception] {
-      spark.sql("ALTER TABLE graft_h1.tbl ADD COLUMN bogus INT")
+      spark.sql("ALTER TABLE graft_h1.tbl DROP COLUMN v")
     }
     assert(e2.getMessage.contains("read-only"), e2.getMessage)
     val e3 = intercept[Exception] {
@@ -496,5 +499,52 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) AS n FROM graft_t3.tbl").head.getLong(0) == 1000,
       "v2 catalog read leaked mid-journal duplicates")
     assert(rows(spark.sql("SELECT * FROM graft_t3.tbl")) == rows(df))
+  }
+
+  test("runtime v2 filtering: a dimension join dynamic-partition-prunes the " +
+    "graft scan to the joined days' files — a capability stock v2 parquet lacks") {
+    val base = Files.createTempDirectory("graft_dpp").toString
+    val store = new Store(spark, base)
+    val fact = spark.range(1000).select(col("id").as("k"),
+      expr("timestamp'2024-07-01 00:00:00' + make_interval(0,0,0,cast(id % 5 as int),0,0,0)").as("ts"),
+      (col("id") % 7).cast("double").as("value"))
+    store.writePartitionedManaged(fact.repartition(3), "fact", tsCol = "ts")
+    spark.conf.set("spark.sql.catalog.graft_dpp", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_dpp.base", base)
+    spark.range(5).select(
+      expr("date_add(date'2024-07-01', cast(id as int))").as("dt"),
+      concat(lit("t"), col("id")).as("tag"))
+      .createOrReplaceTempView("graft_dpp_dim")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = spark.sql(
+        """SELECT f.dt, COUNT(*) AS n, ROUND(SUM(f.value), 2) AS sv
+          |FROM graft_dpp.fact f JOIN graft_dpp_dim d ON f.dt = d.dt
+          |WHERE d.tag = 't2'
+          |GROUP BY f.dt""".stripMargin)
+      val out = q.collect()
+      assert(out.length == 1 && out.head.getLong(1) == 200, out.mkString(","))
+      // the planner planted a DPP subquery against the graft scan (stock
+      // v2 parquet has no SupportsRuntimeV2Filtering — this is the new
+      // capability), and the re-planned scan lists ONLY the joined day
+      val planStr = q.queryExecution.executedPlan.toString
+      assert(planStr.toLowerCase.contains("dynamicpruning"), planStr)
+      val scans = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      val graftScans = scans.map(_.scan).collect {
+        case g: org.apache.spark.sql.graftshim.GraftStreamingScan => g
+      }
+      assert(graftScans.nonEmpty, scans.map(_.scan.getClass.getName).mkString(","))
+      val files = graftScans.head.toBatch.planInputPartitions().toSeq.flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.toSeq
+        case _ => Nil
+      }
+      assert(files.nonEmpty &&
+        files.forall(_.filePath.toString.contains("dt=2024-07-03")),
+        s"scan must prune to the joined day: ${files.map(_.filePath).mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
