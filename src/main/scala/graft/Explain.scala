@@ -12,8 +12,13 @@ object Explain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Explain <sfDir> <queryName> [...]")
     val sfDir = args.head
+    // SPARK_GRAFT_CPUS speeds up the stateful queries' store writes;
+    // shuffle partitions stay pinned at 4 so plan text (Exchange
+    // partition counts) is comparable across captures regardless of the
+    // driving machine's width.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
+      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -176,7 +176,13 @@ object Multimodal {
   def docImages(spark: SparkSession, documents: DataFrame,
                 format: String = "png"): Dataset[MediaRow] = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    // codec work is byte-tiny but CPU-heavy, and the fixture corpus is a
+    // single parquet split — without the stats-gated spread every PNG
+    // encode+decode below runs on ONE task (measured: ~6 s serial at
+    // sf0.1, the whole x12 wall). Same discipline as Dedup.spread: the
+    // repartition only fires when the scan is smaller than the
+    // machine's split budget, so a real many-split corpus is untouched.
+    graft.ext.Dedup.spread(documents.select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions(_.map(id => MediaRow(id, syntheticImage(id, format), format)))
   }
 

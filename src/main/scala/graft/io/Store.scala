@@ -441,8 +441,33 @@ class Store(spark: SparkSession, baseDir: String) {
   }
 
   /** The curve layout as a frame: bucket ranks -> curve index ->
-    * range-partition + sort, helper columns dropped. Shared by
+    * curve-range partition + sort, helper columns dropped. Shared by
     * [[writeZordered]] (overwrite) and [[appendZordered]].
+    *
+    * COST SHAPE (optimization round 20): the original form paid THREE
+    * full evaluations of `df` per layout write — a full-corpus
+    * `approxQuantile` scan for the bucket bounds, the hidden
+    * RangePartitioner sampling scan that `repartitionByRange` plans
+    * (which re-evaluates the whole scan+bucket+curve chain to sample
+    * ~100 keys/partition), and the staging write itself. Measured at
+    * sf0.1 those first two are ~1.0-1.3 s of SERIAL single-task wall per
+    * write (the fixture parquet is one split), and at 100 TB they are
+    * two full extra passes over the corpus. Now ONE bounded,
+    * deterministic sample job (`TakeOrderedAndProject` on
+    * `xxhash64(zCols)` — the pqTrain sampling discipline) feeds BOTH
+    * decisions on the driver: the per-column equal-mass bucket bounds
+    * (exact quantiles of the hash-sample, same accuracy class as the
+    * replaced eps=0.01 sketch) and the equal-mass curve cut points
+    * (the sample's rows are bucketed and curve-indexed driver-side with
+    * the same [[graft.functions.HilbertIndex2]]/[[HilbertIndexN]] kernels
+    * the executors run). Rows then map to their target file with a
+    * codegen'd boundary scan and land there EXACTLY via a driver-solved
+    * hash salt ([[Store.hashSalts]]) — a REPARTITION_BY_NUM hash
+    * exchange, which AQE never coalesces, so the file count contract is
+    * unchanged while the sampling pass disappears. Write cost drops from
+    * 3 corpus passes to 2 (sample pass projects only zCols, so its scan
+    * is column-pruned), and the per-file content contract — `files`
+    * disjoint contiguous curve ranges, sorted within — is preserved.
     */
   private def zorderStage(df: DataFrame, zCols: Seq[String],
                           files: Int, bits: Int): DataFrame = {
@@ -451,20 +476,54 @@ class Store(spark: SparkSession, baseDir: String) {
     require(bits >= 1 && bits * zCols.size <= 62,
       s"bits * columns must fit a long, got $bits * ${zCols.size}")
     val n = 1 << bits
-    val probs = (1 until n).map(_.toDouble / n).toArray
-    // multi-column approxQuantile: ONE corpus scan sketches every z
-    // column (the per-column form would pay zCols.size scans)
-    val allBounds = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
-      .stat.approxQuantile(zCols.toArray, probs, 0.01)
-    val bounds = zCols.zip(allBounds).toMap
+    // deterministic bounded sample: lowest-k rows by content hash of the
+    // z columns — stable across partition layouts, task retries and runs
+    // (a reservoir/random sample is not), and k is below Spark's
+    // topKSortFallbackThreshold so this plans as TakeOrderedAndProject
+    // (per-partition top-k, no full sort shuffle)
+    val proj = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
+    val sample: Array[Array[Double]] = proj
+      .withColumn("__h", xxhash64(zCols.map(col): _*))
+      .orderBy(col("__h"))
+      .limit(Store.zSampleSize)
+      .collect()
+      .map(r => Array.tabulate(zCols.size)(i =>
+        if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))
+    // per-column equal-mass bucket bounds = exact quantiles of the sample
+    // (nulls excluded — they rank 0 below, exactly as before)
+    val bounds: Map[String, Array[Double]] = zCols.zipWithIndex.map { case (c, i) =>
+      val vs = sample.map(_(i)).filterNot(_.isNaN).sorted
+      val bs =
+        if (vs.isEmpty) Array.empty[Double]
+        else Array.tabulate(n - 1) { j =>
+          vs(math.min(vs.length - 1, ((j + 1).toLong * vs.length / n).toInt))
+        }.distinct
+      c -> bs
+    }.toMap
     // rank of v among the n equal-mass buckets: a linear boundary scan,
     // write-time-only and codegen'd (n-1 compares per row per column)
     def bucketOf(c: String): org.apache.spark.sql.Column = {
       val v = col(c).cast("double")
-      bounds(c).distinct.foldLeft(lit(0)) { (acc, b) =>
+      bounds(c).foldLeft(lit(0)) { (acc, b) =>
         acc + when(v > lit(b), 1).otherwise(0)
       }
     }
+    // the driver-side twin of bucketOf, for curve-indexing the sample
+    // (NaN > b is false, so nulls rank 0 — same as when() on null)
+    def rankOf(v: Double, bs: Array[Double]): Long = bs.count(v > _).toLong
+    val zSample: Array[Long] = sample.map { row =>
+      val ranks = Array.tabulate(zCols.size)(i => rankOf(row(i), bounds(zCols(i))))
+      if (zCols.size == 2) graft.functions.HilbertIndex2.compute(ranks(0), ranks(1), bits)
+      else graft.functions.HilbertIndexN.compute(ranks, bits)
+    }.sorted
+    // equal-mass curve cut points: files-1 boundaries over the sampled
+    // curve indexes — the same boundaries RangePartitioner would have
+    // sampled for, computed from the one sample already in hand
+    val zBounds: Array[Long] =
+      if (zSample.isEmpty) Array.empty[Long]
+      else Array.tabulate(files - 1) { j =>
+        zSample(math.min(zSample.length - 1, ((j + 1).toLong * zSample.length / files).toInt))
+      }.distinct
     val withB = zCols.foldLeft(df)((d, c) =>
       d.withColumn(s"__zb_$c", bucketOf(c).cast("long")))
     // 2-D rides the classic xy2d form; 3+ dimensions ride Skilling's n-D
@@ -476,10 +535,16 @@ class Store(spark: SparkSession, baseDir: String) {
           col(s"__zb_${zCols(0)}"), col(s"__zb_${zCols(1)}"), bits)
       else
         graft.functions.HilbertIndexN(zCols.map(c => col(s"__zb_$c")), bits)
-    withB.withColumn("__z", zval)
-      .repartitionByRange(files, col("__z"))
+    val salts = Store.hashSalts(files)
+    val withZ = withB.withColumn("__z", zval)
+    val pid = zBounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__z") > lit(b), 1).otherwise(0)
+    }
+    withZ
+      .withColumn("__zsalt", element_at(typedLit(salts.toSeq), pid + 1))
+      .repartition(files, col("__zsalt"))
       .sortWithinPartitions("__z")
-      .drop(zCols.map(c => s"__zb_$c") :+ "__z": _*)
+      .drop(zCols.map(c => s"__zb_$c") ++ Seq("__z", "__zsalt"): _*)
   }
 
   /** Append a batch to a clustered/z-ordered table WITHOUT re-laying it
@@ -1199,15 +1264,6 @@ class Store(spark: SparkSession, baseDir: String) {
       .alias("__t")
     val j = regionT.join(srcX, on, "left_outer")
     val hitBase = col("__graft_sx").isNotNull
-    // SQL's MERGE cardinality law, enforced before anything moves
-    if (matched.nonEmpty && touchedNames.nonEmpty) {
-      val dup = j.where(hitBase).groupBy(col("__graft_rid"))
-        .agg(count(lit(1)).as("__graft_n")).where(col("__graft_n") > 1)
-        .limit(1).count()
-      require(dup == 0L,
-        s"MERGE into $dir: a target row is matched by more than one source row — " +
-          "the SQL cardinality rule forbids it; deduplicate the source on the merge keys")
-    }
     // which ordered clause fires per row — 0 = none (pass through),
     // i+1 = clause i. A when-chain evaluates in order: FIRST match wins,
     // exactly SQL's WHEN MATCHED semantics.
@@ -1227,14 +1283,30 @@ class Store(spark: SparkSession, baseDir: String) {
     }
     def inIdx(idx: Seq[Int]) =
       if (idx.isEmpty) lit(false) else col("__graft_cl").isin(idx: _*)
+    // ONE evaluation of the region join yields BOTH the SQL MERGE
+    // cardinality law and the clause stats (the previous separate
+    // dup-check job re-evaluated the whole region scan + source join —
+    // guide §1.2: one pass where one pass suffices). Per target row:
+    // its match count and its firing clause; globally: max(match count),
+    // row/clause totals. When the law is violated the totals are
+    // polluted by the duplicate matches, but the require throws before
+    // anything reads them.
     val (regionRows, updHits, delHits) =
       if (touchedNames.isEmpty) (0L, 0L, 0L)
       else {
-        val r = j.select(clauseCol.as("__graft_cl"))
-          .agg(count(lit(1)).as("n"),
-            count(when(inIdx(updateIdx), 1)).as("u"),
-            count(when(inIdx(deleteIdx), 1)).as("d")).head
-        (r.getLong(0), r.getLong(1), r.getLong(2))
+        val perRid = j.select(col("__graft_rid"),
+            hitBase.cast("long").as("__graft_hit"), clauseCol.as("__graft_cl"))
+          .groupBy(col("__graft_rid"))
+          .agg(sum(col("__graft_hit")).as("__graft_h"),
+            max(col("__graft_cl")).as("__graft_cl"))
+        val r = perRid.agg(max(col("__graft_h")).as("mh"),
+          count(lit(1)).as("n"),
+          count(when(inIdx(updateIdx), 1)).as("u"),
+          count(when(inIdx(deleteIdx), 1)).as("d")).head
+        require(matched.isEmpty || (if (r.isNullAt(0)) 0L else r.getLong(0)) <= 1L,
+          s"MERGE into $dir: a target row is matched by more than one source row — " +
+            "the SQL cardinality rule forbids it; deduplicate the source on the merge keys")
+        (r.getLong(1), r.getLong(2), r.getLong(3))
       }
     matched.foreach {
       case Store.MergeUpdate(sets, _) =>
@@ -1408,7 +1480,13 @@ class Store(spark: SparkSession, baseDir: String) {
           partCols.map(col) :+ pmod(hash(dataCols.map(col): _*), lit(spreadK)): _*)
       case _ => out.repartition(nOut)
     }
-    val writer = staged0.write.mode("overwrite")
+    // staged row count rides the write itself as an observed metric —
+    // the previous `spark.read.parquet(tmp).count()` re-opened every
+    // staged footer and paid one extra Spark job per commit (guide §1.2:
+    // don't compute things twice)
+    val stagedObs = org.apache.spark.sql.Observation()
+    val writer = staged0.observe(stagedObs, count(lit(1)).as("rows"))
+      .write.mode("overwrite")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(tmp.toString)
     var staged = listDataFilesDeep(tmp)
@@ -1427,9 +1505,11 @@ class Store(spark: SparkSession, baseDir: String) {
       staged = listDataFilesDeep(tmp)
     }
     // every touched row may be deleted: an empty stage promotes nothing
-    // (reading an all-deleted tmp back would fail schema inference)
+    // (reading an all-deleted tmp back would fail schema inference).
+    // The carrier re-stage above writes `out` again (0 rows), so the
+    // observed first-write count equals the re-read count in every case.
     val stagedRows =
-      if (staged.isEmpty) 0L else spark.read.parquet(tmp.toString).count()
+      if (staged.isEmpty) 0L else stagedObs.get("rows").asInstanceOf[Long]
     // a fully-deleted region stages a schema-only zero-row file; it IS
     // promoted — it keeps an emptied table readable, and FileRect's
     // zero-row guard keeps it inert for the erosion test
@@ -2107,15 +2187,16 @@ class Store(spark: SparkSession, baseDir: String) {
         val newR = readNames(e, added)
         val kc = key.map(col)
         // the pre/post pairing is only defined on unique keys — validate
-        // over exactly the delta region (bounded), loudly
-        Seq("retired" -> oldR, "replacement" -> newR).foreach { case (side, df) =>
-          val dup = df.groupBy(kc: _*).agg(count(lit(1)).as("__n"))
-            .where(col("__n") > 1).limit(1).count()
-          require(dup == 0L,
-            s"changeFeed($rel): key (${key.mkString(", ")}) is not unique in " +
-              s"epoch $e's $side region — pre/post pairing is ill-defined; " +
-              "pass the table's full key")
-        }
+        // over exactly the delta region (bounded), loudly. ONE job for
+        // both sides (side rides the grouping key), not one scan each.
+        val dupSide = oldR.select(lit("retired").as("__side") +: kc: _*)
+          .unionByName(newR.select(lit("replacement").as("__side") +: kc: _*))
+          .groupBy(col("__side") +: kc: _*).agg(count(lit(1)).as("__n"))
+          .where(col("__n") > 1).select(col("__side")).limit(1).collect()
+        require(dupSide.isEmpty,
+          s"changeFeed($rel): key (${key.mkString(", ")}) is not unique in " +
+            s"epoch $e's ${dupSide.headOption.map(_.getString(0)).getOrElse("")} region — " +
+            "pre/post pairing is ill-defined; pass the table's full key")
         // ONE pass over the joined delta: each row explodes into its 0-2
         // change rows (identical pre/post content explodes into none) —
         // no cache, no 4-way re-read of the region
@@ -2541,6 +2622,41 @@ class Store(spark: SparkSession, baseDir: String) {
 }
 
 object Store {
+
+  /** Rows sampled per curve-layout write to place the bucket and file
+    * boundaries (see [[Store#zorderStage]]). Deterministic (lowest-k by
+    * content hash), bounded driver state — 8192 doubles per z column —
+    * and below Spark's topKSortFallbackThreshold (10000) so the sample
+    * plans as TakeOrderedAndProject, never a full sort. Env-overridable
+    * for cluster runs where finer boundaries are worth a bigger top-k
+    * (boundary mass error ~ 1/sqrt(k) per cut, so the default already
+    * places cuts within ~1% mass — the replaced approxQuantile sketch's
+    * accuracy class).
+    */
+  private[io] val zSampleSize: Int =
+    sys.env.get("SPARK_GRAFT_Z_SAMPLE").map(_.toInt).getOrElse(8192)
+
+  /** For each target partition 0..n-1, an int whose Murmur3 hash (seed
+    * 42 — what HashPartitioning evaluates) lands exactly there under
+    * `pmod(hash, n)`. Lets a frame with a precomputed partition id ride
+    * an ordinary REPARTITION_BY_NUM hash exchange to EXACT partitions —
+    * range-partitioned placement without RangePartitioner's sampling
+    * pass. A linear probe finds all n salts in O(n log n) expected tries
+    * (coupon collector); n is a file count, so this is microseconds.
+    */
+  private[io] def hashSalts(n: Int): Array[Int] = {
+    val salts = new Array[Int](n)
+    val found = new Array[Boolean](n)
+    var remaining = n
+    var v = 0
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
+      val p = ((h % n) + n) % n
+      if (!found(p)) { found(p) = true; salts(p) = v; remaining -= 1 }
+      v += 1
+    }
+    salts
+  }
 
   /** The matched half of a [[Store.mergeInto]]: UPDATE SET (values may
     * reference `__t` and `__s`) or DELETE, each optionally gated by an
