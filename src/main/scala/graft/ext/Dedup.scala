@@ -417,8 +417,14 @@ object Dedup {
         floor(col(lenCol) / tol).as("__bucket"))
     l.join(r, Seq("__bucket"))
       .where(abs(col("len_l") - col("len_r")) <= tol)
+      // bounded kernel: pairs provably below minJaccard abort the merge
+      // early and return -1 — dropped below, before any division; every
+      // surviving pair carries its EXACT count, so the jaccard filter is
+      // unchanged (see SortedIntersectSizeBounded for the boundary proof)
       .withColumn("inter",
-        graft.functions.SortedIntersectSize(col("sh_l"), col("sh_r")).cast("double"))
+        graft.functions.SortedIntersectSizeBounded.forThreshold(
+          col("sh_l"), col("sh_r"), minJaccard).cast("double"))
+      .where(col("inter") >= 0)
       // zero-guard: two sub-k-word docs have EMPTY shingle sets, and under
       // Spark 4's default ANSI mode 0.0/0.0 aborts the query instead of
       // yielding NaN; empty-vs-empty is "no evidence of similarity" -> 0
@@ -677,8 +683,12 @@ object Dedup {
     // probe side's partitioning IS the parallelism of the intersection loop
     spread(a, col("id_a")).join(b, Seq("__bucket"))
       .where(col("id_a") < col("id_b") && abs(col("len_a") - col("len_b")) <= tol)
+      // bounded kernel: below-threshold pairs abort early with -1 and are
+      // dropped before the division; surviving pairs carry exact counts
       .withColumn("inter",
-        graft.functions.SortedIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
+        graft.functions.SortedIntersectSizeBounded.forThreshold(
+          col("sh_a"), col("sh_b"), minJaccard).cast("double"))
+      .where(col("inter") >= 0)
       // zero-guard: see ngramJaccardPairsBetween — ANSI 0.0/0.0 aborts
       .withColumn("jaccard", when(
           size(col("sh_a")) + size(col("sh_b")) - col("inter") === 0, lit(0.0))

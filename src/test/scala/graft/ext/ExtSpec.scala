@@ -1337,6 +1337,47 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == Seq(2, 0, 1))
   }
 
+  test("SortedIntersectSizeBounded: -1 exactly when below required, else the exact count") {
+    // randomized law vs the exact kernel, driven through codegen (the
+    // DataFrame path) — result is the exact intersect when it reaches
+    // `required`, -1 otherwise; NO pair at or above the bound may abort
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { _ =>
+      val a = Array.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      val b = Array.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      val req = rnd.nextInt(20)
+      (a, b, req)
+    }
+    val df = rows.toDF("a", "b", "req")
+    val out = df.select(
+      graft.functions.SortedIntersectSize(col("a"), col("b")).as("exact"),
+      org.apache.spark.sql.GraftBridge.toColumn(
+        graft.functions.SortedIntersectSizeBounded(
+          org.apache.spark.sql.GraftBridge.toExpression(col("a")),
+          org.apache.spark.sql.GraftBridge.toExpression(col("b")),
+          org.apache.spark.sql.GraftBridge.toExpression(col("req")))).as("bounded"),
+      col("req")).collect()
+    out.foreach { r =>
+      val exact = r.getInt(0); val bounded = r.getInt(1); val req = r.getInt(2)
+      if (exact >= req) assert(bounded == exact, s"exact=$exact req=$req -> $bounded")
+      else assert(bounded == -1, s"exact=$exact req=$req -> $bounded")
+    }
+    // threshold helper: floor(t/(1+t)*(|a|+|b|)) never exceeds the exact
+    // bound, so a surviving pair's jaccard filter sees the true count
+    val j = rows.toDF("a", "b", "req").select(
+      graft.functions.SortedIntersectSizeBounded.forThreshold(
+        col("a"), col("b"), 0.5).as("i"),
+      graft.functions.SortedIntersectSize(col("a"), col("b")).as("exact"),
+      size(col("a")).as("sa"), size(col("b")).as("sb")).collect()
+    j.foreach { r =>
+      val i = r.getInt(0); val exact = r.getInt(1)
+      val sa = r.getInt(2); val sb = r.getInt(3)
+      val jac = if (sa + sb == 0) 0.0 else exact.toDouble / (sa + sb - exact)
+      if (jac >= 0.5) assert(i == exact, s"J=$jac pair must survive with exact count")
+      else if (i >= 0) assert(i == exact) // kept conservatively; count still exact
+    }
+  }
+
   test("array expressions: a NULL ELEMENT poisons the result to null, never NPE/0") {
     import graft.functions._
     // the zip_with/aggregate equivalents propagate an element null into a
