@@ -135,8 +135,10 @@ object Dedup {
     val sa = sigs.select(col(id).as("id_a"), col("signature").as("sig_a"))
     val sb = sigs.select(col(id).as("id_b"), col("signature").as("sig_b"))
     cand.join(sa, "id_a").join(sb, "id_b")
+      // ArrayEqCount = the zip_with/filter/size chain as one precompiled
+      // kernel call (that chain ran interpreted per candidate pair)
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
+        graft.functions.ArrayEqCount(col("sig_a"), col("sig_b"))
           .cast("double") / perms.toDouble)
       .where(col("est_jaccard") >= minJaccard)
       .select("id_a", "id_b", "est_jaccard")
@@ -197,9 +199,10 @@ object Dedup {
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
       .distinct()
     cand
+      // HammingCount = the aggregate/zip_with/bit_count chain as one
+      // precompiled kernel call (interpreted per candidate pair before)
       .withColumn("hamming",
-        aggregate(zip_with(col("sh_a"), col("sh_b"),
-          (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")), lit(0L), (acc, v) => acc + v))
+        graft.functions.HammingCount(col("sh_a"), col("sh_b")))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
@@ -639,12 +642,19 @@ object Dedup {
     // duplicated span — only provably-unique occurrences are dropped)
     val dupPos = counted.join(dupHashes, Seq("__h"), "left_semi")
       .groupBy(col(id)).agg(sort_array(collect_list(col("__pos"))).as("__dp"))
-    val ws = split(col(text), " ")
+    // HOIST the split out of the rebuild lambda: an expression referenced
+    // inside `transform`'s lambda is evaluated PER ELEMENT, so
+    // `element_at(split(text), j)` re-split the whole document once per
+    // surviving word — O(words^2) chars per doc (measured as a 16 s
+    // single-task rebuild stage at sf0.1). As a projected column the
+    // split runs once per row and the lambda reads an attribute.
+    val ws = col("__ws")
     val n = size(ws)
     val dp = coalesce(col("__dp"), array().cast("array<int>"))
     // covered word indexes (1-based): union of [p, p+k-1] over dup positions
     val cov = array_distinct(flatten(transform(dp, p => sequence(p, p + (k - 1)))))
-    df.join(dupPos, Seq(id), "left")
+    df.withColumn("__ws", split(col(text), " "))
+      .join(dupPos, Seq(id), "left")
       .select(col(id),
         n.cast("long").as("n_words"),
         size(dp).cast("long").as("n_dup_spans"),

@@ -490,11 +490,15 @@ object TextStats {
     // sort_array: collect_list order is partition-dependent, the output isn't
     val hitPos = cand.join(boiler, Seq("__h"), "left_semi")
       .groupBy(col(id)).agg(sort_array(collect_list(col("__pos"))).as("__bp"))
-    val ws = split(col(text), " ")
+    // split hoisted out of the rebuild lambda — see Dedup.duplicatedSpans:
+    // inside `transform` it would re-split the document per element,
+    // O(words^2) chars per doc
+    val ws = col("__ws")
     val n = size(ws)
     val bp = coalesce(col("__bp"), array().cast("array<int>"))
     val cov = array_distinct(flatten(transform(bp, p => sequence(p, p + (k - 1)))))
-    df.join(hitPos, Seq(id), "left")
+    df.withColumn("__ws", split(col(text), " "))
+      .join(hitPos, Seq(id), "left")
       .select(col(id),
         n.cast("long").as("n_words"),
         size(bp).cast("long").as("n_boiler_spans"),

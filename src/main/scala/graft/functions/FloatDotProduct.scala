@@ -40,30 +40,19 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
-    }
-    acc
+    if (FloatDotProduct.anyNull(x, y)) null else FloatDotProduct.dot(x, y)
   }
 
+  // The generated code CALLS the shared precompiled kernel instead of
+  // inlining the loop — an inlined copy lives in a fresh generated class
+  // per query stage and re-pays interpreter/C1 warmup over its first
+  // millions of rows (see SortedIntersectSize); the null scan is a
+  // separate branch-free pass so the dot loop itself vectorizes.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
-         |}
-         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |if (graft.functions.FloatDotProduct.anyNull($a, $b)) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.FloatDotProduct.dot($a, $b); }
        """.stripMargin
     })
 
@@ -74,4 +63,29 @@ case class FloatDotProduct(left: Expression, right: Expression)
 object FloatDotProduct {
   def apply(a: Column, b: Column): Column =
     GraftBridge.toColumn(FloatDotProduct(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+
+  /** Null-element scan over the iterated prefix (same poison window the
+    * old fused loop had: only the first min(len) slots can poison).
+    */
+  def anyNull(x: ArrayData, y: ArrayData): Boolean = {
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Shared by eval and generated code; caller guarantees no null slots. */
+  def dot(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
 }

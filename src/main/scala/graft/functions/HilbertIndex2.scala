@@ -39,27 +39,11 @@ case class HilbertIndex2(left: Expression, right: Expression, bits: Int)
   override def nullSafeEval(a: Any, b: Any): Any =
     HilbertIndex2.compute(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
 
+  // calls the shared precompiled kernel (same loop the eval path runs) —
+  // an inlined copy per generated class re-pays JIT warmup per stage
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val x = ctx.freshName("x"); val y = ctx.freshName("y")
-      val s = ctx.freshName("s"); val d = ctx.freshName("d")
-      val rx = ctx.freshName("rx"); val ry = ctx.freshName("ry")
-      val t = ctx.freshName("t")
-      s"""
-         |long $x = $a; long $y = $b;
-         |long $d = 0L;
-         |for (long $s = 1L << ${bits - 1}; $s > 0L; $s >>= 1) {
-         |  final int $rx = (($x & $s) > 0L) ? 1 : 0;
-         |  final int $ry = (($y & $s) > 0L) ? 1 : 0;
-         |  $d += $s * $s * (long) ((3 * $rx) ^ $ry);
-         |  if ($ry == 0) {
-         |    if ($rx == 1) { $x = $s - 1L - $x; $y = $s - 1L - $y; }
-         |    final long $t = $x; $x = $y; $y = $t;
-         |  }
-         |}
-         |${ev.value} = $d;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HilbertIndex2.compute($a, $b, $bits);")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

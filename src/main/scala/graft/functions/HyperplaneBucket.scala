@@ -34,45 +34,17 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
 
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    var bucket = 0L
-    var i = 0
-    val ne = x.numElements()
-    var d0 = 0
-    while (d0 < ne) { if (x.isNullAt(d0)) return null; d0 += 1 }
-    while (i < planes.length) {
-      val p = planes(i)
-      val n = math.min(ne, p.length)
-      var acc = 0.0
-      var d = 0
-      while (d < n) { acc += x.getFloat(d).toDouble * p(d); d += 1 }
-      if (acc >= 0) bucket |= (1L << i)
-      i += 1
-    }
-    bucket
+    if (HyperplaneBucket.anyNull(x)) null else HyperplaneBucket.bucketOf(x, planes)
   }
 
+  // shared precompiled kernel — see SortedIntersectSize.doGenCode for why
+  // inlining the loops into every generated class re-pays JIT warmup
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
     nullSafeCodeGen(ctx, ev, v => {
-      val i = ctx.freshName("i"); val d = ctx.freshName("d")
-      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
-      val p = ctx.freshName("p"); val bucket = ctx.freshName("bucket")
-      val d0 = ctx.freshName("d0")
       s"""
-         |long $bucket = 0L;
-         |for (int $d0 = 0; $d0 < $v.numElements(); $d0++) {
-         |  if ($v.isNullAt($d0)) { ${ev.isNull} = true; break; }
-         |}
-         |if (!${ev.isNull}) for (int $i = 0; $i < $planesRef.length; $i++) {
-         |  final double[] $p = $planesRef[$i];
-         |  final int $n = java.lang.Math.min($v.numElements(), $p.length);
-         |  double $acc = 0.0;
-         |  for (int $d = 0; $d < $n; $d++) {
-         |    $acc += ((double) $v.getFloat($d)) * $p[$d];
-         |  }
-         |  if ($acc >= 0) $bucket |= (1L << $i);
-         |}
-         |if (!${ev.isNull}) { ${ev.value} = $bucket; }
+         |if (graft.functions.HyperplaneBucket.anyNull($v)) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.HyperplaneBucket.bucketOf($v, $planesRef); }
        """.stripMargin
     })
   }
@@ -97,4 +69,32 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
 object HyperplaneBucket {
   def apply(vec: Column, planes: Seq[Array[Double]]): Column =
     GraftBridge.toColumn(HyperplaneBucket(GraftBridge.toExpression(vec), planes.toArray))
+
+  /** Null-element scan (the poison contract). */
+  def anyNull(x: ArrayData): Boolean = {
+    val ne = x.numElements()
+    var i = 0
+    while (i < ne) {
+      if (x.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Shared by eval and generated code; caller guarantees no null slots. */
+  def bucketOf(x: ArrayData, planes: Array[Array[Double]]): Long = {
+    val ne = x.numElements()
+    var bucket = 0L
+    var i = 0
+    while (i < planes.length) {
+      val p = planes(i)
+      val n = math.min(ne, p.length)
+      var acc = 0.0
+      var d = 0
+      while (d < n) { acc += x.getFloat(d).toDouble * p(d); d += 1 }
+      if (acc >= 0) bucket |= (1L << i)
+      i += 1
+    }
+    bucket
+  }
 }

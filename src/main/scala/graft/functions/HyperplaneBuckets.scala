@@ -46,8 +46,46 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Double]],
     case t => TypeCheckResult.TypeCheckFailure(s"hyperplane_buckets needs array<float>, got $t")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val xs = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneBuckets.compute(v.asInstanceOf[ArrayData], planes, nBits)
+
+  // shared precompiled kernel — see SortedIntersectSize.doGenCode for why
+  // inlining the loops into every generated class re-pays JIT warmup (the
+  // class doc's 17.8 s cold vs 0.2 s warm measurement was exactly this)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.HyperplaneBuckets.compute($v, $planesRef, $nBits);")
+  }
+
+  // Case-class equality on Array fields is reference equality, which would
+  // make two plans over the same plane matrix never canonicalize equal (no
+  // subexpression elimination / exchange reuse). Compare by value instead.
+  override def equals(other: Any): Boolean = other match {
+    case h: HyperplaneBuckets =>
+      child == h.child && nBits == h.nBits && java.util.Arrays.deepEquals(
+        planes.asInstanceOf[Array[AnyRef]], h.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + java.util.Arrays.deepHashCode(
+      planes.asInstanceOf[Array[AnyRef]])) + nBits
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneBuckets {
+  def apply(vec: Column, planes: Seq[Array[Double]], nBits: Int): Column =
+    GraftBridge.toColumn(
+      HyperplaneBuckets(GraftBridge.toExpression(vec), planes.toArray, nBits))
+
+  /** Shared by eval and generated code. A null ELEMENT yields all-null
+    * buckets (preserving posexplode's row count), exactly as before.
+    */
+  def compute(xs: ArrayData, planes: Array[Array[Double]], nBits: Int): ArrayData = {
+    val nTables = planes.length / nBits
     val ne = xs.numElements()
     var d0 = 0
     while (d0 < ne) {
@@ -76,67 +114,4 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Double]],
     }
     new GenericArrayData(out)
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
-    val nT = nTables
-    nullSafeCodeGen(ctx, ev, v => {
-      val ne = ctx.freshName("ne"); val d0 = ctx.freshName("d0")
-      val x = ctx.freshName("x"); val d = ctx.freshName("d")
-      val out = ctx.freshName("out"); val t = ctx.freshName("t")
-      val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
-      val p = ctx.freshName("p"); val bucket = ctx.freshName("bucket")
-      val hasNullElem = ctx.freshName("hasNullElem")
-      s"""
-         |final int $ne = $v.numElements();
-         |boolean $hasNullElem = false;
-         |for (int $d0 = 0; $d0 < $ne; $d0++) {
-         |  if ($v.isNullAt($d0)) { $hasNullElem = true; break; }
-         |}
-         |if ($hasNullElem) {
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[$nT]);
-         |} else {
-         |  final double[] $x = new double[$ne];
-         |  for (int $d = 0; $d < $ne; $d++) { $x[$d] = (double) $v.getFloat($d); }
-         |  final long[] $out = new long[$nT];
-         |  for (int $t = 0; $t < $nT; $t++) {
-         |    long $bucket = 0L;
-         |    for (int $i = 0; $i < $nBits; $i++) {
-         |      final double[] $p = $planesRef[$t * $nBits + $i];
-         |      final int $n = java.lang.Math.min($ne, $p.length);
-         |      double $acc = 0.0;
-         |      for (int $j = 0; $j < $n; $j++) { $acc += $x[$j] * $p[$j]; }
-         |      if ($acc >= 0) $bucket |= (1L << $i);
-         |    }
-         |    $out[$t] = $bucket;
-         |  }
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-         |}
-       """.stripMargin
-    })
-  }
-
-  // Case-class equality on Array fields is reference equality, which would
-  // make two plans over the same plane matrix never canonicalize equal (no
-  // subexpression elimination / exchange reuse). Compare by value instead.
-  override def equals(other: Any): Boolean = other match {
-    case h: HyperplaneBuckets =>
-      child == h.child && nBits == h.nBits && java.util.Arrays.deepEquals(
-        planes.asInstanceOf[Array[AnyRef]], h.planes.asInstanceOf[Array[AnyRef]])
-    case _ => false
-  }
-
-  override def hashCode(): Int =
-    31 * (31 * child.hashCode() + java.util.Arrays.deepHashCode(
-      planes.asInstanceOf[Array[AnyRef]])) + nBits
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object HyperplaneBuckets {
-  def apply(vec: Column, planes: Seq[Array[Double]], nBits: Int): Column =
-    GraftBridge.toColumn(
-      HyperplaneBuckets(GraftBridge.toExpression(vec), planes.toArray, nBits))
 }

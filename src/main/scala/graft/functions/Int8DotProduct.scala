@@ -40,30 +40,16 @@ case class Int8DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0L
-    var i = 0
-    while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getByte(i).toLong * y.getByte(i).toLong
-      i += 1
-    }
-    acc
+    if (Int8DotProduct.anyNull(x, y)) null else Int8DotProduct.dot(x, y)
   }
 
+  // shared precompiled kernel — see SortedIntersectSize.doGenCode for why
+  // inlining the loop into every generated class re-pays JIT warmup
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += ((long) $a.getByte($i)) * ((long) $b.getByte($i));
-         |}
-         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |if (graft.functions.Int8DotProduct.anyNull($a, $b)) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.Int8DotProduct.dot($a, $b); }
        """.stripMargin
     })
 
@@ -72,6 +58,32 @@ case class Int8DotProduct(left: Expression, right: Expression)
 }
 
 object Int8DotProduct {
+
+  /** Null-element scan over the iterated prefix (the old fused loop's
+    * poison window).
+    */
+  def anyNull(x: ArrayData, y: ArrayData): Boolean = {
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Shared by eval and generated code; caller guarantees no null slots. */
+  def dot(x: ArrayData, y: ArrayData): Long = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getByte(i).toLong * y.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+
   def apply(a: Column, b: Column): Column =
     GraftBridge.toColumn(Int8DotProduct(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
 }

@@ -29,48 +29,20 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
 
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    val ne = x.numElements()
-    var d0 = 0
-    while (d0 < ne) { if (x.isNullAt(d0)) return null; d0 += 1 }
-    var best = 0
-    var bestDot = Double.NegativeInfinity
-    var i = 0
-    while (i < centroids.length) {
-      val c = centroids(i)
-      val n = math.min(x.numElements(), c.length)
-      var acc = 0.0
-      var d = 0
-      while (d < n) { acc += x.getFloat(d).toDouble * c(d); d += 1 }
-      if (acc > bestDot) { bestDot = acc; best = i }
-      i += 1
-    }
-    best
+    val r = NearestCentroid.nearest(x, centroids)
+    if (r == Integer.MIN_VALUE) null else r
   }
 
+  // shared precompiled kernel — see SortedIntersectSize.doGenCode for why
+  // inlining the loops into every generated class re-pays JIT warmup
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
     nullSafeCodeGen(ctx, ev, v => {
-      val i = ctx.freshName("i"); val d = ctx.freshName("d")
-      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
-      val c = ctx.freshName("c"); val best = ctx.freshName("best")
-      val bestDot = ctx.freshName("bestDot")
-      val d0 = ctx.freshName("d0")
+      val r = ctx.freshName("r")
       s"""
-         |int $best = 0;
-         |double $bestDot = java.lang.Double.NEGATIVE_INFINITY;
-         |for (int $d0 = 0; $d0 < $v.numElements(); $d0++) {
-         |  if ($v.isNullAt($d0)) { ${ev.isNull} = true; break; }
-         |}
-         |if (!${ev.isNull}) for (int $i = 0; $i < $cRef.length; $i++) {
-         |  final double[] $c = $cRef[$i];
-         |  final int $n = java.lang.Math.min($v.numElements(), $c.length);
-         |  double $acc = 0.0;
-         |  for (int $d = 0; $d < $n; $d++) {
-         |    $acc += ((double) $v.getFloat($d)) * $c[$d];
-         |  }
-         |  if ($acc > $bestDot) { $bestDot = $acc; $best = $i; }
-         |}
-         |if (!${ev.isNull}) { ${ev.value} = $best; }
+         |final int $r = graft.functions.NearestCentroid.nearest($v, $cRef);
+         |if ($r == Integer.MIN_VALUE) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
        """.stripMargin
     })
   }
@@ -94,4 +66,29 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
 object NearestCentroid {
   def apply(vec: Column, centroids: Array[Array[Double]]): Column =
     GraftBridge.toColumn(NearestCentroid(GraftBridge.toExpression(vec), centroids))
+
+  /** Shared by eval and generated code; Integer.MIN_VALUE = a null
+    * element poisoned the vector (centroid indexes are never negative).
+    */
+  def nearest(x: ArrayData, centroids: Array[Array[Double]]): Int = {
+    val ne = x.numElements()
+    var d0 = 0
+    while (d0 < ne) {
+      if (x.isNullAt(d0)) return Integer.MIN_VALUE
+      d0 += 1
+    }
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      val n = math.min(ne, c.length)
+      var acc = 0.0
+      var d = 0
+      while (d < n) { acc += x.getFloat(d).toDouble * c(d); d += 1 }
+      if (acc > bestDot) { bestDot = acc; best = i }
+      i += 1
+    }
+    best
+  }
 }

@@ -45,6 +45,102 @@ object PqKernels {
       s"pq codebooks must be rectangular [m=$m][ksub=$ksub][dsub=$dsub]")
     (m, ksub, dsub)
   }
+
+  // Shared precompiled kernels for eval AND generated code — see
+  // SortedIntersectSize.doGenCode for why inlining the loops into every
+  // generated class re-pays interpreter/C1 warmup per query stage.
+  // Poison contract: a null return (encode/lut) or -1.0 (score — real
+  // distances are sums of squares, never negative) maps to SQL NULL.
+
+  /** Unit-normalized copy of the vector, or null on ragged/null-element. */
+  private def normalized(xs: ArrayData, dim: Int): Array[Double] = {
+    val ne = xs.numElements()
+    if (ne != dim) return null
+    val x = new Array[Double](ne)
+    var d = 0
+    while (d < ne) {
+      if (xs.isNullAt(d)) return null
+      x(d) = xs.getFloat(d).toDouble
+      d += 1
+    }
+    var nrm = 0.0
+    d = 0
+    while (d < ne) { nrm += x(d) * x(d); d += 1 }
+    nrm = math.max(math.sqrt(nrm), 1e-12)
+    d = 0
+    while (d < ne) { x(d) = x(d) / nrm; d += 1 }
+    x
+  }
+
+  def encode(xs: ArrayData, codebooks: Array[Array[Array[Double]]],
+             m: Int, ksub: Int, dsub: Int): Array[Byte] = {
+    val x = normalized(xs, m * dsub)
+    if (x == null) return null
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      var best = 0
+      var bestDist = Double.PositiveInfinity
+      var c = 0
+      while (c < ksub) {
+        val cent = cb(c)
+        var acc = 0.0
+        var t = 0
+        while (t < dsub) {
+          val diff = x(j * dsub + t) - cent(t)
+          acc += diff * diff
+          t += 1
+        }
+        if (acc < bestDist) { bestDist = acc; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    out
+  }
+
+  def lut(xs: ArrayData, codebooks: Array[Array[Array[Double]]],
+          m: Int, ksub: Int, dsub: Int): ArrayData = {
+    val x = normalized(xs, m * dsub)
+    if (x == null) return null
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      var c = 0
+      while (c < ksub) {
+        val cent = cb(c)
+        var acc = 0.0
+        var t = 0
+        while (t < dsub) {
+          val diff = x(j * dsub + t) - cent(t)
+          acc += diff * diff
+          t += 1
+        }
+        out(j * ksub + c) = acc
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def score(lut: ArrayData, codes: Array[Byte]): Double = {
+    val m = codes.length
+    if (m == 0 || lut.numElements() % m != 0) return -1.0
+    val ksub = lut.numElements() / m
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes(j) & 0xFF
+      if (c >= ksub) return -1.0
+      acc += lut.getDouble(j * ksub + c)
+      j += 1
+    }
+    acc
+  }
 }
 
 /** PQ code assignment: byte `j` of the result is the index of the nearest
@@ -65,87 +161,17 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
     case t => TypeCheckResult.TypeCheckFailure(s"pq_encode needs array<float>, got $t")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val xs = v.asInstanceOf[ArrayData]
-    val ne = xs.numElements()
-    if (ne != m * dsub) return null
-    val x = new Array[Double](ne)
-    var d = 0
-    while (d < ne) {
-      if (xs.isNullAt(d)) return null
-      x(d) = xs.getFloat(d).toDouble
-      d += 1
-    }
-    var nrm = 0.0
-    d = 0
-    while (d < ne) { nrm += x(d) * x(d); d += 1 }
-    nrm = math.max(math.sqrt(nrm), 1e-12)
-    val out = new Array[Byte](m)
-    var j = 0
-    while (j < m) {
-      val cb = codebooks(j)
-      var best = 0
-      var bestDist = Double.PositiveInfinity
-      var c = 0
-      while (c < ksub) {
-        val cent = cb(c)
-        var acc = 0.0
-        var t = 0
-        while (t < dsub) {
-          val diff = x(j * dsub + t) / nrm - cent(t)
-          acc += diff * diff
-          t += 1
-        }
-        if (acc < bestDist) { bestDist = acc; best = c }
-        c += 1
-      }
-      out(j) = best.toByte
-      j += 1
-    }
-    out
-  }
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.encode(v.asInstanceOf[ArrayData], codebooks, m, ksub, dsub)
 
+  // shared precompiled kernel — see SortedIntersectSize.doGenCode
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
     nullSafeCodeGen(ctx, ev, v => {
-      val ne = ctx.freshName("ne"); val x = ctx.freshName("x")
-      val d = ctx.freshName("d"); val nrm = ctx.freshName("nrm")
-      val out = ctx.freshName("out"); val j = ctx.freshName("j")
-      val cb = ctx.freshName("cb"); val best = ctx.freshName("best")
-      val bestDist = ctx.freshName("bestDist"); val c = ctx.freshName("c")
-      val cent = ctx.freshName("cent"); val acc = ctx.freshName("acc")
-      val t = ctx.freshName("t"); val diff = ctx.freshName("diff")
+      val r = ctx.freshName("r")
       s"""
-         |final int $ne = $v.numElements();
-         |if ($ne != ${m * dsub}) { ${ev.isNull} = true; } else {
-         |  final double[] $x = new double[$ne];
-         |  for (int $d = 0; $d < $ne; $d++) {
-         |    if ($v.isNullAt($d)) { ${ev.isNull} = true; break; }
-         |    $x[$d] = (double) $v.getFloat($d);
-         |  }
-         |  if (!${ev.isNull}) {
-         |    double $nrm = 0.0;
-         |    for (int $d = 0; $d < $ne; $d++) { $nrm += $x[$d] * $x[$d]; }
-         |    $nrm = java.lang.Math.max(java.lang.Math.sqrt($nrm), 1e-12);
-         |    final byte[] $out = new byte[$m];
-         |    for (int $j = 0; $j < $m; $j++) {
-         |      final double[][] $cb = $cbRef[$j];
-         |      int $best = 0;
-         |      double $bestDist = java.lang.Double.POSITIVE_INFINITY;
-         |      for (int $c = 0; $c < $ksub; $c++) {
-         |        final double[] $cent = $cb[$c];
-         |        double $acc = 0.0;
-         |        for (int $t = 0; $t < $dsub; $t++) {
-         |          final double $diff = $x[$j * $dsub + $t] / $nrm - $cent[$t];
-         |          $acc += $diff * $diff;
-         |        }
-         |        if ($acc < $bestDist) { $bestDist = $acc; $best = $c; }
-         |      }
-         |      $out[$j] = (byte) $best;
-         |    }
-         |    ${ev.value} = $out;
-         |  }
-         |}
+         |final byte[] $r = graft.functions.PqKernels.encode($v, $cbRef, $m, $ksub, $dsub);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })
   }
@@ -189,80 +215,18 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
     case t => TypeCheckResult.TypeCheckFailure(s"pq_lut needs array<float>, got $t")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val xs = v.asInstanceOf[ArrayData]
-    val ne = xs.numElements()
-    if (ne != m * dsub) return null
-    val x = new Array[Double](ne)
-    var d = 0
-    while (d < ne) {
-      if (xs.isNullAt(d)) return null
-      x(d) = xs.getFloat(d).toDouble
-      d += 1
-    }
-    var nrm = 0.0
-    d = 0
-    while (d < ne) { nrm += x(d) * x(d); d += 1 }
-    nrm = math.max(math.sqrt(nrm), 1e-12)
-    val out = new Array[Double](m * ksub)
-    var j = 0
-    while (j < m) {
-      val cb = codebooks(j)
-      var c = 0
-      while (c < ksub) {
-        val cent = cb(c)
-        var acc = 0.0
-        var t = 0
-        while (t < dsub) {
-          val diff = x(j * dsub + t) / nrm - cent(t)
-          acc += diff * diff
-          t += 1
-        }
-        out(j * ksub + c) = acc
-        c += 1
-      }
-      j += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.lut(v.asInstanceOf[ArrayData], codebooks, m, ksub, dsub)
 
+  // shared precompiled kernel — see SortedIntersectSize.doGenCode
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
     nullSafeCodeGen(ctx, ev, v => {
-      val ne = ctx.freshName("ne"); val x = ctx.freshName("x")
-      val d = ctx.freshName("d"); val nrm = ctx.freshName("nrm")
-      val out = ctx.freshName("out"); val j = ctx.freshName("j")
-      val cb = ctx.freshName("cb"); val c = ctx.freshName("c")
-      val cent = ctx.freshName("cent"); val acc = ctx.freshName("acc")
-      val t = ctx.freshName("t"); val diff = ctx.freshName("diff")
+      val r = ctx.freshName("r")
       s"""
-         |final int $ne = $v.numElements();
-         |if ($ne != ${m * dsub}) { ${ev.isNull} = true; } else {
-         |  final double[] $x = new double[$ne];
-         |  for (int $d = 0; $d < $ne; $d++) {
-         |    if ($v.isNullAt($d)) { ${ev.isNull} = true; break; }
-         |    $x[$d] = (double) $v.getFloat($d);
-         |  }
-         |  if (!${ev.isNull}) {
-         |    double $nrm = 0.0;
-         |    for (int $d = 0; $d < $ne; $d++) { $nrm += $x[$d] * $x[$d]; }
-         |    $nrm = java.lang.Math.max(java.lang.Math.sqrt($nrm), 1e-12);
-         |    final double[] $out = new double[${m * ksub}];
-         |    for (int $j = 0; $j < $m; $j++) {
-         |      final double[][] $cb = $cbRef[$j];
-         |      for (int $c = 0; $c < $ksub; $c++) {
-         |        final double[] $cent = $cb[$c];
-         |        double $acc = 0.0;
-         |        for (int $t = 0; $t < $dsub; $t++) {
-         |          final double $diff = $x[$j * $dsub + $t] / $nrm - $cent[$t];
-         |          $acc += $diff * $diff;
-         |        }
-         |        $out[$j * $ksub + $c] = $acc;
-         |      }
-         |    }
-         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-         |  }
-         |}
+         |final org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.PqKernels.lut($v, $cbRef, $m, $ksub, $dsub);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })
   }
@@ -310,39 +274,19 @@ case class PqAdcScore(left: Expression, right: Expression)
     }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val lut = a.asInstanceOf[ArrayData]
-    val codes = b.asInstanceOf[Array[Byte]]
-    val m = codes.length
-    if (m == 0 || lut.numElements() % m != 0) return null
-    val ksub = lut.numElements() / m
-    var acc = 0.0
-    var j = 0
-    while (j < m) {
-      val c = codes(j) & 0xFF
-      if (c >= ksub) return null
-      acc += lut.getDouble(j * ksub + c)
-      j += 1
-    }
-    acc
+    val r = PqKernels.score(a.asInstanceOf[ArrayData], b.asInstanceOf[Array[Byte]])
+    if (r == -1.0) null else r
   }
 
+  // shared precompiled kernel — see SortedIntersectSize.doGenCode. -1.0
+  // is the shape-mismatch sentinel: real ADC distances are sums of
+  // squared differences, never negative.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val m = ctx.freshName("m"); val ksub = ctx.freshName("ksub")
-      val acc = ctx.freshName("acc"); val j = ctx.freshName("j")
-      val c = ctx.freshName("c")
+      val r = ctx.freshName("r")
       s"""
-         |final int $m = $b.length;
-         |if ($m == 0 || $a.numElements() % $m != 0) { ${ev.isNull} = true; } else {
-         |  final int $ksub = $a.numElements() / $m;
-         |  double $acc = 0.0;
-         |  for (int $j = 0; $j < $m; $j++) {
-         |    final int $c = $b[$j] & 0xFF;
-         |    if ($c >= $ksub) { ${ev.isNull} = true; break; }
-         |    $acc += $a.getDouble($j * $ksub + $c);
-         |  }
-         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
-         |}
+         |final double $r = graft.functions.PqKernels.score($a, $b);
+         |if ($r == -1.0) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })
 

@@ -39,38 +39,24 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    var i = 0; var j = 0; var n = 0
-    val xn = x.numElements(); val yn = y.numElements()
-    while (i < xn && j < yn) {
-      if (x.isNullAt(i) || y.isNullAt(j)) return null
-      val xv = x.getLong(i); val yv = y.getLong(j)
-      if (xv == yv) { n += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
-    }
-    n
+    val n = SortedIntersectSize.count(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (n == Integer.MIN_VALUE) null else n
   }
 
+  // The generated code CALLS the shared precompiled kernel instead of
+  // inlining the loop: an inlined copy lives in a fresh generated class
+  // per query stage, so every query re-pays interpreter/C1 warmup over
+  // its first millions of pairs (measured: ~30 s of task CPU on the
+  // first x3-shaped query per JVM, ~2.4 s once hot). A static method is
+  // JIT-compiled once per JVM and already hot for every later stage.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val xn = ctx.freshName("xn"); val yn = ctx.freshName("yn")
-      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
-      val acc = ctx.freshName("acc")
+      val r = ctx.freshName("r")
       s"""
-         |int $i = 0, $j = 0;
-         |final int $xn = $a.numElements(), $yn = $b.numElements();
-         |int $acc = 0;
-         |while ($i < $xn && $j < $yn) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
-         |  final long $xv = $a.getLong($i);
-         |  final long $yv = $b.getLong($j);
-         |  if ($xv == $yv) { $acc++; $i++; $j++; }
-         |  else if ($xv < $yv) { $i++; } else { $j++; }
-         |}
-         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |final int $r = graft.functions.SortedIntersectSize.count($a, $b);
+         |if ($r == Integer.MIN_VALUE) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
        """.stripMargin
     })
 
@@ -82,4 +68,21 @@ object SortedIntersectSize {
   /** Column-API entry point. */
   def apply(a: Column, b: Column): Column =
     GraftBridge.toColumn(SortedIntersectSize(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+
+  /** Shared kernel for eval AND generated code (Integer.MIN_VALUE = a
+    * null element poisoned the pair — the boxed-null contract without a
+    * per-pair allocation). Counts fit an int, so the sentinel is safe.
+    */
+  def count(x: ArrayData, y: ArrayData): Int = {
+    var i = 0; var j = 0; var n = 0
+    val xn = x.numElements(); val yn = y.numElements()
+    while (i < xn && j < yn) {
+      if (x.isNullAt(i) || y.isNullAt(j)) return Integer.MIN_VALUE
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n
+  }
 }

@@ -48,44 +48,21 @@ case class SortedIntersectSizeBounded(first: Expression, second: Expression,
     }
 
   override def nullSafeEval(a: Any, b: Any, r: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val required = r.asInstanceOf[Int]
-    var i = 0; var j = 0; var n = 0
-    val xn = x.numElements(); val yn = y.numElements()
-    while (i < xn && j < yn) {
-      if (n + math.min(xn - i, yn - j) < required) return -1
-      if (x.isNullAt(i) || y.isNullAt(j)) return null
-      val xv = x.getLong(i); val yv = y.getLong(j)
-      if (xv == yv) { n += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
-    }
-    if (n < required) -1 else n
+    val n = SortedIntersectSizeBounded.count(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], r.asInstanceOf[Int])
+    if (n == Integer.MIN_VALUE) null else n
   }
 
+  // calls the shared precompiled kernel — see SortedIntersectSize.doGenCode
+  // for why inlining the loop into every generated class re-pays JIT
+  // warmup per query
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b, r) => {
-      val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val xn = ctx.freshName("xn"); val yn = ctx.freshName("yn")
-      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
-      val acc = ctx.freshName("acc"); val rem = ctx.freshName("rem")
-      val aborted = ctx.freshName("aborted")
+      val res = ctx.freshName("res")
       s"""
-         |int $i = 0, $j = 0;
-         |final int $xn = $a.numElements(), $yn = $b.numElements();
-         |int $acc = 0;
-         |boolean $aborted = false;
-         |while ($i < $xn && $j < $yn) {
-         |  final int $rem = ($xn - $i < $yn - $j) ? ($xn - $i) : ($yn - $j);
-         |  if ($acc + $rem < $r) { $aborted = true; break; }
-         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
-         |  final long $xv = $a.getLong($i);
-         |  final long $yv = $b.getLong($j);
-         |  if ($xv == $yv) { $acc++; $i++; $j++; }
-         |  else if ($xv < $yv) { $i++; } else { $j++; }
-         |}
-         |if (!${ev.isNull}) { ${ev.value} = ($aborted || $acc < $r) ? -1 : $acc; }
+         |final int $res = graft.functions.SortedIntersectSizeBounded.count($a, $b, $r);
+         |if ($res == Integer.MIN_VALUE) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res; }
        """.stripMargin
     })
 
@@ -95,6 +72,24 @@ case class SortedIntersectSizeBounded(first: Expression, second: Expression,
 }
 
 object SortedIntersectSizeBounded {
+
+  /** Shared kernel for eval AND generated code. Integer.MIN_VALUE = a
+    * null element poisoned the pair; -1 = provably below `required`.
+    */
+  def count(x: ArrayData, y: ArrayData, required: Int): Int = {
+    var i = 0; var j = 0; var n = 0
+    val xn = x.numElements(); val yn = y.numElements()
+    while (i < xn && j < yn) {
+      val remX = xn - i; val remY = yn - j
+      if (n + (if (remX < remY) remX else remY) < required) return -1
+      if (x.isNullAt(i) || y.isNullAt(j)) return Integer.MIN_VALUE
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    if (n < required) -1 else n
+  }
 
   /** Column-API entry: `required` derived from a Jaccard threshold over
     * the pair's set sizes — `floor(t/(1+t) * (|a|+|b|))`, the largest

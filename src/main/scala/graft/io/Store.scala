@@ -1435,15 +1435,44 @@ class Store(spark: SparkSession, baseDir: String) {
       if (partCols.nonEmpty) evolvedReader(m0).option("basePath", dir.toString)
       else evolvedReader(m0)
     val region = reader.parquet(touchedNames.map(n => s"$dir/$n"): _*)
-    // one scan for both stats (the touched region is re-read once more by
-    // the staging write below; a separate count per stat would triple the
-    // I/O the file-scoping exists to avoid)
-    val statsRow = region.agg(count(lit(1)), count(when(coalesce(cond, lit(false)), 1))).head
-    val regionRows = statsRow.getLong(0)
-    val matchRows = statsRow.getLong(1)
-    val out = transform(region)
+    // both stats ride the staging write as observed metrics (a separate
+    // stats job re-read the whole touched region): the CollectMetrics
+    // node sits BELOW the transform, so a DELETE's filter cannot push
+    // past it and every region row is counted exactly once by the one
+    // scan the rewrite pays anyway
+    val regionObs = org.apache.spark.sql.Observation()
+    val observed = region.observe(regionObs,
+      count(lit(1)).as("rows"),
+      count(when(coalesce(cond, lit(false)), 1)).as("matches"))
+    val out = transform(observed)
+    // A CONSTANT predicate (DELETE WHERE true) lets PruneFilters fold the
+    // whole rewrite subtree to an empty relation, discarding the metrics
+    // node below — the observation would then complete with an EMPTY row
+    // (Spark 4.1 ObservationManager: logical node present, physical
+    // metrics absent) and the originals are gone after the commit. Ask
+    // the OPTIMIZED plan whether the node survived; when it did not (a
+    // full-table takedown — rare and tiny), pay the one explicit stats
+    // job BEFORE anything moves. Every data-dependent predicate rides
+    // the staging write's scan instead.
+    val metricsSurvive = out.queryExecution.optimizedPlan.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => true
+      case _ => false
+    }
+    val preStats =
+      if (metricsSurvive) None
+      else Some(region.agg(count(lit(1)),
+        count(when(coalesce(cond, lit(false)), 1))).head)
     val stagedRows = stageAndCommit(dir, prefix, out, touchedNames, totalFiles,
       partCols, m0)
+    val (regionRows, matchRows) = preStats match {
+      case Some(r) => (r.getLong(0), r.getLong(1))
+      case None =>
+        val obsRow = regionObs.get
+        require(obsRow.contains("rows"),
+          s"COW rewrite of $dir: the region metrics node was present in the " +
+            "optimized plan but produced no metrics — report this shape")
+        (obsRow("rows").asInstanceOf[Long], obsRow("matches").asInstanceOf[Long])
+    }
     CowResult(touchedNames.size, totalFiles - touchedNames.size, regionRows, stagedRows,
       matchRows)
   }

@@ -1378,6 +1378,28 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ArrayEqCount / HammingCount: agree with their builtin lambda formulations") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 150).map { i =>
+      val n = if (i % 7 == 0) rnd.nextInt(5) else 4
+      val m = if (i % 11 == 0) rnd.nextInt(5) else n
+      (Array.fill(n)(rnd.nextInt(4).toLong), Array.fill(m)(rnd.nextInt(4).toLong))
+    }
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      graft.functions.ArrayEqCount(col("a"), col("b")).as("eq"),
+      size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), p => p)).as("eq0"),
+      graft.functions.HammingCount(col("a"), col("b")).as("hm"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")), lit(0L), (acc, v) => acc + v).as("hm0"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"eq mismatch: $r")
+      assert(r.isNullAt(2) == r.isNullAt(3), s"hamming null mismatch: $r")
+      if (!r.isNullAt(2)) assert(r.getLong(2) == r.getLong(3), s"hamming mismatch: $r")
+    }
+  }
+
   test("array expressions: a NULL ELEMENT poisons the result to null, never NPE/0") {
     import graft.functions._
     // the zip_with/aggregate equivalents propagate an element null into a
