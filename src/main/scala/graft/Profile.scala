@@ -19,22 +19,39 @@ object Profile {
     require(args.length >= 2, "usage: Profile <sfDir> <queryName> [...]")
     val sfDir = args.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
-      .getOrCreate()
+    // ad-hoc conf overrides for A/B experiments: "k=v;k=v"
+    sys.env.get("GRAFT_PROFILE_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftExtensions.register(spark)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+    val jobDescs = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val cpu = new java.util.concurrent.atomic.AtomicLong()
     // per-stage: (n_tasks, summed task ms, max task ms, summed cpu ms)
     val stages = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit =
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
         jobs.put(e.jobId, Array(e.time, -1L))
+        val d = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("")
+        jobDescs.put(e.jobId, d)
+        if (sys.env.get("GRAFT_PROFILE_PROPS").contains("1") && d.isEmpty)
+          Option(e.properties).foreach { p =>
+            import scala.jdk.CollectionConverters._
+            jobDescs.put(e.jobId,
+              "props:" + p.stringPropertyNames().asScala.toSeq.sorted.mkString(","))
+          }
+      }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val a = jobs.get(e.jobId); if (a != null) a(1) = e.time
       }
@@ -60,7 +77,7 @@ object Profile {
     args.tail.foreach { name =>
       run(name); clear() // warm
       org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
-      jobs.clear(); cpu.set(0); stages.clear()
+      jobs.clear(); jobDescs.clear(); cpu.set(0); stages.clear()
       val t0 = System.currentTimeMillis()
       run(name)
       val t1 = System.currentTimeMillis()
@@ -78,6 +95,21 @@ object Profile {
       println(f"$name%-28s wall=${wall / 1000.0}%6.2fs jobs=${spans.size}%3d " +
         f"job_span=${covered / 1000.0}%6.2fs driver_gap=${(wall - covered) / 1000.0}%6.2fs " +
         f"cpu=${cpu.get / 1e9}%6.2fs")
+      // per-job timeline: start offset into the measured window, duration,
+      // driver gap SINCE THE PREVIOUS JOB'S END, and the job's call site /
+      // description — the view that attributes the inter-job idle to a
+      // specific statement in the operator under test
+      if (sys.env.get("GRAFT_PROFILE_JOBS").contains("1")) {
+        var prevEnd = t0
+        jobs.asScala.toSeq.filter(_._2(1) >= 0).sortBy(_._2(0)).foreach {
+          case (jid, Array(s, e)) =>
+            val gap = math.max(0L, s - prevEnd)
+            println(f"  job $jid%4d +${(s - t0) / 1000.0}%7.3fs " +
+              f"dur=${(e - s) / 1000.0}%6.3fs gap=${gap / 1000.0}%6.3fs " +
+              jobDescs.getOrDefault(jid, "").take(100))
+            prevEnd = math.max(prevEnd, e)
+        }
+      }
       if (sys.env.get("GRAFT_PROFILE_STAGES").contains("1")) {
         stages.asScala.toSeq.sortBy(-_._2(1)).take(12).foreach { case (sid, a) =>
           println(f"  stage $sid%4d n=${a(0)}%4d task_sum=${a(1) / 1000.0}%7.2fs " +

@@ -380,6 +380,19 @@ private[graft] object FileRect {
   def readAll(spark: SparkSession, dir: String, names: Seq[String],
               zCols: Seq[String]): Map[String, FileRect] = {
     if (names.isEmpty) return Map.empty
+    // SIZE GATE (optimization round 21): below a handful of files the
+    // footer reads are microseconds of driver metadata I/O, while the
+    // parallelize job costs a full scheduling round trip (measured ~50 ms
+    // job + inter-job gap per call at fixture scale, paid by every
+    // erosion probe / scoped pass / merge). Distribute only when the file
+    // count can actually use executors; the threshold is deliberately
+    // small so any real table (100 TB ~ 1M files) takes the distributed
+    // path unchanged.
+    if (names.size <= 64) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      return names.map(n => readOne(conf, new Path(dir, n), zCols))
+        .map(r => r.name -> r).toMap
+    }
     val confKv = spark.sparkContext.hadoopConfiguration.asScala
       .map(e => (e.getKey, e.getValue)).toSeq
     val slices = math.min(names.size, spark.sparkContext.defaultParallelism)

@@ -19,6 +19,18 @@ class Store(spark: SparkSession, baseDir: String) {
 
   private def fs = new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Label the Spark jobs `body` submits (guide §1.5) so the UI and the
+    * Profile job timeline attribute every lakehouse mutation's jobs to
+    * their phase (locate scan / sample / staging write / …). Thread-local
+    * and restored, so nested labels and caller labels survive.
+    */
+  private def labeled[T](desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"graft: $desc")
+    try body finally sc.setJobDescription(prev)
+  }
+
   def exists(rel: String): Boolean = fs.exists(new Path(s"$baseDir/$rel"))
 
   /** S6: schema'd CSV scan (no inference — SURVEY §1.1). */
@@ -110,9 +122,12 @@ class Store(spark: SparkSession, baseDir: String) {
         staged = listDataFilesDeep(tmp)
       }
       val renames = staged.map(s => s -> promoteName(s, "w", epoch))
+      // the replace defines the declared schema (dt included — FileTable
+      // and basePath reads subtract/re-append partition columns)
       val newM = LayoutManifest(Nil, 0, 0, epoch,
         base = renames.map(_._2).sorted, appends = Nil,
-        lastBatch = m0.flatMap(_.lastBatch), partCols = Seq("dt"))
+        lastBatch = m0.flatMap(_.lastBatch), partCols = Seq("dt"),
+        schemaJson = Some(Store.nullableSchemaJson(stagedDf.schema)))
       // a manifest-less target (fresh dir or a plain writePartitioned
       // table being adopted) has no history to serve — delete its files
       // and start history at this epoch; a tracked table retires them
@@ -195,7 +210,14 @@ class Store(spark: SparkSession, baseDir: String) {
         val newM = LayoutManifest(Nil, 0, 0, epoch,
           base = (keep ++ renames.map(_._2)).sorted, appends = Nil,
           lastBatch = m0.flatMap(_.lastBatch), partCols = Seq("dt"),
-          schemaJson = m0.flatMap(_.schemaJson))
+          // evolved/declared schema rides through; a FRESH table (no kept
+          // foreign files) declares the batch schema for inference-free
+          // reads — an adopted one keeps inference until a replace
+          schemaJson = m0.flatMap(_.schemaJson).orElse(
+            if (current.isEmpty)
+              Some(Store.nullableSchemaJson(
+                df.withColumn("dt", to_date(col(tsCol))).schema))
+            else None))
         // adopted (manifest-less) tables have no prior epoch to serve, so
         // their replaced files delete; tracked tables retire them
         ScopedCommit.replay(fs, dir, ScopedCommit.write(fs, dir, renames,
@@ -377,14 +399,18 @@ class Store(spark: SparkSession, baseDir: String) {
       val current = if (fs.exists(dir)) listDataFilesDeep(dir) else Nil
       val tmp = ScopedCommit.newStageDir(dir)
       ScopedCommit.sweepStages(fs, dir)
-      zorderStage(df, zCols, files, bits).write.mode("overwrite").parquet(tmp.toString)
+      labeled(s"z-order replace write ${dir.getName}")(
+        zorderStage(df, zCols, files, bits).write.mode("overwrite").parquet(tmp.toString))
       val staged = listDataFiles(tmp)
       val renames = staged.map(s => s -> s"part-w$epoch-${s.stripPrefix("part-")}")
       // a replace drops the exactly-once watermark ONLY when no manifest
-      // carried one (carrying it through mirrors recluster's discipline)
+      // carried one (carrying it through mirrors recluster's discipline).
+      // The replace DEFINES the table's declared schema (an evolved wider
+      // schema from a prior life is gone — this epoch's content is df)
       val newM = LayoutManifest(zCols, bits, files, epoch,
         base = renames.map(_._2).sorted, appends = Nil,
-        lastBatch = m0.flatMap(_.lastBatch))
+        lastBatch = m0.flatMap(_.lastBatch),
+        schemaJson = Some(Store.nullableSchemaJson(df.schema)))
       // replay from the lines just written, NOT a marker re-read: a
       // reader-driven recover racing this commit may finish the replay and
       // delete the marker first (replay itself is concurrent-replayer-safe)
@@ -482,11 +508,11 @@ class Store(spark: SparkSession, baseDir: String) {
     // topKSortFallbackThreshold so this plans as TakeOrderedAndProject
     // (per-partition top-k, no full sort shuffle)
     val proj = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
-    val sample: Array[Array[Double]] = proj
+    val sample: Array[Array[Double]] = labeled("z-order bounds sample")(proj
       .withColumn("__h", xxhash64(zCols.map(col): _*))
       .orderBy(col("__h"))
       .limit(Store.zSampleSize)
-      .collect()
+      .collect())
       .map(r => Array.tabulate(zCols.size)(i =>
         if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))
     // per-column equal-mass bucket bounds = exact quantiles of the sample
@@ -500,14 +526,13 @@ class Store(spark: SparkSession, baseDir: String) {
         }.distinct
       c -> bs
     }.toMap
-    // rank of v among the n equal-mass buckets: a linear boundary scan,
-    // write-time-only and codegen'd (n-1 compares per row per column)
-    def bucketOf(c: String): org.apache.spark.sql.Column = {
-      val v = col(c).cast("double")
-      bounds(c).foldLeft(lit(0)) { (acc, b) =>
-        acc + when(v > lit(b), 1).otherwise(0)
-      }
-    }
+    // rank of v among the n equal-mass buckets — one kernel expression
+    // (binary search, null ranks 0) instead of the n-1-deep when() chain
+    // the stage used through r20: the chain was ~250 plan nodes PER
+    // COLUMN re-analyzed on every staging write (driver planning cost on
+    // every lakehouse mutation) and n-1 sequential compares per row
+    def bucketOf(c: String): org.apache.spark.sql.Column =
+      graft.functions.BoundsRankDouble(col(c).cast("double"), bounds(c))
     // the driver-side twin of bucketOf, for curve-indexing the sample
     // (NaN > b is false, so nulls rank 0 — same as when() on null)
     def rankOf(v: Double, bs: Array[Double]): Long = bs.count(v > _).toLong
@@ -537,9 +562,9 @@ class Store(spark: SparkSession, baseDir: String) {
         graft.functions.HilbertIndexN(zCols.map(c => col(s"__zb_$c")), bits)
     val salts = Store.hashSalts(files)
     val withZ = withB.withColumn("__z", zval)
-    val pid = zBounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("__z") > lit(b), 1).otherwise(0)
-    }
+    // same kernel for the curve-index -> output-file cut points (exact
+    // long compares — a 62-bit curve index does not fit a double)
+    val pid = graft.functions.BoundsRankLong(col("__z"), zBounds)
     withZ
       .withColumn("__zsalt", element_at(typedLit(salts.toSeq), pid + 1))
       .repartition(files, col("__zsalt"))
@@ -594,7 +619,8 @@ class Store(spark: SparkSession, baseDir: String) {
     withEpochClaim(dir, m0.map(_.epoch + 1).getOrElse(0L),
       m0.map(_.epoch).getOrElse(-1L), java.util.UUID.randomUUID.toString) {
       val before = if (fs.exists(dir)) listDataFiles(dir).toSet else Set.empty[String]
-      zorderStage(df, zCols, files, bits).write.mode("append").parquet(s"$baseDir/$rel")
+      labeled(s"z-order append write ${dir.getName}")(
+        zorderStage(df, zCols, files, bits).write.mode("append").parquet(s"$baseDir/$rel"))
       // manifest bookkeeping: this batch's files form one append layer. A
       // manifest-less table (foreign/pre-manifest) adopts its existing files
       // as "base" — if they were NOT actually curve-clustered, their wide
@@ -608,8 +634,14 @@ class Store(spark: SparkSession, baseDir: String) {
       val m = m0 match {
         case Some(mf) => mf.copy(epoch = mf.epoch + 1, appends = mf.appends :+ batch)
         case None =>
+          // declared schema only on a genuinely FRESH table: an adopted
+          // foreign table's existing files may carry columns this batch
+          // does not, and a declared batch schema would silently project
+          // them away — adopted tables keep inference until a replace
           LayoutManifest(zCols, bits, files, epoch = 0L,
-            base = before.toSeq.sorted, appends = Seq(batch))
+            base = before.toSeq.sorted, appends = Seq(batch),
+            schemaJson = if (before.isEmpty)
+              Some(Store.nullableSchemaJson(df.schema)) else None)
       }
       LayoutManifest.write(fs, dir, m)
     }
@@ -885,8 +917,15 @@ class Store(spark: SparkSession, baseDir: String) {
       s"append layout (${zCols.mkString(",")}/bits=$bits) does not match " +
         s"the table manifest (${mf.zCols.mkString(",")}/bits=${mf.bits})"))
     validateAgainstDeclared(df.schema, m0, rel)
-    val m = m0.getOrElse(LayoutManifest(zCols, bits, files, epoch = 0L,
-      base = if (fs.exists(dir)) listDataFiles(dir) else Nil, appends = Nil))
+    val m = m0.getOrElse {
+      val adopted = if (fs.exists(dir)) listDataFiles(dir) else Nil
+      LayoutManifest(zCols, bits, files, epoch = 0L,
+        base = adopted, appends = Nil,
+        // fresh tables declare the batch schema (inference-free reads);
+        // adopted foreign files keep inference — see appendZorderedOnce
+        schemaJson = if (adopted.isEmpty)
+          Some(Store.nullableSchemaJson(df.schema)) else None)
+    }
     // the epoch this batch would COMMIT: 0 on a fresh/manifest-less table
     // (exactly as appendZordered/writeZordered number their first commit —
     // both first-write paths must race for the SAME claim file, or the
@@ -898,7 +937,8 @@ class Store(spark: SparkSession, baseDir: String) {
     withEpochClaim(dir, newEpoch, m0.map(_.epoch).getOrElse(-1L), s"b$batchId") {
       val tmp = ScopedCommit.newStageDir(dir)
       ScopedCommit.sweepStages(fs, dir)
-      zorderStage(df, zCols, files, bits).write.mode("overwrite").parquet(tmp.toString)
+      labeled(s"z-order batch write ${dir.getName}")(
+        zorderStage(df, zCols, files, bits).write.mode("overwrite").parquet(tmp.toString))
       val staged = listDataFiles(tmp)
       // An empty batch stages either nothing or one schema-only zero-row
       // file (Spark's empty-write shape) — record the id, promote no layer.
@@ -986,7 +1026,8 @@ class Store(spark: SparkSession, baseDir: String) {
     if (appendAll.isEmpty)
       return ScopedStats(base.size, 0, 0, 0L, totalBytes)
     withEpochClaim(dir, m.epoch + 1, m.epoch, java.util.UUID.randomUUID.toString) {
-    val rects = FileRect.readAll(spark, dir.toString, base ++ appendAll, m.zCols)
+    val rects = labeled(s"footer rects ${dir.getName}")(
+      FileRect.readAll(spark, dir.toString, base ++ appendAll, m.zCols))
     val aRects = appendAll.map(rects)
     val erodedBase = base.filter(b => aRects.exists(rects(b).intersects))
     val rewrite = (appendAll ++ erodedBase).sorted
@@ -1003,8 +1044,9 @@ class Store(spark: SparkSession, baseDir: String) {
     // the region may mix pre- and post-evolution vintages — project to
     // the declared schema or the staged rewrite drops added columns
     val region = evolvedReader(Some(m)).parquet(rewrite.map(n => s"$dir/$n"): _*)
-    zorderStage(region, m.zCols, nOut, m.bits)
-      .write.mode("overwrite").parquet(tmp.toString)
+    labeled(s"scoped recluster write ${dir.getName}")(
+      zorderStage(region, m.zCols, nOut, m.bits)
+        .write.mode("overwrite").parquet(tmp.toString))
     val staged = listDataFiles(tmp)
     val epoch = m.epoch + 1
     // promoted names keep the part- prefix (scan-visible) and carry the
@@ -1163,8 +1205,13 @@ class Store(spark: SparkSession, baseDir: String) {
   private def validateAgainstDeclared(batch: StructType,
                                       m0: Option[LayoutManifest], rel: String): Unit =
     m0.flatMap(_.schema).foreach { s =>
+      // nullability-insensitive comparison at every nesting level: the
+      // declared schema is normalized all-nullable at write time, and a
+      // batch whose map/array/struct happens to be non-nullable (computed
+      // literals) is type-compatible — only NAME/TYPE drift is an error
       val bad = batch.fields.filterNot(f => s.fields.exists(g =>
-        g.name.equalsIgnoreCase(f.name) && g.dataType == f.dataType))
+        g.name.equalsIgnoreCase(f.name) &&
+          Store.nullableType(g.dataType) == Store.nullableType(f.dataType)))
       require(bad.isEmpty,
         s"append to $rel does not fit its declared (evolved) schema — " +
           s"offending columns: ${bad.map(f => s"${f.name}:${f.dataType.simpleString}")
@@ -1244,25 +1291,6 @@ class Store(spark: SparkSession, baseDir: String) {
         else if (vals.size > pruneCap) acc
         else acc.where(col(pc).isin(vals: _*))
     }
-    // files bearing matches — only when a matched action will rewrite
-    // them; the file name is captured BEFORE the join (input_file_name is
-    // meaningless after a shuffle)
-    val touchedNames: Seq[String] =
-      if (matched.isEmpty) Nil
-      else matchAll.withColumn("__graft_fname", input_file_name()).alias("__t")
-        .join(srcX, on, "left_semi")
-        .select(col("__graft_fname")).distinct().collect()
-        .map(r => relativeName(dir, r.getString(0)))
-        .toSeq.sorted
-    val reader =
-      if (partCols.nonEmpty) evolvedReader(m0).option("basePath", dir.toString)
-      else evolvedReader(m0)
-    val region0 =
-      if (touchedNames.nonEmpty) reader.parquet(touchedNames.map(n => s"$dir/$n"): _*)
-      else all.where(lit(false))
-    val regionT = region0.withColumn("__graft_rid", monotonically_increasing_id())
-      .alias("__t")
-    val j = regionT.join(srcX, on, "left_outer")
     val hitBase = col("__graft_sx").isNotNull
     // which ordered clause fires per row — 0 = none (pass through),
     // i+1 = clause i. A when-chain evaluates in order: FIRST match wins,
@@ -1283,31 +1311,56 @@ class Store(spark: SparkSession, baseDir: String) {
     }
     def inIdx(idx: Seq[Int]) =
       if (idx.isEmpty) lit(false) else col("__graft_cl").isin(idx: _*)
-    // ONE evaluation of the region join yields BOTH the SQL MERGE
-    // cardinality law and the clause stats (the previous separate
-    // dup-check job re-evaluated the whole region scan + source join —
-    // guide §1.2: one pass where one pass suffices). Per target row:
-    // its match count and its firing clause; globally: max(match count),
-    // row/clause totals. When the law is violated the totals are
-    // polluted by the duplicate matches, but the require throws before
-    // anything reads them.
-    val (regionRows, updHits, delHits) =
-      if (touchedNames.isEmpty) (0L, 0L, 0L)
+    // ONE inner-join pass yields the touched-file locate AND the SQL
+    // cardinality law AND the clause stats (optimization round 21; round
+    // 20 had fused law+stats but still paid a separate locate semi-join —
+    // the same join evaluated twice, a full extra pass over the
+    // match-surface at 100 TB). Matched pairs group by (file, target row):
+    // per target row its match count and firing clause; per file the max
+    // match count and clause totals; the driver folds the per-file rows
+    // (bounded by the touched-file count) into the global law and stats.
+    // Only MATCHED pairs are shuffled — the unmatched bulk of the region
+    // never leaves its scan (guide §2.3, shuffle fewer bytes). When the
+    // law is violated the totals are polluted by the duplicate matches,
+    // but the require throws before anything reads them.
+    val (touchedNames, updHits, delHits) =
+      if (matched.isEmpty) (Seq.empty[String], 0L, 0L)
       else {
-        val perRid = j.select(col("__graft_rid"),
-            hitBase.cast("long").as("__graft_hit"), clauseCol.as("__graft_cl"))
-          .groupBy(col("__graft_rid"))
-          .agg(sum(col("__graft_hit")).as("__graft_h"),
-            max(col("__graft_cl")).as("__graft_cl"))
-        val r = perRid.agg(max(col("__graft_h")).as("mh"),
-          count(lit(1)).as("n"),
-          count(when(inIdx(updateIdx), 1)).as("u"),
-          count(when(inIdx(deleteIdx), 1)).as("d")).head
-        require(matched.isEmpty || (if (r.isNullAt(0)) 0L else r.getLong(0)) <= 1L,
+        val pairs = matchAll.withColumn("__graft_fname", input_file_name())
+          .withColumn("__graft_rid", monotonically_increasing_id()).alias("__t")
+          .join(srcX, on, "inner")
+        val perRid = pairs
+          .select(col("__graft_fname"), col("__graft_rid"), clauseCol.as("__graft_cl"))
+          .groupBy(col("__graft_fname"), col("__graft_rid"))
+          .agg(count(lit(1)).as("__graft_h"), max(col("__graft_cl")).as("__graft_cl"))
+        val perFile = labeled(s"merge locate+cardinality+stats ${dir.getName}")(
+          perRid.groupBy(col("__graft_fname"))
+            .agg(max(col("__graft_h")).as("mh"),
+              count(when(inIdx(updateIdx), 1)).as("u"),
+              count(when(inIdx(deleteIdx), 1)).as("d")).collect())
+        val mh = if (perFile.isEmpty) 0L else perFile.map(_.getLong(1)).max
+        require(mh <= 1L,
           s"MERGE into $dir: a target row is matched by more than one source row — " +
             "the SQL cardinality rule forbids it; deduplicate the source on the merge keys")
-        (r.getLong(1), r.getLong(2), r.getLong(3))
+        (perFile.map(r => relativeName(dir, r.getString(0))).toSeq.sorted,
+          perFile.map(_.getLong(2)).sum, perFile.map(_.getLong(3)).sum)
       }
+    val reader =
+      if (partCols.nonEmpty) evolvedReader(m0).option("basePath", dir.toString)
+      else evolvedReader(m0)
+    val region0 =
+      if (touchedNames.nonEmpty) reader.parquet(touchedNames.map(n => s"$dir/$n"): _*)
+      else all.where(lit(false))
+    val regionT = region0.alias("__t")
+    val j = regionT.join(srcX, on, "left_outer")
+    // the touched region's TOTAL row count (matched or not) used to come
+    // from a whole-region aggregation job; the parquet footers already
+    // know it — O(touched files) metadata reads, no data pages, driver- or
+    // executor-side per [[FileRect.readAll]]'s size gate
+    val regionRows: Long =
+      if (touchedNames.isEmpty) 0L
+      else FileRect.readAll(spark, dir.toString, touchedNames, Nil)
+        .values.map(_.rows).sum
     matched.foreach {
       case Store.MergeUpdate(sets, _) =>
         val unknown = sets.keySet -- tcols
@@ -1406,8 +1459,8 @@ class Store(spark: SparkSession, baseDir: String) {
       // and the locate scan on a partitioned root is partition-PRUNED when
       // cond constrains the partition columns (the table prunes its own
       // COW search, the same property the curve layouts give flat tables)
-      val touchedNames = all.where(cond)
-        .select(input_file_name()).distinct().collect()
+      val touchedNames = labeled(s"cow locate scan ${dir.getName}")(all.where(cond)
+        .select(input_file_name()).distinct().collect())
         .map(r => relativeName(dir, r.getString(0))).toSeq.sorted
       val total = listDataFilesDeep(dir)
       if (touchedNames.isEmpty) CowResult(0, total.size, 0L, 0L, 0L)
@@ -1516,8 +1569,9 @@ class Store(spark: SparkSession, baseDir: String) {
     val stagedObs = org.apache.spark.sql.Observation()
     val writer = staged0.observe(stagedObs, count(lit(1)).as("rows"))
       .write.mode("overwrite")
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-      .parquet(tmp.toString)
+    labeled(s"cow staging write ${dir.getName}")(
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(tmp.toString))
     var staged = listDataFilesDeep(tmp)
     // A partitionBy write of an EMPTY frame creates zero files (dynamic
     // partition writers open files lazily), so a DELETE matching every row
@@ -1596,7 +1650,8 @@ class Store(spark: SparkSession, baseDir: String) {
     // guard; counting them as probability-1 in every dimension would let
     // ONE such file permanently inflate the statistic by ~1 and trip
     // maintainZordered into rewrites that change nothing
-    val rects = FileRect.readAll(spark, dir.toString, onDisk, m.zCols)
+    val rects = labeled(s"erosion footer rects ${dir.getName}")(
+      FileRect.readAll(spark, dir.toString, onDisk, m.zCols))
       .values.toSeq.filter(_.rows > 0L)
     val perDim = m.zCols.indices.map { d =>
       val bounds = rects.flatMap(r => for (a <- r.lo(d); b <- r.hi(d)) yield (a, b))
@@ -2204,28 +2259,43 @@ class Store(spark: SparkSession, baseDir: String) {
         lit(tpe).as("_change_type") :+
         lit(epoch).as("_commit_epoch") :+
         lit(new java.sql.Timestamp(commitTs.getOrElse(epoch, 0L))).as("_commit_ts"): _*)
-    val perEpoch = ((sinceEpoch + 1) to until).map { e =>
+    // per-epoch file deltas, resolved once (driver metadata only)
+    val deltas = ((sinceEpoch + 1) to until).map { e =>
       val prevNames =
         if (e == 0L) Set.empty[String] else versionFileNames(rel, e - 1).toSet
       val eNames = versionFileNames(rel, e)
-      val added = eNames.filterNot(prevNames)
-      val dropped = (prevNames -- eNames).toSeq.sorted
+      (e, eNames.filterNot(prevNames), (prevNames -- eNames).toSeq.sorted)
+    }
+    // the pre/post pairing is only defined on unique keys — validate over
+    // exactly the delta regions (bounded), loudly. ONE job for EVERY
+    // rewrite epoch in range (epoch and side ride the grouping key) —
+    // the per-epoch check was one job each (optimization round 21)
+    val rewriteEpochs = deltas.filter(_._3.nonEmpty)
+    if (rewriteEpochs.nonEmpty) {
+      val kc = key.map(col)
+      val checkFrames = rewriteEpochs.flatMap { case (e, added, dropped) =>
+        Seq(readNames(e, dropped)
+          .select(lit(e).as("__epoch") +: lit("retired").as("__side") +: kc: _*),
+          readNames(e, added)
+            .select(lit(e).as("__epoch") +: lit("replacement").as("__side") +: kc: _*))
+      }
+      val dup = labeled(s"change-feed key check $rel")(
+        checkFrames.reduce(_ unionByName _)
+          .groupBy(col("__epoch") +: col("__side") +: kc: _*)
+          .agg(count(lit(1)).as("__n"))
+          .where(col("__n") > 1).select(col("__epoch"), col("__side"))
+          .limit(1).collect())
+      require(dup.isEmpty,
+        s"changeFeed($rel): key (${key.mkString(", ")}) is not unique in " +
+          s"epoch ${dup.headOption.map(_.getLong(0)).getOrElse(-1L)}'s " +
+          s"${dup.headOption.map(_.getString(1)).getOrElse("")} region — " +
+          "pre/post pairing is ill-defined; pass the table's full key")
+    }
+    val perEpoch = deltas.map { case (e, added, dropped) =>
       if (dropped.isEmpty) stamp(readNames(e, added), "insert", e)
       else {
         val oldR = readNames(e, dropped)
         val newR = readNames(e, added)
-        val kc = key.map(col)
-        // the pre/post pairing is only defined on unique keys — validate
-        // over exactly the delta region (bounded), loudly. ONE job for
-        // both sides (side rides the grouping key), not one scan each.
-        val dupSide = oldR.select(lit("retired").as("__side") +: kc: _*)
-          .unionByName(newR.select(lit("replacement").as("__side") +: kc: _*))
-          .groupBy(col("__side") +: kc: _*).agg(count(lit(1)).as("__n"))
-          .where(col("__n") > 1).select(col("__side")).limit(1).collect()
-        require(dupSide.isEmpty,
-          s"changeFeed($rel): key (${key.mkString(", ")}) is not unique in " +
-            s"epoch $e's ${dupSide.headOption.map(_.getString(0)).getOrElse("")} region — " +
-            "pre/post pairing is ill-defined; pass the table's full key")
         // ONE pass over the joined delta: each row explodes into its 0-2
         // change rows (identical pre/post content explodes into none) —
         // no cache, no 4-way re-read of the region
@@ -2686,6 +2756,34 @@ object Store {
     }
     salts
   }
+
+  /** The staged frame's schema as the manifest's DECLARED schema, with
+    * every level forced nullable (optimization round 21: manifests now
+    * record the schema at WRITE time, so every later manifest-driven read
+    * — COW locates/regions, snapshot/version resolution, the DSv2 catalog
+    * face — skips parquet schema inference: at 100 TB inference is a
+    * footer read + schema merge over the file listing PER STATEMENT,
+    * which is why Delta/Iceberg record schemas in table metadata).
+    * All-nullable because the declared schema outlives this batch: a
+    * later append may legitimately carry nulls where this frame happened
+    * to be non-nullable, and parquet reads under a too-strict
+    * non-nullable schema corrupt instead of failing. Nullability is
+    * metadata — no declared query's rows change.
+    */
+  private[io] def nullableType(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = nullableType(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(nullableType(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(nullableType(m.keyType), nullableType(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  private[io] def nullableSchemaJson(schema: org.apache.spark.sql.types.StructType): String =
+    nullableType(schema).asInstanceOf[org.apache.spark.sql.types.StructType].json
 
   /** The matched half of a [[Store.mergeInto]]: UPDATE SET (values may
     * reference `__t` and `__s`) or DELETE, each optionally gated by an

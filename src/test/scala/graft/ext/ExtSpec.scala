@@ -1566,6 +1566,46 @@ class FunctionsSpec extends AnyFunSuite {
     assert(m1 == m2 && m1.hashCode == m2.hashCode && m1.semanticEquals(m2))
     assert(m1 != m1.copy(nBits = 2))
   }
+
+  test("BoundsRank: kernel == the replaced when()-chain on randoms, nulls, " +
+    "NaN, boundary hits; exact long compares past the double mantissa") {
+    import spark.implicits._
+    // the exact formulation zorderStage used through r20 — the law is
+    // bit-identical agreement, including null -> 0 and Spark's NaN-greatest
+    // double ordering
+    def chainD(v: Column, bs: Array[Double]): Column =
+      bs.foldLeft(lit(0)) { (acc, b) => acc + when(v > lit(b), 1).otherwise(0) }
+    def chainL(v: Column, bs: Array[Long]): Column =
+      bs.foldLeft(lit(0)) { (acc, b) => acc + when(v > lit(b), 1).otherwise(0) }
+    val rnd = new scala.util.Random(42)
+    val boundsD = Array.tabulate(63)(_ => rnd.nextDouble() * 100).sorted.distinct
+    val vsD: Seq[Option[Double]] =
+      Seq(None, Some(Double.NaN), Some(-1e9), Some(1e9)) ++
+        boundsD.take(8).map(Some(_)) ++ // exact boundary hits rank LEFT of themselves
+        (0 until 500).map(_ => Some(rnd.nextDouble() * 120 - 10))
+    val dfD = vsD.toDF("v")
+      .select(graft.functions.BoundsRankDouble(col("v"), boundsD).as("got"),
+        chainD(col("v"), boundsD).as("want"))
+    assert(dfD.where(col("got") =!= col("want")).count() == 0L)
+    // codegen == eval: the same frame through the interpreted path
+    val interpreted = vsD.map(v =>
+      v.fold(0)(x => graft.functions.BoundsRankDouble.compute(x, boundsD)))
+    assert(dfD.select(col("got")).collect().map(_.getInt(0)).toSeq == interpreted)
+    // long sibling: values adjacent at 2^62 scale, where a double round-trip
+    // would collapse neighbors onto one bound
+    val base = (1L << 62) - 64L
+    val boundsL = Array.tabulate(7)(i => base + i * 16L)
+    val vsL: Seq[Option[Long]] =
+      Seq(None, Some(0L), Some(Long.MaxValue)) ++
+        boundsL.map(Some(_)) ++ boundsL.map(b => Some(b + 1L))
+    val dfL = vsL.toDF("v")
+      .select(graft.functions.BoundsRankLong(col("v"), boundsL).as("got"),
+        chainL(col("v"), boundsL).as("want"))
+    assert(dfL.where(col("got") =!= col("want")).count() == 0L)
+    // the precision trap itself: b and b+1 must rank differently around b
+    assert(graft.functions.BoundsRankLong.compute(base, boundsL) == 0)
+    assert(graft.functions.BoundsRankLong.compute(base + 1L, boundsL) == 1)
+  }
 }
 
 class BpeSpec extends AnyFunSuite {
