@@ -140,7 +140,15 @@ object Dedup {
       .withColumn("est_jaccard",
         graft.functions.ArrayEqCount(col("sig_a"), col("sig_b"))
           .cast("double") / perms.toDouble)
-      .where(col("est_jaccard") >= minJaccard)
+      // optimizer fence (guide §4.4's trick, arithmetic form): a separate
+      // nondeterministic conjunct gets SPLIT off and the deterministic
+      // half still pushes into the join condition with the kernel
+      // substituted (2 evaluations per survivor) — folding the
+      // always-zero nondeterministic term INTO the one comparison makes
+      // the predicate unsplittable and unpushable, so the kernel runs
+      // once, in this Project, per candidate pair
+      .where(col("est_jaccard") >=
+        lit(minJaccard) + spark_partition_id() * lit(0.0))
       .select("id_a", "id_b", "est_jaccard")
   }
 
@@ -203,7 +211,9 @@ object Dedup {
       // precompiled kernel call (interpreted per candidate pair before)
       .withColumn("hamming",
         graft.functions.HammingCount(col("sh_a"), col("sh_b")))
-      .where(col("hamming") <= maxHamming)
+      // optimizer fence, arithmetic form — see minhashPairs: one kernel
+      // evaluation per candidate pair (the added term is always zero)
+      .where(col("hamming") <= lit(maxHamming) + spark_partition_id() * lit(0))
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
@@ -420,21 +430,13 @@ object Dedup {
         floor(col(lenCol) / tol).as("__bucket"))
     l.join(r, Seq("__bucket"))
       .where(abs(col("len_l") - col("len_r")) <= tol)
-      // bounded kernel: pairs provably below minJaccard abort the merge
-      // early and return -1 — dropped below, before any division; every
-      // surviving pair carries its EXACT count, so the jaccard filter is
-      // unchanged (see SortedIntersectSizeBounded for the boundary proof)
-      .withColumn("inter",
-        graft.functions.SortedIntersectSizeBounded.forThreshold(
-          col("sh_l"), col("sh_r"), minJaccard).cast("double"))
-      .where(col("inter") >= 0)
-      // zero-guard: two sub-k-word docs have EMPTY shingle sets, and under
-      // Spark 4's default ANSI mode 0.0/0.0 aborts the query instead of
-      // yielding NaN; empty-vs-empty is "no evidence of similarity" -> 0
-      .withColumn("jaccard", when(
-          size(col("sh_l")) + size(col("sh_r")) - col("inter") === 0, lit(0.0))
-        .otherwise(
-          col("inter") / (size(col("sh_l")) + size(col("sh_r")) - col("inter"))))
+      // the whole verify step — positional early-abort, ANSI 0/0 guard,
+      // exact division — as ONE nondeterministic-flagged expression, so
+      // the two-pointer merge runs exactly once per candidate pair (the
+      // r20 chain collapsed into the join condition and ran it up to 4x
+      // per survivor — see BoundedJaccard's class doc)
+      .withColumn("jaccard",
+        graft.functions.BoundedJaccard(col("sh_l"), col("sh_r"), minJaccard))
       .where(col("jaccard") >= minJaccard)
       .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -693,17 +695,10 @@ object Dedup {
     // probe side's partitioning IS the parallelism of the intersection loop
     spread(a, col("id_a")).join(b, Seq("__bucket"))
       .where(col("id_a") < col("id_b") && abs(col("len_a") - col("len_b")) <= tol)
-      // bounded kernel: below-threshold pairs abort early with -1 and are
-      // dropped before the division; surviving pairs carry exact counts
-      .withColumn("inter",
-        graft.functions.SortedIntersectSizeBounded.forThreshold(
-          col("sh_a"), col("sh_b"), minJaccard).cast("double"))
-      .where(col("inter") >= 0)
-      // zero-guard: see ngramJaccardPairsBetween — ANSI 0.0/0.0 aborts
-      .withColumn("jaccard", when(
-          size(col("sh_a")) + size(col("sh_b")) - col("inter") === 0, lit(0.0))
-        .otherwise(
-          col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter"))))
+      // the whole verify step as ONE expression, evaluated once per
+      // candidate pair — see ngramJaccardPairsBetween / BoundedJaccard
+      .withColumn("jaccard",
+        graft.functions.BoundedJaccard(col("sh_a"), col("sh_b"), minJaccard))
       .where(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -1606,6 +1606,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(graft.functions.BoundsRankLong.compute(base, boundsL) == 0)
     assert(graft.functions.BoundsRankLong.compute(base + 1L, boundsL) == 1)
   }
+
+  test("BoundedJaccard: filter(>= t) keeps exactly the exact-Jaccard >= t " +
+    "pairs with bit-identical values; empty sets 0; null elements null") {
+    import spark.implicits._
+    val t = 0.5
+    val rnd = new scala.util.Random(7)
+    def mkSet(n: Int): Seq[Long] =
+      Seq.fill(n)(rnd.nextLong() % 50).distinct.sorted
+    // random pairs with heavy overlap so both sides of the threshold occur
+    val pairs: Seq[(Seq[Long], Seq[Long])] =
+      (0 until 400).map { _ =>
+        val a = mkSet(rnd.nextInt(12))
+        val drop = a.filter(_ => rnd.nextBoolean())
+        val b = (drop ++ mkSet(rnd.nextInt(8))).distinct.sorted
+        (a, b)
+      } :+ ((Seq.empty[Long], Seq.empty[Long])) :+ ((Seq(1L, 2L), Seq.empty[Long]))
+    val df = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.functions.BoundedJaccard(col("a"), col("b"), t).as("bj"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val a = r.getSeq[Long](0); val b = r.getSeq[Long](1)
+      val inter = a.toSet.intersect(b.toSet).size
+      val union = a.size + b.size - inter
+      val exact = if (union == 0) 0.0 else inter.toDouble / union.toDouble
+      val bj = r.getDouble(2)
+      if (exact >= t)
+        assert(bj == exact, s"survivor must carry the exact value: $a $b")
+      else
+        assert(bj < t, s"below-threshold pair must not survive: $a $b -> $bj")
+    }
+    // a null element poisons to SQL NULL (dropped by any >= filter)
+    val nrow = Seq((Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L, 2L)))
+      .toDF("a", "b")
+      .select(graft.functions.BoundedJaccard(col("a"), col("b"), t)).head
+    assert(nrow.isNullAt(0))
+  }
 }
 
 class BpeSpec extends AnyFunSuite {

@@ -61,7 +61,7 @@ class PlanSpec extends AnyFunSuite {
   test("ngram jaccard pairs join on the length bucket, never all-pairs") {
     val p = plan("x3_dedup_ngram")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("sortedintersectsize"), p) // custom expr stays in the join
+    assert(p.contains("boundedjaccard"), p) // the one-node verify kernel (r21)
   }
 
   test("date filter reaches the parquet scan as a pushed filter") {
@@ -402,7 +402,7 @@ class PlanSpec extends AnyFunSuite {
   test("incremental dedup: both tiers are keyed joins, never all-pairs") {
     val p = plan("x20_dedup_incremental")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("sortedintersectsize"), p) // near tier's codegen'd intersect
+    assert(p.contains("boundedjaccard"), p) // near tier's one-node verify kernel (r21)
   }
 
   test("sequence packing is one shuffle into parallel bucket windows") {

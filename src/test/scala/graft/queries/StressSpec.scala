@@ -186,7 +186,7 @@ class StressSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name lost its equi-join:\n$p")
     }
     assert(incremental(big).queryExecution.executedPlan.toString
-      .contains("sortedintersectsize"), "near tier lost the codegen'd intersect")
+      .contains("boundedjaccard"), "near tier lost the codegen'd verify kernel")
   }
 
   /** `mult` replicas of the embeddings fixture: distinct ids, vectors
