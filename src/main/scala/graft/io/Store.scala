@@ -496,7 +496,8 @@ class Store(spark: SparkSession, baseDir: String) {
     * disjoint contiguous curve ranges, sorted within — is preserved.
     */
   private def zorderStage(df: DataFrame, zCols: Seq[String],
-                          files: Int, bits: Int): DataFrame = {
+                          files: Int, bits: Int,
+                          sampleFrom: Option[DataFrame] = None): DataFrame = {
     require(zCols.size >= 2,
       "z-order needs at least two cluster columns — one column is writeClustered")
     require(bits >= 1 && bits * zCols.size <= 62,
@@ -506,8 +507,20 @@ class Store(spark: SparkSession, baseDir: String) {
     // z columns — stable across partition layouts, task retries and runs
     // (a reservoir/random sample is not), and k is below Spark's
     // topKSortFallbackThreshold so this plans as TakeOrderedAndProject
-    // (per-partition top-k, no full sort shuffle)
-    val proj = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
+    // (per-partition top-k, no full sort shuffle).
+    // `sampleFrom` (optimization round 21): the COW/MERGE staging frames
+    // are JOIN outputs — sampling `df` itself would re-evaluate the whole
+    // region join (for a MERGE, region ⋈ source PLUS the insert
+    // anti-join) just to draw 8192 zCol rows. Callers that know a cheap
+    // superset of the staged rows' z-distribution (the raw touched-region
+    // scan — a plain column-pruned parquet read) pass it here. Bucket
+    // bounds and curve cut points are LAYOUT QUALITY, not semantics:
+    // every choice of cut points yields `files` disjoint contiguous
+    // curve ranges, sorted within — only file-size balance varies, and a
+    // raw-region sample differs from the staged rows only by deleted /
+    // updated-key rows (a bounded skew on a bounded sample).
+    val proj = sampleFrom.getOrElse(df)
+      .select(zCols.map(c => col(c).cast("double").as(c)): _*)
     val sample: Array[Array[Double]] = labeled("z-order bounds sample")(proj
       .withColumn("__h", xxhash64(zCols.map(col): _*))
       .orderBy(col("__h"))
@@ -1414,8 +1427,13 @@ class Store(spark: SparkSession, baseDir: String) {
     // a pass with no files to rewrite must not burn an epoch on zero inserts
     if (commitTouched.isEmpty && insertRows.limit(1).count() == 0L)
       return MergeStats(0, total.size, 0L, 0L, 0L)
+    // the bounds sample draws from the RAW touched-region scan (plain
+    // column-pruned parquet read) instead of the staged join output —
+    // without this the zorderStage sample re-evaluated region ⋈ source
+    // AND the insert anti-join a second time (see zorderStage.sampleFrom)
     val stagedRows = stageAndCommit(dir, "g", commitRegion.unionByName(insertRows),
-      commitTouched, total.size, partCols, m0)
+      commitTouched, total.size, partCols, m0,
+      sampleFrom = if (commitTouched.nonEmpty) Some(region0) else None)
     val inserted = stagedRows - (if (noClauseFired) 0L else regionRows - delHits)
     MergeStats(commitTouched.size, total.size - commitTouched.size, updHits, delHits,
       inserted)
@@ -1515,8 +1533,11 @@ class Store(spark: SparkSession, baseDir: String) {
       if (metricsSurvive) None
       else Some(region.agg(count(lit(1)),
         count(when(coalesce(cond, lit(false)), 1))).head)
+    // sample from the raw region read, not transform(region): the
+    // DELETE/UPDATE projection would otherwise be evaluated a second time
+    // just to draw the bounds sample (see zorderStage.sampleFrom)
     val stagedRows = stageAndCommit(dir, prefix, out, touchedNames, totalFiles,
-      partCols, m0)
+      partCols, m0, sampleFrom = Some(region))
     val (regionRows, matchRows) = preStats match {
       case Some(r) => (r.getLong(0), r.getLong(1))
       case None =>
@@ -1541,13 +1562,14 @@ class Store(spark: SparkSession, baseDir: String) {
   private def stageAndCommit(dir: Path, prefix: String, out: DataFrame,
                              touchedNames: Seq[String], totalFiles: Int,
                              partCols: Seq[String],
-                             m0: Option[LayoutManifest]): Long = {
+                             m0: Option[LayoutManifest],
+                             sampleFrom: Option[DataFrame] = None): Long = {
     val tmp = ScopedCommit.newStageDir(dir)
     ScopedCommit.sweepStages(fs, dir)
     val nOut = math.max(1, touchedNames.size)
     val staged0 = m0 match {
       case Some(m) if m.zCols.size >= 2 =>
-        zorderStage(out, m.zCols, nOut, m.bits)
+        zorderStage(out, m.zCols, nOut, m.bits, sampleFrom)
       case _ if partCols.nonEmpty =>
         // partitioned layout — manifest-tracked (managed store) or not:
         // spread each partition's rows over ~touched-proportional tasks
